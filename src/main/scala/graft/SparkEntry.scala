@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{ReferenceOps, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract (SURVEY.md §5/§7): one `queries` entry per implemented
+ * operator, with a DuckDB-equivalent `oracleSql` wherever the operator
+ * is SQL-expressible. Column names/aliases match 1:1 between the Spark
+ * plan and the SQL — the driver's compare hashes values under sorted
+ * column names.
+ *
+ * Determinism conventions shared by every query (and mirrored in each
+ * oracle):
+ *  - results end in ORDER BY a unique key;
+ *  - money sums run over DECIMAL(18,2) then cast to double (exact,
+ *    order-independent);
+ *  - timestamps are emitted as epoch-millisecond BIGINTs
+ *    (`epoch_ms(ts)` on the DuckDB side);
+ *  - vector math widens floats to double element-wise and folds
+ *    left-to-right (bit-identical to DuckDB `list_sum(list_transform)`);
+ *  - all content hashing is md5-over-UTF-8 (lowercase hex in both
+ *    engines) — never an engine-private hash.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ReferenceOps.incrementalScan(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference surface (SURVEY.md §2) —
+    "q01_incremental_scan" -> (ReferenceOps.incrementalScan _),
+    "q02_projection"       -> (ReferenceOps.projectionPushdown _),
+    "q03_existence_filter" -> (ReferenceOps.existenceFilter _),
+    "q04_topk"             -> (ReferenceOps.topK _),
+    "q05_tumbling_window"  -> (ReferenceOps.tumblingWindowAgg _),
+    "q06_entity_fanout"    -> (ReferenceOps.entityFanout _),
+    "q07_text_parse"       -> (ReferenceOps.textScanParse _),
+    "q08_json_extract"     -> (ReferenceOps.jsonExtract _),
+    "q09_json_stats"       -> (ReferenceOps.jsonPropertyStats _),
+    // — relational layer —
+    "q10_pricing_summary"  -> (Relational.pricingSummary _),
+    "q11_dimension_join"   -> (Relational.dimensionJoin _),
+    "q12_revenue_topk"     -> (Relational.revenueTopK _),
+    "q13_semi_join"        -> (Relational.semiJoin _),
+    "q14_anti_join"        -> (Relational.antiJoin _),
+    "q15_window_rank"      -> (Relational.windowRank _),
+    "q16_running_total"    -> (Relational.runningTotal _),
+    "q17_lag_lead"         -> (Relational.lagLead _),
+    "q18_rollup"           -> (Relational.rollupAgg _),
+    "q19_setops"           -> (Relational.setOps _),
+    "q20_distinct_agg"     -> (Relational.distinctAgg _),
+    "q21_scalar_funcs"     -> (Relational.scalarFunctions _),
+    "q22_date_funcs"       -> (Relational.dateFunctions _),
+    "q23_case_when"        -> (Relational.caseWhenAgg _),
+    "q24_having"           -> (Relational.havingFilter _),
+    "q25_above_avg"        -> (Relational.aboveCustomerAvg _),
+    "q26_snowflake_revenue" -> (Relational.snowflakeRevenue _),
+    // — LLM-pipeline surface (BASELINE.json north star) —
+    "q30_exact_dedup"      -> (Dedup.exactDedup _),
+    "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
+    "q32_minhash_lsh"      -> (Dedup.minhashLsh _),
+    "q33_simhash"          -> (Dedup.simhash _),
+    "q34_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q35_embedding_neardup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    "q36_ann_lsh"          -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q37_lang_id"          -> (TextAnalysis.langId _),
+    "q38_quality_score"    -> (TextAnalysis.qualityScore _),
+    "q39_token_stats"      -> (TextAnalysis.tokenStats _),
+    "q40_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "q41_corpus_stats"     -> (TextAnalysis.corpusStats _),
+    "q42_binary_meta"      -> (Multimodal.binaryMeta _),
+  )
+
+  // DuckDB-runnable ANSI SQL twins. Keys absent here (q36_ann_lsh) get
+  // the driver's rows-only check.
+  def oracleSql: Map[String, String] = Map(
+    "q01_incremental_scan" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events
+        |WHERE epoch_ms(ts) BETWEEN 1704412800000 AND 1705708799999
+        |  AND props IS NOT NULL
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+    "q02_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 30.0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_existence_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE props IS NOT NULL AND event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q04_topk" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 50""".stripMargin,
+    "q05_tumbling_window" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 600000 AS bucket_ms, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q06_entity_fanout" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_text_parse" ->
+      """SELECT doc_id, split_part(text, ' ', 1) AS tok1,
+        |       split_part(text, ' ', 2) AS tok2,
+        |       len(string_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q08_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q09_json_stats" ->
+      """WITH e AS (SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_dimension_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_revenue_topk" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+    "q16_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q17_lag_lead" ->
+      """SELECT user_id, event_id, gap_ms FROM (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts) - LAG(epoch_ms(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events) t
+        |WHERE gap_ms IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+    "q18_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q19_setops" ->
+      """SELECT custkey FROM (
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0)
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') t
+        |ORDER BY custkey""".stripMargin,
+    "q20_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |       substr(p_name, 1, 8) AS name_prefix,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |       CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        |       concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q22_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_case_when" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+        |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin,
+    "q25_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+        |WHERE o.o_totalprice > a.avg_price ORDER BY o_orderkey""".stripMargin,
+    "q26_snowflake_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q31_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, na, nb, jaccard FROM (
+        |  SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb,
+        |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |  FROM p JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q32_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |mh AS (SELECT doc_id, salt,
+        |         MIN(md5(CAST(salt AS VARCHAR) || '|' || s)) AS h
+        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, salt // 2 AS band,
+        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
+        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |  FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q33_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS th
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+        |bits AS (SELECT doc_id, bit,
+        |           SUM(2 * ((th // CAST(pow(2, bit) AS BIGINT)) % 2) - 1) AS w
+        |         FROM toks, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+        |      FROM e WHERE vec_id % 20 = 0),
+        |s AS (SELECT q_id, vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(n2)) AS sim
+        |  FROM q, e WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, rnk, neighbor_id, sim FROM r
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q35_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q37_lang_id" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'fast')) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'nicht')) AS BIGINT) AS hits_de,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'el' OR t = 'la' OR t = 'que' OR t = 'de')) AS BIGINT) AS hits_es,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est')) AS BIGINT) AS hits_fr,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t = 'de5' OR t = 'shi4' OR t = 'bu4' OR t = 'le5')) AS BIGINT) AS hits_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |    WHEN hits_fr >= hits_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred,
+        |  hits_en, hits_de, hits_es, hits_fr, hits_zh
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q38_quality_score" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+        |    + (CAST(n_tokens AS DOUBLE) / 200.0) * 0.3
+        |    + ((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0) * 0.2 AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q39_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_runs,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
+        |  n_chars,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  substr(text, 1, 12) AS prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,153 @@
+package graft.llm
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators over the `documents` table — the LLM-pipeline
+ * surface mandated by BASELINE.json (exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard).
+ *
+ * Cross-engine determinism: every hash used here is `md5` over an
+ * explicit UTF-8 string (lowercase hex in both Spark and DuckDB) and
+ * "minimum hash" means lexicographic MIN over those hex strings — no
+ * engine-private hash functions anywhere, so the DuckDB oracle can
+ * replay the exact pipeline.
+ *
+ * Scale design: candidate generation never goes quadratic —
+ *  - exact dedup is a single hash-shuffle on the content key;
+ *  - MinHash/LSH shuffles by (band, band-signature) so only docs in the
+ *    same LSH bucket ever meet; the verify join touches candidate pairs
+ *    only (empirically ~25 pairs out of 125k at sf0.01);
+ *  - the all-pairs exact-Jaccard query is explicitly windowed to a
+ *    bounded doc prefix — it exists as the oracle-checkable ground
+ *    truth, not as the scale path.
+ */
+object Dedup {
+
+  /** 3-word shingles of the space-tokenized text, distinct per doc.
+    * Output: (doc_id, shingle). Guarded for docs with <3 tokens. */
+  private[llm] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("s", explode(array_distinct(expr(
+        "transform(sequence(1, size(w)-2), i -> " +
+          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))))
+      .select(col("doc_id"), col("s"))
+
+  /**
+   * Exact dedup: group identical texts, keep the lowest doc_id.
+   * One hash aggregation on the content — at 100 TB you'd group on
+   * md5(text) first to shrink shuffle width; semantics are identical.
+   */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).cast("long").as("text_len"))
+      .orderBy("keep_id")
+
+  /**
+   * Exact n-gram (3-word shingle) Jaccard near-dup pairs, restricted to
+   * doc_id < 200 so the all-pairs verify stays bounded (the ground-truth
+   * query; the LSH variant below is the scale path).
+   */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir).filter(col("doc_id") < 200)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Number of MinHash functions (md5 salts) and LSH band layout:
+    * 8 hashes → 4 bands × 2 rows. P(candidate | J=0.9) ≈ 99.9%. */
+  val NumHashes = 8
+  val NumBands  = 4
+
+  /** MinHash signature rows from a shingle table: (doc_id, salt,
+    * minhash-hex). */
+  private[llm] def minhashes(sh: DataFrame): DataFrame = {
+    val salts = (0 until NumHashes).map(lit(_))
+    sh.withColumn("salt", explode(array(salts: _*)))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(min(md5(concat(col("salt").cast("string"), lit("|"), col("s")))).as("h"))
+  }
+
+  /**
+   * MinHash + LSH near-dup detection, end to end:
+   * shingle → 8 salted-md5 minhashes → 4 bands of 2 → bucket join on
+   * (band, signature) → exact-Jaccard verify of candidates ≥ 0.5.
+   */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs).cache()
+    val mh = minhashes(sh)
+    // band signature: concat of the band's (ordered) minhashes
+    val bands = mh
+      .withColumn("band", expr(s"salt div ${NumHashes / NumBands}"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        min(when(pmod(col("salt"), lit(2)) === 0, col("h"))),
+        min(when(pmod(col("salt"), lit(2)) === 1, col("h")))).as("sig"))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verify restricted to candidate pairs: join the
+    // (few) candidates back to shingles, never all-pairs.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("x"), col("x.doc_id") === col("id_a"))
+      .join(sh.as("y"),
+        col("y.doc_id") === col("id_b") && col("y.s") === col("x.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * 32-bit SimHash over word tokens (md5-derived bit weights), plus
+   * Hamming-adjacent duplicate buckets: docs sharing the identical
+   * simhash value. md5→int arithmetic is replayable in SQL, so this is
+   * oracle-checkable: bits come from the first 8 hex chars of
+   * md5(token).
+   */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // 32-bit token hash from the md5 hex prefix (exact in both engines)
+      .withColumn("th", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bits = toks
+      .withColumn("bit", explode(expr("sequence(0, 31)")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(expr("2 * ((th div cast(pow(2, bit) as bigint)) % 2) - 1")).as("w"))
+    bits
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w") > 0,
+        expr("cast(pow(2, bit) as bigint)")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads modeled as
+ * opaque `binary` columns with typed metadata, plus batch
+ * decode / feature-extract / frame-sample operators.
+ *
+ * The container has no media codecs, so the decode step is a STUB: a
+ * deterministic fake decoder that parses a tiny structured header we
+ * define (`GRFT` magic + kind + width + height). Everything around it —
+ * schema, batched `mapPartitions` execution, partition sizing, metadata
+ * projection — is real Spark and tested; swapping the stub for a JNI /
+ * Python-worker decoder changes one function.
+ *
+ * Scale notes: media payloads dominate row size, so the operators here
+ * never shuffle the binary column — metadata is extracted first
+ * (narrow), and any grouping happens on the small extracted columns.
+ */
+object Multimodal {
+
+  /** Typed record for a decoded media asset. */
+  case class MediaMeta(
+      media_id: Long,
+      kind: String,     // "image" | "audio" | "video"
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      valid: Boolean)
+
+  val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
+
+  /** Build a deterministic fake media payload: 4-byte magic, 1-byte
+    * kind, 2-byte width, 2-byte height, then the body. Used by tests to
+    * fabricate binary columns from fixture text. */
+  def encodeFake(kind: Byte, width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val header = Array[Byte](
+      Magic(0), Magic(1), Magic(2), Magic(3),
+      kind,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte)
+    header ++ body
+  }
+
+  /**
+   * STUB decoder (the one piece a real deployment replaces): parse the
+   * fake header. A real build would call the image/audio codec here.
+   */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val valid = bytes != null && bytes.length >= 9 &&
+      bytes.take(4).sameElements(Magic)
+    if (!valid) MediaMeta(id, "unknown", if (bytes == null) 0L else bytes.length.toLong, 0, 0, valid = false)
+    else {
+      val kind = bytes(4) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
+      }
+      val w = ((bytes(5) & 0xff) << 8) | (bytes(6) & 0xff)
+      val h = ((bytes(7) & 0xff) << 8) | (bytes(8) & 0xff)
+      MediaMeta(id, kind, bytes.length.toLong, w, h, valid = true)
+    }
+  }
+
+  /**
+   * Batched decode over a binary-column DataFrame(media_id: Long,
+   * payload: Binary): `mapPartitions` so a real decoder could amortize
+   * per-batch setup (codec init, model load) exactly like
+   * `mapInPandas` batches would.
+   */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+  }
+
+  /** Frame-sampling stub: pick every `stride`-th byte offset as a fake
+    * "frame" index — demonstrates the explode-to-frames shape
+    * (one row per sampled frame) without a codec. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(col("n_bytes") - 1, lit(0L)), lit(stride.toLong))))
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"))
+
+  /**
+   * Oracle-checkable binary-column query: documents' text re-encoded as
+   * binary payloads; project byte length and a prefix — exercises the
+   * binary type end-to-end (cast, octet_length, substring-on-binary).
+   */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        substring(col("text"), 1, 12).as("prefix"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,126 @@
+package graft.llm
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table
+ * (`embedding: ArrayType(FloatType)`, 64-dim).
+ *
+ * Numeric contract: all vector math widens each float element to DOUBLE
+ * *before* multiplying, and folds left-to-right — bit-identical to
+ * DuckDB's `list_sum(list_transform(...))` over the same arrays (verified
+ * empirically), so even the similarity values hash-match the oracle.
+ *
+ * Scale design:
+ *  - brute-force top-k broadcasts the (small) query set against the
+ *    corpus — one pass over the corpus, per-partition top-k heap via
+ *    window rank; at 1000 executors this is the classic "scan the
+ *    embedding shards once" shape;
+ *  - the LSH variant buckets by random-hyperplane sign bits so each
+ *    query only meets its bucket; hyperplane components are md5-derived
+ *    (deterministic, no RNG).
+ */
+object Similarity {
+
+  /** Sequential-double dot product of two float-array columns. */
+  private[llm] def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private[llm] def norm2(a: Column): Column = dotD(a, a)
+
+  /** Corpus with precomputed squared norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("n2", norm2(col("embedding")))
+
+  /**
+   * Brute-force cosine top-k: every 20th vector queries the full corpus
+   * (self excluded), k=10. Output carries the exact similarity.
+   */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb
+      .filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val joined = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(col("n2"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    joined
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * threshold. Ground-truth quadratic form, kept oracle-checkable; the
+    * LSH route below is the scale path. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("n2").as("n2_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dotD(col("e_a"), col("e_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Number of random-hyperplane sign bits for the LSH index. */
+  val LshBits = 8
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane p,
+   * dim d): md5-derived integer in [-128, 127], widened to double.
+   * No RNG — replayable anywhere.
+   */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p|"), d.cast("string"))), 1, 2), 16, 10)
+      .cast("long") - 128L).cast("double")
+
+  /** Sign bit of embedding · hyperplane(p). */
+  private def signBit(emb: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(emb, sequence(lit(0), lit(63)),
+        (x, d) => x.cast("double") * planeComponent(p, d)),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** LSH bucket key: the packed sign bits. */
+  private[llm] def lshKey(emb: Column): Column =
+    (0 until LshBits).map(p => signBit(emb, p) * lit(1L << p)).reduce(_ + _)
+
+  /**
+   * Bucketed approximate nearest neighbors: group vectors by
+   * random-hyperplane signature, rank neighbors within each bucket.
+   * Candidate set is bucket-local (expected corpus/2^bits per bucket),
+   * so cost is linear-ish in corpus size instead of quadratic.
+   */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", lshKey(col("embedding")))
+      .cache()
+    val a = emb.select(col("bucket"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val b = emb.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("n2").as("n_n2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("bucket"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+}

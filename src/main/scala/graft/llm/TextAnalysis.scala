@@ -1,0 +1,124 @@
+package graft.llm
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators over `documents`: language ID, quality
+ * scoring, token counting, fingerprinting (BASELINE.json north-star
+ * surface).
+ *
+ * All expressions are engine-portable arithmetic/string ops (no
+ * engine-private hashing, no float functions with unspecified rounding),
+ * so each query here carries a DuckDB oracle. Everything is a single
+ * narrow projection or one hash-agg — embarrassingly parallel at 100 TB.
+ */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword
+    * language-ID heuristic. */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "fast"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def markerHits(words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(w => t === lit(w)).reduce(_ || _)))
+      .cast("long")
+
+  /**
+   * Language ID: score each candidate language by marker-token hits per
+   * token; predict the argmax (ties broken by language code order).
+   */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Markers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (code, words)) => df.withColumn(s"hits_$code", markerHits(words))
+    }
+    // argmax as a fixed-precedence CASE chain (ties → earlier language
+    // wins) — mirrors 1:1 into the oracle's CASE WHEN.
+    val codes = Markers.map(_._1)
+    val pred = codes.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (code, i)) =>
+        val rest = codes.drop(i + 1)
+        val isMax = rest.map(r => col(s"hits_$code") >= col(s"hits_$r")).reduce(_ && _)
+        acc.when(isMax, lit(code))
+    }.otherwise(lit(codes.last))
+    val outCols = Seq(col("doc_id"), col("lang"), col("pred")) ++
+      Markers.map { case (c, _) => col(s"hits_$c") }
+    scored
+      .withColumn("pred", pred)
+      .select(outCols: _*)
+      .orderBy("doc_id")
+  }
+
+  /**
+   * Quality scoring: token count, average word length, stopword ratio,
+   * and a weighted quality score. Pure int→double divisions in a fixed
+   * expression order (deterministic IEEE in any engine).
+   */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and")
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("n_stop",
+        size(filter(tokens, t => stop.map(w => t === lit(w)).reduce(_ || _)))
+          .cast("long"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("stop_ratio") * lit(0.5) +
+          (col("n_tokens").cast("double") / lit(200.0)) * lit(0.3) +
+          (col("avg_word_len") / lit(10.0)) * lit(0.2))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("avg_word_len"), col("stop_ratio"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * Token counting: whitespace tokens plus a BPE-ish sub-token estimate
+   * via regexp runs of letters / digits / other symbols.
+   */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_runs"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("digit_runs"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("ws_tokens"))
+      .orderBy("doc_id")
+
+  /**
+   * Document fingerprint: polynomial rolling hash of the character
+   * stream, `h = (h*31 + code(c)) mod 1e9+7`, folded left-to-right —
+   * the classic content fingerprint, replayable in any engine with a
+   * sequential list fold.
+   */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", aggregate(
+        expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"),
+        lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L))))
+      .select(col("doc_id"), col("fp"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Corpus stats by language: document counts and length stats. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+}

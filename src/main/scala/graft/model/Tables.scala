@@ -1,0 +1,61 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders for the driver-generated fixture tables (FIXTURES.md).
+ *
+ * Design note (scale): every loader is a plain `spark.read.parquet` so
+ * Catalyst sees a vanilla `FileSourceScanExec` — predicate pushdown,
+ * column pruning and row-group min/max pruning all apply. At 100 TB the
+ * same loaders work unchanged over a partitioned directory tree; nothing
+ * here assumes single-file inputs.
+ */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /**
+   * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+   * rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as Long
+   * (`spark.sql.legacy.parquet.nanosAsLong`) and expose two columns:
+   *  - `ts`: TimestampType truncated to microseconds — bit-identical to
+   *    what DuckDB produces when it coerces the same file to TIMESTAMP(µs).
+   *  - `ts_ns`: the raw nanosecond Long, for callers that need it.
+   *
+   * The reference's stream record shape maps here: `ts` plays
+   * `lastmodifieddate` (reference app/hs_contacts.py:66), `props` the
+   * dynamic properties JSON (app/hs_contacts.py:78,121), `event_type`
+   * the per-entity fan-out key (app/hs_engagements.py:163).
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts_ns", col("ts").cast("long"))
+      // positive epochs: integer `div` == floor, matching DuckDB's
+      // ns→µs truncation of the same parquet column. (`/` on Long
+      // columns is DOUBLE division in Spark — lossy above 2^53 — so
+      // integer `div` is load-bearing here.)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Epoch milliseconds of a µs timestamp column (floor). Used for
+    * oracle-stable output of timestamps: DuckDB `epoch_ms(ts)` computes
+    * the identical BIGINT. */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // cast handles TIMESTAMP_NTZ columns (session TZ is pinned UTC, so
+    // the NTZ→LTZ cast is the identity mapping the oracle sees too)
+    floor(unix_micros(c.cast("timestamp")) / lit(1000L)).cast("long")
+}

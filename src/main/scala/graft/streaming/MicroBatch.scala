@@ -35,11 +35,18 @@ object MicroBatch {
     def load(spark: SparkSession): DataFrame // streaming DataFrame
   }
 
-  /** File-based source replaying the `events` fixture schema. */
+  /** File-based source replaying the `events` fixture schema. Handles
+    * the fixture's nanosecond `ts` (read as Long under
+    * `nanosAsLong`) by normalizing to a µs timestamp so downstream
+    * watermarks see event time. */
   final class FileEventSource(path: String, schemaSource: String) extends EventSource {
     def load(spark: SparkSession): DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(schemaSource).schema
-      spark.readStream.schema(schema).parquet(path)
+      val raw = spark.readStream.schema(schema).parquet(path)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     }
   }
 

@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val docs = Tables.documents(spark, sf)
+    val d = Dedup.exactDedup(spark, sf)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("jaccard values are within (0, 1] and pairs are ordered") {
+    val j = Dedup.ngramJaccardPairs(spark, sf).cache()
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(j.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("minhash LSH finds the exact-jaccard near-dup pairs on the bounded window") {
+    // ground truth on doc_id<200 from the exact query
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .filter(col("id_a") < 200 && col("id_b") < 200)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output ⊆ exact (verify step guarantees it); recall should be
+    // high — require all J=1.0-ish pairs found (banding theory: ≥99.9%)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "LSH found no near-dups though exact query did")
+  }
+
+  test("simhash is deterministic and 32-bit") {
+    val a = Dedup.simhash(spark, sf).collect()
+    val b = Dedup.simhash(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall { r => val h = r.getLong(1); h >= 0 && h < (1L << 32) })
+  }
+
+  test("near-identical texts get near-identical simhashes") {
+    import spark.implicits._
+    // sanity check on the operator itself with controlled input
+    val docs = Seq(
+      (0L, "spark window join filter scan table value part hash"),
+      (1L, "spark window join filter scan table value part hash extra"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bits = toks.withColumn("bit", explode(expr("sequence(0, 31)")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(expr("2 * ((th div cast(pow(2, bit) as bigint)) % 2) - 1")).as("w"))
+    val sh = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("w") > 0, expr("cast(pow(2, bit) as bigint)")).otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)),
+      s"similar docs should be closer: ${sh.mkString(",")}")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def fakeMedia = {
+    import spark.implicits._
+    Seq(
+      (0L, Multimodal.encodeFake(0, 640, 480, Array.fill[Byte](100)(7))),
+      (1L, Multimodal.encodeFake(1, 0, 0, Array.fill[Byte](50)(3))),
+      (2L, Multimodal.encodeFake(2, 1920, 1080, Array.fill[Byte](500)(1))),
+      (3L, "not-media".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+  }
+
+  test("decodeMeta parses headers batch-wise and flags invalid payloads") {
+    val meta = Multimodal.decodeMeta(spark, fakeMedia).collect().map(m => m.media_id -> m).toMap
+    assert(meta(0L).kind == "image" && meta(0L).width == 640 && meta(0L).height == 480)
+    assert(meta(1L).kind == "audio")
+    assert(meta(2L).kind == "video" && meta(2L).width == 1920)
+    assert(!meta(3L).valid && meta(3L).kind == "unknown")
+    assert(meta(0L).n_bytes == 109) // 9-byte header + 100 body
+  }
+
+  test("sampleFrames explodes one row per stride offset") {
+    val frames = Multimodal.sampleFrames(fakeMedia.filter(col("media_id") === 0), stride = 10)
+    assert(frames.count() == 11) // offsets 0,10,...,100 within 109 bytes
+  }
+
+  test("binaryMeta byte lengths equal n_chars for ascii fixture text") {
+    val bm = Multimodal.binaryMeta(spark, sf)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+    val joined = bm.join(docs, "doc_id").filter(col("n_bytes") =!= col("n_chars"))
+    assert(joined.count() == 0)
+  }
+}

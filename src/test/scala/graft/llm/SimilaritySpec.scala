@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine top-k: similarities in [-1,1], ranks contiguous, k per query") {
+    val tk = Similarity.cosineTopK(spark, sf).cache()
+    assert(tk.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    val perQ = tk.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rnk").as("mn"), max("rnk").as("mx"))
+    assert(perQ.filter(col("n") =!= 10 || col("mn") =!= 1 || col("mx") =!= 10).count() == 0)
+  }
+
+  test("top-1 neighbor matches brute-force argmax for a sample query") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).toArray
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = all.filter(_._1 != 0L).maxBy { case (_, v) => cos(q, v) }._1
+    val got = Similarity.cosineTopK(spark, sf)
+      .filter(col("q_id") === 0 && col("rnk") === 1)
+      .head.getLong(2)
+    assert(got == expected)
+  }
+
+  test("ANN-LSH neighbors share the query's bucket and rank within it") {
+    val ann = Similarity.annLsh(spark, sf).cache()
+    assert(ann.count() > 0)
+    val perQ = ann.groupBy("q_id", "bucket").agg(max("rnk").as("mx"))
+    assert(perQ.filter(col("mx") > 5).count() == 0)
+    // buckets are a partition: a query's neighbors all carry one bucket id
+    assert(ann.groupBy("q_id").agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count() == 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val nd = Similarity.embeddingNearDup(spark, sf).cache()
+    assert(nd.filter(col("sim") < 0.45).count() == 0)
+    assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+}

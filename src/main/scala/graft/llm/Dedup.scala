@@ -28,7 +28,7 @@ object Dedup {
 
   /** 3-word shingles of the space-tokenized text, distinct per doc.
     * Output: (doc_id, shingle). Guarded for docs with <3 tokens. */
-  private[llm] def shingles(docs: DataFrame): DataFrame =
+  def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
@@ -78,13 +78,17 @@ object Dedup {
   val NumHashes = 8
   val NumBands  = 4
 
-  /** MinHash signature rows from a shingle table: (doc_id, salt,
-    * minhash-hex). */
+  /**
+   * MinHash signatures, one wide row per doc: all `NumHashes` salted-md5
+   * minima computed in a single grouped pass over the shingles — no 8×
+   * row explode, one shuffle of (doc_id, h0..h7) with map-side partial
+   * mins. Identical values to the per-(doc,salt) formulation the oracle
+   * replays.
+   */
   private[llm] def minhashes(sh: DataFrame): DataFrame = {
-    val salts = (0 until NumHashes).map(lit(_))
-    sh.withColumn("salt", explode(array(salts: _*)))
-      .groupBy(col("doc_id"), col("salt"))
-      .agg(min(md5(concat(col("salt").cast("string"), lit("|"), col("s")))).as("h"))
+    val mins = (0 until NumHashes).map(s =>
+      min(md5(concat(lit(s"$s|"), col("s")))).as(s"h$s"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -95,25 +99,27 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = shingles(docs).cache()
-    val mh = minhashes(sh)
-    // band signature: concat of the band's (ordered) minhashes
-    val bands = mh
-      .withColumn("band", expr(s"salt div ${NumHashes / NumBands}"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        min(when(pmod(col("salt"), lit(2)) === 0, col("h"))),
-        min(when(pmod(col("salt"), lit(2)) === 1, col("h")))).as("sig"))
+    // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
+    val bandCols = (0 until NumBands).map(b =>
+      concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    val bands = minhashes(sh)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      .cache() // tiny (docs × 4 rows); the self-join reads it twice
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact-Jaccard verify restricted to candidate pairs: join the
-    // (few) candidates back to shingles, never all-pairs.
+      .cache()
+    // exact-Jaccard verify restricted to candidate pairs: shrink the
+    // shingle table to candidate docs (broadcast semi-join) first.
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = candidates
-      .join(sh.as("x"), col("x.doc_id") === col("id_a"))
-      .join(sh.as("y"),
+      .join(shC.as("x"), col("x.doc_id") === col("id_a"))
+      .join(shC.as("y"),
         col("y.doc_id") === col("id_b") && col("y.s") === col("x.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))

@@ -1,7 +1,7 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{ReferenceOps, Relational}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.ops.{ReferenceOps, Relational, Relational2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -58,6 +58,15 @@ object SparkEntry {
     "q24_having"           -> (Relational.havingFilter _),
     "q25_above_avg"        -> (Relational.aboveCustomerAvg _),
     "q26_snowflake_revenue" -> (Relational.snowflakeRevenue _),
+    "q27_sessionize"       -> (Relational2.sessionize _),
+    "q28_asof_join"        -> (Relational2.asofJoin _),
+    "q29_pivot"            -> (Relational2.pivotCounts _),
+    "q43_cube"             -> (Relational2.cubeAgg _),
+    "q44_outer_join"       -> (Relational2.outerJoinAgg _),
+    "q45_percentiles"      -> (Relational2.percentiles _),
+    "q46_string_funcs"     -> (Relational2.stringFunctions _),
+    "q47_histogram"        -> (Relational2.histogram _),
+    "q48_keyset_page"      -> (Relational2.keysetPage _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -72,6 +81,9 @@ object SparkEntry {
     "q40_fingerprint"      -> (TextAnalysis.fingerprint _),
     "q41_corpus_stats"     -> (TextAnalysis.corpusStats _),
     "q42_binary_meta"      -> (Multimodal.binaryMeta _),
+    "q50_training_pipeline" -> (Pipeline.trainingPipeline _),
+    "q51_array_stats"      -> (Pipeline.arrayStats _),
+    "q52_ivf_ann"          -> ((s: SparkSession, d: String) => Pipeline.ivfAnn(s, d)),
   )
 
   // DuckDB-runnable ANSI SQL twins. Keys absent here (q36_ann_lsh) get
@@ -226,6 +238,101 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT user_id, event_id, ts_ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_asof_join" ->
+      """WITH o1 AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS ts_ms,
+        |              MAX(o_orderkey) AS ok
+        |            FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_ms, o1.ok AS last_orderkey
+        |FROM e ASOF JOIN o1 ON e.user_id = o1.k AND e.ts_ms >= o1.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
+    "q29_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q44_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COALESCE(o.cnt, 0) AS n_orders,
+        |  COALESCE(o.spend, 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_string_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        |  reverse(p_brand) AS brand_rev,
+        |  p_name LIKE '%gold%' AS has_gold
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q47_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000 AS bin,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_keyset_page" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id > 200 ORDER BY event_id LIMIT 100""".stripMargin,
+    "q50_training_pipeline" ->
+      """WITH dd AS (SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars, text
+        |            FROM documents GROUP BY text),
+        |st AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS BIGINT) AS n_stop
+        |  FROM dd),
+        |q AS (SELECT doc_id, n_tokens, n_stop,
+        |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
+        |  FROM st)
+        |SELECT doc_id, n_tokens, n_stop, stop_ratio, avg_word_len FROM q
+        |WHERE n_tokens >= 20 AND n_tokens <= 500
+        |  AND stop_ratio >= 0.02
+        |  AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        |ORDER BY doc_id""".stripMargin,
+    "q51_array_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS v_min,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS v_max,
+        |  list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> embedding[i]::DOUBLE)) / len(embedding) AS v_mean,
+        |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         |       CAST(length(text) AS BIGINT) AS text_len

@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.functions.VectorFunctions.dot_d
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Composite LLM-data-pipeline operators: the end-to-end training-corpus
+ * filter chain, per-vector array statistics, and an IVF-style
+ * coarse-quantized ANN.
+ */
+object Pipeline {
+
+  /**
+   * The full training-data preparation chain as ONE declarative plan —
+   * exact dedup → token/length stats → stopword-based quality score →
+   * thresholds. At 100 TB each stage is a narrow projection or one
+   * hash-shuffle; Catalyst fuses the projections into the scan.
+   */
+  def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // exact dedup: canonical doc per text
+    val dedup = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
+    val stop = Seq("the", "a", "of", "and")
+    val toks = split(col("text"), " ")
+    dedup
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => stop.map(w => t === lit(w)).reduce(_ || _))).cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 20L && col("n_tokens") <= 500L)
+      .filter(col("stop_ratio") >= 0.02)
+      .filter(col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("stop_ratio"), col("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vector statistics over the embedding array: bounds, mean,
+    * L2 norm — array kernels + the codegen'd dot product. */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_min(col("embedding")).cast("double").as("v_min"),
+        array_max(col("embedding")).cast("double").as("v_max"),
+        (aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
+          / size(col("embedding"))).as("v_mean"),
+        sqrt(dot_d(col("embedding"), col("embedding"))).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Coarse-centroid count for the IVF index (every 125th vector). */
+  val IvfCentroidStride = 125
+
+  /**
+   * IVF-style ANN: coarse "centroids" (every 125th vector) partition the
+   * corpus by nearest-centroid assignment; each query searches only its
+   * own cell. Cost: corpus×K assignment pass + per-cell scans — linear,
+   * never all-pairs. (A learned k-means would swap in the same shape.)
+   */
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("n2", dot_d(col("embedding"), col("embedding")))
+    val centroids = emb
+      .filter(pmod(col("vec_id"), lit(IvfCentroidStride)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    // nearest-centroid assignment (deterministic tiebreak on c_id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        dot_d(col("embedding"), col("c_emb")) / (sqrt(col("n2")) * sqrt(col("c_n2"))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+      .cache()
+    val queries = assigned
+      .filter(pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    queries.join(assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("n2").as("n_n2"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dot_d(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("cell"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+}

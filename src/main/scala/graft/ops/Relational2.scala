@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Second batch of relational/temporal operators: sessionization, as-of
+ * join, pivot, cube, outer joins, percentiles, string functions,
+ * histograms, keyset pagination.
+ *
+ * The as-of join is deliberately built from a union + window-function
+ * composition (one shuffle by key, sort within partitions) instead of a
+ * custom Catalyst operator: at 100 TB the union-window form is exactly
+ * the classic distributed as-of algorithm, Catalyst already plans it
+ * well, and it stays oracle-checkable against DuckDB's native ASOF JOIN.
+ */
+object Relational2 {
+
+  /** 30-minute-gap sessionization of the event stream per user —
+    * lag → new-session flag → prefix-sum session id → per-session agg.
+    * One shuffle (by user), everything else window math. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /**
+   * As-of join: each event picks the user's most recent order at or
+   * before the event time. Union the two sides, sort by (key, ts) within
+   * one shuffle, carry the last non-null order key forward — the
+   * scalable distributed as-of shape. Orders are pre-collapsed to one
+   * row per (custkey, date) (max orderkey) so ties are deterministic on
+   * both engines.
+   */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"), Tables.epochMs(col("o_orderdate")).as("ts_ms"))
+      .agg(max(col("o_orderkey")).as("ok"))
+      .select(col("k"), col("ts_ms"), lit(null).cast("long").as("event_id"),
+        col("ok"), lit(0).as("is_event"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), Tables.epochMs(col("ts")).as("ts_ms"),
+        col("event_id"), lit(null).cast("long").as("ok"), lit(1).as("is_event"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts_ms"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od.unionByName(ev)
+      .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("ts_ms"), col("last_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as wide columns. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    val renamed = EventTypes.foldLeft(pivoted) { (df, et) =>
+      df.withColumn(s"n_$et", coalesce(col(et), lit(0L))).drop(et)
+    }
+    renamed.orderBy("user_id")
+  }
+
+  /** CUBE over two grouping dimensions (all four grouping sets). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Left outer join with null-filling aggregates: every customer with
+    * order count and spend (0 for order-less customers). */
+  def outerJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Exact percentiles (linear interpolation) of extended price per
+    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .orderBy("l_returnflag")
+
+  /** String-function sampler #2: edit distance, padding, search,
+    * replace, reverse, LIKE. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("brand_dist"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"),
+        reverse(col("p_brand")).as("brand_rev"),
+        col("p_name").like("%gold%").as("has_gold"))
+      .orderBy("p_partkey")
+
+  /** Histogram: fixed-width price bins with counts (arithmetic binning;
+    * identical IEEE ops on both engines). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("bin", floor(col("l_extendedprice") / 5000.0).cast("long") * 5000L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** S5 keyset pagination: resume-after-cursor page fetch (the
+    * reference's `paging.next.after` as a batch predicate; scales as an
+    * index-range scan, never OFFSET). */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") > 200L)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+      .limit(100)
+}

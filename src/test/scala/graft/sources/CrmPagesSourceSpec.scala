@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.Tables
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+
+class CrmPagesSourceSpec extends SparkSpec {
+
+  /** Fabricate a page directory from the events fixture: 100 records per
+    * page, envelope with cursor chain + page min/max stats (the shape of
+    * the reference's search-API responses). */
+  private lazy val pageDir: Path = {
+    val dir = Files.createTempDirectory("crmpages")
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+      .collect()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pages = rows.grouped(100).toSeq
+    pages.zipWithIndex.foreach { case (page, idx) =>
+      val root = mapper.createObjectNode()
+      root.put("total", rows.length)
+      root.put("min_ts_ms", page.map(_.getLong(1)).min)
+      root.put("max_ts_ms", page.map(_.getLong(1)).max)
+      val results = root.putArray("results")
+      page.foreach { r =>
+        val rec = results.addObject()
+        rec.put("event_id", r.getLong(0))
+        rec.put("ts_ms", r.getLong(1))
+        rec.put("event_type", r.getString(2))
+        rec.put("value", r.getDouble(3))
+        if (r.getString(4) != null) rec.put("props", r.getString(4))
+      }
+      if (idx < pages.length - 1)
+        root.putObject("paging").putObject("next")
+          .put("after", f"page-${idx + 1}%05d")
+      Files.writeString(dir.resolve(f"page-$idx%05d.json"), mapper.writeValueAsString(root))
+    }
+    dir
+  }
+
+  private def read = spark.read
+    .format("graft.sources.CrmPagesSource").load(pageDir.toString)
+
+  test("full scan returns every record of every page") {
+    assert(read.count() == Tables.events(spark, sf).count())
+  }
+
+  test("values round-trip exactly vs the fixture") {
+    val got = read.orderBy("event_id").collect()
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy("event_id").collect()
+    assert(got.length == want.length)
+    assert(got.zip(want).forall { case (a, b) => a == b })
+  }
+
+  test("range filter is pushed and prunes whole pages") {
+    val lo = 1704671999000L
+    val filtered = read.filter(col("ts_ms") >= lo)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesScan") && plan.contains("GreaterThanOrEqual(ts_ms"),
+      s"ts filter not pushed:\n$plan")
+    // page pruning: partitions planned < total pages
+    val scan = new CrmPagesScan(pageDir.toString, CrmPagesSource.Schema,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("ts_ms", lo)), Int.MaxValue)
+    val all = CrmPagesSource.pageChain(pageDir.toString).size
+    assert(scan.planInputPartitions().length < all,
+      s"no page pruned (of $all)")
+    // and results match the equivalent parquet-side query
+    val expected = Tables.events(spark, sf)
+      .filter(Tables.epochMs(col("ts")) >= lo).count()
+    assert(filtered.count() == expected)
+  }
+
+  test("column pruning parses only requested fields") {
+    val projected = read.select("event_id", "event_type")
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(plan.contains("schema=event_id,event_type"),
+      s"pruned schema not visible:\n$plan")
+    assert(projected.columns.toSeq == Seq("event_id", "event_type"))
+    assert(projected.count() == Tables.events(spark, sf).count())
+  }
+
+  test("limit pushdown stops readers early") {
+    val limited = read.limit(7)
+    assert(limited.count() == 7)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=7"), s"limit not pushed:\n$plan")
+  }
+
+  test("isnotnull filter drops records missing the property") {
+    val n = read.filter(col("props").isNotNull).count()
+    val expected = Tables.events(spark, sf).filter(col("props").isNotNull).count()
+    assert(n == expected)
+  }
+
+  test("micro-batch stream: page cursor is the offset; new pages arrive incrementally") {
+    // dedicated directory: seed with the first 2 pages, then append one
+    val streamDir = Files.createTempDirectory("crmstream")
+    val all = CrmPagesSource.pageChain(pageDir.toString)
+    assert(all.size >= 3, "fixture should produce >=3 pages")
+    all.take(2).foreach(p => Files.copy(pageDir.resolve(p), streamDir.resolve(p)))
+    val q = spark.readStream.format("graft.sources.CrmPagesSource")
+      .load(streamDir.toString)
+      .writeStream.format("memory").queryName("crm_stream")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    q.processAllAvailable()
+    val after2 = spark.table("crm_stream").count()
+    assert(after2 == 200, s"got $after2") // 2 pages x 100 records
+    Files.copy(pageDir.resolve(all(2)), streamDir.resolve(all(2)))
+    q.processAllAvailable()
+    q.stop()
+    val after3 = spark.table("crm_stream").count()
+    assert(after3 > after2, s"third page not consumed ($after3)")
+  }
+}

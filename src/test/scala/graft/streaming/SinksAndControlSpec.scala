@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+
+class SinksAndControlSpec extends SparkSpec {
+
+  // --- KinesisSink batching/retry (K1, W4/W5) ---
+
+  test("sendBatch retries only the failed subset with backoff, then succeeds") {
+    val calls = scala.collection.mutable.ArrayBuffer[Int]()
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val client = new KinesisSink.KinesisClient {
+      var n = 0
+      def putRecords(s: String, recs: Seq[Array[Byte]]): Seq[Int] = {
+        calls += recs.size; n += 1
+        if (n == 1) Seq(1, 3) else Nil // first call: records 1 and 3 fail
+      }
+    }
+    KinesisSink.sendBatch(client, "s",
+      (0 until 5).map(i => Array(i.toByte)),
+      KinesisSink.Policy(maxRetries = 3, backoffMs = 7L, sleep = sleeps += _))
+    assert(calls.toSeq == Seq(5, 2)) // retry carries exactly the 2 failures
+    assert(sleeps.toSeq == Seq(7L))
+  }
+
+  test("sendBatch surfaces RetriesExhausted after bounded attempts") {
+    val client = new KinesisSink.KinesisClient {
+      def putRecords(s: String, recs: Seq[Array[Byte]]): Seq[Int] = Seq(0)
+    }
+    intercept[KinesisSink.RetriesExhausted] {
+      KinesisSink.sendBatch(client, "s", Seq(Array(1.toByte)),
+        KinesisSink.Policy(maxRetries = 2, sleep = _ => ()))
+    }
+  }
+
+  test("write partitions records into <=maxBatch JSON puts") {
+    import TestCounters._
+    counter.set(0); maxSeen.set(0)
+    val client = new KinesisSink.KinesisClient {
+      def putRecords(s: String, recs: Seq[Array[Byte]]): Seq[Int] = {
+        TestCounters.counter.addAndGet(recs.size)
+        TestCounters.maxSeen.updateAndGet(m => math.max(m, recs.size))
+        Nil
+      }
+    }
+    val df = graft.model.Tables.events(spark, sf).limit(250)
+    KinesisSink.write(client, "stream", KinesisSink.Policy(maxBatch = 100))(df.toDF())
+    assert(counter.get() == 250)
+    assert(maxSeen.get() <= 100)
+  }
+
+  // --- JobControl (C2-C5) over a live streaming query ---
+
+  test("job control reports, inspects and stops a named query") {
+    val tmp = Files.createTempDirectory("jobctl")
+    val srcDir = Files.createDirectory(tmp.resolve("in"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val source = new MicroBatch.FileEventSource(srcDir.toString, s"$sf/events.parquet")
+    val q = MicroBatch.start(
+      MicroBatch.incrementalPipeline(source.load(spark), Seq("value")),
+      new MicroBatch.ParquetEventSink(tmp.resolve("out").toString),
+      tmp.resolve("ck").toString,
+      queryName = "ctl_test")
+    try {
+      q.processAllAvailable()
+      assert(JobControl.healthy(spark))
+      assert(JobControl.isRunning(spark, "ctl_test"))
+      val st = JobControl.status(spark, "ctl_test")
+      assert(st.exists(s => s.isActive && s.batchesCompleted >= 1))
+      assert(JobControl.stop(spark, "ctl_test"))
+      assert(!JobControl.isRunning(spark, "ctl_test"))
+      assert(JobControl.status(spark, "ctl_test").isEmpty)
+      assert(!JobControl.stop(spark, "missing_job"))
+    } finally if (q.isActive) q.stop()
+  }
+}
+
+/** JVM-singleton counters visible from executor threads (local mode). */
+object TestCounters {
+  val counter = new AtomicInteger(0)
+  val maxSeen = new AtomicInteger(0)
+}

@@ -67,6 +67,8 @@ object SparkEntry {
     "q46_string_funcs"     -> (Relational2.stringFunctions _),
     "q47_histogram"        -> (Relational2.histogram _),
     "q48_keyset_page"      -> (Relational2.keysetPage _),
+    "q49_salted_agg"       -> (Relational2.saltedAgg _),
+    "q53_approx_sketches"  -> (Relational2.approxSketches _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -306,6 +308,11 @@ object SparkEntry {
     "q48_keyset_page" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id > 200 ORDER BY event_id LIMIT 100""".stripMargin,
+    // two-phase salted plan ≡ direct group-by (decimal-exact partials)
+    "q49_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_training_pipeline" ->
       """WITH dd AS (SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars, text
         |            FROM documents GROUP BY text),

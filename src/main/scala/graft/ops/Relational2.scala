@@ -148,6 +148,41 @@ object Relational2 {
       .agg(count(lit(1)).as("n"))
       .orderBy("bin")
 
+  /**
+   * Skew-proof two-phase aggregation: salt the (5-value, heavily skewed
+   * at 100 TB) entity key, partially aggregate per (key, salt), then
+   * combine partials per key. Decimal-exact partial sums make the
+   * result independent of the phase split — the oracle is the direct
+   * single-phase GROUP BY. At scale phase 1 spreads each hot key over
+   * 16 reducers; phase 2 touches 16 rows per key.
+   */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"))
+    partial
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Approximate sketches: HLL distinct counts + approximate quantiles
+    * (no oracle — sketch values are engine-specific by construction;
+    * accuracy is asserted in the spec against exact counterparts). */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+      .orderBy("event_type")
+
   /** S5 keyset pagination: resume-after-cursor page fetch (the
     * reference's `paging.next.after` as a batch predicate; scales as an
     * index-range scan, never OFFSET). */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Custom stateful streaming operators
+ * (`flatMapGroupsWithState` — the Spark-native form of "keep per-key
+ * state across micro-batches", which the reference could not express at
+ * all: its only state was one in-memory timestamp, SURVEY.md §2.3 W2).
+ */
+object StatefulOps {
+
+  final case class SessionInput(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(
+      sessionStartMs: Long, lastMs: Long, nEvents: Long)
+  final case class SessionOutput(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /**
+   * Streaming sessionization: per-user sessions close after a 30-minute
+   * event-time gap (mirrors the batch `Relational2.sessionize`, but
+   * emits sessions incrementally). Event-time timeouts: a session
+   * closes when the watermark passes its last event + gap — determinate
+   * replay, no wall-clock dependence.
+   */
+  def sessionize(events: Dataset[SessionInput],
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOutput(userId, s.sessionStartMs, s.lastMs, s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOutput]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs <= GapMs =>
+                  cur = Some(s.copy(lastMs = ms, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOutput(userId, s.sessionStartMs, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(ms, ms, 1))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /**
+   * Stream-static join: enrich the event stream with the customer
+   * dimension. The static side is a plain DataFrame — Spark broadcasts
+   * it into every micro-batch (no state store, no watermark needed).
+   */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
+}

@@ -80,6 +80,25 @@ class Relational2Spec extends SparkSpec {
     assert(h.agg(sum("n")).head.getLong(0) == Tables.lineitem(spark, sf).count())
   }
 
+  test("salted two-phase agg equals the direct group-by") {
+    val salted = Relational2.saltedAgg(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(salted.sameElements(direct))
+  }
+
+  test("approx sketches land within tolerance of exact values") {
+    val sk = Relational2.approxSketches(spark, sf).collect()
+    sk.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"HLL off by >10%: $approx vs $exact")
+    }
+  }
+
   test("keyset page: 100 rows strictly after the cursor, ordered") {
     val pg = Relational2.keysetPage(spark, sf).collect()
     assert(pg.length == 100)

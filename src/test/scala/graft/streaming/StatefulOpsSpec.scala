@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Tables
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StatefulOpsSpec extends SparkSpec {
+
+  private def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+
+  test("stateful sessionization closes a session on gap and keeps the open one in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatefulOps.SessionInput]
+    // user 1: two events 10s apart, then a 31-minute gap, then one more
+    input.addData(
+      StatefulOps.SessionInput(1L, 1L, ts(0)),
+      StatefulOps.SessionInput(1L, 2L, ts(10)),
+      StatefulOps.SessionInput(1L, 3L, ts(10 + 31 * 60)),
+      StatefulOps.SessionInput(2L, 4L, ts(5)))
+    val q = StatefulOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sess_out").as[StatefulOps.SessionOutput]
+      .collect().sortBy(_.user_id)
+    // user 1's first session closes on the in-batch gap; user 2's lone
+    // session times out once the watermark (advanced by the late event)
+    // passes its gap. User 1's second session stays open in state.
+    assert(closed.toSeq == Seq(
+      StatefulOps.SessionOutput(1L, ts(0).getTime, ts(10).getTime, 2L),
+      StatefulOps.SessionOutput(2L, ts(5).getTime, ts(5).getTime, 1L)))
+  }
+
+  test("stream-static join enriches events with broadcast customer dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+        event_type: String, value: Double)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    input.addData((1L, ts(0), 0L, "view", 1.0), (2L, ts(1), 999999L, "view", 2.0))
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val enriched = StatefulOps.enrichWithCustomers(
+      events, Tables.customer(spark, sf))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_out").collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(5) != null)   // known customer enriched
+    assert(byId(2L).isNullAt(5))            // unknown user -> left-join null
+  }
+
+  test("SQL extension registers dot_product_d for SQL users") {
+    // inject into the existing session's registry (same code path the
+    // extension uses at session build time)
+    val (id, einfo, builder) = graft.functions.GraftExtensions.dotProductD
+    spark.sessionState.functionRegistry.registerFunction(id, einfo, builder)
+    val r = spark.sql(
+      "SELECT dot_product_d(cast(array(1.0,2.0) as array<float>), " +
+        "cast(array(3.0,4.0) as array<float>)) AS d").head.getDouble(0)
+    assert(r == 11.0)
+  }
+}

@@ -69,6 +69,9 @@ object SparkEntry {
     "q48_keyset_page"      -> (Relational2.keysetPage _),
     "q49_salted_agg"       -> (Relational2.saltedAgg _),
     "q53_approx_sketches"  -> (Relational2.approxSketches _),
+    "q54_chunking"         -> (TextAnalysis.chunkDocuments _),
+    "q55_vocabulary"       -> (TextAnalysis.vocabulary _),
+    "q56_tfidf"            -> (TextAnalysis.tfIdf _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -330,6 +333,33 @@ object SparkEntry {
         |  AND stop_ratio >= 0.02
         |  AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
         |ORDER BY doc_id""".stripMargin,
+    "q54_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, ci, ci * 24 + 1 AS start, w FROM t, LATERAL (
+        |        SELECT unnest(range(0, (len(w) - 1) // 24 + 1)) AS ci) u)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text,
+        |  CAST(least(len(w) - start + 1, 32) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q55_vocabulary" ->
+      """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |GROUP BY 1 ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+    "q56_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT doc_id, tok, tf.tf, df.df,
+        |        tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS tfidf
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, tf, df, tfidf,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk FROM s)
+        |SELECT doc_id, rnk, tok, tf, df, tfidf FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -110,6 +110,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"), col("n_chars"))
       .orderBy("doc_id")
 
+  /**
+   * Document chunking for training pipelines: 32-token windows with
+   * stride 24 (8-token overlap). Pure array arithmetic — explode over
+   * the chunk index, slice the token array. One narrow shuffle-free
+   * projection at any scale.
+   */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", tokens)
+      .withColumn("ci", explode(expr("sequence(0, (size(w)-1) div 24)")))
+      .withColumn("start", col("ci") * 24 + 1)
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(32))).as("chunk_text"),
+        least(size(col("w")) - col("start") + 1, lit(32)).cast("long").as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Corpus vocabulary: term frequency + document frequency, top 50. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(50)
+
+  /**
+   * TF-IDF: top-3 scoring terms per document, with a RATIONAL idf —
+   * `score = tf * (N / df)` — instead of the textbook `ln(N/df)`:
+   * `java.lang.Math.log` and glibc's `log` disagree in the final ulp,
+   * so a logarithmic score cannot be hash-compared across engines. The
+   * rational form is exact IEEE arithmetic (bit-identical anywhere) and
+   * induces the same "rare terms score higher" ordering; a production
+   * deployment that wants the log curve changes one expression.
+   */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (col("n").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Corpus stats by language: document counts and length stats. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

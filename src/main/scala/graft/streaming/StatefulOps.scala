@@ -68,6 +68,29 @@ object StatefulOps {
   }
 
   /**
+   * Stream-stream interval join: purchases matched to the same user's
+   * signup within the preceding hour (conversion funnel). Both sides
+   * carry watermarks so the state store can expire; the time-range
+   * predicate bounds how long a signup waits for its purchase.
+   */
+  def conversionFunnel(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_event"))
+      .withWatermark("s_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("s_event"), col("p_event"),
+        col("s_ts"), col("p_ts"), col("value"))
+  }
+
+  /**
    * Stream-static join: enrich the event stream with the customer
    * dimension. The static side is a plain DataFrame — Spark broadcasts
    * it into every micro-batch (no state store, no watermark needed).

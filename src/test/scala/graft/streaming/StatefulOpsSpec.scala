@@ -60,6 +60,32 @@ class StatefulOpsSpec extends SparkSpec {
     assert(byId(2L).isNullAt(5))            // unknown user -> left-join null
   }
 
+  test("stream-stream interval join matches purchases to recent signups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    // user 1 signs up at t=0, buys at t=30min (match) and t=90min (no match);
+    // user 2 buys without signup
+    signups.addData((1L, ts(0), 10L))
+    purchases.addData(
+      (1L, ts(1800), 20L, 9.99),
+      (1L, ts(5400), 21L, 5.0),
+      (2L, ts(100), 22L, 1.0))
+    val funnel = StatefulOps.conversionFunnel(
+      signups.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"))
+    val q = funnel.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("funnel_out")
+      .select("user_id", "s_event", "p_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, 20L)), s"got $rows")
+  }
+
   test("SQL extension registers dot_product_d for SQL users") {
     // inject into the existing session's registry (same code path the
     // extension uses at session build time)

@@ -395,7 +395,8 @@ object SparkEntry {
         |         SELECT unnest(list_transform(range(1, len(w) - 1),
         |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
         |mh AS (SELECT doc_id, salt,
-        |         MIN(md5(CAST(salt AS VARCHAR) || '|' || s)) AS h
+        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+        |                    1 + 8 * (salt % 4), 8)) AS h
         |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
         |       GROUP BY 1, 2),
         |bands AS (SELECT doc_id, salt // 2 AS band,

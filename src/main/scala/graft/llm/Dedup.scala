@@ -79,15 +79,21 @@ object Dedup {
   val NumBands  = 4
 
   /**
-   * MinHash signatures, one wide row per doc: all `NumHashes` salted-md5
-   * minima computed in a single grouped pass over the shingles — no 8×
-   * row explode, one shuffle of (doc_id, h0..h7) with map-side partial
-   * mins. Identical values to the per-(doc,salt) formulation the oracle
-   * replays.
+   * MinHash signatures, one wide row per doc, in a single grouped pass
+   * over the shingles (no 8× row explode; one shuffle of
+   * (doc_id, h0..h7) with map-side partial mins).
+   *
+   * The 8 hash functions are the 4 disjoint 8-hex-char slices of
+   * md5("a|"+s) and md5("b|"+s): two digests per shingle instead of
+   * eight, each slice an independent 32-bit hash, "minimum" =
+   * lexicographic min over the fixed-width hex (≡ numeric min). The
+   * DuckDB oracle replays the identical slicing.
    */
   private[llm] def minhashes(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(s =>
-      min(md5(concat(lit(s"$s|"), col("s")))).as(s"h$s"))
+    val digests = Seq(md5(concat(lit("a|"), col("s"))), md5(concat(lit("b|"), col("s"))))
+    val mins = (0 until NumHashes).map { k =>
+      min(substring(digests(k / 4), 1 + 8 * (k % 4), 8)).as(s"h$k")
+    }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
-import graft.ops.{ReferenceOps, Relational, Relational2}
+import graft.ops.{ReferenceOps, Relational, Relational2, Relational3}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -72,6 +72,18 @@ object SparkEntry {
     "q54_chunking"         -> (TextAnalysis.chunkDocuments _),
     "q55_vocabulary"       -> (TextAnalysis.vocabulary _),
     "q56_tfidf"            -> (TextAnalysis.tfIdf _),
+    "q57_big_orders"       -> (Relational3.bigOrders _),
+    "q58_promo_share"      -> (Relational3.promoShare _),
+    "q59_top_supplier"     -> (Relational3.topSupplier _),
+    "q60_variance"         -> (Relational3.varianceStats _),
+    "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.model.Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorMeanAgg.vector_mean(col("embedding")).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .orderBy("label")
+    }),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -360,6 +372,44 @@ object SparkEntry {
         |             ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk FROM s)
         |SELECT doc_id, rnk, tok, tf, df, tfidf FROM r
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q57_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT o_orderkey, c_custkey, c_name, total_qty, o_totalprice
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q58_promo_share" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q60_variance" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sum_x,
+        |  (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance,
+        |  sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
+        |FROM s ORDER BY 1""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

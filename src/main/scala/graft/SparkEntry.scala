@@ -76,6 +76,7 @@ object SparkEntry {
     "q58_promo_share"      -> (Relational3.promoShare _),
     "q59_top_supplier"     -> (Relational3.topSupplier _),
     "q60_variance"         -> (Relational3.varianceStats _),
+    "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.model.Tables.embeddings(s, d)
@@ -480,6 +481,30 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS th
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+        |bits AS (SELECT doc_id, bit,
+        |           SUM(2 * ((th // CAST(pow(2, bit) AS BIGINT)) % 2) - 1) AS w
+        |         FROM toks, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (SELECT doc_id, simhash, band,
+        |    (simhash // CAST(pow(256, band) AS BIGINT)) % 256 AS byte
+        |  FROM sh, (SELECT unnest(range(0, 4)) AS band) bands),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS h_a, b.simhash AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),

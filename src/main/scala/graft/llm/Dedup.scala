@@ -140,6 +140,30 @@ object Dedup {
   }
 
   /**
+   * SimHash near-duplicate pairs with pigeonhole byte-banding: two
+   * 32-bit simhashes within Hamming distance 3 differ in ≤3 bits, so at
+   * least one of their 4 bytes is identical — banding by each byte
+   * gives COMPLETE recall at that threshold with a bucket join instead
+   * of all-pairs. Verification is one `bit_count(xor)` per candidate.
+   */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir).cache()
+    val banded = sh.withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("byte", expr("(simhash div cast(pow(256, band) as bigint)) % 256"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
    * 32-bit SimHash over word tokens (md5-derived bit weights), plus
    * Hamming-adjacent duplicate buckets: docs sharing the identical
    * simhash value. md5→int arithmetic is replayable in SQL, so this is

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, KMeans, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.ops.{ReferenceOps, Relational, Relational2, Relational3}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -77,6 +77,7 @@ object SparkEntry {
     "q59_top_supplier"     -> (Relational3.topSupplier _),
     "q60_variance"         -> (Relational3.varianceStats _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.model.Tables.embeddings(s, d)

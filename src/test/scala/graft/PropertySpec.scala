@@ -1,0 +1,70 @@
+package graft
+
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property-based invariants (SURVEY.md §5): the W1 window-coverage law,
+ * dedup idempotence, filter ⊆ scan, cursor-pagination coverage —
+ * checked over ScalaCheck-generated parameters (fixed seed, so runs are
+ * reproducible) against the fixture data.
+ */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministically draw n samples from a generator. */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val eventsMs = {
+    val df = Tables.events(spark, sf)
+      .select(Tables.epochMs(col("ts")).as("ms"))
+    df.cache(); df.count(); df
+  }
+
+  test("W1: tumbling windows of any width tile the timeline (no gap, no overlap)") {
+    samples(Gen.choose(1000L, 3600000L), 8).foreach { width =>
+      val total = eventsMs
+        .withColumn("bucket", col("ms") - pmod(col("ms"), lit(width)))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(sum("n")).head.getLong(0)
+      assert(total == eventsMs.count(), s"width=$width") // exactly one bucket each
+    }
+  }
+
+  test("dedup is idempotent: dropDuplicates twice == once, for any key subset") {
+    Seq(Seq("event_type"), Seq("user_id"), Seq("event_type", "user_id"))
+      .foreach { keys =>
+        val df = Tables.events(spark, sf)
+        val once = df.dropDuplicates(keys)
+        assert(once.count() == once.dropDuplicates(keys).count(), s"keys=$keys")
+      }
+  }
+
+  test("filter result and its complement partition the scan") {
+    samples(Gen.choose(0.0, 400.0), 8).foreach { threshold =>
+      val ev = Tables.events(spark, sf)
+      val above = ev.filter(col("value") >= threshold).count()
+      val below = ev.filter(col("value") < threshold).count()
+      assert(above + below == ev.count(), s"threshold=$threshold")
+    }
+  }
+
+  test("keyset pagination covers the table exactly once for any page size") {
+    val ids = Tables.events(spark, sf).select("event_id")
+      .orderBy("event_id").collect().map(_.getLong(0))
+    samples(Gen.choose(50, 400), 8).foreach { pageSize =>
+      // walk pages via the cursor like the reference's paging.next.after
+      var cursor = Long.MinValue
+      var seen = 0L
+      var go = true
+      while (go) {
+        val page = ids.filter(_ > cursor).take(pageSize)
+        if (page.isEmpty) go = false
+        else { seen += page.length; cursor = page.last }
+      }
+      assert(seen == ids.length, s"pageSize=$pageSize")
+    }
+  }
+}

@@ -76,6 +76,7 @@ object SparkEntry {
     "q58_promo_share"      -> (Relational3.promoShare _),
     "q59_top_supplier"     -> (Relational3.topSupplier _),
     "q60_variance"         -> (Relational3.varianceStats _),
+    "q64_range_join"       -> (Relational3.rangeJoin _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -412,6 +413,13 @@ object SparkEntry {
         |  (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance,
         |  sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
         |FROM s ORDER BY 1""".stripMargin,
+    "q64_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, b.ms - a.ms AS gap_ms
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ms - a.ms BETWEEN 0 AND 60000
+        |  AND (b.ms > a.ms OR (b.ms = a.ms AND b.event_id > a.event_id))
+        |ORDER BY id_a, id_b""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

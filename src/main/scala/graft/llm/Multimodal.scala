@@ -87,6 +87,37 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("n_bytes"))
 
   /**
+   * Feature extraction STUB: a deterministic 64-dim feature vector from
+   * the payload — a normalized byte-pair histogram standing in for a
+   * vision/audio encoder. The Spark plumbing (batched mapPartitions,
+   * float-array schema, downstream ANN compatibility) is exactly what a
+   * real encoder needs; only the math inside the loop is fake.
+   */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "model load" would happen here, amortized
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](64)
+          if (bytes != null) {
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) % 64) += 1.0f
+              i += 1
+            }
+            val n = math.max(1, bytes.length).toFloat
+            var d = 0
+            while (d < 64) { hist(d) /= n; d += 1 }
+          }
+          (id, hist)
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
+  /**
    * Oracle-checkable binary-column query: documents' text re-encoded as
    * binary payloads; project byte length and a prefix — exercises the
    * binary type end-to-end (cast, octet_length, substring-on-binary).

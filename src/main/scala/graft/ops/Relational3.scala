@@ -64,6 +64,37 @@ object Relational3 {
   }
 
   /**
+   * Time-range self-join: pairs of events by the same user within 60
+   * seconds of each other. The scalable plan buckets time (each event
+   * equi-joins only its own and the adjacent minute bucket) so the
+   * shuffle key is (user, bucket) — never an unbounded theta-join; the
+   * range predicate is a residual filter. Oracle: the plain range
+   * self-join, which is equivalent because a ≤60 s pair is always in
+   * the same or adjacent bucket.
+   */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), Tables.epochMs(col("ts")).as("ms"))
+    val a = ev.withColumn("bucket", expr("ms div 60000"))
+    // a successor within +60 s lives in the same or the next minute
+    // bucket, so replicate each right event into (its bucket, bucket-1)
+    // and equi-join on (user, bucket); the range check is residual
+    val b = ev.withColumn("bucket",
+      explode(array(expr("ms div 60000"), expr("ms div 60000 - 1"))))
+    a.as("a").join(b.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          (col("b.ms") - col("a.ms")).between(0L, 60000L) &&
+          (col("b.ms") > col("a.ms") ||
+            (col("b.ms") === col("a.ms") && col("b.event_id") > col("a.event_id"))))
+      .select(
+        col("a.event_id").as("id_a"),
+        col("b.event_id").as("id_b"),
+        (col("b.ms") - col("a.ms")).as("gap_ms"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
    * Deterministic variance/stddev: explicit `(Σx² − (Σx)²/n)/(n−1)` over
    * DECIMAL-exact component sums, so the result is identical in any
    * engine and any aggregation order — unlike built-in `var_samp`,

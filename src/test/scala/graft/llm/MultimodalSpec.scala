@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 11) // offsets 0,10,...,100 within 109 bytes
   }
 
+  test("extractFeatures yields normalized 64-dim vectors usable by the ANN ops") {
+    val feats = Multimodal.extractFeatures(spark, fakeMedia)
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { v =>
+      assert(v.length == 64)
+      assert(math.abs(v.sum - 1.0f) < 1e-3, s"histogram not normalized: ${v.sum}")
+    }
+    // identical payloads -> identical features (deterministic stub)
+    val again = Multimodal.extractFeatures(spark, fakeMedia)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == again)
+    // features flow into the similarity ops (same schema as embeddings)
+    val sims = feats.as("a").crossJoin(feats.as("b"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .withColumn("dot", graft.functions.VectorFunctions.dot_d(
+        col("a.embedding"), col("b.embedding")))
+    assert(sims.filter(col("dot").isNull).count() == 0)
+  }
+
   test("binaryMeta byte lengths equal n_chars for ascii fixture text") {
     val bm = Multimodal.binaryMeta(spark, sf)
     val docs = graft.model.Tables.documents(spark, sf)

@@ -77,6 +77,11 @@ object SparkEntry {
     "q59_top_supplier"     -> (Relational3.topSupplier _),
     "q60_variance"         -> (Relational3.varianceStats _),
     "q64_range_join"       -> (Relational3.rangeJoin _),
+    "q65_grouping_sets"    -> (Relational3.groupingSets _),
+    "q66_value_windows"    -> (Relational3.valueWindows _),
+    "q67_distribution_ranks" -> (Relational3.distributionRanks _),
+    "q70_conditional"      -> (Relational3.conditionalExprs _),
+    "q71_map_functions"    -> (Relational3.mapFunctions _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -420,6 +425,43 @@ object SparkEntry {
         |  AND b.ms - a.ms BETWEEN 0 AND 60000
         |  AND (b.ms > a.ms OR (b.ms = a.ms AND b.event_id > a.event_id))
         |ORDER BY id_a, id_b""".stripMargin,
+    "q65_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
+    "q66_value_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q67_distribution_ranks" ->
+      """SELECT c_nationkey, c_custkey,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q70_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  NULLIF(l_returnflag, 'N') AS flag_or_null,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'kept') AS flag_coalesced,
+        |  GREATEST(l_discount, l_tax) AS max_rate,
+        |  LEAST(l_quantity, 10.0) AS capped_qty
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "q71_map_functions" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -93,6 +94,76 @@ object Relational3 {
         (col("b.ms") - col("a.ms")).as("gap_ms"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Explicit GROUPING SETS — the ((status), (priority)) pair, which
+    * neither ROLLUP nor CUBE produces alone. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** first/last/nth value window functions with explicit frames. */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Distribution ranks: percent_rank / cume_dist / ntile (exact
+    * rational arithmetic — cross-engine deterministic). */
+  def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** Conditional scalar expressions: nullif / coalesce / greatest /
+    * least across columns. */
+  def conditionalExprs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("kept")).as("flag_coalesced"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_quantity"), lit(10.0)).as("capped_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Map/JSON-object functions: parse the dynamic properties envelope
+    * into a map, expose its keys (the reference's config-driven
+    * property projection, app/hs_contacts.py:164-169). */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("prop_keys"),
+        size(map_keys(col("m"))).cast("long").as("n_props"),
+        element_at(col("m"), "k").cast("long").as("k_value"))
+      .orderBy("event_id")
 
   /**
    * Deterministic variance/stddev: explicit `(Σx² − (Σx)²/n)/(n−1)` over

@@ -82,6 +82,9 @@ object SparkEntry {
     "q67_distribution_ranks" -> (Relational3.distributionRanks _),
     "q70_conditional"      -> (Relational3.conditionalExprs _),
     "q71_map_functions"    -> (Relational3.mapFunctions _),
+    "q72_neardup_clusters" -> (Pipeline.nearDupClusters _),
+    "q73_hash_sample"      -> (Pipeline.deterministicSample _),
+    "q74_source_mixing"    -> (Pipeline.sourceMixing _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -556,6 +559,53 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q72_neardup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |mh AS (SELECT doc_id, salt,
+        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+        |                    1 + 8 * (salt % 4), 8)) AS h
+        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, salt // 2 AS band,
+        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
+        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |    FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lab) AS cluster
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q73_hash_sample" ->
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |FROM documents
+        |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+        |   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+        |ORDER BY doc_id""".stripMargin,
+    "q74_source_mixing" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 30 ORDER BY source, rnk""".stripMargin,
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),

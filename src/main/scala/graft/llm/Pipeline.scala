@@ -56,6 +56,67 @@ object Pipeline {
         sqrt(dot_d(col("embedding"), col("embedding"))).as("l2_norm"))
       .orderBy("vec_id")
 
+  /**
+   * Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+   * pair graph (dedup must drop whole duplicate groups, not just pairs).
+   * Iterative min-label propagation — each round is one join + one
+   * min-aggregate, converging in O(component diameter) rounds (near-dup
+   * components are tiny, so 2–3). The driver loop only checks a scalar
+   * convergence count; labels never leave the cluster.
+   */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, dir).select(col("id_a"), col("id_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.select(col("node"), col("lab")).union(viaEdges)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")).cache()
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * Deterministic hash sampling: keep a document iff the hex prefix of
+   * md5(doc_id) falls under a per-language threshold — reproducible
+   * data mixing with no RNG, identical in any engine, stable under
+   * re-partitioning (the property Bernoulli `sample()` lacks).
+   */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+      // en downsampled to ~25%, everything else kept at ~75%
+      .filter(
+        (col("lang") === "en" && col("h") < "4000") ||
+          (col("lang") =!= "en" && col("h") < "c000"))
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+
+  /** Source-mixing quota: at most 30 docs per source, preferring longer
+    * documents (per-source top-k via window rank). */
+  def sourceMixing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 30)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Coarse-centroid count for the IVF index (every 125th vector). */
   val IvfCentroidStride = 125
 

@@ -21,6 +21,40 @@ class PipelineSpec extends SparkSpec {
     assert(st.filter(col("l2_norm") <= 0.0).count() == 0)
   }
 
+  test("near-dup clusters: every paired doc labeled, label = component minimum") {
+    val clusters = Pipeline.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // both endpoints of every near-dup pair share a cluster label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are component minima: every label is a member's id ≤ members
+    clusters.foreach { case (doc, lab) => assert(lab <= doc && clusters(lab) == lab) }
+  }
+
+  test("hash sampling is deterministic and rate-skewed per language") {
+    val s1 = Pipeline.deterministicSample(spark, sf).collect()
+    val s2 = Pipeline.deterministicSample(spark, sf).collect()
+    assert(s1.sameElements(s2))
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = graft.model.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en kept at ~25%, others at ~75%
+    assert(byLang("en").toDouble / total("en") < 0.5)
+    assert(byLang.filter(_._1 != "en").map(_._2).sum.toDouble /
+      total.filter(_._1 != "en").values.sum > 0.5)
+  }
+
+  test("source mixing caps every source at 30 docs, keeping the longest") {
+    val m = Pipeline.sourceMixing(spark, sf).cache()
+    val perSource = m.groupBy("source").count()
+    assert(perSource.filter(col("count") > 30).count() == 0)
+  }
+
   test("IVF-ANN: every neighbor shares the query's cell; decent recall vs brute force") {
     val ivf = Pipeline.ivfAnn(spark, sf).cache()
     assert(ivf.count() > 0)

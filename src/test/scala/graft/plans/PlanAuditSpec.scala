@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/**
+ * Central plan-quality audit: for each representative query, assert the
+ * physical plan has the scale-critical shape — not just that it
+ * computes the right answer.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private def auditOf(name: String) =
+    PlanChecks.audit(SparkEntry.queries(name)(spark, sf))
+
+  test("q02 projection: filter pushed to parquet, scan reads only used columns") {
+    val a = auditOf("q02_projection")
+    assert(a.pushedFilters.exists(_.contains("GreaterThanOrEqual(l_quantity,30.0)")), a)
+    assert(a.readSchemas.exists(s =>
+      s.contains("l_orderkey") && !s.contains("l_extendedprice")), a)
+  }
+
+  test("q11/q26 dimension joins broadcast, never sort-merge") {
+    Seq("q11_dimension_join", "q26_snowflake_revenue").foreach { q =>
+      val a = auditOf(q)
+      assert(a.broadcastHashJoins >= 2 && a.sortMergeJoins == 0, s"$q: $a")
+    }
+  }
+
+  test("q04/q12 top-k plans use TakeOrderedAndProject, not a global sort") {
+    Seq("q04_topk", "q12_revenue_topk").foreach { q =>
+      assert(auditOf(q).hasTakeOrderedAndProject, q)
+    }
+  }
+
+  test("q10 aggregation is two-phase (map-side partial before the exchange)") {
+    val a = auditOf("q10_pricing_summary")
+    assert(a.hashAggregates >= 2, a) // partial + final
+    assert(a.shuffleExchanges <= 2, a) // agg + output sort, nothing more
+  }
+
+  test("q06 fan-out aggregation needs exactly one data shuffle (plus output sort)") {
+    val a = auditOf("q06_entity_fanout")
+    assert(a.shuffleExchanges <= 3, a)
+  }
+
+  test("no relational query degenerates into a nested-loop join") {
+    // cross joins are legitimate only where a broadcast side is by
+    // construction tiny (similarity queries vs the query/centroid set)
+    val allowedNestedLoop = Set(
+      "q34_cosine_topk", "q35_embedding_neardup", "q52_ivf_ann",
+      "q59_top_supplier", "q56_tfidf", "q63_kmeans")
+    Seq("q12_revenue_topk", "q13_semi_join", "q14_anti_join",
+      "q25_above_avg", "q28_asof_join", "q57_big_orders", "q64_range_join")
+      .foreach { q =>
+        val a = auditOf(q)
+        assert(a.nestedLoopJoins == 0, s"$q: $a")
+      }
+  }
+
+  test("q01 flagship: events range filter prunes the scan") {
+    val a = auditOf("q01_incremental_scan")
+    assert(a.pushedFilters.exists(_.contains("IsNotNull(props)")), a)
+  }
+}

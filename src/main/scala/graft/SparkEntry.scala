@@ -85,6 +85,7 @@ object SparkEntry {
     "q72_neardup_clusters" -> (Pipeline.nearDupClusters _),
     "q73_hash_sample"      -> (Pipeline.deterministicSample _),
     "q74_source_mixing"    -> (Pipeline.sourceMixing _),
+    "q75_calendar_spine"   -> (Relational3.calendarSpine _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -465,6 +466,19 @@ object SparkEntry {
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_props,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q75_calendar_spine" ->
+      """WITH spine AS (
+        |  SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day
+        |  FROM (SELECT unnest(generate_series(DATE '1997-01-01',
+        |        DATE '1997-12-31', INTERVAL 1 DAY)) AS d) g),
+        |daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.day, COALESCE(cnt, 0) AS n_orders,
+        |       COALESCE(sum_price, 0.0) AS sum_price
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

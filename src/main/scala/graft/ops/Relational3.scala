@@ -95,6 +95,29 @@ object Relational3 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /**
+   * Calendar-spine join: generate every day of 1997 (dimension
+   * generation via `sequence` + `explode` — no source table) and
+   * left-join daily order counts, zero-filling empty days. The spine is
+   * generated, tiny and broadcast; the fact side aggregates first.
+   */
+  def calendarSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.range(1)
+      .select(explode(expr(
+        "sequence(to_date('1997-01-01'), to_date('1997-12-31'), interval 1 day)"))
+        .as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy("day")
+  }
+
   /** Explicit GROUPING SETS — the ((status), (priority)) pair, which
     * neither ROLLUP nor CUBE produces alone. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =

@@ -86,6 +86,8 @@ object SparkEntry {
     "q73_hash_sample"      -> (Pipeline.deterministicSample _),
     "q74_source_mixing"    -> (Pipeline.sourceMixing _),
     "q75_calendar_spine"   -> (Relational3.calendarSpine _),
+    "q76_mode"             -> (Relational3.modeAgg _),
+    "q77_correlation"      -> (Relational3.correlation _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -479,6 +481,26 @@ object SparkEntry {
         |       COALESCE(sum_price, 0.0) AS sum_price
         |FROM spine LEFT JOIN daily ON spine.day = daily.day
         |ORDER BY spine.day""".stripMargin,
+    "q76_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q77_correlation" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM s ORDER BY 1""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -188,6 +188,48 @@ object Relational3 {
         element_at(col("m"), "k").cast("long").as("k_value"))
       .orderBy("event_id")
 
+  /** Deterministic mode: most frequent order priority per status,
+    * ties broken by priority string order (built-in `mode` leaves ties
+    * unspecified — this formulation is exact in any engine). */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /**
+   * Deterministic Pearson correlation from decimal-exact component sums
+   * — `(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))` with every Σ
+   * exact, so the handful of double ops at the end are identical in any
+   * engine (built-in `corr` streams doubles and is order-dependent).
+   */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_discount").cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .withColumn("corr_xy",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"), col("corr_xy"))
+      .orderBy("l_returnflag")
+  }
+
   /**
    * Deterministic variance/stddev: explicit `(Σx² − (Σx)²/n)/(n−1)` over
    * DECIMAL-exact component sums, so the result is identical in any

@@ -139,9 +139,14 @@ class CrmPagesScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = tsBounds
     CrmPagesSource.pageChain(path).flatMap { p =>
-      val node = CrmPagesSource.mapper.readTree(new java.io.File(s"$path/$p"))
-      val pMin = Option(node.get("min_ts_ms")).map(_.asLong).getOrElse(Long.MinValue)
-      val pMax = Option(node.get("max_ts_ms")).map(_.asLong).getOrElse(Long.MaxValue)
+      // a page we can't parse at planning time is kept (unprunable);
+      // the reader degrades it to zero rows
+      val node = try CrmPagesSource.mapper.readTree(new java.io.File(s"$path/$p"))
+        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      val pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
+        .map(_.asLong).getOrElse(Long.MinValue)
+      val pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
+        .map(_.asLong).getOrElse(Long.MaxValue)
       // page-level min/max pruning (the S2 pushdown, server-side style)
       if (pMax < lo || pMin > hi) None else Some(CrmPage(s"$path/$p"): InputPartition)
     }.toArray
@@ -191,12 +196,21 @@ class CrmPageReaderFactory(required: StructType, filters: Array[Filter],
 }
 
 /** Reads one page envelope; applies residual row filters, projection and
-  * the (per-partition) limit while parsing. */
+  * the (per-partition) limit while parsing. A malformed page (truncated
+  * upload, mid-write read) yields zero rows instead of failing the task
+  * — the streaming reader will see the corrected page as a new offset. */
 class CrmPageReader(file: String, required: StructType,
     filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
 
   private val results: JsonNode =
-    CrmPagesSource.mapper.readTree(new java.io.File(file)).get("results")
+    try {
+      val node = CrmPagesSource.mapper.readTree(new java.io.File(file))
+      if (node == null || !node.has("results")) CrmPagesSource.mapper.createArrayNode()
+      else node.get("results")
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        CrmPagesSource.mapper.createArrayNode()
+    }
   private var i = 0
   private var emitted = 0
   private var current: InternalRow = _

@@ -98,6 +98,15 @@ class CrmPagesSourceSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("malformed page degrades to zero rows instead of failing the scan") {
+    val dir = Files.createTempDirectory("crmbad")
+    val good = CrmPagesSource.pageChain(pageDir.toString).head
+    Files.copy(pageDir.resolve(good), dir.resolve("page-00000.json"))
+    Files.writeString(dir.resolve("page-00001.json"), "{\"results\": [{trunca")
+    val df = spark.read.format("graft.sources.CrmPagesSource").load(dir.toString)
+    assert(df.count() == 100) // the good page only; no task failure
+  }
+
   test("micro-batch stream: page cursor is the offset; new pages arrive incrementally") {
     // dedicated directory: seed with the first 2 pages, then append one
     val streamDir = Files.createTempDirectory("crmstream")

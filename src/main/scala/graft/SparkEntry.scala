@@ -642,6 +642,65 @@ object SparkEntry {
         |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
         |  FROM documents) t
         |WHERE rnk <= 30 ORDER BY source, rnk""".stripMargin,
+    "q52_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2
+        |         FROM e WHERE vec_id % 125 = 0),
+        |asg AS (SELECT vec_id, embedding, n2, c_id AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+        |  FROM (SELECT e.vec_id, e.embedding, e.n2, cent.c_id,
+        |          list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> e.embedding[i]::DOUBLE * cent.c_emb[i]::DOUBLE))
+        |            / (sqrt(e.n2) * sqrt(cent.c_n2)) AS c_sim
+        |        FROM e, cent) x),
+        |cells AS (SELECT vec_id, embedding, n2, cell FROM asg WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, cell
+        |      FROM cells WHERE vec_id % 20 = 0),
+        |s AS (SELECT q.q_id, n.vec_id AS neighbor_id, q.cell,
+        |    list_sum(list_transform(range(1, len(n.embedding) + 1),
+        |      i -> q.q_emb[i]::DOUBLE * n.embedding[i]::DOUBLE))
+        |      / (sqrt(q.q_n2) * sqrt(n.n2)) AS sim
+        |  FROM q JOIN cells n ON q.cell = n.cell AND n.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor_id, sim, cell,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, rnk, neighbor_id, sim, cell FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q36_ann_lsh" ->
+      """WITH planes AS (SELECT p,
+        |    list_transform(range(0, 64), d ->
+        |      CAST((16 * (strpos('0123456789abcdef',
+        |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
+        |        + strpos('0123456789abcdef',
+        |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
+        |        AS DOUBLE)) AS pl
+        |  FROM (SELECT unnest(range(0, 8)) AS p) t),
+        |e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |bits AS (SELECT e.vec_id, p.p,
+        |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> e.embedding[i]::DOUBLE * p.pl[i])) >= 0
+        |         THEN CAST(pow(2, p.p) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, planes p),
+        |keyed AS (SELECT e.vec_id, e.embedding, e.n2,
+        |    (SELECT CAST(SUM(bit) AS BIGINT) FROM bits b
+        |     WHERE b.vec_id = e.vec_id) AS bucket FROM e),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, a.bucket,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+        |  FROM keyed a JOIN keyed b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, neighbor_id, sim, bucket,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, rnk, neighbor_id, sim, bucket FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),

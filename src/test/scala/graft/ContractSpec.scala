@@ -18,9 +18,6 @@ class ContractSpec extends SparkSpec {
   test("non-oracled queries are the known non-SQL-expressible set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
-      "q36_ann_lsh",          // md5-derived hyperplane projections: sign
-                              // bits need order-dependent double sums in SQL
-      "q52_ivf_ann",          // same centroid-assignment argmin issue
       "q53_approx_sketches",  // HLL/approx-percentile are engine-specific
       "q61_label_centroids",  // cross-partition double mean (custom agg)
       "q63_kmeans")           // iterative float clustering

@@ -61,6 +61,42 @@ class MicroBatchSpec extends SparkSpec {
     assert(rows.contains((ts(60).getTime, "signup", 1L)), s"got $rows")
   }
 
+  test("restart from checkpoint resumes offsets: no reprocessing, new data flows") {
+    val tmp = Files.createTempDirectory("restart")
+    val srcDir = Files.createDirectory(tmp.resolve("in"))
+    val ckpt = tmp.resolve("ck").toString
+    val outDir = tmp.resolve("out").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("part1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val source = new MicroBatch.FileEventSource(srcDir.toString, s"$sf/events.parquet")
+    def run(): Unit = {
+      val q = MicroBatch.start(
+        MicroBatch.incrementalPipeline(source.load(spark), Seq("value")),
+        new MicroBatch.ParquetEventSink(outDir), ckpt, "restart_test")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0)
+    // restart with the same checkpoint and NO new data: nothing reprocessed
+    run()
+    assert(spark.read.parquet(outDir).count() == afterFirst,
+      "restart reprocessed committed offsets")
+    // drop a second file in (fresh ids, timestamps past the watermark):
+    // only its rows are appended
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shifted = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("ts", expr("ts + cast(40 as bigint) * 86400 * 1000000000"))
+    val stage = Files.createTempDirectory("stage")
+    shifted.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, srcDir.resolve("part2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    run()
+    val afterThird = spark.read.parquet(outDir).count()
+    assert(afterThird > afterFirst, "new file not consumed after restart")
+  }
+
   test("file-source fan-out writes per-entity sinks with checkpointed offsets") {
     val tmp = Files.createTempDirectory("fanout")
     // file stream sources consume directories: stage the fixture file

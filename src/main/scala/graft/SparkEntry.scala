@@ -88,6 +88,8 @@ object SparkEntry {
     "q75_calendar_spine"   -> (Relational3.calendarSpine _),
     "q76_mode"             -> (Relational3.modeAgg _),
     "q77_correlation"      -> (Relational3.correlation _),
+    "q78_range_frame"      -> (Relational3.rangeFrameWindow _),
+    "q79_string_agg"       -> (Relational3.stringAgg _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -501,6 +503,17 @@ object SparkEntry {
         |  (n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
         |FROM s ORDER BY 1""".stripMargin,
+    "q78_range_frame" ->
+      """SELECT user_id, event_id, ts_ms,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS events_last_hour
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) e
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q79_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -188,6 +188,30 @@ object Relational3 {
         element_at(col("m"), "k").cast("long").as("k_value"))
       .orderBy("event_id")
 
+  /** Value-based (RANGE) window frame: events in the preceding hour per
+    * user at each event — frame bounds on the ms value, not row counts. */
+  def rangeFrameWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), Tables.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("events_last_hour", count(lit(1)).over(w))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Ordered string aggregation: per-region sorted nation roster
+    * (collect_list + array_sort ≡ string_agg ORDER BY). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   /** Deterministic mode: most frequent order priority per status,
     * ties broken by priority string order (built-in `mode` leaves ties
     * unspecified — this formulation is exact in any engine). */

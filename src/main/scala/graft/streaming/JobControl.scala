@@ -56,4 +56,37 @@ object JobControl {
     active.foreach(_.stop())
     active.length
   }
+
+  /**
+   * Progress observability: a StreamingQueryListener accumulating
+   * per-query row counts and batch totals — the ops metrics the
+   * reference only had as a grep over a rotating log file (K2,
+   * app/hs_contacts.py:21-34).
+   */
+  final class MetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val state = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      state.merge(name, (1L, e.progress.numInputRows),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+    /** (batches seen, rows ingested) per query name. */
+    def snapshot: Map[String, (Long, Long)] = {
+      val b = Map.newBuilder[String, (Long, Long)]
+      state.forEach((k, v) => b += (k -> v))
+      b.result()
+    }
+  }
+
+  /** Attach a metrics listener to the session (returns it for reads). */
+  def attachMetrics(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.streams.addListener(l)
+    l
+  }
 }

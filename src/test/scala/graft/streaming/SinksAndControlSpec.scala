@@ -54,6 +54,31 @@ class SinksAndControlSpec extends SparkSpec {
 
   // --- JobControl (C2-C5) over a live streaming query ---
 
+  test("metrics listener accumulates per-query batch and row counts") {
+    val l = JobControl.attachMetrics(spark)
+    try {
+      val tmp = Files.createTempDirectory("metrics")
+      val srcDir = Files.createDirectory(tmp.resolve("in"))
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val source = new MicroBatch.FileEventSource(srcDir.toString, s"$sf/events.parquet")
+      val q = MicroBatch.start(
+        MicroBatch.incrementalPipeline(source.load(spark), Seq("value")),
+        new MicroBatch.ParquetEventSink(tmp.resolve("out").toString),
+        tmp.resolve("ck").toString, queryName = "metrics_test")
+      q.processAllAvailable(); q.stop()
+      q.awaitTermination(10000)
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      var snap = l.snapshot
+      while (!snap.contains("metrics_test") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); snap = l.snapshot
+      }
+      val (batches, rows) = snap("metrics_test")
+      assert(batches >= 1 && rows > 0, s"got $snap")
+    } finally spark.streams.removeListener(l)
+  }
+
   test("job control reports, inspects and stops a named query") {
     val tmp = Files.createTempDirectory("jobctl")
     val srcDir = Files.createDirectory(tmp.resolve("in"))

@@ -90,6 +90,8 @@ object SparkEntry {
     "q77_correlation"      -> (Relational3.correlation _),
     "q78_range_frame"      -> (Relational3.rangeFrameWindow _),
     "q79_string_agg"       -> (Relational3.stringAgg _),
+    "q80_intersect"        -> (Relational3.intersectOp _),
+    "q81_local_volume"     -> (Relational3.localSupplierVolume _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
@@ -513,6 +515,23 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |       COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_intersect" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0) t
+        |ORDER BY custkey""".stripMargin,
+    "q81_local_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_array_stats" ->
       """SELECT vec_id,

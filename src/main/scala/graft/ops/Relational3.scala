@@ -188,6 +188,44 @@ object Relational3 {
         element_at(col("m"), "k").cast("long").as("k_value"))
       .orderBy("event_id")
 
+  /** INTERSECT: customers in the BUILDING segment who also placed a
+    * high-value order (set semantics, dedup included). */
+  def intersectOp(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(bigSpenders).orderBy("custkey")
+  }
+
+  /**
+   * TPC-H Q5-style local supplier volume: revenue where the customer and
+   * the line's supplier sit in the same nation — two dimension paths
+   * meeting in a cross-table equality. Supplier/customer/nation/region
+   * broadcast; the fact chain shuffles once on the orderkey.
+   */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .filter(c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** Value-based (RANGE) window frame: events in the preceding hour per
     * user at each event — frame bounds on the ms value, not row counts. */
   def rangeFrameWindow(spark: SparkSession, dir: String): DataFrame = {

@@ -40,6 +40,8 @@ object SparkEntry {
     "q07_text_parse"       -> (ReferenceOps.textScanParse _),
     "q08_json_extract"     -> (ReferenceOps.jsonExtract _),
     "q09_json_stats"       -> (ReferenceOps.jsonPropertyStats _),
+    "q82_sliding_window"   -> (ReferenceOps.slidingWindowAgg _),
+    "q83_session_window"   -> (ReferenceOps.sessionWindowAgg _),
     // — relational layer —
     "q10_pricing_summary"  -> (Relational.pricingSummary _),
     "q11_dimension_join"   -> (Relational.dimensionJoin _),
@@ -165,6 +167,31 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // native window(ts, 10m, 5m): each event in exactly the two
+    // grid-aligned windows covering it
+    "q82_sliding_window" ->
+      """WITH u AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |w AS (SELECT ms - ms % 300000 AS g, event_type FROM u
+        |      UNION ALL
+        |      SELECT ms - ms % 300000 - 300000 AS g, event_type FROM u)
+        |SELECT g AS win_start_ms, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native session_window(ts, 30m); Spark starts a NEW session when
+    // the gap is >= the 30-minute window (strict containment in
+    // [start, last+gap)), hence >= below
+    "q83_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |              OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT user_id, ts_ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -93,6 +93,39 @@ object ReferenceOps {
       .orderBy(col("bucket_ms"), col("event_type"))
   }
 
+  /**
+   * Sliding (overlapping) windows via Spark's native `window(ts, len,
+   * slide)`: 10-minute windows every 5 minutes — each event lands in
+   * exactly two. The oracle replays the window-assignment arithmetic
+   * (grid-aligned starts g with g ≤ ts < g+len), proving the native
+   * operator's semantics.
+   */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        Tables.epochMs(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  /**
+   * Native session windows (`session_window(ts, gap)`) per user — the
+   * built-in counterpart of the manual lag/prefix-sum sessionization
+   * (q27). Spark's session end = last event + gap, so the oracle (which
+   * computes last-event ends) compares on `end − gap`.
+   */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        Tables.epochMs(col("session_window.start")).as("start_ms"),
+        (Tables.epochMs(col("session_window.end")) - lit(1800000L)).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+
   /** W6: per-entity fan-out as a group-by over the entity key — at scale
     * this is one shuffle with map-side partial aggregation, not N
     * processes. */

@@ -90,11 +90,17 @@ object Dedup {
    * DuckDB oracle replays the identical slicing.
    */
   private[llm] def minhashes(sh: DataFrame): DataFrame = {
-    val digests = Seq(md5(concat(lit("a|"), col("s"))), md5(concat(lit("b|"), col("s"))))
+    // compute the two digests ONCE per shingle in a projection — inside
+    // the aggregate each of the 8 min() expressions would re-evaluate
+    // its md5 (no cross-aggregate subexpression elimination)
+    val digested = sh.select(
+      col("doc_id"),
+      md5(concat(lit("a|"), col("s"))).as("da"),
+      md5(concat(lit("b|"), col("s"))).as("db"))
     val mins = (0 until NumHashes).map { k =>
-      min(substring(digests(k / 4), 1 + 8 * (k % 4), 8)).as(s"h$k")
+      min(substring(if (k < 4) col("da") else col("db"), 1 + 8 * (k % 4), 8)).as(s"h$k")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    digested.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -176,14 +182,15 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       // 32-bit token hash from the md5 hex prefix (exact in both engines)
       .withColumn("th", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bits = toks
-      .withColumn("bit", explode(expr("sequence(0, 31)")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(expr("2 * ((th div cast(pow(2, bit) as bigint)) % 2) - 1")).as("w"))
-    bits
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0,
-        expr("cast(pow(2, bit) as bigint)")).otherwise(0L)).as("simhash"))
+    // all 32 bit-weight sums in ONE grouped pass (no 32× row explode —
+    // same values as the per-(doc,bit) formulation the oracle replays)
+    val weightSums = (0 until 32).map(b =>
+      sum(expr(s"2 * ((th div ${1L << b}) % 2) - 1")).as(s"w$b"))
+    val packed = (0 until 32).map(b =>
+      when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(weightSums.head, weightSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
       .orderBy("doc_id")
   }
 }

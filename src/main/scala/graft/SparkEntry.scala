@@ -96,14 +96,7 @@ object SparkEntry {
     "q81_local_volume"     -> (Relational3.localSupplierVolume _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
-    "q61_label_centroids"  -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.functions._
-      graft.model.Tables.embeddings(s, d)
-        .groupBy(col("label"))
-        .agg(graft.functions.VectorMeanAgg.vector_mean(col("embedding")).as("centroid"),
-          count(lit(1)).as("n_vectors"))
-        .orderBy("label")
-    }),
+    "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -847,6 +840,18 @@ object SparkEntry {
         |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         |       COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact scaled-integer sums (2^48): order-independent in both
+    // engines — see KMeans.labelCentroids
+    "q61_label_centroids" ->
+      """WITH x AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        |         CAST(embedding[i]::DOUBLE * 281474976710656.0 AS HUGEINT) AS sv
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        |)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |       CAST(SUM(sv) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS value,
+        |       COUNT(*) AS n_vectors
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q42_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -69,6 +69,40 @@ object KMeans {
     Model(centroids, inertia)
   }
 
+  /**
+   * Per-label centroid of the embedding corpus, emitted as
+   * `(label, dim, value, n_vectors)` scalar rows.
+   *
+   * Determinism: a double fold across partitions is order-dependent, so
+   * instead each element is scaled by 2^48 — the fixture floats carry at
+   * most 43 fractional bits, so `v · 2^48` is an exact integer — and the
+   * per-(label, dim) sum runs over DECIMAL(38,0): exact, overflow-proof
+   * to ~10^38, and independent of partition merge order. The final
+   * `sum / 2^48 / n` performs the only two roundings, and any IEEE-754
+   * engine performs them identically, which is what lets this query be
+   * oracle-checked bit-for-bit.
+   *
+   * Scale: `posexplode` widens rows 64× before aggregation, but partial
+   * (map-side) aggregation collapses each partition to labels × 64
+   * decimal rows before the exchange, so the shuffle is O(partitions),
+   * not O(rows). [[graft.functions.VectorMeanAgg]] remains the compact
+   * buffer used inside the k-means loop where double means suffice.
+   */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 281474976710656.0 // 2^48
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum((col("v").cast("double") * lit(scale)).cast("decimal(38,0)")).as("scaled"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (col("scaled").cast("double") / lit(scale) / col("n_vectors")).as("value"),
+        col("n_vectors"))
+      .orderBy("label", "dim")
+  }
+
   /** Final cluster assignment + per-cluster stats as a DataFrame. */
   def clusterStats(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
     val model = fit(spark, dir, k, iters)

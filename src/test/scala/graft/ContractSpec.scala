@@ -19,7 +19,6 @@ class ContractSpec extends SparkSpec {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "q53_approx_sketches",  // HLL/approx-percentile are engine-specific
-      "q61_label_centroids",  // cross-partition double mean (custom agg)
       "q63_kmeans")           // iterative float clustering
     assert(unoracled == expected,
       s"unexpected unoracled queries: ${unoracled -- expected}; missing: ${expected -- unoracled}")

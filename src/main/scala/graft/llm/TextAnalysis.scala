@@ -156,7 +156,10 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
-    tf.join(broadcast(df), "tok")
+    // df is vocabulary-sized (grows with the corpus) — unhinted so AQE
+    // falls back to a shuffle join once it outgrows broadcast range;
+    // n is a single-row scalar, always broadcast
+    tf.join(df, "tok")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * (col("n").cast("double") / col("df")))

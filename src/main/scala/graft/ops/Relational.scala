@@ -248,8 +248,11 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
+    // customer grows with scale — no broadcast hint: AQE picks BHJ while
+    // it fits and falls back to shuffle join at 100×; a forced hint
+    // would defeat exactly that fallback. nation/region are fixed-size.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))

@@ -21,8 +21,10 @@ object Relational3 {
       .filter(col("total_qty") > 150.0)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
+    // customer is scale-growing: leave the join unhinted so AQE
+    // broadcasts only while it fits
     big.join(o, big("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
         col("total_qty"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -36,7 +38,8 @@ object Relational3 {
     val p = Tables.part(spark, dir)
     val rev = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1) - col("l_discount")).cast("decimal(18,2)")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    // part is scale-growing: unhinted, AQE decides broadcast vs shuffle
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("p_type") === "PROMO", rev)
@@ -57,9 +60,12 @@ object Relational3 {
         .cast("double").as("total_rev"))
     val maxRev = rev.agg(max(col("total_rev")).as("mx"))
     val s = Tables.supplier(spark, dir)
+    // maxRev is a 1-row scalar — always broadcast; supplier grows with
+    // scale, so its join stays unhinted (post-filter it is ~1 row and
+    // AQE broadcasts it at runtime anyway)
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_rev") === col("mx"))
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
       .orderBy("s_suppkey")
   }
@@ -212,9 +218,11 @@ object Relational3 {
     val c = Tables.customer(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
+    // customer and supplier grow with scale — unhinted joins let AQE
+    // broadcast while small and shuffle at 100×; nation stays hinted
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .filter(c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))

@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /**
  * Physical-plan auditing: the properties we design for at 100 TB —
@@ -46,5 +48,42 @@ object PlanChecks {
       readSchemas = "ReadSchema: ([^\\n]*)".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq,
       hasTakeOrderedAndProject = plan.contains("TakeOrderedAndProject"))
+  }
+
+  /**
+   * Forced-broadcast audit: a `broadcast()` hint overrides AQE's size
+   * check, so a hint over a table that grows with the data turns into a
+   * driver OOM at 100× instead of a graceful shuffle-join fallback.
+   *
+   * A hinted subtree is acceptable only if it is bounded by
+   * construction: a group-less (single-row) aggregate, or a scan
+   * limited to fixed-size dimension tables (`allowed`). Everything else
+   * is returned as a violation.
+   */
+  def forcedBroadcastViolations(
+      df: DataFrame,
+      allowed: Set[String] = Set("region", "nation")): Seq[String] = {
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined => h
+    }
+    hinted.flatMap { h =>
+      val singleRow = h.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+      }.isDefined
+      if (singleRow) None
+      else {
+        val scanned = h.child.collectLeaves().map {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+            case other                => other.toString
+          }
+          case leaf => leaf.nodeName
+        }
+        val bad = scanned.filterNot(p =>
+          allowed.exists(t => p.contains(s"$t.parquet")) || !p.contains(".parquet"))
+        if (bad.isEmpty) None
+        else Some(s"forced broadcast over scale-growing input: ${bad.mkString("; ")}")
+      }
+    }
   }
 }

@@ -57,6 +57,20 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("no forced broadcast hint on a scale-growing table") {
+    // hints must survive only on fixed-size dims (region/nation) or
+    // single-row aggregates; customer/supplier/part/vocabulary joins are
+    // AQE's call (VERDICT r1: a forced hint defeats the SMJ fallback)
+    Seq("q26_snowflake_revenue", "q56_tfidf", "q57_big_orders",
+      "q58_promo_share", "q59_top_supplier", "q81_local_volume",
+      "q11_dimension_join", "q12_revenue_topk", "q79_string_agg")
+      .foreach { q =>
+        val v = PlanChecks.forcedBroadcastViolations(
+          SparkEntry.queries(q)(spark, sf))
+        assert(v.isEmpty, s"$q: ${v.mkString("; ")}")
+      }
+  }
+
   test("q01 flagship: events range filter prunes the scan") {
     val a = auditOf("q01_incremental_scan")
     assert(a.pushedFilters.exists(_.contains("IsNotNull(props)")), a)

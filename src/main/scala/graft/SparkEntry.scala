@@ -116,8 +116,8 @@ object SparkEntry {
     "q52_ivf_ann"          -> ((s: SparkSession, d: String) => Pipeline.ivfAnn(s, d)),
   )
 
-  // DuckDB-runnable ANSI SQL twins. Keys absent here (q36_ann_lsh) get
-  // the driver's rows-only check.
+  // DuckDB-runnable ANSI SQL twins. Keys absent here
+  // (q53_approx_sketches) get the driver's rows-only check.
   def oracleSql: Map[String, String] = Map(
     "q01_incremental_scan" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
@@ -857,5 +857,70 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  substr(text, 1, 12) AS prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q63_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
   )
+
+  /**
+   * DuckDB replay of [[graft.llm.KMeans.clusterStats]]: the identical
+   * Lloyd's iterations as chained CTEs.
+   *
+   * Mirrors the Spark computation operation-for-operation so the final
+   * integer cluster stats hash-match:
+   *  - init `c0` = the k lowest stride-matching vec_ids, cid by
+   *    ascending vec_id (the deterministic `orderBy.limit(k)` init);
+   *  - each assignment `a{i}` ranks centroids per vector by
+   *    `|v|² - 2 v·c + |c|²` with the same left-to-right double fold
+   *    as [[graft.functions.DotProductD]]/[[graft.functions.DotProductFD]],
+   *    ties broken on cid;
+   *  - each update `c{i}` recomputes centroid means through the same
+   *    2^48-scaled exact-integer sums (HUGEINT here ≡ Spark's
+   *    DECIMAL(38,0) on exact addends — the q61 discipline), dividing
+   *    `sum / 2^48 / n` in the same order;
+   *  - the tail groups the final assignment into integer-only stats.
+   */
+  private[graft] def kmeansOracleSql(k: Int, iters: Int): String = {
+    val scale = "281474976710656.0" // 2^48, exact in double
+    def distTo(): String =
+      s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         |        - 2 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |          i -> e.embedding[i]::DOUBLE * c.c[i]))
+         |        + list_sum(list_transform(c.c, x -> x * x))""".stripMargin
+    def assignCte(name: String, cPrev: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${distTo()}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $cPrev c) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, aPrev: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(v ORDER BY dim) AS c FROM (
+         |    SELECT a.cluster AS cid, u.i - 1 AS dim,
+         |      CAST(SUM(CAST(a.embedding[u.i]::DOUBLE * $scale AS HUGEINT)) AS DOUBLE)
+         |        / $scale / COUNT(*) AS v
+         |    FROM $aPrev a, LATERAL (SELECT unnest(range(1, len(a.embedding) + 1)) AS i) u
+         |    GROUP BY 1, 2) t
+         |  GROUP BY cid
+         |)""".stripMargin
+    val init =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |         list_transform(embedding, x -> x::DOUBLE) AS c
+         |  FROM embeddings
+         |  WHERE vec_id % (SELECT greatest(1, COUNT(*) // $k) FROM embeddings) = 0
+         |  ORDER BY vec_id LIMIT $k
+         |)""".stripMargin
+    val rounds = (1 to iters).flatMap(i =>
+      Seq(assignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
+    val finalAssign = assignCte(s"a${iters + 1}", s"c$iters")
+    s"""WITH $init,
+       |${(rounds :+ finalAssign).mkString(",\n")}
+       |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vectors,
+       |       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
+       |       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+       |FROM a${iters + 1} GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

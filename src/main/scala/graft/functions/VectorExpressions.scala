@@ -64,8 +64,64 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Codegen'd sequential dot product of an `ArrayType(FloatType)` column
+ * (left) against an `ArrayType(DoubleType)` column (right).
+ *
+ * Exists for the k-means distance kernel: after the first Lloyd's
+ * update, centroids are exact doubles (decimal-summed means), and
+ * casting them back to float before the dot product would throw away
+ * the very determinism the decimal sums bought. Same fold contract as
+ * [[DotProductD]]: left element widens float→double, partial sums
+ * accumulate left-to-right — mirrored by the DuckDB oracle's
+ * `list_sum(list_transform(range(...), i -> v[i]::DOUBLE * c[i]))`.
+ */
+case class DotProductFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product_fd"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProductD]]. */
   def dot_d(a: Column, b: Column): Column =
     GraftShims.column(DotProductD(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column API for [[DotProductFD]] (float array · double array). */
+  def dot_fd(a: Column, b: Column): Column =
+    GraftShims.column(DotProductFD(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -1,41 +1,61 @@
 package graft.llm
 
-import graft.functions.VectorFunctions.dot_d
-import graft.functions.VectorMeanAgg.vector_mean
+import graft.functions.VectorFunctions.{dot_d, dot_fd}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Lloyd's k-means over the embedding corpus — the "learned" counterpart
- * of the stride-sampled IVF cells in [[Pipeline.ivfAnn]].
+ * Lloyd's k-means over the embedding corpus — the learned quantizer
+ * behind [[Pipeline.ivfAnn]]'s coarse cells and the `q63` cluster-stats
+ * query.
  *
  * Iteration shape (the classic distributed k-means):
  *  - centroids live in a broadcast (k × dim doubles — tiny);
- *  - the assignment pass is one narrow scan: cross join with the
- *    broadcast + codegen'd [[graft.functions.DotProductD]] distances +
- *    window argmin;
- *  - the update pass is one shuffle of [[VectorMeanAgg]]'s (sums, count)
- *    buffers — k × 520 bytes per partition, independent of row count.
+ *  - the assignment pass is one narrow scan: codegen'd
+ *    [[graft.functions.DotProductD]]/[[graft.functions.DotProductFD]]
+ *    distances against centroid literals + a `least(struct…)` argmin;
+ *  - the update pass posexplodes to (cluster, dim) and decimal-sums —
+ *    map-side partial aggregation collapses each partition to
+ *    k × dim rows before the exchange, so the shuffle is
+ *    O(partitions), not O(rows).
  *
  * Per iteration over 10^9 vectors: one scan + one tiny shuffle. The
  * driver holds only k centroids; `collect()` never touches corpus rows.
- * Deterministic: stride-sampled init, ties broken by centroid id.
+ *
+ * Fully deterministic, which is what lets q63 carry a DuckDB oracle:
+ *  - init takes the k lowest stride-matching vec_ids
+ *    (`orderBy` BEFORE `limit`, so the choice is never
+ *    partition-order-dependent);
+ *  - centroid updates sum `v · 2^48` per (cluster, dim) over
+ *    DECIMAL(38,0) — the fixture floats carry ≤43 fractional bits, so
+ *    every addend is an exact integer and the sum is independent of
+ *    partition merge order (same discipline as [[labelCentroids]],
+ *    asserted by the fixture-invariant check in ContractSpec); the
+ *    final `sum / 2^48 / n` performs the only two roundings and any
+ *    IEEE-754 engine performs them identically;
+ *  - distances fold left-to-right in double and ties break on
+ *    centroid id, so assignment replays bit-identically in DuckDB.
  */
 object KMeans {
 
   final case class Model(centroids: Seq[(Int, Array[Double])], inertia: Double)
 
+  /** 2^48 — the exact-integer scaling used for order-independent
+    * centroid sums. */
+  val Scale = 281474976710656.0
+
   private def sqDist(v: org.apache.spark.sql.Column, c: Array[Double]) = {
     // |v - c|² = |v|² - 2 v·c + |c|², computed with the codegen dot
-    // product against the broadcast centroid literal
-    val cLit = array(c.map(x => lit(x.toFloat)): _*).cast("array<float>")
+    // products against the broadcast centroid literal (kept in full
+    // double precision — casting updated centroids back to float would
+    // discard the determinism the decimal sums bought)
+    val cLit = array(c.map(lit(_)): _*)
     val cNorm = lit(c.map(x => x * x).sum)
-    dot_d(v, v) - lit(2.0) * dot_d(v, cLit) + cNorm
+    dot_d(v, v) - lit(2.0) * dot_fd(v, cLit) + cNorm
   }
 
-  /** Assign every vector to its nearest centroid. */
+  /** Assign every vector to its nearest centroid (ties → lowest cid). */
   private def assign(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
     val distCols = centroids.map { case (cid, c) =>
       struct(sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
@@ -45,25 +65,37 @@ object KMeans {
         col("best.cid").as("cluster"), col("best.d").as("dist"))
   }
 
-  /** Run Lloyd's iterations; k clusters, stride-sampled deterministic
-    * init. */
+  /** Run Lloyd's iterations; k clusters, deterministic stride-sampled
+    * init (k lowest matching vec_ids). */
   def fit(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): Model = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
     val n = emb.count()
     val stride = math.max(1L, n / k)
     var centroids: Seq[(Int, Array[Double])] = emb
-      .filter(pmod(col("vec_id"), lit(stride)) === 0).limit(k)
-      .orderBy("vec_id").collect().zipWithIndex
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(k).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
     var inertia = Double.MaxValue
     for (_ <- 0 until iters) {
       val assigned = assign(emb, centroids)
+      // one pass: per-(cluster, dim) exact scaled sums for the update,
+      // plus the inertia ride-along on the dim-0 rows (inertia is
+      // diagnostic-only — it never reaches an oracled output)
       val updated = assigned
-        .groupBy(col("cluster"))
-        .agg(vector_mean(col("embedding")).as("c"), sum(col("dist")).as("in"))
-        .orderBy("cluster").collect()
-      inertia = updated.map(_.getDouble(2)).sum
-      centroids = updated.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+        .select(col("cluster"), col("dist"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(
+          sum((col("v").cast("double") * lit(Scale)).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"),
+          sum(when(col("dim") === 0, col("dist")).otherwise(lit(0.0))).as("in"))
+        .select(col("cluster"), col("dim"),
+          (col("s").cast("double") / lit(Scale) / col("n")).as("v"), col("in"))
+        .collect()
+      inertia = updated.filter(_.getInt(1) == 0).map(_.getDouble(3)).sum
+      centroids = updated.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.sortBy(_._1)
     }
     emb.unpersist()
     Model(centroids, inertia)
@@ -85,32 +117,39 @@ object KMeans {
    * Scale: `posexplode` widens rows 64× before aggregation, but partial
    * (map-side) aggregation collapses each partition to labels × 64
    * decimal rows before the exchange, so the shuffle is O(partitions),
-   * not O(rows). [[graft.functions.VectorMeanAgg]] remains the compact
-   * buffer used inside the k-means loop where double means suffice.
+   * not O(rows).
    */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val scale = 281474976710656.0 // 2^48
     Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(
-        sum((col("v").cast("double") * lit(scale)).cast("decimal(38,0)")).as("scaled"),
+        sum((col("v").cast("double") * lit(Scale)).cast("decimal(38,0)")).as("scaled"),
         count(lit(1)).as("n_vectors"))
       .select(col("label"), col("dim").cast("long").as("dim"),
-        (col("scaled").cast("double") / lit(scale) / col("n_vectors")).as("value"),
+        (col("scaled").cast("double") / lit(Scale) / col("n_vectors")).as("value"),
         col("n_vectors"))
       .orderBy("label", "dim")
   }
 
-  /** Final cluster assignment + per-cluster stats as a DataFrame. */
+  /**
+   * Final cluster assignment + per-cluster stats. Output is
+   * integer-only (counts and vec_id extrema) — hash-stable and
+   * DuckDB-replayable: the oracle re-runs the identical Lloyd's
+   * iterations as chained CTEs (see `SparkEntry.kmeansOracleSql`).
+   */
   def clusterStats(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
     val model = fit(spark, dir, k, iters)
     val assigned = assign(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       model.centroids)
-    assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("inertia"))
+    assigned
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("vec_id")).as("sum_vec_id"))
       .orderBy("cluster")
   }
 }

@@ -18,8 +18,7 @@ class ContractSpec extends SparkSpec {
   test("non-oracled queries are the known non-SQL-expressible set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
-      "q53_approx_sketches",  // HLL/approx-percentile are engine-specific
-      "q63_kmeans")           // iterative float clustering
+      "q53_approx_sketches")  // HLL/approx-percentile are engine-specific
     assert(unoracled == expected,
       s"unexpected unoracled queries: ${unoracled -- expected}; missing: ${expected -- unoracled}")
   }

@@ -19,7 +19,7 @@ class KMeansSpec extends SparkSpec {
     assert(st.count() <= 4)
     assert(st.agg(sum("n_vectors")).head.getLong(0) ==
       Tables.embeddings(spark, sf).count())
-    assert(st.filter(col("inertia") < 0).count() == 0)
+    assert(st.filter(col("min_vec_id") > col("max_vec_id")).count() == 0)
   }
 
   test("fit is deterministic (same init, same data, same result)") {

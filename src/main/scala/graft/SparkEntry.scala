@@ -858,6 +858,14 @@ object SparkEntry {
         |  substr(text, 1, 12) AS prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q63_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    // the exact columns replay directly; the booleans are the sketch
+    // error-envelope contract — the oracle asserts they hold by
+    // emitting literal TRUE, so sketch drift fails the hash gate
+    "q53_approx_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       quantile_cont(value, 0.5) AS exact_median,
+        |       TRUE AS users_ok, TRUE AS median_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /**

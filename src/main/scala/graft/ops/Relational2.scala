@@ -171,16 +171,35 @@ object Relational2 {
       .orderBy("event_type")
   }
 
-  /** Approximate sketches: HLL distinct counts + approximate quantiles
-    * (no oracle — sketch values are engine-specific by construction;
-    * accuracy is asserted in the spec against exact counterparts). */
+  /**
+   * Approximate sketches: HLL distinct counts + approximate quantiles.
+   *
+   * Raw sketch values are engine-specific by construction, so the
+   * output carries the EXACT counterparts plus bounded-error booleans;
+   * the DuckDB oracle emits the exact columns and literal TRUEs — a
+   * sketch drifting out of its error envelope fails the hash gate:
+   *  - `users_ok`: HLL at rsd 1% must land within ±5% (5σ) of the
+   *    exact distinct count;
+   *  - `median_ok`: approx_percentile at accuracy 1000 guarantees rank
+   *    error ≤ n/1000, so the sketch median must lie inside the exact
+   *    [p45, p55] envelope (a ~50× margin).
+   */
   def approxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        expr("percentile(value, 0.5)").as("exact_median"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      .select(
+        col("event_type"), col("exact_users"), col("exact_median"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * lit(0.05)).as("users_ok"),
+        (col("approx_median") >= col("p45") &&
+          col("approx_median") <= col("p55")).as("median_ok"))
       .orderBy("event_type")
 
   /** S5 keyset pagination: resume-after-cursor page fetch (the

@@ -15,12 +15,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("non-oracled queries are the known non-SQL-expressible set") {
+  test("every query has an oracle (no rows-only fallbacks)") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set(
-      "q53_approx_sketches")  // HLL/approx-percentile are engine-specific
-    assert(unoracled == expected,
-      s"unexpected unoracled queries: ${unoracled -- expected}; missing: ${expected -- unoracled}")
+    assert(unoracled.isEmpty, s"unoracled queries: $unoracled")
   }
 
   test("every query runs and produces a non-degenerate schema at sf0.001") {

@@ -92,10 +92,10 @@ class Relational2Spec extends SparkSpec {
 
   test("approx sketches land within tolerance of exact values") {
     val sk = Relational2.approxSketches(spark, sf).collect()
+    assert(sk.nonEmpty)
     sk.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-        s"HLL off by >10%: $approx vs $exact")
+      assert(r.getBoolean(3), s"HLL out of 5% envelope for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx median outside [p45, p55] for ${r.getString(0)}")
     }
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /**
@@ -63,24 +63,43 @@ object PlanChecks {
   def forcedBroadcastViolations(
       df: DataFrame,
       allowed: Set[String] = Set("region", "nation")): Seq[String] = {
+    // a "single-row" exemption holds only when the group-less Aggregate
+    // IS the hinted subtree (modulo aliasing/projection/filter wrappers)
+    // — an Aggregate buried under a join would wrongly bless
+    // broadcast(bigTable.join(scalarAgg))
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project       => unwrap(pr.child)
+      case f: Filter         => unwrap(f.child)
+      case s: SubqueryAlias  => unwrap(s.child)
+      case other             => other
+    }
     val hinted = df.queryExecution.analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.isDefined => h
     }
     hinted.flatMap { h =>
-      val singleRow = h.child.collectFirst {
-        case a: Aggregate if a.groupingExpressions.isEmpty => a
-      }.isDefined
+      val singleRow = unwrap(h.child) match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _            => false
+      }
       if (singleRow) None
       else {
-        val scanned = h.child.collectLeaves().map {
+        // leaves are bounded only when provably so: an allowlisted
+        // fixed-size dimension scan or an in-memory LocalRelation.
+        // Unknown leaf kinds (DSv2 scans, streaming sources) are NOT
+        // presumed bounded — they flag as violations.
+        val bad = h.child.collectLeaves().flatMap {
           case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
-            case other                => other.toString
+            case fs: HadoopFsRelation =>
+              val p = fs.location.rootPaths.mkString(",")
+              if (allowed.exists(t => p.contains(s"$t.parquet"))) None
+              else Some(p)
+            case other => Some(other.toString)
           }
-          case leaf => leaf.nodeName
+          case _: LocalRelation                          => None
+          case leaf if leaf.nodeName == "OneRowRelation" => None
+          case leaf => Some(s"unvetted leaf kind: ${leaf.nodeName}")
         }
-        val bad = scanned.filterNot(p =>
-          allowed.exists(t => p.contains(s"$t.parquet")) || !p.contains(".parquet"))
         if (bad.isEmpty) None
         else Some(s"forced broadcast over scale-growing input: ${bad.mkString("; ")}")
       }

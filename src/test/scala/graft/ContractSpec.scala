@@ -20,6 +20,22 @@ class ContractSpec extends SparkSpec {
     assert(unoracled.isEmpty, s"unoracled queries: $unoracled")
   }
 
+  test("embedding fixture invariant: v * 2^48 is an exact integer everywhere") {
+    // the bit-exact q61/q63 oracles rest on every float component
+    // carrying <=48 fractional bits (so the scaled decimal sums are
+    // exact in BOTH engines); a regenerated fixture that breaks this
+    // must fail loudly here, not as a confusing hash mismatch
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory).foreach { d =>
+        val scaled = col("v").cast("double") * lit(graft.llm.KMeans.Scale)
+        val bad = graft.model.Tables.embeddings(spark, d)
+          .select(explode(col("embedding")).as("v"))
+          .filter(scaled =!= floor(scaled)).count()
+        assert(bad == 0, s"$d: $bad embedding elements break the 2^48 invariant")
+      }
+  }
+
   test("every query runs and produces a non-degenerate schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -694,33 +694,9 @@ object SparkEntry {
         |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
         |  FROM documents) t
         |WHERE rnk <= 30 ORDER BY source, rnk""".stripMargin,
-    "q52_ivf_ann" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    list_sum(list_transform(range(1, len(embedding) + 1),
-        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2
-        |         FROM e WHERE vec_id % 125 = 0),
-        |asg AS (SELECT vec_id, embedding, n2, c_id AS cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
-        |  FROM (SELECT e.vec_id, e.embedding, e.n2, cent.c_id,
-        |          list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |            i -> e.embedding[i]::DOUBLE * cent.c_emb[i]::DOUBLE))
-        |            / (sqrt(e.n2) * sqrt(cent.c_n2)) AS c_sim
-        |        FROM e, cent) x),
-        |cells AS (SELECT vec_id, embedding, n2, cell FROM asg WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, cell
-        |      FROM cells WHERE vec_id % 20 = 0),
-        |s AS (SELECT q.q_id, n.vec_id AS neighbor_id, q.cell,
-        |    list_sum(list_transform(range(1, len(n.embedding) + 1),
-        |      i -> q.q_emb[i]::DOUBLE * n.embedding[i]::DOUBLE))
-        |      / (sqrt(q.q_n2) * sqrt(n.n2)) AS sim
-        |  FROM q JOIN cells n ON q.cell = n.cell AND n.vec_id <> q.q_id),
-        |r AS (SELECT q_id, neighbor_id, sim, cell,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
-        |SELECT q_id, rnk, neighbor_id, sim, cell FROM r
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q52_ivf_ann" -> ivfOracleSql(
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
     "q36_ann_lsh" ->
       """WITH planes AS (SELECT p,
         |    list_transform(range(0, 64), d ->
@@ -886,23 +862,37 @@ object SparkEntry {
    *    `sum / 2^48 / n` in the same order;
    *  - the tail groups the final assignment into integer-only stats.
    */
-  private[graft] def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The Lloyd's distance expression shared by every replayed
+    * assignment: `|v|² - 2 v·c + |c|²` with the same left-to-right
+    * double fold as the codegen'd dot products. */
+  private def kmeansDist: String =
+    s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |        - 2 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> e.embedding[i]::DOUBLE * c.c[i]))
+       |        + list_sum(list_transform(c.c, x -> x * x))""".stripMargin
+
+  private def kmeansAssignCte(name: String, cPrev: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        $kmeansDist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $cPrev c) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  /**
+   * Chained CTEs replaying [[graft.llm.KMeans.fit]] in DuckDB: init
+   * `c0` = the k lowest stride-matching vec_ids (the deterministic
+   * `orderBy.limit(k)` init), then `iters` rounds of argmin assignment
+   * (ties on cid) and 2^48-scaled exact-integer centroid means
+   * (HUGEINT ≡ Spark's DECIMAL(38,0) on exact addends — the q61
+   * discipline), dividing `sum / 2^48 / n` in the same order. Final
+   * centroids land in `c{iters}`.
+   */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val scale = "281474976710656.0" // 2^48, exact in double
-    def distTo(): String =
-      s"""list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
-         |        - 2 * list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |          i -> e.embedding[i]::DOUBLE * c.c[i]))
-         |        + list_sum(list_transform(c.c, x -> x * x))""".stripMargin
-    def assignCte(name: String, cPrev: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, embedding, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${distTo()}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN $cPrev c) t
-         |  WHERE rn = 1
-         |)""".stripMargin
     def updateCte(name: String, aPrev: String): String =
       s"""$name AS (
          |  SELECT cid, list(v ORDER BY dim) AS c FROM (
@@ -922,13 +912,55 @@ object SparkEntry {
          |  ORDER BY vec_id LIMIT $k
          |)""".stripMargin
     val rounds = (1 to iters).flatMap(i =>
-      Seq(assignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
-    val finalAssign = assignCte(s"a${iters + 1}", s"c$iters")
-    s"""WITH $init,
-       |${(rounds :+ finalAssign).mkString(",\n")}
+      Seq(kmeansAssignCte(s"a$i", s"c${i - 1}"), updateCte(s"c$i", s"a$i")))
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.llm.KMeans.clusterStats]]: the k-means
+    * CTEs, a final assignment, and integer-only per-cluster stats. */
+  private[graft] def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |${kmeansAssignCte(s"a${iters + 1}", s"c$iters")}
        |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vectors,
        |       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
        |       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
        |FROM a${iters + 1} GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /**
+   * DuckDB replay of [[graft.llm.Pipeline.ivfAnn]]: learned-centroid
+   * IVF — the k-means CTEs produce the coarse quantizer, every vector
+   * is assigned to its nearest cell (rank 1), queries probe their
+   * `nprobe` nearest cells, and candidates rank by the same exact
+   * cosine fold as the brute-force oracle.
+   */
+  private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $kmeansDist, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |),
+       |n2 AS (SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |asg AS (
+       |  SELECT r.vec_id, r.embedding, n2.n2, r.cid AS cell
+       |  FROM ranked r JOIN n2 ON n2.vec_id = r.vec_id WHERE r.rn = 1),
+       |probe AS (
+       |  SELECT r.vec_id AS q_id, r.embedding AS q_emb, n2.n2 AS q_n2, r.cid AS cell
+       |  FROM ranked r JOIN n2 ON n2.vec_id = r.vec_id
+       |  WHERE r.rn <= $nprobe AND r.vec_id % 20 = 0),
+       |s AS (
+       |  SELECT q.q_id, n.vec_id AS neighbor_id, n.cell,
+       |    list_sum(list_transform(range(1, len(n.embedding) + 1),
+       |      i -> q.q_emb[i]::DOUBLE * n.embedding[i]::DOUBLE))
+       |      / (sqrt(q.q_n2) * sqrt(n.n2)) AS sim
+       |  FROM probe q JOIN asg n ON q.cell = n.cell AND n.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor_id, sim, cell,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+       |SELECT q_id, rnk, neighbor_id, sim, CAST(cell AS BIGINT) AS cell
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 }

@@ -45,7 +45,7 @@ object KMeans {
     * centroid sums. */
   val Scale = 281474976710656.0
 
-  private def sqDist(v: org.apache.spark.sql.Column, c: Array[Double]) = {
+  private[llm] def sqDist(v: org.apache.spark.sql.Column, c: Array[Double]) = {
     // |v - c|² = |v|² - 2 v·c + |c|², computed with the codegen dot
     // products against the broadcast centroid literal (kept in full
     // double precision — casting updated centroids back to float would

@@ -122,37 +122,48 @@ object Pipeline {
       .orderBy(col("source"), col("rnk"))
   }
 
-  /** Coarse-centroid count for the IVF index (every 125th vector). */
-  val IvfCentroidStride = 125
+  /** IVF coarse-quantizer parameters: a FIXED learned cell count (the
+    * broadcast stays k × dim doubles no matter the corpus size, and the
+    * assignment pass stays O(N · k), never O(N²/stride)), two Lloyd's
+    * iterations, and a 2-cell probe width for recall. At 100 TB these
+    * are config knobs (k ≈ √N is the classic choice); what must NOT
+    * happen is k growing linearly with N — that was the round-2
+    * stride-sampling defect this replaces. */
+  val IvfCells  = 8
+  val IvfIters  = 2
+  val IvfProbe  = 2
 
   /**
-   * IVF-style ANN: coarse "centroids" (every 125th vector) partition the
-   * corpus by nearest-centroid assignment; each query searches only its
-   * own cell. Cost: corpus×K assignment pass + per-cell scans — linear,
-   * never all-pairs. (A learned k-means would swap in the same shape.)
+   * IVF ANN with a LEARNED coarse quantizer: [[KMeans.fit]] centroids
+   * (deterministic init + decimal-exact updates, so the whole index is
+   * DuckDB-replayable) partition the corpus by nearest-centroid
+   * assignment; each query probes its `nprobe` nearest cells and ranks
+   * candidates by exact cosine. Assignment is centroid-literal
+   * arithmetic — no join, no shuffle; the only exchange is the in-cell
+   * candidate equi-join on the cell id.
    */
-  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 5, cells: Int = IvfCells,
+      iters: Int = IvfIters, nprobe: Int = IvfProbe): DataFrame = {
+    val model = KMeans.fit(spark, dir, cells, iters)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("n2", dot_d(col("embedding"), col("embedding")))
-    val centroids = emb
-      .filter(pmod(col("vec_id"), lit(IvfCentroidStride)) === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
-    // nearest-centroid assignment (deterministic tiebreak on c_id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        dot_d(col("embedding"), col("c_emb")) / (sqrt(col("n2")) * sqrt(col("c_n2"))))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
-      .cache()
-    val queries = assigned
+    // per-vector (distance, cid) structs against the centroid literals;
+    // sort_array's lexicographic (d, cid) order IS the deterministic
+    // nearest-centroid ranking with ties broken on cid
+    val distArr = array(model.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val ranked = emb.withColumn("pr", slice(sort_array(distArr), 1, nprobe))
+    val assigned = ranked
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("pr")(0)("cid").as("cell"))
+    val probes = ranked
       .filter(pmod(col("vec_id"), lit(20)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("cell"))
+        col("n2").as("q_n2"),
+        explode(expr("transform(pr, x -> x.cid)")).as("cell"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    queries.join(assigned
+    probes.join(assigned
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
           col("n2").as("n_n2"), col("cell")), Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
@@ -160,7 +171,8 @@ object Pipeline {
         dot_d(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("cell"))
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("cell").cast("long").as("cell"))
       .orderBy(col("q_id"), col("rnk"))
   }
 }

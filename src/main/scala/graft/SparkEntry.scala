@@ -697,38 +697,7 @@ object SparkEntry {
     "q52_ivf_ann" -> ivfOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
-    "q36_ann_lsh" ->
-      """WITH planes AS (SELECT p,
-        |    list_transform(range(0, 64), d ->
-        |      CAST((16 * (strpos('0123456789abcdef',
-        |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
-        |        + strpos('0123456789abcdef',
-        |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
-        |        AS DOUBLE)) AS pl
-        |  FROM (SELECT unnest(range(0, 8)) AS p) t),
-        |e AS (SELECT vec_id, embedding,
-        |    list_sum(list_transform(range(1, len(embedding) + 1),
-        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
-        |  FROM embeddings),
-        |bits AS (SELECT e.vec_id, p.p,
-        |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |           i -> e.embedding[i]::DOUBLE * p.pl[i])) >= 0
-        |         THEN CAST(pow(2, p.p) AS BIGINT) ELSE 0 END AS bit
-        |  FROM e, planes p),
-        |keyed AS (SELECT e.vec_id, e.embedding, e.n2,
-        |    (SELECT CAST(SUM(bit) AS BIGINT) FROM bits b
-        |     WHERE b.vec_id = e.vec_id) AS bucket FROM e),
-        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, a.bucket,
-        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |      / (sqrt(a.n2) * sqrt(b.n2)) AS sim
-        |  FROM keyed a JOIN keyed b
-        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |r AS (SELECT q_id, neighbor_id, sim, bucket,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
-        |SELECT q_id, rnk, neighbor_id, sim, bucket FROM r
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),
@@ -862,6 +831,56 @@ object SparkEntry {
    *    `sum / 2^48 / n` in the same order;
    *  - the tail groups the final assignment into integer-only stats.
    */
+  /**
+   * DuckDB replay of [[graft.llm.Similarity.annLsh]]: the sign-bit
+   * count is recomputed from COUNT(*) with the same pure-integer
+   * comparison ladder as [[graft.llm.Similarity.lshBitsFor]] (no
+   * floating log2 — `ln` differs across libm builds), the md5-derived
+   * hyperplanes are regenerated in SQL, and only planes below the
+   * corpus-dependent bit count contribute to the bucket key.
+   */
+  private[graft] def annLshOracleSql(k: Int): String = {
+    val target = graft.llm.Similarity.TargetBucketWidth
+    val maxBits = graft.llm.Similarity.MaxLshBits
+    val caseTerms = (8 until maxBits).map(j =>
+      s"(CASE WHEN n > ${target.toLong << j} THEN 1 ELSE 0 END)")
+      .mkString("\n        + ")
+    s"""WITH nbits AS (SELECT 8
+       |        + $caseTerms AS b
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+       |planes AS (SELECT p,
+       |    list_transform(range(0, 64), d ->
+       |      CAST((16 * (strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
+       |        + strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
+       |        AS DOUBLE)) AS pl
+       |  FROM (SELECT unnest(range(0, $maxBits)) AS p) t),
+       |e AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |bits AS (SELECT e.vec_id, p.p,
+       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> e.embedding[i]::DOUBLE * p.pl[i])) >= 0
+       |         THEN CAST(pow(2, p.p) AS BIGINT) ELSE 0 END AS bit
+       |  FROM e, planes p WHERE p.p < (SELECT b FROM nbits)),
+       |keyed AS (SELECT e.vec_id, e.embedding, e.n2,
+       |    (SELECT CAST(SUM(bit) AS BIGINT) FROM bits b
+       |     WHERE b.vec_id = e.vec_id) AS bucket FROM e),
+       |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, a.bucket,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |      / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT q_id, neighbor_id, sim, bucket,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+       |SELECT q_id, rnk, neighbor_id, sim, bucket FROM r
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The Lloyd's distance expression shared by every replayed
     * assignment: `|v|² - 2 v·c + |c|²` with the same left-to-right
     * double fold as the codegen'd dot products. */

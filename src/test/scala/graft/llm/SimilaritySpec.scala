@@ -51,4 +51,18 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.filter(col("sim") < 0.45).count() == 0)
     assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
   }
+
+  test("LSH bit count grows with the corpus, holding bucket width bounded") {
+    import Similarity.{lshBitsFor, MaxLshBits, TargetBucketWidth}
+    assert(lshBitsFor(500) == 8)      // small corpora keep the floor
+    assert(lshBitsFor(16384) == 8)    // boundary: n == width · 2^8
+    assert(lshBitsFor(16385) == 9)    // one past → one more bit
+    assert(lshBitsFor(100_000_000L) == MaxLshBits) // capped
+    // invariant: expected width n / 2^bits stays ≤ target until the cap
+    for (n <- Seq(1000L, 50_000L, 1_000_000L, 30_000_000L)) {
+      val b = lshBitsFor(n)
+      assert(b == MaxLshBits || (n.toDouble / (1L << b)) <= TargetBucketWidth,
+        s"n=$n bits=$b width=${n.toDouble / (1L << b)}")
+    }
+  }
 }

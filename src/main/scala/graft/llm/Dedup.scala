@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -78,6 +79,55 @@ object Dedup {
   val NumHashes = 8
   val NumBands  = 4
 
+  /** Hot-bucket guard: buckets up to this wide pair all-vs-all;
+    * wider buckets switch to chain pairing. */
+  val BucketCap = 64
+
+  /** Chain depth for over-cap buckets: each member pairs with its
+    * next `ChainDepth` doc_id-ordered bucket neighbors. */
+  val ChainDepth = 3
+
+  /**
+   * Candidate pairs within (band, sig) buckets, with a hot-bucket cap.
+   *
+   * A degenerate corpus (thousands of identical boilerplate docs)
+   * collapses into ONE bucket, and the plain self-join is then
+   * quadratic in that bucket's width — the classic LSH scale-killer.
+   * Buckets at or under [[BucketCap]] keep the exact all-pairs join
+   * (so real-data results are untouched — fixture buckets are far
+   * below the cap and the DuckDB oracles replay the uncapped join);
+   * wider buckets degrade to CHAIN pairing: member i meets members
+   * i+1..i+[[ChainDepth]] in doc_id order via an equi-join on
+   * (band, sig, rank+offset) — O(width · depth) rows, never width².
+   * Chains keep every over-cap bucket fully CONNECTED, so duplicate
+   * CLUSTERS (connected components, q72) lose nothing; only the
+   * exhaustive pair listing inside a degenerate bucket is traded away,
+   * which is exactly the listing no 100 TB pipeline can afford.
+   */
+  private[llm] def bucketPairs(banded: DataFrame): DataFrame = {
+    val wSpec = Window.partitionBy(col("band"), col("sig"))
+    val ranked = banded
+      .withColumn("w", count(lit(1)).over(wSpec))
+      .withColumn("rn", row_number().over(wSpec.orderBy(col("doc_id"))))
+    val narrow = ranked.filter(col("w") <= BucketCap)
+    val candNarrow = narrow.as("a").join(narrow.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val wideA = ranked.filter(col("w") > BucketCap)
+      .select(col("band").as("band_a"), col("sig").as("sig_a"),
+        col("doc_id").as("id_a"), col("rn").as("rn_a"))
+      .withColumn("off", explode(expr(s"sequence(1, $ChainDepth)")))
+    val wideB = ranked.filter(col("w") > BucketCap)
+      .select(col("band").as("band_b"), col("sig").as("sig_b"),
+        col("doc_id").as("id_b"), col("rn").as("rn_b"))
+    val candWide = wideA.join(wideB,
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          (col("rn_a") + col("off")) === col("rn_b"))
+      .select(col("id_a"), col("id_b"))
+    candNarrow.union(candWide).distinct()
+  }
+
   /**
    * MinHash signatures, one wide row per doc, in a single grouped pass
    * over the shingles (no 8× row explode; one shuffle of
@@ -108,27 +158,31 @@ object Dedup {
    * shingle → 8 salted-md5 minhashes → 4 bands of 2 → bucket join on
    * (band, signature) → exact-Jaccard verify of candidates ≥ 0.5.
    */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs).cache()
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(Tables.documents(spark, dir))
+
+  /** [[minhashLsh]] over an arbitrary documents frame (spec entry point
+    * for degenerate-corpus behavior). */
+  private[llm] def minhashLshFrom(docs: DataFrame): DataFrame = {
+    // the shingle table is ~two orders of magnitude wider than the
+    // corpus — at 100 TB it can never be cached; it is scanned exactly
+    // twice (signature pass + candidate-only verify pass) instead
+    val sh = shingles(docs)
     // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
     val bandCols = (0 until NumBands).map(b =>
       concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     val bands = minhashes(sh)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      .cache() // tiny (docs × 4 rows); the self-join reads it twice
-    val candidates = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .cache()
+      .cache() // tiny (docs × 4 rows); bucketPairs reads it twice
+    val candidates = bucketPairs(bands).cache()
     // exact-Jaccard verify restricted to candidate pairs: shrink the
-    // shingle table to candidate docs (broadcast semi-join) first.
+    // shingle table to candidate docs (broadcast semi-join) first;
+    // shingle sizes are only ever joined for candidate ids, so they
+    // too come from the shrunken table
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = candidates
       .join(shC.as("x"), col("x.doc_id") === col("id_a"))
       .join(shC.as("y"),
@@ -145,24 +199,48 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash block layout for the pigeonhole banding: 32 bits split
+    * into 6 blocks as (offset, length). */
+  private val SimhashBlocks = Seq((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+
   /**
-   * SimHash near-duplicate pairs with pigeonhole byte-banding: two
-   * 32-bit simhashes within Hamming distance 3 differ in ≤3 bits, so at
-   * least one of their 4 bytes is identical — banding by each byte
-   * gives COMPLETE recall at that threshold with a bucket join instead
-   * of all-pairs. Verification is one `bit_count(xor)` per candidate.
+   * SimHash near-duplicate pairs with block-combination pigeonhole
+   * banding (the Manku/Jain/Das Sarma WWW'07 construction): the 32-bit
+   * simhash splits into 6 blocks; a pair within Hamming distance 3
+   * differs in ≤3 blocks, so at least one 3-block COMBINATION is
+   * identical on both sides — banding on every C(6,3)=20 combination
+   * (≈16-bit keys) gives COMPLETE recall at d≤3, exactly like the
+   * naive one-band-per-byte scheme, but with a 2^16-per-band key space
+   * instead of 2^8: organic bucket width stays ~64× narrower, which is
+   * what keeps the bucket self-join linear as the corpus grows (the
+   * 4×8-bit layout's fixed 1024 buckets made width — and ΣN_b² — grow
+   * linearly with N). At larger corpora, more/smaller blocks widen the
+   * key space further (key bits = 32·(m-3)/m grows with m).
+   * Verification is one `bit_count(xor)` per candidate; identical-sig
+   * floods (the degenerate case no key space can split) fall to
+   * [[bucketPairs]]' chain cap.
    */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(spark, dir).cache()
-    val banded = sh.withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("byte", expr("(simhash div cast(pow(256, band) as bigint)) % 256"))
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .distinct()
-    candidates
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhash(spark, dir), maxHamming)
+
+  /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame (spec
+    * entry point for degenerate-corpus behavior). */
+  private[llm] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = sigs.cache() // one (doc_id, simhash) row per doc — narrow
+    def blockVal(off: Int, len: Int): Column =
+      expr(s"(simhash div cast(${1L << off} as bigint)) % cast(${1L << len} as bigint)")
+    val sigCols = SimhashBlocks.indices.combinations(3).toSeq.map { c =>
+      val (oi, li) = SimhashBlocks(c(0))
+      val (oj, lj) = SimhashBlocks(c(1))
+      val (ok, lk) = SimhashBlocks(c(2))
+      blockVal(oi, li) * lit(1L << (lj + lk)) +
+        blockVal(oj, lj) * lit(1L << lk) + blockVal(ok, lk)
+    }
+    val banded = sh
+      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+    bucketPairs(banded)
+      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), "id_b")
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -59,4 +59,26 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)),
       s"similar docs should be closer: ${sh.mkString(",")}")
   }
+
+  test("hot buckets degrade to linear chain pairing (1k identical docs)") {
+    // 1000 identical docs collapse every band into ONE bucket — the
+    // uncapped self-join would emit ~500k pairs per band; the cap must
+    // keep candidates O(width · depth) while still connecting the
+    // whole duplicate group (what q72's clustering needs)
+    import spark.implicits._
+    val docs = (0L until 1000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshFrom(docs).cache()
+    val n = pairs.count()
+    assert(n <= 1000L * Dedup.ChainDepth, s"quadratic bucket: $n pairs")
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    assert(pairs.filter(col("id_b") === col("id_a") + 1).count() == 999,
+      "duplicate group must stay fully chained/connected")
+    val sp = Dedup.simhashPairsFrom(
+      docs.select(col("doc_id"), lit(123456789L).as("simhash"))).cache()
+    assert(sp.count() <= 1000L * Dedup.ChainDepth * 4)
+    assert(sp.filter(col("hamming") =!= 0).count() == 0)
+    assert(sp.filter(col("id_b") === col("id_a") + 1).count() == 999)
+  }
 }

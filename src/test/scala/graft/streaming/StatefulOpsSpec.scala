@@ -86,6 +86,46 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows == Set((1L, 10L, 20L)), s"got $rows")
   }
 
+  test("left-outer funnel emits null-padded non-converters and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val funnel = StatefulOps.conversionFunnel(
+      signups.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+      joinType = "left_outer")
+    val q = funnel.writeStream.format("memory").queryName("funnel_outer")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    // batch 1: user 1 converts inside the hour; user 3 never converts
+    signups.addData((1L, ts(0), 10L), (3L, ts(0), 30L))
+    purchases.addData((1L, ts(1800), 20L, 9.99))
+    q.processAllAvailable()
+    // batches 2-3: far-future events push BOTH watermarks past
+    // t0 + 1h + delay, forcing user 3's null-padded emission and the
+    // eviction of the expired signup state
+    signups.addData((98L, ts(8 * 3600), 11L))
+    purchases.addData((99L, ts(8 * 3600), 23L, 1.0))
+    q.processAllAvailable()
+    signups.addData((98L, ts(9 * 3600), 12L))
+    purchases.addData((99L, ts(9 * 3600), 24L, 1.0))
+    q.processAllAvailable()
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    q.stop()
+    val rows = spark.table("funnel_outer")
+      .select("user_id", "s_event", "p_event")
+      .collect().filter(r => Set(1L, 3L)(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, 20L), (3L, 30L, -1L)),
+      s"expected converted user 1 + null-padded user 3, got $rows")
+    assert(removed > 0, "watermark pass must evict expired join state")
+  }
+
   test("SQL extension registers dot_product_d for SQL users") {
     // inject into the existing session's registry (same code path the
     // extension uses at session build time)

@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * Control plane for ingestion jobs — the reference's Flask
  * start/stop/check service (SURVEY.md §2.4 C2–C5; reference
  * app/app.py:62-116) re-expressed over the StreamingQueryManager
- * instead of `subprocess` + `ps` parsing. The auth filter (C1) is an
- * HTTP-layer concern, intentionally out of engine scope.
+ * instead of `subprocess` + `ps` parsing. The auth filter (C1) is
+ * [[Auth.authorize]] — wrap it around any of these verbs.
  */
 object JobControl {
 

@@ -102,6 +102,25 @@ class SinksAndControlSpec extends SparkSpec {
       assert(!JobControl.stop(spark, "missing_job"))
     } finally if (q.isActive) q.stop()
   }
+
+  test("auth filter guards control verbs with reference 401 semantics") {
+    import Auth._
+    val key = "sekrit-token"
+    var ran = 0
+    // no header -> 401, action untouched
+    assert(authorize(Map("accept" -> "json"), key) { ran += 1; true } ==
+      Rejected(MissingMsg))
+    // wrong key -> 401, action untouched
+    assert(authorize(Map("x-api-key" -> "nope"), key) { ran += 1; true } ==
+      Rejected(InvalidMsg))
+    assert(ran == 0, "rejected requests must not evaluate the action")
+    // right key -> runs the wrapped JobControl verb
+    val ok = authorize(Map("X-Api-Key" -> key), key) { // case-insensitive name
+      JobControl.healthy(spark)
+    }
+    assert(ok == Authorized(true) && ok.status == 200)
+    assert(Rejected(MissingMsg).status == 401)
+  }
 }
 
 /** JVM-singleton counters visible from executor threads (local mode). */

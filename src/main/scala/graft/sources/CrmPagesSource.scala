@@ -116,11 +116,47 @@ class CrmPagesScanBuilder(path: String)
 }
 
 class CrmPagesScan(path: String, required: StructType,
-    filters: Array[Filter], limit: Int) extends Scan with Batch {
+    filters: Array[Filter], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"CrmPagesScan(pushed=${filters.mkString(",")}, limit=$limit, schema=${required.fieldNames.mkString(",")})"
+
+  /**
+   * S1's size knowledge, surfaced to the optimizer: the reference's
+   * search envelopes carry result counts, so the scan can tell
+   * Catalyst exactly how many rows and bytes survive page pruning
+   * (`total`-style envelope statistics, reference
+   * app/hs_contacts.py:51-89). With an estimate in the plan, a small
+   * pruned CRM snapshot becomes broadcast-eligible under AQE instead
+   * of an uncosted black box that always shuffle-joins.
+   */
+  override def estimateStatistics(): Statistics = {
+    val (lo, hi) = tsBounds
+    var rows = 0L
+    var bytes = 0L
+    CrmPagesSource.pageChain(path).foreach { p =>
+      val f = new java.io.File(s"$path/$p")
+      val node = try CrmPagesSource.mapper.readTree(f)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      val pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
+        .map(_.asLong).getOrElse(Long.MinValue)
+      val pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
+        .map(_.asLong).getOrElse(Long.MaxValue)
+      if (!(pMax < lo || pMin > hi)) {
+        bytes += f.length()
+        // an unparsable page reads as zero rows — the estimate agrees
+        rows += Option(node).flatMap(n => Option(n.get("results")))
+          .map(_.size().toLong).getOrElse(0L)
+      }
+    }
+    val limited = math.min(rows, limit.toLong)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(limited)
+    }
+  }
 
   // S2 as page pruning: [lo, hi] bounds implied by the pushed ts_ms filters
   private def tsBounds: (Long, Long) = {

@@ -98,6 +98,29 @@ class CrmPagesSourceSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("scan reports row/byte statistics to Catalyst, respecting pruning") {
+    // full scan: numRows == fixture rows, sizeInBytes == page bytes
+    val total = Tables.events(spark, sf).count()
+    val full = new CrmPagesScan(pageDir.toString, CrmPagesSource.Schema,
+      Array.empty, Int.MaxValue).estimateStatistics()
+    assert(full.numRows.getAsLong == total)
+    val pageBytes = CrmPagesSource.pageChain(pageDir.toString)
+      .map(p => pageDir.resolve(p).toFile.length()).sum
+    assert(full.sizeInBytes.getAsLong == pageBytes)
+    // a pruning range filter shrinks both estimates
+    val lo = 1704671999000L
+    val pruned = new CrmPagesScan(pageDir.toString, CrmPagesSource.Schema,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("ts_ms", lo)),
+      Int.MaxValue).estimateStatistics()
+    assert(pruned.numRows.getAsLong < total)
+    assert(pruned.sizeInBytes.getAsLong < pageBytes)
+    // and the estimate reaches the optimizer's cost model (plan stats)
+    val leafStats = read.queryExecution.optimizedPlan.collectLeaves()
+      .head.stats
+    assert(leafStats.sizeInBytes.toLong == pageBytes,
+      s"scan stats not surfaced: $leafStats")
+  }
+
   test("malformed page degrades to zero rows instead of failing the scan") {
     val dir = Files.createTempDirectory("crmbad")
     val good = CrmPagesSource.pageChain(pageDir.toString).head

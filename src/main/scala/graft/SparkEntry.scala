@@ -94,6 +94,8 @@ object SparkEntry {
     "q79_string_agg"       -> (Relational3.stringAgg _),
     "q80_intersect"        -> (Relational3.intersectOp _),
     "q81_local_volume"     -> (Relational3.localSupplierVolume _),
+    "q84_min_cost_supplier" -> (Relational3.minCostSupplier _),
+    "q85_dominant_supplier" -> (Relational3.dominantSupplier _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -811,6 +813,27 @@ object SparkEntry {
         |       quantile_cont(value, 0.5) AS exact_median,
         |       TRUE AS users_ok, TRUE AS median_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |       n.n_name, l.l_extendedprice AS min_price
+        |FROM part p, supplier s, nation n, lineitem l
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+    "q85_dominant_supplier" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |    FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+        |  WHERE 20 * ps.qty > 3 * (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = ps.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 
   /**

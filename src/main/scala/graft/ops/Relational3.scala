@@ -306,6 +306,55 @@ object Relational3 {
    * engine and any aggregation order — unlike built-in `var_samp`,
    * whose streaming double accumulation is order-dependent.
    */
+  /**
+   * TPC-H Q2-style correlated scalar subquery: for every part, the
+   * supplier(s) whose shipped price equals the part's minimum (no
+   * partsupp table in the fixture, so the correlation runs against
+   * lineitem). Written in SQL ON PURPOSE: Catalyst's
+   * RewriteCorrelatedScalarSubquery decorrelates the inner MIN into an
+   * aggregate + join — the plan shape a 100 TB engine needs (one
+   * grouped pass over lineitem, never a per-row re-scan).
+   */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("g_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("g_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |       n.n_name, l.l_extendedprice AS min_price
+        |FROM g_part p, g_supplier s, g_nation n, g_lineitem l
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                           FROM g_lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
+  }
+
+  /**
+   * TPC-H Q20-style nested IN + correlated quantity threshold:
+   * suppliers who shipped more than half of some part's total volume.
+   * The inner correlated SUM decorrelates to a per-part aggregate
+   * joined against the per-(part, supplier) aggregate; `2 * qty >
+   * total` keeps the comparison in exact decimals (no division).
+   */
+  def dominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("g_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name FROM g_supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |    FROM g_lineitem GROUP BY l_partkey, l_suppkey) ps
+        |  WHERE 20 * ps.qty > 3 * (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |                      FROM g_lineitem l2
+        |                      WHERE l2.l_partkey = ps.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
   def varianceStats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     Tables.lineitem(spark, dir)

@@ -106,19 +106,25 @@ object Dedup {
    */
   private[llm] def bucketPairs(banded: DataFrame): DataFrame = {
     val wSpec = Window.partitionBy(col("band"), col("sig"))
-    val ranked = banded
-      .withColumn("w", count(lit(1)).over(wSpec))
-      .withColumn("rn", row_number().over(wSpec.orderBy(col("doc_id"))))
-    val narrow = ranked.filter(col("w") <= BucketCap)
+    // bucket widths need no sort; the widthed signature table is cached
+    // (narrow columns, ~bands × docs rows — spillable signature scale,
+    // NOT corpus scale) because the self-join reads it from both sides
+    val widthed = banded.withColumn("w", count(lit(1)).over(wSpec)).cache()
+    val narrow = widthed.filter(col("w") <= BucketCap)
     val candNarrow = narrow.as("a").join(narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val wideA = ranked.filter(col("w") > BucketCap)
+    // ranks (which need a per-bucket sort) are computed ONLY for the
+    // over-cap rows, so the sort cost tracks the normally-empty wide
+    // subset instead of the whole table
+    val wide = widthed.filter(col("w") > BucketCap)
+      .withColumn("rn", row_number().over(wSpec.orderBy(col("doc_id"))))
+    val wideA = wide
       .select(col("band").as("band_a"), col("sig").as("sig_a"),
         col("doc_id").as("id_a"), col("rn").as("rn_a"))
       .withColumn("off", explode(expr(s"sequence(1, $ChainDepth)")))
-    val wideB = ranked.filter(col("w") > BucketCap)
+    val wideB = wide
       .select(col("band").as("band_b"), col("sig").as("sig_b"),
         col("doc_id").as("id_b"), col("rn").as("rn_b"))
     val candWide = wideA.join(wideB,

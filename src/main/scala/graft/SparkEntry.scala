@@ -96,6 +96,8 @@ object SparkEntry {
     "q81_local_volume"     -> (Relational3.localSupplierVolume _),
     "q84_min_cost_supplier" -> (Relational3.minCostSupplier _),
     "q85_dominant_supplier" -> (Relational3.dominantSupplier _),
+    "q86_small_qty_revenue" -> (Relational3.smallQuantityRevenue _),
+    "q87_salted_join"       -> ((s: SparkSession, d: String) => Relational3.saltedJoin(s, d)),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -834,6 +836,26 @@ object SparkEntry {
         |                      FROM lineitem l2
         |                      WHERE l2.l_partkey = ps.l_partkey))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q86_small_qty_revenue" ->
+      """SELECT l.l_returnflag,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_qty_revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+    // the salted join is execution-strategy only: results are the plain
+    // join's, which is exactly what the oracle replays
+    "q87_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /**

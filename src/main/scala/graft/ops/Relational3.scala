@@ -355,6 +355,58 @@ object Relational3 {
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
+  /**
+   * TPC-H Q17-style "below one-fifth of the part's average quantity"
+   * revenue. The classic form compares against `0.2 * AVG(...)` — a
+   * double average whose partition fold order is not reproducible, so
+   * the predicate is rearranged into exact-decimal cross-multiplication:
+   * `5·qty·n < Σqty` ⇔ `qty < 0.2·avg`, making the result (and its
+   * oracle) bit-exact. Two correlated scalars (COUNT and SUM) both
+   * decorrelate into one grouped pass over lineitem.
+   */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT l.l_returnflag,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_qty_revenue,
+        |       COUNT(*) AS n_lines
+        |FROM g_lineitem l
+        |WHERE 5 * CAST(l.l_quantity AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM g_lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |       FROM g_lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
+
+  /**
+   * Skew-mitigated fact⋈dim join: when one join key is hot enough to
+   * straggle a shuffle join and the dim side is too big to broadcast,
+   * salt the fact side with a DETERMINISTIC residue of a unique column
+   * (never `rand()` — retries/replays must agree) and replicate the dim
+   * side across the salt range. Each hot key's rows then spread over
+   * `saltBuckets` reducers. Cost: `saltBuckets × |dim|` replication —
+   * the knob trades dim duplication against reducer skew. Results are
+   * identical to the plain join (the oracle IS the plain join).
+   */
+  def saltedJoin(spark: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(saltBuckets.toLong)))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt",
+        explode(expr(s"sequence(0L, ${saltBuckets - 1}L)")))
+    ev.join(cust,
+        ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   def varianceStats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     Tables.lineitem(spark, dir)

@@ -71,6 +71,25 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("correlated subqueries decorrelate into joins, never per-row re-scans") {
+    // Q2/Q20/Q17-style correlated scalars must come out of Catalyst as
+    // grouped aggregates joined back — a nested-loop join here would
+    // mean a per-outer-row lineitem re-scan (fatal at 100 TB)
+    Seq("q84_min_cost_supplier", "q85_dominant_supplier",
+      "q86_small_qty_revenue").foreach { q =>
+      val a = auditOf(q)
+      assert(a.nestedLoopJoins == 0, s"$q: $a")
+      assert(a.joins >= 1, s"$q should decorrelate into at least one join: $a")
+    }
+  }
+
+  test("q87 salted join spreads each key over salt buckets with no hint") {
+    val v = PlanChecks.forcedBroadcastViolations(
+      SparkEntry.queries("q87_salted_join")(spark, sf))
+    assert(v.isEmpty, v.mkString("; "))
+    assert(auditOf("q87_salted_join").nestedLoopJoins == 0)
+  }
+
   test("q01 flagship: events range filter prunes the scan") {
     val a = auditOf("q01_incremental_scan")
     assert(a.pushedFilters.exists(_.contains("IsNotNull(props)")), a)

@@ -104,7 +104,7 @@ object Dedup {
    * exhaustive pair listing inside a degenerate bucket is traded away,
    * which is exactly the listing no 100 TB pipeline can afford.
    */
-  private[llm] def bucketPairs(banded: DataFrame): DataFrame = {
+  private[graft] def bucketPairs(banded: DataFrame): DataFrame = {
     val wSpec = Window.partitionBy(col("band"), col("sig"))
     // bucket widths need no sort; the widthed signature table is cached
     // (narrow columns, ~bands × docs rows — spillable signature scale,

@@ -51,6 +51,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketPairs == exact all-pairs below the cap; connected above it") {
+    import spark.implicits._
+    // random bucket layouts: n docs spread over k buckets (some empty,
+    // some hot); the generator stays small enough to compute the exact
+    // all-pairs ground truth driver-side
+    val gen = for {
+      n <- Gen.choose(2, 120)
+      k <- Gen.choose(1, 6)
+      assign <- Gen.listOfN(n, Gen.choose(0, k - 1))
+    } yield assign
+    samples(gen, 6).foreach { assign =>
+      val rows = assign.zipWithIndex.map { case (b, id) => (id.toLong, 0L, b.toLong) }
+      val banded = rows.toDF("doc_id", "band", "sig")
+      val got = graft.llm.Dedup.bucketPairs(banded)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._1).sorted).toMap
+      byBucket.foreach { case (_, ids) =>
+        if (ids.length <= graft.llm.Dedup.BucketCap) {
+          // exact all-pairs inside narrow buckets
+          val want = for {
+            i <- ids; j <- ids if i < j
+          } yield (i, j)
+          assert(want.forall(got.contains), s"missing pairs in narrow bucket")
+        } else {
+          // hot bucket: every consecutive pair present (connectivity),
+          // and the candidate count is linear, not quadratic
+          ids.sliding(2).foreach { case Seq(a, b) =>
+            assert(got.contains((a, b)), s"chain broken between $a,$b")
+          }
+          val inBucket = got.count { case (a, b) => ids.contains(a) && ids.contains(b) }
+          assert(inBucket <= ids.length * graft.llm.Dedup.ChainDepth,
+            s"quadratic hot bucket: $inBucket pairs for ${ids.length} docs")
+        }
+      }
+    }
+  }
+
   test("keyset pagination covers the table exactly once for any page size") {
     val ids = Tables.events(spark, sf).select("event_id")
       .orderBy("event_id").collect().map(_.getLong(0))

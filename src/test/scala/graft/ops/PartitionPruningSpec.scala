@@ -38,4 +38,50 @@ class PartitionPruningSpec extends SparkSpec {
     // in metrics — assert via the selectedPartitions-driven row count
     assert(part.inputFiles.forall(_.contains("event_type=")), "layout not partitioned")
   }
+
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // the 100 TB star-join pattern: the fact table is partitioned by the
+    // join key, the dim filter is only known at runtime — Catalyst must
+    // inject a DynamicPruning subquery into the fact scan instead of
+    // reading every partition
+    val tmp = Files.createTempDirectory("dpp")
+    val factDir = tmp.resolve("fact").toString
+    val dimDir = tmp.resolve("dim").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+    Tables.events(spark, sf).select(col("event_type")).distinct()
+      .withColumn("kind",
+        when(col("event_type") === "error", lit("alert")).otherwise(lit("normal")))
+      .write.mode("overwrite").parquet(dimDir)
+    // the fixture tables are far below DPP's size-benefit heuristic, so
+    // pin the heuristic inputs for the assertion (on a real cluster the
+    // stats themselves justify the pruning subquery)
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000000")
+    try {
+      val fact = spark.read.parquet(factDir)
+      // an EqualTo-literal dim predicate (DPP's selectivity heuristic
+      // recognizes equality/IN shapes, not bare boolean columns)
+      val dim = spark.read.parquet(dimDir).filter(col("kind") === "alert")
+      val joined = fact.join(dim, Seq("event_type"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$plan")
+      val expected = Tables.events(spark, sf)
+        .filter(col("event_type") === "error").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      }
+    }
+  }
 }

@@ -79,9 +79,13 @@ object Dedup {
   val NumHashes = 8
   val NumBands  = 4
 
-  /** Hot-bucket guard: buckets up to this wide pair all-vs-all;
-    * wider buckets switch to chain pairing. */
-  val BucketCap = 64
+  /** Hot-bucket guard: buckets up to this wide pair all-vs-all; wider
+    * buckets switch to chain pairing. 512 is far above any organic
+    * bucket the fixtures produce at ANY scale factor (simhash max 247
+    * at sf0.1), so only true degenerate floods (identical-content
+    * clusters) are capped — and a legit 512-wide bucket still costs
+    * only ~2.6e5 in-bucket pairs, a bounded unit of work per bucket. */
+  val BucketCap = 512
 
   /** Chain depth for over-cap buckets: each member pairs with its
     * next `ChainDepth` doc_id-ordered bucket neighbors. */
@@ -94,8 +98,9 @@ object Dedup {
    * collapses into ONE bucket, and the plain self-join is then
    * quadratic in that bucket's width — the classic LSH scale-killer.
    * Buckets at or under [[BucketCap]] keep the exact all-pairs join
-   * (so real-data results are untouched — fixture buckets are far
-   * below the cap and the DuckDB oracles replay the uncapped join);
+   * (so real-data results are untouched — organic fixture buckets stay
+   * far below the cap at every SF and the DuckDB oracles replay the
+   * uncapped join);
    * wider buckets degrade to CHAIN pairing: member i meets members
    * i+1..i+[[ChainDepth]] in doc_id order via an equi-join on
    * (band, sig, rank+offset) — O(width · depth) rows, never width².
@@ -104,13 +109,13 @@ object Dedup {
    * exhaustive pair listing inside a degenerate bucket is traded away,
    * which is exactly the listing no 100 TB pipeline can afford.
    */
-  private[graft] def bucketPairs(banded: DataFrame): DataFrame = {
+  private[graft] def bucketPairs(banded: DataFrame, cap: Int = BucketCap): DataFrame = {
     val wSpec = Window.partitionBy(col("band"), col("sig"))
     // bucket widths need no sort; the widthed signature table is cached
     // (narrow columns, ~bands × docs rows — spillable signature scale,
     // NOT corpus scale) because the self-join reads it from both sides
     val widthed = banded.withColumn("w", count(lit(1)).over(wSpec)).cache()
-    val narrow = widthed.filter(col("w") <= BucketCap)
+    val narrow = widthed.filter(col("w") <= cap)
     val candNarrow = narrow.as("a").join(narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -118,7 +123,7 @@ object Dedup {
     // ranks (which need a per-bucket sort) are computed ONLY for the
     // over-cap rows, so the sort cost tracks the normally-empty wide
     // subset instead of the whole table
-    val wide = widthed.filter(col("w") > BucketCap)
+    val wide = widthed.filter(col("w") > cap)
       .withColumn("rn", row_number().over(wSpec.orderBy(col("doc_id"))))
     val wideA = wide
       .select(col("band").as("band_a"), col("sig").as("sig_a"),

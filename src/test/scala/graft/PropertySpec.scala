@@ -64,11 +64,12 @@ class PropertySpec extends SparkSpec {
     samples(gen, 6).foreach { assign =>
       val rows = assign.zipWithIndex.map { case (b, id) => (id.toLong, 0L, b.toLong) }
       val banded = rows.toDF("doc_id", "band", "sig")
-      val got = graft.llm.Dedup.bucketPairs(banded)
+      val cap = 8 // small cap so generated layouts exercise the chain path
+      val got = graft.llm.Dedup.bucketPairs(banded, cap)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._1).sorted).toMap
       byBucket.foreach { case (_, ids) =>
-        if (ids.length <= graft.llm.Dedup.BucketCap) {
+        if (ids.length <= cap) {
           // exact all-pairs inside narrow buckets
           val want = for {
             i <- ids; j <- ids if i < j

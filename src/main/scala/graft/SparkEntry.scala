@@ -98,6 +98,8 @@ object SparkEntry {
     "q85_dominant_supplier" -> (Relational3.dominantSupplier _),
     "q86_small_qty_revenue" -> (Relational3.smallQuantityRevenue _),
     "q87_salted_join"       -> ((s: SparkSession, d: String) => Relational3.saltedJoin(s, d)),
+    "q88_bigram_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.bigramStats(s, d)),
+    "q89_sequence_packing"  -> ((s: SparkSession, d: String) => Pipeline.sequencePacking(s, d)),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -856,6 +858,27 @@ object SparkEntry {
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_bigram_stats" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM b GROUP BY 1, 2),
+        |f AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_first FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, c.n_bigram, f.n_first,
+        |       c.n_bigram::DOUBLE / f.n_first AS p
+        |FROM c JOIN f USING (w1) WHERE c.n_bigram >= 20
+        |ORDER BY c.w1, c.w2""".stripMargin,
+    "q89_sequence_packing" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /**

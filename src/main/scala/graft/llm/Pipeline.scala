@@ -122,6 +122,31 @@ object Pipeline {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /**
+   * Greedy sequence packing for pretraining batches: documents stream
+   * in doc_id order WITHIN each source shard and land in consecutive
+   * token-budget bins by cumulative token offset (`start div budget`).
+   * Partitioning the running sum by source keeps the window parallel —
+   * a single global cumulative sum would serialize on one task at
+   * 100 TB; per-shard packing is what production pipelines do anyway.
+   * Integer window sums are exact, so the bin layout is deterministic
+   * and bit-replayable.
+   */
+  def sequencePacking(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
   /** IVF coarse-quantizer parameters: a FIXED learned cell count (the
     * broadcast stays k × dim doubles no matter the corpus size, and the
     * assignment pass stays O(N · k), never O(N²/stride)), two Lloyd's

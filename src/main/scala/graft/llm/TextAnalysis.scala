@@ -169,6 +169,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /**
+   * Bigram language-model statistics: corpus-wide bigram counts and the
+   * conditional probability P(w2 | w1 starts a bigram) as the single
+   * deterministic division of two exact integer counts (same rational
+   * discipline as [[tfIdf]] — no logs). One explode to in-doc bigrams,
+   * two grouped passes; at 100 TB both aggregations are plain hash
+   * shuffles on narrow string keys with map-side partials.
+   */
+  def bigramStats(spark: SparkSession, dir: String, minCount: Long = 20L): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      // guard: Spark sequence(1, 0) counts DOWN, so single-token docs
+      // would index element 0 — exclude them (DuckDB's range is empty
+      // there, so the oracle needs no guard)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
+          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val firsts = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_first"))
+    counts.join(firsts, "w1")
+      .filter(col("n_bigram") >= minCount)
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_first"),
+        (col("n_bigram").cast("double") / col("n_first")).as("p"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** Corpus stats by language: document counts and length stats. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -55,6 +55,24 @@ class PipelineSpec extends SparkSpec {
     assert(perSource.filter(col("count") > 30).count() == 0)
   }
 
+  test("sequence packing: bins cover every doc once, in order, within budget bins") {
+    val packs = Pipeline.sequencePacking(spark, sf).cache()
+    val docs = graft.model.Tables.documents(spark, sf)
+    // every doc lands in exactly one pack
+    assert(packs.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // packs are contiguous doc_id ranges per source: ranges don't overlap
+    val overlaps = packs.as("a").join(packs.as("b"),
+      col("a.source") === col("b.source") && col("a.pack_id") < col("b.pack_id") &&
+        col("a.last_doc") >= col("b.first_doc"))
+    assert(overlaps.count() == 0, "pack doc ranges overlap")
+    // a pack's token total stays within budget + one straddling doc
+    val maxDocTokens = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(max("n"))
+      .head.getLong(0)
+    assert(packs.filter(col("pack_tokens") > lit(256L) + lit(maxDocTokens))
+      .count() == 0)
+  }
+
   test("IVF-ANN: ranks contiguous from 1; neighbors span at most nprobe cells") {
     val ivf = Pipeline.ivfAnn(spark, sf).cache()
     assert(ivf.count() > 0)

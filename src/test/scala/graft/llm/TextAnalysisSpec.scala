@@ -34,4 +34,20 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = fp1.map(_.getLong(1))
     assert(fps.distinct.length == fps.length)
   }
+
+  test("bigram stats: probabilities are consistent conditional frequencies") {
+    val bg = TextAnalysis.bigramStats(spark, sf, minCount = 2L).cache()
+    assert(bg.count() > 0)
+    // every surviving bigram is a sub-count of its first-word total and
+    // p is exactly the ratio
+    assert(bg.filter(col("n_bigram") > col("n_first")).count() == 0)
+    assert(bg.filter(col("p") <= 0.0 || col("p") > 1.0).count() == 0)
+    assert(bg.filter(
+      col("p") =!= col("n_bigram").cast("double") / col("n_first")).count() == 0)
+    // unfiltered conditional distribution sums to 1 per first word
+    val full = TextAnalysis.bigramStats(spark, sf, minCount = 1L)
+    val sums = full.groupBy("w1").agg(sum("p").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9)
+    assert(sums.count() == 0, "P(w2|w1) must sum to 1 per w1")
+  }
 }

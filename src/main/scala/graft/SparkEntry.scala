@@ -100,6 +100,8 @@ object SparkEntry {
     "q87_salted_join"       -> ((s: SparkSession, d: String) => Relational3.saltedJoin(s, d)),
     "q88_bigram_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.bigramStats(s, d)),
     "q89_sequence_packing"  -> ((s: SparkSession, d: String) => Pipeline.sequencePacking(s, d)),
+    "q90_repetition_ratio"  -> (TextAnalysis.repetitionRatio _),
+    "q91_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -879,6 +881,27 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_repetition_ratio" ->
+      """WITH b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+        |  LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bg, n,
+        |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rnk
+        |  FROM c)
+        |SELECT doc_id, bg AS top_bigram, n AS top_count, total AS n_bigrams,
+        |       n::DOUBLE / total AS rep_ratio
+        |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "q91_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+        |SELECT sh.doc_id, COUNT(*) AS n_overlap
+        |FROM sh JOIN ev USING (s) WHERE sh.doc_id >= 5
+        |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin,
   )
 
   /**

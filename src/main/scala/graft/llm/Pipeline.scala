@@ -147,6 +147,27 @@ object Pipeline {
       .orderBy(col("source"), col("pack_id"))
   }
 
+  /**
+   * Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
+   * 3-word shingles with a held-out evaluation set must be dropped
+   * before training. The eval set (doc_id < 5 stands in for the real
+   * benchmark suite) is tiny relative to the corpus, so its distinct
+   * shingle set broadcasts and the detection is one semi-join-shaped
+   * pass over corpus shingles — never a corpus×eval join. Overlap
+   * counts are exact integers.
+   */
+  def decontaminate(spark: SparkSession, dir: String, minOverlap: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalShingles = Dedup.shingles(docs.filter(col("doc_id") < 5))
+      .select(col("s")).distinct()
+    Dedup.shingles(docs.filter(col("doc_id") >= 5))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy(col("doc_id"))
+  }
+
   /** IVF coarse-quantizer parameters: a FIXED learned cell count (the
     * broadcast stays k × dim doubles no matter the corpus size, and the
     * assignment pass stays O(N · k), never O(N²/stride)), two Lloyd's

@@ -197,6 +197,35 @@ object TextAnalysis {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /**
+   * Within-document repetition ratio (the C4-style "most repeated
+   * n-gram share" quality signal): per doc, the most frequent bigram's
+   * share of all bigram slots — high values flag boilerplate/spam for
+   * the training-data filter chain. Ratio of two exact integers; the
+   * argmax bigram is tie-broken lexicographically so the output is
+   * deterministic.
+   */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+          "element_at(split(text, ' '), i + 1)))")).as("bg"))
+    val counts = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("bg"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("total", sum(col("n")).over(wTot))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("n").as("top_count"),
+        col("total").as("n_bigrams"),
+        (col("n").cast("double") / col("total")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus stats by language: document counts and length stats. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

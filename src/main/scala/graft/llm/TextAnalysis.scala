@@ -179,14 +179,17 @@ object TextAnalysis {
    */
   def bigramStats(spark: SparkSession, dir: String, minCount: Long = 20L): DataFrame = {
     val pairs = Tables.documents(spark, dir)
+      // materialize the token array ONCE — element_at over a repeated
+      // split() re-tokenizes per lambda element (no subexpression
+      // elimination inside higher-order functions)
+      .select(split(col("text"), " ").as("ws"))
       // guard: Spark sequence(1, 0) counts DOWN, so single-token docs
       // would index element 0 — exclude them (DuckDB's range is empty
       // there, so the oracle needs no guard)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
-          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
     val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
     val firsts = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_first"))
@@ -207,11 +210,11 @@ object TextAnalysis {
    */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-          "element_at(split(text, ' '), i + 1)))")).as("bg"))
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")).as("bg"))
     val counts = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("n").desc, col("bg"))

@@ -102,6 +102,7 @@ object SparkEntry {
     "q89_sequence_packing"  -> ((s: SparkSession, d: String) => Pipeline.sequencePacking(s, d)),
     "q90_repetition_ratio"  -> (TextAnalysis.repetitionRatio _),
     "q91_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
+    "q92_dataset_split"     -> (Pipeline.datasetSplit _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -902,6 +903,13 @@ object SparkEntry {
         |SELECT sh.doc_id, COUNT(*) AS n_overlap
         |FROM sh JOIN ev USING (s) WHERE sh.doc_id >= 5
         |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin,
+    "q92_dataset_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |            THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |            THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /**

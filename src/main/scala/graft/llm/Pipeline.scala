@@ -110,6 +110,27 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("h"))
       .orderBy("doc_id")
 
+  /**
+   * Deterministic train/val/test split: the md5 hex prefix of the
+   * doc_id buckets every document into train/val/test at ~90/5/5 —
+   * the same RNG-free discipline as [[deterministicSample]], so the
+   * assignment is stable under repartitioning, reruns and engine
+   * changes (the property `rand()` splits lack, and the one that
+   * matters for never leaking val docs into a later training run).
+   */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "e666", "train")        // [0, 0.9) of the hex space
+          .when(col("h") < "f333", "val")       // [0.9, 0.95)
+          .otherwise("test"))                   // [0.95, 1)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
   /** Source-mixing quota: at most 30 docs per source, preferring longer
     * documents (per-source top-k via window rank). */
   def sourceMixing(spark: SparkSession, dir: String): DataFrame = {

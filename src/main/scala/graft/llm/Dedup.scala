@@ -176,8 +176,10 @@ object Dedup {
     * for degenerate-corpus behavior). */
   private[llm] def minhashLshFrom(docs: DataFrame): DataFrame = {
     // the shingle table is ~two orders of magnitude wider than the
-    // corpus — at 100 TB it can never be cached; it is scanned exactly
-    // twice (signature pass + candidate-only verify pass) instead
+    // corpus — at 100 TB it can never be cached; the signature pass
+    // shingles everything once, and the verify pass re-shingles ONLY
+    // candidate docs (the corpus is re-scanned, but the expensive
+    // explode/dedup runs on the semi-joined sliver)
     val sh = shingles(docs)
     // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
     val bandCols = (0 until NumBands).map(b =>
@@ -192,7 +194,8 @@ object Dedup {
     // too come from the shrunken table
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
+    val shC = shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .cache()
     val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = candidates
       .join(shC.as("x"), col("x.doc_id") === col("id_a"))

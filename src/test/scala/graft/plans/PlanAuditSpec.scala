@@ -50,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
       "q34_cosine_topk", "q35_embedding_neardup", "q52_ivf_ann",
       "q59_top_supplier", "q56_tfidf", "q63_kmeans")
     Seq("q12_revenue_topk", "q13_semi_join", "q14_anti_join",
-      "q25_above_avg", "q28_asof_join", "q57_big_orders", "q64_range_join")
+      "q25_above_avg", "q28_asof_join", "q57_big_orders", "q64_range_join",
+      // the LSH/banding dedup family must stay equi-joins on bucket keys
+      "q32_minhash_lsh", "q62_simhash_pairs", "q91_decontaminate")
       .foreach { q =>
         val a = auditOf(q)
         assert(a.nestedLoopJoins == 0, s"$q: $a")

@@ -126,6 +126,44 @@ class StatefulOpsSpec extends SparkSpec {
     assert(removed > 0, "watermark pass must evict expired join state")
   }
 
+  test("outer funnel: a purchase arriving after signup eviction is dropped") {
+    // pins the watermark contract: once user 3's signup was emitted
+    // null-padded and evicted, a too-late matching purchase must NOT
+    // resurrect it (no duplicate, no second match row)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val funnel = StatefulOps.conversionFunnel(
+      signups.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+      joinType = "left_outer")
+    val q = funnel.writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    signups.addData((7L, ts(0), 70L))
+    q.processAllAvailable()
+    // push both watermarks far past user 7's join window -> null-padded
+    signups.addData((98L, ts(8 * 3600), 11L))
+    purchases.addData((99L, ts(8 * 3600), 23L, 1.0))
+    q.processAllAvailable()
+    signups.addData((98L, ts(9 * 3600), 12L))
+    purchases.addData((99L, ts(9 * 3600), 24L, 1.0))
+    q.processAllAvailable()
+    // the matching purchase arrives hopelessly late (event time inside
+    // the original window, long behind the watermark)
+    purchases.addData((7L, ts(600), 71L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("funnel_late")
+      .select("user_id", "s_event", "p_event")
+      .collect().filter(_.getLong(0) == 7L)
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(u7 == Seq((70L, -1L)),
+      s"late purchase must not resurrect or duplicate the evicted signup: $u7")
+  }
+
   test("SQL extension registers dot_product_d for SQL users") {
     // inject into the existing session's registry (same code path the
     // extension uses at session build time)

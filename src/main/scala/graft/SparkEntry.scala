@@ -713,7 +713,7 @@ object SparkEntry {
         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
         |  FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
-        |      FROM e WHERE vec_id % 20 = 0),
+        |      FROM e WHERE vec_id % 20 = 0 AND vec_id < 5120),
         |s AS (SELECT q_id, vec_id AS neighbor_id,
         |    list_sum(list_transform(range(1, len(embedding) + 1),
         |      i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
@@ -733,7 +733,7 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         |    / (sqrt(a.n2) * sqrt(b.n2)) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.vec_id < 1000
         |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45

@@ -37,14 +37,25 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("n2", norm2(col("embedding")))
 
+  /** Hard ceiling on brute-force query-set size: `vec_id % 20 == 0`
+    * alone grows linearly with the corpus, which would eventually
+    * overflow the query-set broadcast; the id cap fixes the set at
+    * ≤ [[MaxBruteQueries]] rows no matter the corpus (a no-op at the
+    * fixture SFs, whose ids all sit below the cap). */
+  val MaxBruteQueries = 256
+
   /**
-   * Brute-force cosine top-k: every 20th vector queries the full corpus
-   * (self excluded), k=10. Output carries the exact similarity.
+   * Brute-force cosine top-k: every 20th vector among the first
+   * `20 · MaxBruteQueries` ids queries the full corpus (self excluded),
+   * k=10. One scan of the embedding shards against a constant-size
+   * broadcast — the oracle-checkable ground-truth twin of the ANN
+   * paths (q36/q52), bounded the same way q31 bounds exact Jaccard.
    */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir))
     val queries = emb
-      .filter(pmod(col("vec_id"), lit(20)) === 0)
+      .filter(pmod(col("vec_id"), lit(20)) === 0 &&
+        col("vec_id") < lit(20L * MaxBruteQueries))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
     val joined = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -59,12 +70,20 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
-    * threshold. Ground-truth quadratic form, kept oracle-checkable; the
-    * LSH route below is the scale path. */
+  /** Anchor-window bound for the exact near-dup ground truth: pairs
+    * are anchored on the first [[NearDupAnchor]] ids, so the exact scan
+    * is anchor × corpus — LINEAR in corpus size, like q31's bounded
+    * exact Jaccard. A no-op at sf0.01 (all ids below the anchor). */
+  val NearDupAnchor = 1000L
+
+  /** Embedding-cosine near-duplicate pairs with cosine ≥ threshold,
+    * anchored on a fixed id window (the lower id of every reported
+    * pair is < [[NearDupAnchor]]). Exact ground-truth twin of the LSH
+    * route (q36), which is the unbounded scale path. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
+    val a = emb.filter(col("vec_id") < NearDupAnchor)
+      .select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("n2").as("n2_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("n2").as("n2_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim",

@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductD)
+    ext.injectFunction(GraftExtensions.dotProductFD)
   }
 }
 
@@ -31,4 +32,10 @@ object GraftExtensions {
     info("dot_product_d",
       "dot_product_d(a, b) - sequential-double dot product of two float arrays"),
     (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1)))
+
+  val dotProductFD: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product_fd"),
+    info("dot_product_fd",
+      "dot_product_fd(a, b) - sequential dot product of a float array against a double array"),
+    (exprs: Seq[Expression]) => DotProductFD(exprs(0), exprs(1)))
 }

@@ -67,4 +67,32 @@ class MultimodalSpec extends SparkSpec {
     val joined = bm.join(docs, "doc_id").filter(col("n_bytes") =!= col("n_chars"))
     assert(joined.count() == 0)
   }
+
+  test("end to end: extracted media features index into nearest-feature buckets") {
+    // the full multimodal ingestion shape: binary payloads → batched
+    // feature extraction → similarity grouping over the feature vectors
+    // (brute cosine here; the same column feeds the LSH/IVF paths).
+    // Groups must be deterministic and place the two structurally
+    // similar payloads (same repeated byte) closest to each other.
+    import spark.implicits._
+    val media = Seq(
+      (0L, Multimodal.encodeFake(0, 64, 64, Array.fill[Byte](300)(7))),
+      (1L, Multimodal.encodeFake(0, 64, 64, Array.fill[Byte](290)(7))),
+      (2L, Multimodal.encodeFake(1, 0, 0, Array.tabulate[Byte](300)(i => (i % 97).toByte))),
+      (3L, Multimodal.encodeFake(2, 32, 32, Array.tabulate[Byte](300)(i => (i % 53).toByte))))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.extractFeatures(spark, media)
+    import graft.functions.VectorFunctions.dot_d
+    val a = feats.select(col("media_id").as("id_a"), col("embedding").as("f_a"))
+    val b = feats.select(col("media_id").as("id_b"), col("embedding").as("f_b"))
+    val sims = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot_d(col("f_a"), col("f_b")) /
+        (sqrt(dot_d(col("f_a"), col("f_a"))) * sqrt(dot_d(col("f_b"), col("f_b")))))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("sim").desc)
+      .collect()
+    val top = (sims.head.getLong(0), sims.head.getLong(1))
+    assert(top == (0L, 1L),
+      s"same-byte payloads must be the most similar pair, got $top (${sims.toSeq})")
+  }
 }

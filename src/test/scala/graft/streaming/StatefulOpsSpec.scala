@@ -164,7 +164,7 @@ class StatefulOpsSpec extends SparkSpec {
       s"late purchase must not resurrect or duplicate the evicted signup: $u7")
   }
 
-  test("SQL extension registers dot_product_d for SQL users") {
+  test("SQL extension registers both dot products for SQL users") {
     // inject into the existing session's registry (same code path the
     // extension uses at session build time)
     val (id, einfo, builder) = graft.functions.GraftExtensions.dotProductD
@@ -173,5 +173,11 @@ class StatefulOpsSpec extends SparkSpec {
       "SELECT dot_product_d(cast(array(1.0,2.0) as array<float>), " +
         "cast(array(3.0,4.0) as array<float>)) AS d").head.getDouble(0)
     assert(r == 11.0)
+    val (id2, einfo2, builder2) = graft.functions.GraftExtensions.dotProductFD
+    spark.sessionState.functionRegistry.registerFunction(id2, einfo2, builder2)
+    val r2 = spark.sql(
+      "SELECT dot_product_fd(cast(array(1.0,2.0) as array<float>), " +
+        "cast(array(3.0,4.0) as array<double>)) AS d").head.getDouble(0)
+    assert(r2 == 11.0)
   }
 }

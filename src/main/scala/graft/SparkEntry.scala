@@ -872,16 +872,17 @@ object SparkEntry {
         |FROM c JOIN f USING (w1) WHERE c.n_bigram >= 20
         |ORDER BY c.w1, c.w2""".stripMargin,
     "q89_sequence_packing" ->
-      """WITH d AS (SELECT source, doc_id,
+      """WITH d AS (SELECT source, doc_id, doc_id // 1000000 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
-        |c AS (SELECT source, doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |c AS (SELECT source, shard, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
         |  FROM d)
-        |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        |SELECT source, shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+        |       COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q90_repetition_ratio" ->
       """WITH b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,

@@ -118,6 +118,10 @@ object Pipeline {
    * changes (the property `rand()` splits lack, and the one that
    * matters for never leaking val docs into a later training run).
    */
+  /** Doc-id block size after which the packing running sum resets —
+    * bounds any single window task even under total source skew. */
+  val PackShardDocs = 1000000L
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
@@ -145,27 +149,30 @@ object Pipeline {
 
   /**
    * Greedy sequence packing for pretraining batches: documents stream
-   * in doc_id order WITHIN each source shard and land in consecutive
-   * token-budget bins by cumulative token offset (`start div budget`).
-   * Partitioning the running sum by source keeps the window parallel —
-   * a single global cumulative sum would serialize on one task at
-   * 100 TB; per-shard packing is what production pipelines do anyway.
-   * Integer window sums are exact, so the bin layout is deterministic
-   * and bit-replayable.
+   * in doc_id order WITHIN each (source, id-block) shard and land in
+   * consecutive token-budget bins by cumulative token offset
+   * (`start div budget`). Sharding the running sum keeps the window
+   * parallel — a single global cumulative sum would serialize on one
+   * task at 100 TB, and even a per-source sum serializes when one
+   * source dominates, so the running sum additionally resets every
+   * [[PackShardDocs]] doc ids (a no-op at fixture scale, a bounded
+   * per-task unit at any scale). Integer window sums are exact, so the
+   * bin layout is deterministic and bit-replayable.
    */
   def sequencePacking(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
-      .groupBy(col("source"), col("pack_id"))
+      .groupBy(col("source"), col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("pack_id"))
+      .orderBy(col("source"), col("shard"), col("pack_id"))
   }
 
   /**

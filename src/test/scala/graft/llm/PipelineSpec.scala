@@ -60,9 +60,10 @@ class PipelineSpec extends SparkSpec {
     val docs = graft.model.Tables.documents(spark, sf)
     // every doc lands in exactly one pack
     assert(packs.agg(sum("n_docs")).head.getLong(0) == docs.count())
-    // packs are contiguous doc_id ranges per source: ranges don't overlap
+    // packs are contiguous doc_id ranges per (source, shard): no overlap
     val overlaps = packs.as("a").join(packs.as("b"),
-      col("a.source") === col("b.source") && col("a.pack_id") < col("b.pack_id") &&
+      col("a.source") === col("b.source") && col("a.shard") === col("b.shard") &&
+        col("a.pack_id") < col("b.pack_id") &&
         col("a.last_doc") >= col("b.first_doc"))
     assert(overlaps.count() == 0, "pack doc ranges overlap")
     // a pack's token total stays within budget + one straddling doc

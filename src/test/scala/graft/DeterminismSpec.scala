@@ -1,0 +1,37 @@
+package graft
+
+/**
+ * Partition-order independence: the bit-exact oracle story rests on
+ * results not depending on how rows are split across tasks (decimal
+ * sums, md5 hashing, explicit tie-breaks — never a float fold across
+ * partition boundaries). This spec re-runs the most order-sensitive
+ * queries under a different shuffle-partition count and demands
+ * IDENTICAL rows — the cluster-size-invariance a 100 TB deployment
+ * needs when it scales executors up or down between runs.
+ */
+class DeterminismSpec extends SparkSpec {
+
+  private val risky = Seq(
+    "q61_label_centroids",  // scaled-decimal centroid sums
+    "q63_kmeans",           // iterative clustering on those sums
+    "q49_salted_agg",       // two-phase salted aggregation
+    "q60_variance",         // decimal-exact moments
+    "q77_correlation",      // decimal-exact Pearson r
+    "q32_minhash_lsh",      // LSH bucketing + verify joins
+    "q53_approx_sketches")  // sketch error-envelope booleans
+
+  test("results are identical under a different shuffle-partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    risky.foreach { name =>
+      val base = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      try {
+        spark.conf.set(key, "7")
+        val alt = SparkEntry.queries(name)(spark, sf).collect().toSeq
+        assert(base == alt,
+          s"$name changed under $key=7 (partition-order-dependent result)")
+      } finally spark.conf.set(key, before)
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -103,6 +103,7 @@ object SparkEntry {
     "q90_repetition_ratio"  -> (TextAnalysis.repetitionRatio _),
     "q91_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "q92_dataset_split"     -> (Pipeline.datasetSplit _),
+    "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -911,6 +912,18 @@ object SparkEntry {
         |            THEN 'val' ELSE 'test' END AS split,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_quantize_embeddings" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+        |st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+        |q AS (SELECT x.vec_id,
+        |    CAST(floor((CASE WHEN st.mx = st.mn THEN 0.0
+        |                     ELSE (x.v - st.mn) / (st.mx - st.mn) END)
+        |         * 255.0 + 0.5) AS BIGINT) AS qv
+        |  FROM x JOIN st USING (dim))
+        |SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS q_sum,
+        |       MIN(qv) AS q_min, MAX(qv) AS q_max
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /**

@@ -122,6 +122,31 @@ object Pipeline {
     * bounds any single window task even under total source skew. */
   val PackShardDocs = 1000000L
 
+  /**
+   * Int8 scalar quantization of the embedding store (the standard 4×
+   * storage/IO cut before ANN indexing): per-dimension global min/max
+   * (a 64-row broadcast — min/max are PICKS, not folds, so they are
+   * partition-order-independent), then `floor(ratio·255 + 0.5)` per
+   * element. Output is integer-only per-vector stats so the whole
+   * codec round (including the degenerate constant-dimension guard)
+   * replays bit-exactly in the oracle.
+   */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val stats = x.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val ratio = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise((col("v") - col("mn")) / (col("mx") - col("mn")))
+    x.join(broadcast(stats), "dim")
+      .withColumn("qv", floor(ratio * lit(255.0) + lit(0.5)).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qv")).as("q_sum"), min(col("qv")).as("q_min"),
+        max(col("qv")).as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))

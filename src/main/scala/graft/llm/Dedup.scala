@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
  *  - the all-pairs exact-Jaccard query is explicitly windowed to a
  *    bounded doc prefix — it exists as the oracle-checkable ground
  *    truth, not as the scale path.
+ *
+ * Caching contract: these operators `.cache()` narrow intermediates
+ * (band tables, candidate ids) that the returned LAZY plan reads more
+ * than once, so they cannot unpersist before the caller's action runs.
+ * Callers issuing many queries in one session must drop them between
+ * actions via `spark.catalog.clearCache()` — `Bench` and `Verify` both
+ * do, after every query.
  */
 object Dedup {
 

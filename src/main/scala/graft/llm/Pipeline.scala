@@ -110,14 +110,6 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("h"))
       .orderBy("doc_id")
 
-  /**
-   * Deterministic train/val/test split: the md5 hex prefix of the
-   * doc_id buckets every document into train/val/test at ~90/5/5 —
-   * the same RNG-free discipline as [[deterministicSample]], so the
-   * assignment is stable under repartitioning, reruns and engine
-   * changes (the property `rand()` splits lack, and the one that
-   * matters for never leaking val docs into a later training run).
-   */
   /** Doc-id block size after which the packing running sum resets —
     * bounds any single window task even under total source skew. */
   val PackShardDocs = 1000000L
@@ -147,6 +139,14 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * Deterministic train/val/test split: the md5 hex prefix of the
+   * doc_id buckets every document into train/val/test at ~90/5/5 —
+   * the same RNG-free discipline as [[deterministicSample]], so the
+   * assignment is stable under repartitioning, reruns and engine
+   * changes (the property `rand()` splits lack, and the one that
+   * matters for never leaking val docs into a later training run).
+   */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))

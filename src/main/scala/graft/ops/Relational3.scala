@@ -334,10 +334,11 @@ object Relational3 {
 
   /**
    * TPC-H Q20-style nested IN + correlated quantity threshold:
-   * suppliers who shipped more than half of some part's total volume.
+   * suppliers who shipped more than 15% of some part's total volume.
    * The inner correlated SUM decorrelates to a per-part aggregate
-   * joined against the per-(part, supplier) aggregate; `2 * qty >
-   * total` keeps the comparison in exact decimals (no division).
+   * joined against the per-(part, supplier) aggregate; `20 * qty >
+   * 3 * total` keeps the 15% comparison in exact decimals (no
+   * division).
    */
   def dominantSupplier(spark: SparkSession, dir: String): DataFrame = {
     Tables.supplier(spark, dir).createOrReplaceTempView("g_supplier")

@@ -123,6 +123,36 @@ class CrmPagesScan(path: String, required: StructType,
   override def description(): String =
     s"CrmPagesScan(pushed=${filters.mkString(",")}, limit=$limit, schema=${required.fieldNames.mkString(",")})"
 
+  /** One envelope header per page, parsed once per scan and shared by
+    * [[estimateStatistics]] and [[planInputPartitions]] (both run at
+    * planning time; re-parsing every page twice doubles driver-side
+    * planning cost for nothing). An unparsable page keeps unbounded
+    * ts bounds (unprunable) and zero rows — the reader agrees. */
+  private case class PageEnvelope(
+      file: String, pMin: Long, pMax: Long, nRows: Long, bytes: Long)
+
+  private lazy val envelopes: Seq[PageEnvelope] =
+    CrmPagesSource.pageChain(path).map { p =>
+      val f = new java.io.File(s"$path/$p")
+      val node = try CrmPagesSource.mapper.readTree(f)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      PageEnvelope(
+        file = f.getPath,
+        pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
+          .map(_.asLong).getOrElse(Long.MinValue),
+        pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
+          .map(_.asLong).getOrElse(Long.MaxValue),
+        nRows = Option(node).flatMap(n => Option(n.get("results")))
+          .map(_.size().toLong).getOrElse(0L),
+        bytes = f.length())
+    }
+
+  // the surviving pages after S2 page-level min/max pruning
+  private def prunedEnvelopes: Seq[PageEnvelope] = {
+    val (lo, hi) = tsBounds
+    envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
+  }
+
   /**
    * S1's size knowledge, surfaced to the optimizer: the reference's
    * search envelopes carry result counts, so the scan can tell
@@ -133,25 +163,9 @@ class CrmPagesScan(path: String, required: StructType,
    * of an uncosted black box that always shuffle-joins.
    */
   override def estimateStatistics(): Statistics = {
-    val (lo, hi) = tsBounds
-    var rows = 0L
-    var bytes = 0L
-    CrmPagesSource.pageChain(path).foreach { p =>
-      val f = new java.io.File(s"$path/$p")
-      val node = try CrmPagesSource.mapper.readTree(f)
-        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
-      val pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
-        .map(_.asLong).getOrElse(Long.MinValue)
-      val pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
-        .map(_.asLong).getOrElse(Long.MaxValue)
-      if (!(pMax < lo || pMin > hi)) {
-        bytes += f.length()
-        // an unparsable page reads as zero rows — the estimate agrees
-        rows += Option(node).flatMap(n => Option(n.get("results")))
-          .map(_.size().toLong).getOrElse(0L)
-      }
-    }
-    val limited = math.min(rows, limit.toLong)
+    val kept = prunedEnvelopes
+    val bytes = kept.map(_.bytes).sum
+    val limited = math.min(kept.map(_.nRows).sum, limit.toLong)
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
       override def numRows(): util.OptionalLong = util.OptionalLong.of(limited)
@@ -172,21 +186,9 @@ class CrmPagesScan(path: String, required: StructType,
     (lo, hi)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (lo, hi) = tsBounds
-    CrmPagesSource.pageChain(path).flatMap { p =>
-      // a page we can't parse at planning time is kept (unprunable);
-      // the reader degrades it to zero rows
-      val node = try CrmPagesSource.mapper.readTree(new java.io.File(s"$path/$p"))
-        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
-      val pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
-        .map(_.asLong).getOrElse(Long.MinValue)
-      val pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
-        .map(_.asLong).getOrElse(Long.MaxValue)
-      // page-level min/max pruning (the S2 pushdown, server-side style)
-      if (pMax < lo || pMin > hi) None else Some(CrmPage(s"$path/$p"): InputPartition)
-    }.toArray
-  }
+  // page-level min/max pruning (the S2 pushdown, server-side style)
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedEnvelopes.map(e => CrmPage(e.file): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CrmPageReaderFactory(required, filters, limit)

@@ -191,10 +191,15 @@ object Dedup {
     // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
     val bandCols = (0 until NumBands).map(b =>
       concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    // localCheckpoint (not cache): bands is tiny (docs × 4 rows), but
+    // its LINEAGE is the whole shingle+minhash pipeline — downstream
+    // stages (self-join, union, verify joins) would each re-embed that
+    // multi-MiB plan in their task binaries. Checkpointing truncates
+    // the lineage so every later stage ships a KiB-sized plan.
     val bands = minhashes(sh)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      .cache() // tiny (docs × 4 rows); bucketPairs reads it twice
-    val candidates = bucketPairs(bands).cache()
+      .localCheckpoint()
+    val candidates = bucketPairs(bands).localCheckpoint()
     // exact-Jaccard verify restricted to candidate pairs: shrink the
     // shingle table to candidate docs (broadcast semi-join) first;
     // shingle sizes are only ever joined for candidate ids, so they
@@ -202,7 +207,7 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
     val shC = shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      .cache()
+      .localCheckpoint()
     val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = candidates
       .join(shC.as("x"), col("x.doc_id") === col("id_a"))
@@ -247,7 +252,10 @@ object Dedup {
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame (spec
     * entry point for degenerate-corpus behavior). */
   private[llm] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = sigs.cache() // one (doc_id, simhash) row per doc — narrow
+    // one (doc_id, simhash) row per doc — narrow; checkpointed so the
+    // 20-band explode and the three downstream joins don't each embed
+    // the 32-bit-weight aggregation plan in their task binaries
+    val sh = sigs.localCheckpoint()
     def blockVal(off: Int, len: Int): Column =
       expr(s"(simhash div cast(${1L << off} as bigint)) % cast(${1L << len} as bigint)")
     val sigCols = SimhashBlocks.indices.combinations(3).toSeq.map { c =>

@@ -104,6 +104,7 @@ object SparkEntry {
     "q91_decontaminate"     -> ((s: SparkSession, d: String) => Pipeline.decontaminate(s, d)),
     "q92_dataset_split"     -> (Pipeline.datasetSplit _),
     "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
+    "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -929,6 +930,15 @@ object SparkEntry {
         |SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS q_sum,
         |       MIN(qv) AS q_min, MAX(qv) AS q_max
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
   )
 
   /**

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductD)
     ext.injectFunction(GraftExtensions.dotProductFD)
+    // whole-operator extension: plans graft.plans.TopKPerKeyNode
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
   }
 }
 

@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/**
+ * Per-key top-k as a first-class operator: logical plan + planner
+ * strategy + physical operator (the custom-operator tier below
+ * composed built-ins and custom expressions).
+ *
+ * WHY an operator and not `row_number() OVER (PARTITION BY …) <= k`:
+ * the window formulation shuffles EVERY row to its key's reducer and
+ * fully sorts each reducer partition before discarding all but k rows
+ * per key. This operator is the grouped analogue of Spark's own
+ * `TakeOrderedAndProject`: a map-side bounded heap keeps at most k
+ * rows per key per input partition, so the exchange moves at most
+ * k · keys · partitions rows — at 100 TB (say 10^11 lineitems, top 3
+ * per supplier) the shuffle shrinks from 10^11 rows to ~3 · |suppliers
+ * per partition| · partitions, and no reducer-side full sort happens at
+ * all, only a k-sized heap per key.
+ *
+ * Memory: each task holds (keys-in-partition × k) rows — the same
+ * shape as a hash aggregation whose buffer is k rows wide. For small k
+ * and bounded key cardinality per partition this is the plan you want;
+ * for k rivaling the group size the window formulation is the right
+ * tool (this operator degrades toward buffering the partition).
+ *
+ * Determinism: callers must pass a TOTAL ordering (include a tiebreak
+ * column); ties under a partial ordering would make the kept set
+ * partition-order-dependent, exactly like `ORDER BY price LIMIT k`
+ * with duplicate prices in any engine.
+ *
+ * Wiring: [[GraftStrategies]] is injected either via
+ * `SparkSessionExtensions.injectPlannerStrategy`
+ * ([[graft.functions.GraftExtensions]]) or lazily through
+ * `spark.experimental.extraStrategies` by [[TopK.perKey]] — both paths
+ * plan the same physical pair, and `EnsureRequirements` inserts the
+ * key-clustered exchange between partial and final.
+ */
+case class TopKPerKeyNode(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKeyNode]] as partial(map-side) + final(reduce-side)
+  * [[TopKPerKeyExec]]; the exchange between them is inserted by
+  * EnsureRequirements from the final node's required distribution. */
+class GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(g, o, k, child) =>
+      TopKPerKeyExec(g, o, k, partial = false,
+        TopKPerKeyExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/**
+ * One side of the two-phase per-key top-k. Both phases run the same
+ * bounded-heap pass; `partial` only controls the required child
+ * distribution (the final phase must see all survivors of a key
+ * together, the partial phase runs wherever the data already is).
+ */
+case class TopKPerKeyExec(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val g = groupExprs
+    val o = orderExprs
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val ord = RowOrdering.create(o, childOutput)
+      // max-heap w.r.t. the sort order: peek() is the WORST row kept,
+      // so a better row replaces it in O(log k)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) {
+          heap.add(row.copy())
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** User-facing entry point. */
+object TopK {
+
+  /** Idempotently make the planner aware of [[TopKPerKeyNode]] for
+    * sessions not built with [[graft.functions.GraftExtensions]]. */
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val have = spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftStrategies])
+    if (!have) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new GraftStrategies
+    }
+  }
+
+  /**
+   * First k rows of each key group under `order` — `order` entries are
+   * (columnName, descending). The ordering should be total (append a
+   * unique tiebreak column) for a deterministic kept set.
+   */
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val plan = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val keyExprs = keys.map(attr(_): Expression)
+    val sortOrders = order.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    GraftShims.ofRows(spark, TopKPerKeyNode(keyExprs, sortOrders, k, plan))
+  }
+
+  /**
+   * q94: the 3 highest-price lineitems per supplier via the custom
+   * operator (orderkey+linenumber make the ordering total). The window
+   * `row_number` phrasing of the same query ships every lineitem
+   * through the exchange; this one ships at most 3 per (supplier,
+   * input partition).
+   */
+  def supplierTopLineitems(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val li = graft.model.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+    perKey(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), k = 3)
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+}

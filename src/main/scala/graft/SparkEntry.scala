@@ -105,6 +105,10 @@ object SparkEntry {
     "q92_dataset_split"     -> (Pipeline.datasetSplit _),
     "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
     "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
+    "q95_repeated_passages" -> ((s: SparkSession, d: String) => TextAnalysis.repeatedPassages(s, d)),
+    "q96_source_profile"    -> (TextAnalysis.sourceQualityProfile _),
+    "q97_oov_rate"          -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
+    "q98_redact"            -> (TextAnalysis.redactDigits _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -939,6 +943,47 @@ object SparkEntry {
         |  FROM lineitem) t
         |WHERE rn <= 3
         |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q95_repeated_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |          AS passage
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) u
+        |      WHERE len(w) >= 5)
+        |SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM g GROUP BY 1
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, passage LIMIT 100""".stripMargin,
+    "q96_source_profile" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       quantile_cont(n_chars, 0.25) AS p25_chars,
+        |       quantile_cont(n_chars, 0.5)  AS p50_chars,
+        |       quantile_cont(n_chars, 0.75) AS p75_chars,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |v AS (SELECT tok, 1 AS in_vocab FROM (
+        |        SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+        |        ORDER BY n DESC, tok LIMIT 20) h)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS oov_rate
+        |FROM toks LEFT JOIN v USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_redact" ->
+      """SELECT event_id, event_type, props,
+        |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |       length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+        |         AS n_digits,
+        |       length(regexp_replace(props, '[0-9]+', '#', 'g'))
+        |         - length(regexp_replace(props, '[0-9]+', '', 'g')) AS n_runs
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 
   /**

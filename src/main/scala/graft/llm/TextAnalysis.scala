@@ -240,4 +240,105 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
+
+  /**
+   * Cross-document repeated passages: every n-token passage occurring
+   * in ≥2 distinct documents, with document and occurrence counts —
+   * the passage-level dedup primitive (the n-gram-hash approximation
+   * of suffix-array training-data dedup à la Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better").
+   *
+   * Scale: one shuffle keyed on the passage — the group-by is the
+   * whole operator; no self-join, no pair explosion. The top-`limit`
+   * cut is a TakeOrderedAndProject under a TOTAL ordering
+   * (n_docs desc, passage), so the kept set is deterministic.
+   */
+  def repeatedPassages(spark: SparkSession, dir: String,
+      n: Int = 5, limit: Int = 100): DataFrame = {
+    val gram = (0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', $gram))"))
+        .as("passage"))
+      .groupBy(col("passage"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("passage"))
+      .limit(limit)
+  }
+
+  /**
+   * Per-source corpus quality profile: document counts plus exact
+   * length quantiles (Spark exact `percentile` ≡ DuckDB
+   * `quantile_cont`, verified bit-exact on doubles) and an exact-sum
+   * average. The per-source stratification is what a data-mixing
+   * decision consumes; one hash-agg, any scale.
+   */
+  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("percentile(n_chars, 0.25)").as("p25_chars"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.75)").as("p75_chars"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  /**
+   * Out-of-vocabulary rate per document against the corpus' top-k
+   * token vocabulary — the tokenizer-coverage signal (a doc whose
+   * tokens fall outside the vocabulary head inflates sequence length
+   * after BPE and flags junk/wrong-language content).
+   *
+   * Scale: the vocabulary is top-`vocabSize` by construction, so the
+   * join side is a FIXED-size broadcast at any corpus size (the same
+   * reasoning that allows nation/region broadcasts); the per-token
+   * probe never shuffles the corpus. Vocabulary ordering is total
+   * (count desc, token) so the kept head is deterministic.
+   */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * PII-redaction plumbing over the event property JSON: replace every
+   * digit run with a mask and count the redactions. The `[0-9]+`
+   * pattern is the stand-in for the production email/phone/ID
+   * patterns — what the operator proves is the count-and-replace
+   * pipeline (per-row, embarrassingly parallel, narrow projection);
+   * swapping the regex does not change the plan. Counts derive from
+   * length arithmetic (`n_runs` = masked minus stripped length), not
+   * engine-specific match-count functions, so the oracle replays
+   * exactly (DuckDB needs the 'g' flag for global replace).
+   */
+  def redactDigits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("props"))
+      .withColumn("scrubbed", regexp_replace(col("props"), "[0-9]+", "#"))
+      .withColumn("n_digits",
+        (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long"))
+      .withColumn("n_runs",
+        (length(col("scrubbed")) -
+          length(regexp_replace(col("props"), "[0-9]+", ""))).cast("long"))
+      .orderBy("event_id")
 }

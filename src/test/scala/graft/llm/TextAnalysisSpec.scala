@@ -50,4 +50,49 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(abs(col("s") - 1.0) > 1e-9)
     assert(sums.count() == 0, "P(w2|w1) must sum to 1 per w1")
   }
+
+  test("repeated passages: cross-doc 5-grams with consistent counts") {
+    val rp = TextAnalysis.repeatedPassages(spark, sf).cache()
+    assert(rp.count() > 0, "fixture near-dup docs must share 5-gram passages")
+    assert(rp.filter(col("n_docs") < 2).count() == 0)
+    // occurrences can't be fewer than the docs containing the passage,
+    // and first/last doc bracket correctly
+    assert(rp.filter(col("n_occurrences") < col("n_docs")).count() == 0)
+    assert(rp.filter(col("first_doc") >= col("last_doc")).count() == 0)
+    assert(rp.filter(size(split(col("passage"), " ")) =!= 5).count() == 0)
+  }
+
+  test("source quality profile: ordered quantiles, exact average") {
+    val p = TextAnalysis.sourceQualityProfile(spark, sf).cache()
+    assert(p.count() > 1)
+    assert(p.filter(col("p25_chars") > col("p50_chars") ||
+      col("p50_chars") > col("p75_chars")).count() == 0)
+    assert(p.filter(
+      col("avg_chars") =!= col("sum_chars").cast("double") / col("n_docs"))
+      .count() == 0)
+    val total = p.agg(sum("n_docs")).first().getLong(0)
+    assert(total == graft.model.Tables.documents(spark, sf).count())
+  }
+
+  test("oov rate: bounded, exact ratio, one row per doc") {
+    val o = TextAnalysis.oovRate(spark, sf).cache()
+    assert(o.count() == graft.model.Tables.documents(spark, sf).count())
+    assert(o.filter(col("oov_rate") < 0.0 || col("oov_rate") > 1.0).count() == 0)
+    assert(o.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(o.filter(
+      col("oov_rate") =!= col("n_oov").cast("double") / col("n_tokens"))
+      .count() == 0)
+    // a 20-word head over a ~40-word vocabulary must leave some OOV mass
+    assert(o.agg(sum("n_oov")).first().getLong(0) > 0)
+  }
+
+  test("digit redaction: scrubbed text has no digits, counts agree") {
+    val r = TextAnalysis.redactDigits(spark, sf).cache()
+    assert(r.count() == graft.model.Tables.events(spark, sf).count())
+    assert(r.filter(col("scrubbed").rlike("[0-9]")).count() == 0)
+    // every digit run is at least one digit wide
+    assert(r.filter(col("n_digits") < col("n_runs")).count() == 0)
+    // props JSON carries numeric values, so redactions must happen
+    assert(r.agg(sum("n_runs")).first().getLong(0) > 0)
+  }
 }

@@ -109,6 +109,7 @@ object SparkEntry {
     "q96_source_profile"    -> (TextAnalysis.sourceQualityProfile _),
     "q97_oov_rate"          -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
     "q98_redact"            -> (TextAnalysis.redactDigits _),
+    "q99_idle_customers"    -> (Relational3.idleRichCustomers _),
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
@@ -984,6 +985,17 @@ object SparkEntry {
         |       length(regexp_replace(props, '[0-9]+', '#', 'g'))
         |         - length(regexp_replace(props, '[0-9]+', '', 'g')) AS n_runs
         |FROM events ORDER BY event_id""".stripMargin,
+    "q99_idle_customers" ->
+      """SELECT n.n_name, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |                                AS DOUBLE) / COUNT(*)
+        |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
   )
 
   /**

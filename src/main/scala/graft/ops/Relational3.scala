@@ -408,6 +408,37 @@ object Relational3 {
       .orderBy("c_mktsegment")
   }
 
+  /**
+   * TPC-H Q22-style "idle rich customers": customers with an account
+   * balance above the positive-balance average who never placed a
+   * big-ticket order (every fixture customer has SOME order, so the
+   * anti-condition carries a price predicate to keep the result
+   * populated), grouped by nation. Exercises the remaining classic
+   * subquery pair —
+   * an uncorrelated scalar subquery (one global aggregate, evaluated
+   * once and broadcast as a literal, never per-row) and a correlated
+   * NOT EXISTS that Catalyst decorrelates to a LEFT ANTI join on
+   * o_custkey. The average uses the exact decimal-sum/COUNT discipline
+   * (a plain double AVG is fold-order-dependent, so a threshold
+   * comparison on it could flip rows between engines).
+   */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM g_customer c JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+        |                                AS DOUBLE) / COUNT(*)
+        |                     FROM g_customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   def varianceStats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     Tables.lineitem(spark, dir)

@@ -78,7 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     // grouped aggregates joined back — a nested-loop join here would
     // mean a per-outer-row lineitem re-scan (fatal at 100 TB)
     Seq("q84_min_cost_supplier", "q85_dominant_supplier",
-      "q86_small_qty_revenue").foreach { q =>
+      "q86_small_qty_revenue", "q99_idle_customers").foreach { q =>
       val a = auditOf(q)
       assert(a.nestedLoopJoins == 0, s"$q: $a")
       assert(a.joins >= 1, s"$q should decorrelate into at least one join: $a")
@@ -95,5 +95,17 @@ class PlanAuditSpec extends SparkSpec {
   test("q01 flagship: events range filter prunes the scan") {
     val a = auditOf("q01_incremental_scan")
     assert(a.pushedFilters.exists(_.contains("IsNotNull(props)")), a)
+  }
+
+  test("q95 passage dedup is a pure group-by: no join anywhere in the plan") {
+    val a = auditOf("q95_repeated_passages")
+    assert(a.joins == 0 && a.nestedLoopJoins == 0, a)
+    assert(a.hasTakeOrderedAndProject, s"top-100 cut should be TakeOrdered: $a")
+  }
+
+  test("q97 OOV probe joins against a broadcast vocabulary, never sort-merge") {
+    val a = auditOf("q97_oov_rate")
+    assert(a.broadcastHashJoins >= 1 && a.sortMergeJoins == 0, a)
+    assert(a.nestedLoopJoins == 0, a)
   }
 }

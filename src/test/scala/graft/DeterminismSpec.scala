@@ -18,7 +18,10 @@ class DeterminismSpec extends SparkSpec {
     "q60_variance",         // decimal-exact moments
     "q77_correlation",      // decimal-exact Pearson r
     "q32_minhash_lsh",      // LSH bucketing + verify joins
-    "q53_approx_sketches")  // sketch error-envelope booleans
+    "q53_approx_sketches",  // sketch error-envelope booleans
+    "q94_topk_per_key",     // custom bounded-heap operator (tie-broken)
+    "q95_repeated_passages", // top-100 cut under a total ordering
+    "q97_oov_rate")         // vocabulary head cut (count desc, token)
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -78,16 +78,21 @@ object Pipeline {
       .withColumn("lab", col("node")).localCheckpoint()
     var converged = false
     var rounds = 0
+    // convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so the sum strictly drops on any change and an
+    // unchanged sum == convergence — one scalar aggregate per round
+    // instead of a next-vs-previous join
+    var prevSum = Option.empty[Long]
     while (!converged && rounds < 10) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
       val next = labels.select(col("node"), col("lab")).union(viaEdges)
         .groupBy(col("node")).agg(min(col("lab")).as("lab")).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") =!= col("old")).count()
+      val s = next.agg(sum(col("lab"))).first().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))

@@ -89,6 +89,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopK.perKey == per-group sort-take, under heavy key/value collisions") {
+    import spark.implicits._
+    // generated tables with few distinct keys and few distinct order
+    // values force ties everywhere — the regime where a bounded-heap
+    // implementation with a broken comparator or a lost tiebreak
+    // diverges from the reference semantics. `id` makes order total.
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      k <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 5)
+        v <- Gen.choose(0, 3)
+      } yield (key.toLong, v.toLong))
+    } yield (rows, k)
+    samples(gen, 6).foreach { case (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), id) => (key, v, id.toLong) }
+        .toDF("key", "v", "id")
+        .repartition(5)
+      val got = graft.plans.TopK
+        .perKey(df, Seq("key"), Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.zipWithIndex
+        .map { case ((key, v), id) => (key, v, id.toLong) }
+        .groupBy(_._1).values.flatMap { group =>
+          group.sortBy { case (_, v, id) => (-v, id) }.take(k)
+        }.toSet
+      assert(got == want, s"k=$k rows=${rows.size}")
+    }
+  }
+
   test("keyset pagination covers the table exactly once for any page size") {
     val ids = Tables.events(spark, sf).select("event_id")
       .orderBy("event_id").collect().map(_.getLong(0))

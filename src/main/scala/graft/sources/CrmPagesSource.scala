@@ -4,7 +4,10 @@ import java.util
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -70,6 +73,60 @@ object CrmPagesSource {
   }
 
   private[sources] val mapper = new ObjectMapper()
+
+  /** One envelope header per page, parsed once per scan at planning time.
+    * An unparsable page keeps unbounded ts bounds (unprunable) and zero
+    * rows — the reader agrees. */
+  private[sources] case class PageEnvelope(
+      file: String, pMin: Long, pMax: Long, nRows: Long, bytes: Long)
+
+  private[sources] def readEnvelopes(dir: String): Seq[PageEnvelope] =
+    pageChain(dir).map { p =>
+      val f = new java.io.File(s"$dir/$p")
+      val node = try mapper.readTree(f)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      PageEnvelope(
+        file = f.getPath,
+        pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
+          .map(_.asLong).getOrElse(Long.MinValue),
+        pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
+          .map(_.asLong).getOrElse(Long.MaxValue),
+        nRows = Option(node).flatMap(n => Option(n.get("results")))
+          .map(_.size().toLong).getOrElse(0L),
+        bytes = f.length())
+    }
+
+  /** S2: the [lo, hi] `ts_ms` bounds implied by the pushed filters. */
+  private[sources] def tsBounds(filters: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    filters.foreach {
+      case GreaterThanOrEqual("ts_ms", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("ts_ms", v: Long)        => lo = math.max(lo, v + 1)
+      case LessThanOrEqual("ts_ms", v: Long)    => hi = math.min(hi, v)
+      case LessThan("ts_ms", v: Long)           => hi = math.min(hi, v - 1)
+      case _ =>
+    }
+    (lo, hi)
+  }
+
+  /** Page-level min/max pruning: envelopes that can hold a row in bounds. */
+  private[sources] def pruneByBounds(
+      envelopes: Seq[PageEnvelope], filters: Array[Filter]): Seq[PageEnvelope] = {
+    val (lo, hi) = tsBounds(filters)
+    envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
+  }
+
+  /** Row-level evaluation of the pushed filters (exact, per record). */
+  private[sources] def passes(filters: Array[Filter], rec: JsonNode): Boolean =
+    filters.forall {
+      case GreaterThanOrEqual("ts_ms", v: Long) => rec.get("ts_ms").asLong >= v
+      case GreaterThan("ts_ms", v: Long)        => rec.get("ts_ms").asLong > v
+      case LessThanOrEqual("ts_ms", v: Long)    => rec.get("ts_ms").asLong <= v
+      case LessThan("ts_ms", v: Long)           => rec.get("ts_ms").asLong < v
+      case IsNotNull(col)                       => rec.hasNonNull(col)
+      case _                                    => true
+    }
 }
 
 class CrmPagesTable(path: String) extends Table with SupportsRead {
@@ -85,11 +142,14 @@ class CrmPagesScanBuilder(path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = CrmPagesSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = Int.MaxValue
+  private var aggs: Seq[CrmAgg] = Nil
+  private var aggComplete: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -111,8 +171,74 @@ class CrmPagesScanBuilder(path: String)
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
+  /**
+   * The reference's envelopes already carry the aggregate answers
+   * (`total`, `min_ts_ms`, `max_ts_ms` — reference app/hs_contacts.py:51-89),
+   * so grouping-free COUNT(*) / MIN(ts_ms) / MAX(ts_ms) need not scan rows:
+   *
+   *  - **complete** pushdown (one task, one row, zero rows parsed) when the
+   *    headers answer exactly: no pushed filters, or — COUNT(*) only — every
+   *    page surviving min/max pruning lies fully inside the ts bounds;
+   *  - **partial** pushdown otherwise: each page emits one pre-aggregated
+   *    row (count/min/max of its passing records) and Spark folds the
+   *    page-partials, so a 100 TB count ships one row per page instead of
+   *    re-materializing every record through the scan.
+   *
+   * Spark only attempts this when every filter was pushed (residuals veto
+   * it), which is exactly the correctness condition for per-page partials.
+   */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translateAggs(aggregation).exists(headersAnswerExactly)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translateAggs(aggregation) match {
+      case Some(translated) =>
+        aggs = translated
+        aggComplete = headersAnswerExactly(translated)
+        true
+      case None => false
+    }
+
+  private def translateAggs(aggregation: Aggregation): Option[Seq[CrmAgg]] = {
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    val translated = aggregation.aggregateExpressions().toSeq.map {
+      case _: aggregate.CountStar => Some(CrmAgg.CountStar)
+      case m: aggregate.Min if columnName(m.column()).contains("ts_ms") => Some(CrmAgg.MinTs)
+      case m: aggregate.Max if columnName(m.column()).contains("ts_ms") => Some(CrmAgg.MaxTs)
+      case _ => None
+    }
+    if (translated.nonEmpty && translated.forall(_.isDefined)) Some(translated.flatten)
+    else None
+  }
+
+  private def columnName(e: expressions.Expression): Option[String] = e match {
+    case nr: expressions.NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  // header stats are page-exact, so they answer exactly iff no row-level
+  // residual work remains inside any surviving page
+  private def headersAnswerExactly(translated: Seq[CrmAgg]): Boolean =
+    if (pushed.isEmpty) true
+    else if (translated.forall(_ == CrmAgg.CountStar) &&
+        !pushed.exists(_.isInstanceOf[IsNotNull])) {
+      val (lo, hi) = CrmPagesSource.tsBounds(pushed)
+      CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), pushed)
+        .forall(e => e.pMin >= lo && e.pMax <= hi)
+    } else false
+
   override def build(): Scan =
-    new CrmPagesScan(path, requiredSchema, pushed, limit)
+    if (aggs.nonEmpty) new CrmPagesAggScan(path, pushed, aggs, aggComplete)
+    else new CrmPagesScan(path, requiredSchema, pushed, limit)
+}
+
+/** The aggregate shapes the page headers can serve. */
+private[sources] sealed trait CrmAgg extends Serializable
+private[sources] object CrmAgg {
+  case object CountStar extends CrmAgg
+  case object MinTs extends CrmAgg
+  case object MaxTs extends CrmAgg
 }
 
 class CrmPagesScan(path: String, required: StructType,
@@ -123,35 +249,14 @@ class CrmPagesScan(path: String, required: StructType,
   override def description(): String =
     s"CrmPagesScan(pushed=${filters.mkString(",")}, limit=$limit, schema=${required.fieldNames.mkString(",")})"
 
-  /** One envelope header per page, parsed once per scan and shared by
-    * [[estimateStatistics]] and [[planInputPartitions]] (both run at
-    * planning time; re-parsing every page twice doubles driver-side
-    * planning cost for nothing). An unparsable page keeps unbounded
-    * ts bounds (unprunable) and zero rows — the reader agrees. */
-  private case class PageEnvelope(
-      file: String, pMin: Long, pMax: Long, nRows: Long, bytes: Long)
-
-  private lazy val envelopes: Seq[PageEnvelope] =
-    CrmPagesSource.pageChain(path).map { p =>
-      val f = new java.io.File(s"$path/$p")
-      val node = try CrmPagesSource.mapper.readTree(f)
-        catch { case _: com.fasterxml.jackson.core.JacksonException => null }
-      PageEnvelope(
-        file = f.getPath,
-        pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
-          .map(_.asLong).getOrElse(Long.MinValue),
-        pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
-          .map(_.asLong).getOrElse(Long.MaxValue),
-        nRows = Option(node).flatMap(n => Option(n.get("results")))
-          .map(_.size().toLong).getOrElse(0L),
-        bytes = f.length())
-    }
+  // envelope headers, parsed once per scan and shared by
+  // estimateStatistics and planInputPartitions (both run at planning time)
+  private lazy val envelopes: Seq[CrmPagesSource.PageEnvelope] =
+    CrmPagesSource.readEnvelopes(path)
 
   // the surviving pages after S2 page-level min/max pruning
-  private def prunedEnvelopes: Seq[PageEnvelope] = {
-    val (lo, hi) = tsBounds
-    envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
-  }
+  private def prunedEnvelopes: Seq[CrmPagesSource.PageEnvelope] =
+    CrmPagesSource.pruneByBounds(envelopes, filters)
 
   /**
    * S1's size knowledge, surfaced to the optimizer: the reference's
@@ -170,20 +275,6 @@ class CrmPagesScan(path: String, required: StructType,
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
       override def numRows(): util.OptionalLong = util.OptionalLong.of(limited)
     }
-  }
-
-  // S2 as page pruning: [lo, hi] bounds implied by the pushed ts_ms filters
-  private def tsBounds: (Long, Long) = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    filters.foreach {
-      case GreaterThanOrEqual("ts_ms", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("ts_ms", v: Long)        => lo = math.max(lo, v + 1)
-      case LessThanOrEqual("ts_ms", v: Long)    => hi = math.min(hi, v)
-      case LessThan("ts_ms", v: Long)           => hi = math.min(hi, v - 1)
-      case _ =>
-    }
-    (lo, hi)
   }
 
   // page-level min/max pruning (the S2 pushdown, server-side style)
@@ -253,14 +344,8 @@ class CrmPageReader(file: String, required: StructType,
   private var emitted = 0
   private var current: InternalRow = _
 
-  private def passes(rec: JsonNode): Boolean = filters.forall {
-    case GreaterThanOrEqual("ts_ms", v: Long) => rec.get("ts_ms").asLong >= v
-    case GreaterThan("ts_ms", v: Long)        => rec.get("ts_ms").asLong > v
-    case LessThanOrEqual("ts_ms", v: Long)    => rec.get("ts_ms").asLong <= v
-    case LessThan("ts_ms", v: Long)           => rec.get("ts_ms").asLong < v
-    case IsNotNull(col)                       => rec.hasNonNull(col)
-    case _                                    => true
-  }
+  private def passes(rec: JsonNode): Boolean =
+    CrmPagesSource.passes(filters, rec)
 
   private def toRow(rec: JsonNode): InternalRow = {
     val values: Array[Any] = required.fields.map { f =>
@@ -288,5 +373,127 @@ class CrmPageReader(file: String, required: StructType,
     false
   }
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/**
+ * Scan for a pushed grouping-free aggregation (see
+ * [[CrmPagesScanBuilder.pushAggregation]]). Output schema is one column
+ * per pushed function, positional — Spark rewrites the query's Aggregate
+ * to read these columns (complete mode) or fold them (partial mode).
+ */
+class CrmPagesAggScan(path: String, filters: Array[Filter],
+    aggs: Seq[CrmAgg], complete: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case CrmAgg.CountStar => StructField("count_star", LongType, nullable = false)
+    case CrmAgg.MinTs     => StructField("min_ts_ms", LongType)
+    case CrmAgg.MaxTs     => StructField("max_ts_ms", LongType)
+  })
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val names = aggs.map {
+      case CrmAgg.CountStar => "COUNT(*)"
+      case CrmAgg.MinTs     => "MIN(ts_ms)"
+      case CrmAgg.MaxTs     => "MAX(ts_ms)"
+    }
+    s"CrmPagesAggScan(aggs=${names.mkString(",")}, " +
+      s"mode=${if (complete) "complete" else "partial"}, " +
+      s"pushed=${filters.mkString(",")})"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), filters)
+    if (complete) {
+      // headers answer exactly: the whole aggregate is ONE task emitting
+      // the ONE final row, computed from envelope stats at planning time
+      val row: Array[Any] = aggs.map {
+        case CrmAgg.CountStar => java.lang.Long.valueOf(kept.map(_.nRows).sum)
+        case CrmAgg.MinTs =>
+          if (kept.isEmpty) null else java.lang.Long.valueOf(kept.map(_.pMin).min)
+        case CrmAgg.MaxTs =>
+          if (kept.isEmpty) null else java.lang.Long.valueOf(kept.map(_.pMax).max)
+      }.toArray
+      Array(CrmAggRow(row))
+    } else if (kept.isEmpty) {
+      // partial fold must still see a 0-count row, never an empty input
+      // (SUM over nothing is null; COUNT must be 0)
+      Array(CrmAggRow(aggs.map {
+        case CrmAgg.CountStar => java.lang.Long.valueOf(0L)
+        case _                => null
+      }.toArray))
+    } else kept.map(e => CrmAggPage(e.file): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CrmAggReaderFactory(aggs, filters)
+}
+
+/** A page whose partial aggregate the reader computes executor-side. */
+case class CrmAggPage(file: String) extends InputPartition
+/** An aggregate row fully computed at planning time from page headers. */
+case class CrmAggRow(values: Array[Any]) extends InputPartition
+
+class CrmAggReaderFactory(aggs: Seq[CrmAgg], filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CrmAggRow(values) => new SingleRowReader(InternalRow.fromSeq(values.toIndexedSeq))
+      case CrmAggPage(file)  => new CrmPageAggReader(file, aggs, filters)
+    }
+}
+
+private[sources] class SingleRowReader(row: InternalRow)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Folds one page's passing records into a single partial-aggregate row
+  * (exact row-level filter evaluation, same as the row reader). */
+class CrmPageAggReader(file: String, aggs: Seq[CrmAgg],
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private lazy val row: InternalRow = {
+    val results: JsonNode =
+      try {
+        val node = CrmPagesSource.mapper.readTree(new java.io.File(file))
+        if (node == null || !node.has("results")) CrmPagesSource.mapper.createArrayNode()
+        else node.get("results")
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          CrmPagesSource.mapper.createArrayNode()
+      }
+    var count = 0L
+    var tsSeen = 0L
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    var i = 0
+    while (i < results.size()) {
+      val rec = results.get(i)
+      if (CrmPagesSource.passes(filters, rec)) {
+        count += 1
+        if (rec.hasNonNull("ts_ms")) {
+          tsSeen += 1
+          val ts = rec.get("ts_ms").asLong
+          if (ts < minTs) minTs = ts
+          if (ts > maxTs) maxTs = ts
+        }
+      }
+      i += 1
+    }
+    val values: Array[Any] = aggs.map {
+      case CrmAgg.CountStar => java.lang.Long.valueOf(count)
+      case CrmAgg.MinTs     => if (tsSeen == 0) null else java.lang.Long.valueOf(minTs)
+      case CrmAgg.MaxTs     => if (tsSeen == 0) null else java.lang.Long.valueOf(maxTs)
+    }.toArray
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = row
   override def close(): Unit = ()
 }

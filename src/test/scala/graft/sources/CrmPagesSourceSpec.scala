@@ -121,6 +121,69 @@ class CrmPagesSourceSpec extends SparkSpec {
       s"scan stats not surfaced: $leafStats")
   }
 
+  // sparkPlan, not executedPlan: AQE wraps the latter and hides the scan
+  private def batchScan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+  test("unfiltered count/min/max collapse to one header-derived row (complete pushdown)") {
+    val agged = read.agg(count(lit(1)).as("n"),
+      min("ts_ms").as("lo"), max("ts_ms").as("hi"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesAggScan") && plan.contains("mode=complete"),
+      s"aggregate not completely pushed:\n$plan")
+    // ONE input partition: the final row comes from envelope stats alone,
+    // no page's results array is parsed executor-side
+    assert(batchScan(agged).inputPartitions.length == 1)
+    val got = agged.collect()(0)
+    val want = Tables.events(spark, sf)
+      .agg(count(lit(1)), min(Tables.epochMs(col("ts"))), max(Tables.epochMs(col("ts"))))
+      .collect()(0)
+    assert((0 until 3).forall(i => got.getLong(i) == want.getLong(i)),
+      s"got $got, want $want")
+  }
+
+  test("filtered aggregate folds per-page partials (partial pushdown)") {
+    val lo = 1704671999000L // cuts inside pages: headers can't answer exactly
+    val agged = read.filter(col("ts_ms") >= lo)
+      .agg(count(lit(1)).as("n"), min("ts_ms").as("mn"), max("ts_ms").as("mx"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesAggScan") && plan.contains("mode=partial"),
+      s"aggregate not partially pushed:\n$plan")
+    // one partial row per surviving page, not one row per record
+    val parts = batchScan(agged).inputPartitions.length
+    assert(parts > 1 && parts < CrmPagesSource.pageChain(pageDir.toString).size)
+    val got = agged.collect()(0)
+    val twin = Tables.events(spark, sf)
+      .select(Tables.epochMs(col("ts")).as("ts_ms")).filter(col("ts_ms") >= lo)
+    val want = twin.agg(count(lit(1)), min("ts_ms"), max("ts_ms")).collect()(0)
+    assert((0 until 3).forall(i => got.getLong(i) == want.getLong(i)),
+      s"got $got, want $want")
+  }
+
+  test("isnotnull filter demotes count to partial pushdown, still exact") {
+    val agged = read.filter(col("props").isNotNull).agg(count(lit(1)).as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesAggScan") && plan.contains("mode=partial"),
+      s"expected partial pushdown:\n$plan")
+    val expected = Tables.events(spark, sf).filter(col("props").isNotNull).count()
+    assert(agged.collect()(0).getLong(0) == expected)
+  }
+
+  test("residual filter or grouping vetoes aggregate pushdown") {
+    // event_type filter is not pushable -> Spark keeps the row scan
+    val residual = read.filter(col("event_type") === "purchase").agg(count(lit(1)).as("n"))
+    assert(!residual.queryExecution.executedPlan.toString.contains("CrmPagesAggScan"))
+    assert(residual.collect()(0).getLong(0) ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+    // grouped aggregate is not header-answerable -> row scan feeds the agg
+    val grouped = read.groupBy("event_type").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("CrmPagesAggScan"))
+    assert(grouped.count() ==
+      Tables.events(spark, sf).select("event_type").distinct().count())
+  }
+
   test("malformed page degrades to zero rows instead of failing the scan") {
     val dir = Files.createTempDirectory("crmbad")
     val good = CrmPagesSource.pageChain(pageDir.toString).head

@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductFD)
     // whole-operator extension: plans graft.plans.TopKPerKeyNode
     ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
+    // optimizer extension: rewrite discarded-rank row_number filters
+    // into TopKPerKeyNode (see graft.plans.InferTopKPerKey)
+    ext.injectOptimizerRule(_ => graft.plans.InferTopKPerKey)
   }
 }
 

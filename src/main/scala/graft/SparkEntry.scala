@@ -105,6 +105,8 @@ object SparkEntry {
     "q92_dataset_split"     -> (Pipeline.datasetSplit _),
     "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
     "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
+    "q68_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
+    "q69_dedup_survivors"   -> (Pipeline.dedupSurvivors _),
     "q95_repeated_passages" -> ((s: SparkSession, d: String) => TextAnalysis.repeatedPassages(s, d)),
     "q96_source_profile"    -> (TextAnalysis.sourceQualityProfile _),
     "q97_oov_rate"          -> ((s: SparkSession, d: String) => TextAnalysis.oovRate(s, d)),
@@ -697,6 +699,57 @@ object SparkEntry {
         |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lab) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_inverted_index" ->
+      """SELECT token, df, postings_head FROM (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |    array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',')
+        |      AS postings_head
+        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) t
+        |  GROUP BY token) x
+        |ORDER BY token""".stripMargin,
+    // q69 = q72's LSH + label-propagation chain, then keep only cluster
+    // minima (canonical members) and profile the surviving corpus
+    "q69_dedup_survivors" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |mh AS (SELECT doc_id, salt,
+        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+        |                    1 + 8 * (salt % 4), 8)) AS h
+        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, salt // 2 AS band,
+        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
+        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |    FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |dropped AS (SELECT node AS doc_id FROM reach
+        |            GROUP BY 1 HAVING node <> MIN(lab))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q73_hash_sample" ->
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
         |FROM documents

@@ -100,6 +100,32 @@ object Pipeline {
   }
 
   /**
+   * The corpus that SURVIVES near-dup deduplication — the step a real
+   * pipeline runs after [[nearDupClusters]]: min-label propagation makes
+   * each cluster label the cluster's minimum doc_id, so the canonical
+   * member is exactly the node whose label equals itself; every other
+   * clustered node is dropped, and docs in no cluster pass through
+   * untouched (left-anti join against the non-canonical set — the
+   * cluster table is pair-count-sized, orders of magnitude under corpus
+   * scale, so the anti join broadcasts under AQE and the corpus never
+   * reshuffles). Output is the per-source survivor profile.
+   */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .orderBy("source")
+  }
+
+  /**
    * Deterministic hash sampling: keep a document iff the hex prefix of
    * md5(doc_id) falls under a per-language threshold — reproducible
    * data mixing with no RNG, identical in any engine, stable under

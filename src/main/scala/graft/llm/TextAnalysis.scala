@@ -330,6 +330,40 @@ object TextAnalysis {
    * engine-specific match-count functions, so the oracle replays
    * exactly (DuckDB needs the 'g' flag for global replace).
    */
+  /**
+   * Inverted index over word tokens: token → document frequency +
+   * doc-id-ordered postings list (the retrieval-side artifact a corpus
+   * pipeline materializes next to the corpus itself).
+   *
+   * Each row stays scalar (engine-portable and driver-hashable): the
+   * postings column carries the doc-id-ordered HEAD of the list
+   * (`headLen` entries, the first chunk of a chunked posting layout) —
+   * full lists for stopword-scale tokens would concentrate the entire
+   * output size in the handful of tokens no consumer reads linearly
+   * anyway. And the head is selected by the custom bounded-heap
+   * [[graft.plans.TopK]] operator, NOT collect-then-slice: collecting a
+   * stopword's full postings into one aggregation buffer before
+   * truncating is unbounded memory per key at corpus scale, while the
+   * heap keeps ≤ headLen ids per (token, input partition) map-side.
+   * All three passes (df count, head pick, head collect) shuffle on the
+   * token key.
+   */
+  def invertedIndex(spark: SparkSession, dir: String, headLen: Int = 20): DataFrame = {
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val heads = graft.plans.TopK
+      .perKey(postings, Seq("token"), Seq("doc_id" -> false), headLen)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("token"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("postings_head"))
+    df.join(heads, Seq("token"))
+      .select(col("token"), col("df"), col("postings_head"))
+      .orderBy("token")
+  }
+
   def redactDigits(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("props"))

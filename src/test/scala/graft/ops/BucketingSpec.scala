@@ -4,50 +4,90 @@ import graft.SparkSpec
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
-/**
- * The 100 TB co-location story, demonstrated at fixture scale: bucketed
- * tables joined on the bucket key must plan with NO shuffle exchange —
- * the layout investment that turns every recurring fact-fact join from
- * a full-network shuffle into a local zip of buckets.
- */
 class BucketingSpec extends SparkSpec {
 
-  test("join of co-bucketed tables plans without a shuffle exchange") {
-    Tables.lineitem(spark, sf)
-      .write.mode("overwrite")
-      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
-    Tables.orders(spark, sf)
-      .write.mode("overwrite")
-      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("ord_bucketed")
-    val li = spark.table("li_bucketed")
-    val od = spark.table("ord_bucketed")
-    // disable broadcast so the join must pick a partitioned strategy
+  private lazy val tablesReady: Unit = {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_orderdate"),
+      "bkt_orders", buckets = 8, key = "o_orderkey")
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "bkt_lineitem", buckets = 8, key = "l_orderkey")
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = li.join(od, li("l_orderkey") === od("o_orderkey"))
-        .groupBy(od("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-      val plan = joined.queryExecution.executedPlan.toString
-      // bucketed scan feeds the join directly: no Exchange below the join
-      val joinPart = plan.split("HashAggregate").last
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected a partitioned join:\n$plan")
-      assert(!joinPart.contains("Exchange hashpartitioning"),
-        s"bucketed join still shuffles:\n$plan")
-      assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
-      // and it computes the right thing
-      val expected = Tables.lineitem(spark, sf)
-        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-        .orderBy("o_orderpriority").collect()
-      assert(joined.orderBy("o_orderpriority").collect().sameElements(expected))
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("co-bucketed fact join + join-key aggregation plans zero exchanges") {
+    tablesReady
+    withNoBroadcast {
+      val df = Bucketing.bucketedOrderRevenue(spark, "bkt_orders", "bkt_lineitem")
+      df.collect() // finalize the adaptive plan
+      val rendered = df.queryExecution.executedPlan.toString
+      assert(!rendered.contains("Exchange"),
+        s"expected an exchange-free plan:\n$rendered")
+      // and the shuffle-free plan is a real merge join over bucket scans
+      assert(rendered.contains("SortMergeJoin"), s"expected SMJ:\n$rendered")
+      assert(rendered.contains("SelectedBucketsCount"), s"expected bucketed scans:\n$rendered")
+    }
+  }
+
+  test("one file per bucket elides the merge-join sort") {
+    tablesReady
+    // Spark >= 3.0 ignores bucket sort order unless each bucket is one
+    // file AND the legacy scan-ordering conf opts in (SPARK-28595); the
+    // writeBucketed pre-repartition guarantees the one-file layout
+    val prev = spark.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try withNoBroadcast {
+      val df = Bucketing.bucketedOrderRevenue(spark, "bkt_orders", "bkt_lineitem")
+      df.collect()
+      val rendered = df.queryExecution.executedPlan.toString
+      // "Sort [" matches the Sort operator in or out of codegen stages
+      // ("SortMergeJoin [" does not contain the substring)
+      assert(!rendered.contains("Sort ["),
+        s"bucket sort order not exploited:\n$rendered")
+      assert(rendered.contains("SortMergeJoin"), s"expected SMJ:\n$rendered")
+    } finally spark.conf
+      .set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
+  }
+
+  test("bucketed results match the plain parquet formulation") {
+    tablesReady
+    val bucketed = Bucketing.bucketedOrderRevenue(spark, "bkt_orders", "bkt_lineitem")
+      .orderBy("o_orderkey").collect()
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderkey").collect()
+    assert(bucketed.length == plain.length)
+    assert(bucketed.sameElements(plain))
+  }
+
+  test("the same join without bucketing DOES shuffle (the cost bucketing removes)") {
+    withNoBroadcast {
+      val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val df = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      df.collect()
+      // exchanges appear in the executed plan (EnsureRequirements runs
+      // in the execution preparation, after sparkPlan)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"), "control query should shuffle")
     }
   }
 }

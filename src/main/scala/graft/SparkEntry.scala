@@ -105,6 +105,7 @@ object SparkEntry {
     "q92_dataset_split"     -> (Pipeline.datasetSplit _),
     "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
     "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
+    "q100_rank_rewrite"     -> (graft.plans.TopK.customerTopOrders _),
     "q68_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "q69_dedup_survivors"   -> (Pipeline.dedupSurvivors _),
     "q95_repeated_passages" -> ((s: SparkSession, d: String) => TextAnalysis.repeatedPassages(s, d)),
@@ -699,6 +700,17 @@ object SparkEntry {
         |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lab) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the literal window formulation: the Spark side is rewritten to the
+    // bounded-heap operator by InferTopKPerKey, the oracle is not —
+    // matching hashes prove the rewrite is plan-only
+    "q100_rank_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q68_inverted_index" ->
       """SELECT token, df, postings_head FROM (
         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,

@@ -137,6 +137,41 @@ object TopK {
     }
   }
 
+  /** Idempotently install BOTH the planner strategy and the
+    * [[InferTopKPerKey]] optimizer rule — the `extraOptimizations`
+    * twin of building the session with
+    * [[graft.functions.GraftExtensions]]. */
+  def ensureOptimizations(spark: SparkSession): Unit = synchronized {
+    ensureStrategy(spark)
+    val have = spark.experimental.extraOptimizations.contains(InferTopKPerKey)
+    if (!have) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InferTopKPerKey
+    }
+  }
+
+  /**
+   * q100: per-customer top-2 orders by price, written EXACTLY the way
+   * every SQL user writes it — `row_number() OVER` plus a rank filter,
+   * rank discarded — and silently planned as the bounded-heap operator
+   * by [[InferTopKPerKey]] (`InferTopKPerKeySpec` asserts the rewrite;
+   * the DuckDB oracle replays the literal window formulation, proving
+   * the rewrite changes the plan and nothing else).
+   */
+  def customerTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    ensureOptimizations(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.model.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .drop("rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /**
    * First k rows of each key group under `order` — `order` entries are
    * (columnName, descending). The ordering should be total (append a

@@ -68,6 +68,13 @@ class InferTopKPerKeySpec extends SparkSpec {
       s"rewrite dropped a live rank column:\n$optimized")
   }
 
+  test("q100's window formulation plans as the custom operator") {
+    val df = TopK.customerTopOrders(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case n: TopKPerKeyNode => n }.nonEmpty,
+      s"q100 not rewritten:\n$optimized")
+  }
+
   test("rank() (ties keep >k rows) vetoes the rewrite") {
     val df = rnFiltered(opt, 3, rankFn = rank())
     val optimized = df.queryExecution.optimizedPlan

@@ -191,6 +191,35 @@ object Pipeline {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
 
+  /**
+   * Materialize a corpus as training shards: parquet partitioned by the
+   * deterministic md5 split (train/val/test directories a data loader
+   * globs independently), every file capped at `shardRecords` rows.
+   *
+   * The cap is Spark's `maxRecordsPerFile` — enforced per write task,
+   * no extra shuffle — so shard sizes stay loader-friendly (bounded
+   * memory per shard, enough files for read parallelism) no matter how
+   * large one task's input slice is. The pre-repartition on the split
+   * column plus a stable in-partition sort keeps the layout
+   * deterministic: reruns produce the same doc→shard assignment, the
+   * same property the md5 split itself guarantees ([[datasetSplit]]).
+   */
+  def writeTrainingShards(docs: DataFrame, outDir: String,
+      shardRecords: Int = 1000): Unit =
+    docs
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "e666", "train")
+          .when(col("h") < "f333", "val")
+          .otherwise("test"))
+      .drop("h")
+      .repartition(col("split"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", shardRecords.toLong)
+      .partitionBy("split")
+      .parquet(outDir)
+
   /** Source-mixing quota: at most 30 docs per source, preferring longer
     * documents (per-source top-k via window rank). */
   def sourceMixing(spark: SparkSession, dir: String): DataFrame = {

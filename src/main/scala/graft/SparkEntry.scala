@@ -106,6 +106,7 @@ object SparkEntry {
     "q93_quantize_embeddings" -> (Pipeline.quantizeEmbeddings _),
     "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
     "q100_rank_rewrite"     -> (graft.plans.TopK.customerTopOrders _),
+    "q101_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q68_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "q69_dedup_survivors"   -> (Pipeline.dedupSurvivors _),
     "q95_repeated_passages" -> ((s: SparkSession, d: String) => TextAnalysis.repeatedPassages(s, d)),
@@ -700,6 +701,35 @@ object SparkEntry {
         |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lab) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // batch (odd ids) vs corpus (even ids) cross-LSH near-dups
+    "q101_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |mh AS (SELECT doc_id, salt,
+        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+        |                    1 + 8 * (salt % 4), 8)) AS h
+        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, salt // 2 AS band,
+        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |         FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+        |         WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cm AS (SELECT batch_id, corpus_id, COUNT(*) AS common
+        |       FROM cand c JOIN sh x ON x.doc_id = c.batch_id
+        |       JOIN sh y ON y.doc_id = c.corpus_id AND y.s = x.s
+        |       GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT batch_id, corpus_id,
+        |         CAST(common AS DOUBLE) / (sb.n + sc.n - common) AS jaccard
+        |  FROM cm JOIN sz sb ON batch_id = sb.doc_id
+        |  JOIN sz sc ON corpus_id = sc.doc_id) j
+        |WHERE jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
     // the literal window formulation: the Spark side is rewritten to the
     // bounded-heap operator by InferTopKPerKey, the oracle is not —
     // matching hashes prove the rewrite is plan-only

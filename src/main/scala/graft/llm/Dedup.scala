@@ -179,6 +179,23 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshFrom(Tables.documents(spark, dir))
 
+  /** The (doc_id, band, sig) LSH band table of a documents frame —
+    * shingle → minhash → banded signatures, lineage-truncated.
+    *
+    * localCheckpoint (not cache): bands is tiny (docs × 4 rows), but
+    * its LINEAGE is the whole shingle+minhash pipeline — downstream
+    * stages (self-join, union, verify joins) would each re-embed that
+    * multi-MiB plan in their task binaries. Checkpointing truncates
+    * the lineage so every later stage ships a KiB-sized plan. */
+  private[llm] def bandTable(docs: DataFrame): DataFrame = {
+    // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
+    val bandCols = (0 until NumBands).map(b =>
+      concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    minhashes(shingles(docs))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      .localCheckpoint()
+  }
+
   /** [[minhashLsh]] over an arbitrary documents frame (spec entry point
     * for degenerate-corpus behavior). */
   private[llm] def minhashLshFrom(docs: DataFrame): DataFrame = {
@@ -187,18 +204,7 @@ object Dedup {
     // shingles everything once, and the verify pass re-shingles ONLY
     // candidate docs (the corpus is re-scanned, but the expensive
     // explode/dedup runs on the semi-joined sliver)
-    val sh = shingles(docs)
-    // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
-    val bandCols = (0 until NumBands).map(b =>
-      concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    // localCheckpoint (not cache): bands is tiny (docs × 4 rows), but
-    // its LINEAGE is the whole shingle+minhash pipeline — downstream
-    // stages (self-join, union, verify joins) would each re-embed that
-    // multi-MiB plan in their task binaries. Checkpointing truncates
-    // the lineage so every later stage ships a KiB-sized plan.
-    val bands = minhashes(sh)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      .localCheckpoint()
+    val bands = bandTable(docs)
     val candidates = bucketPairs(bands).localCheckpoint()
     // exact-Jaccard verify restricted to candidate pairs: shrink the
     // shingle table to candidate docs (broadcast semi-join) first;
@@ -223,6 +229,54 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Incremental (cross-corpus) near-dup detection: which docs of an
+   * incoming BATCH duplicate the EXISTING corpus — the shape a
+   * continuously-growing 100 TB pipeline runs on every ingest, where
+   * re-deduplicating the whole corpus per batch is unaffordable.
+   *
+   * The batch's band table joins the corpus's band table on
+   * (band, sig) — never batch×corpus — and only candidates get the
+   * exact-Jaccard verify, like [[minhashLshFrom]]. Band signatures are
+   * per-doc and corpus-side immutable, so in production the corpus
+   * band table is the STORED artifact (computed once at ingest,
+   * appended per batch): each increment costs
+   * O(batch signatures + candidate verifies), independent of corpus
+   * size given bounded bucket widths. Fixture split: even doc_ids are
+   * the corpus, odd are the batch.
+   */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // one signature pass over the union ≡ loading stored corpus bands +
+    // signing the batch (minhashes are per-doc)
+    val bands = bandTable(docs)
+    val batchBands = bands.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("doc_id", "batch_id")
+    val corpusBands = bands.filter(col("doc_id") % 2 === 0)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val candidates = batchBands.join(corpusBands, Seq("band", "sig"))
+      .select(col("batch_id"), col("corpus_id")).distinct().localCheckpoint()
+    val candIds = candidates.select(col("batch_id").as("doc_id"))
+      .union(candidates.select(col("corpus_id"))).distinct()
+    val shC = shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(shC.as("x"), col("x.doc_id") === col("batch_id"))
+      .join(shC.as("y"),
+        col("y.doc_id") === col("corpus_id") && col("y.s") === col("x.s"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("batch_id"), col("n").as("nb")), "batch_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nc")), "corpus_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nb") + col("nc") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** SimHash block layout for the pigeonhole banding: 32 bits split

@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkSpec {
     "q53_approx_sketches",  // sketch error-envelope booleans
     "q94_topk_per_key",     // custom bounded-heap operator (tie-broken)
     "q95_repeated_passages", // top-100 cut under a total ordering
-    "q97_oov_rate")         // vocabulary head cut (count desc, token)
+    "q97_oov_rate",         // vocabulary head cut (count desc, token)
+    "q68_inverted_index",   // heap-picked ordered postings head
+    "q69_dedup_survivors",  // cluster labels from LSH + propagation
+    "q100_rank_rewrite",    // optimizer-rewritten top-k (tie-broken)
+    "q101_incremental_dedup") // cross-corpus LSH bucketing + verify
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

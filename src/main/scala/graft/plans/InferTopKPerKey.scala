@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /**
@@ -51,7 +51,18 @@ object InferTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
           .partition(_.references.contains(rnAttr))
         rnConds.flatMap(limitOf(_, rnAttr)) match {
           case Seq(k) if rnConds.size == 1 && k > 0 =>
-            val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)
+            // Spark's InferWindowGroupLimit may already have inserted a
+            // WindowGroupLimit below the window from the same rank
+            // filter; the heap operator subsumes it, so unwrap a
+            // matching one instead of stacking redundant passes
+            val child = w.child match {
+              case wgl: WindowGroupLimit
+                  if wgl.limit >= k &&
+                    wgl.partitionSpec == w.partitionSpec &&
+                    wgl.orderSpec == w.orderSpec => wgl.child
+              case c => c
+            }
+            val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, child)
             p.copy(child = if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
           case _ => p
         }

@@ -15,7 +15,8 @@ object PlanDump {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q01_incremental_scan", "q12_revenue_topk", "q26_snowflake_revenue",
-      "q28_asof_join", "q32_minhash_lsh", "q34_cosine_topk")
+      "q28_asof_join", "q32_minhash_lsh", "q34_cosine_topk",
+      "q100_rank_rewrite", "q101_incremental_dedup")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

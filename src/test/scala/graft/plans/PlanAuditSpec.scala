@@ -108,4 +108,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(a.broadcastHashJoins >= 1 && a.sortMergeJoins == 0, a)
     assert(a.nestedLoopJoins == 0, a)
   }
+
+  test("round-4 queries keep equi-join shapes (no nested loops)") {
+    Seq("q68_inverted_index", "q69_dedup_survivors", "q101_incremental_dedup")
+      .foreach { q =>
+        val a = auditOf(q)
+        assert(a.nestedLoopJoins == 0, s"$q: $a")
+      }
+  }
+
+  test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
+    Seq("q68_inverted_index", "q100_rank_rewrite").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")
+    }
+    val q100 = SparkEntry.queries("q100_rank_rewrite")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!q100.contains("Window"), s"q100 window not eliminated:\n$q100")
+  }
 }

@@ -107,6 +107,7 @@ object SparkEntry {
     "q94_topk_per_key"      -> (graft.plans.TopK.supplierTopLineitems _),
     "q100_rank_rewrite"     -> (graft.plans.TopK.customerTopOrders _),
     "q101_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q102_heavy_hitters"    -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "q68_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "q69_dedup_survivors"   -> (Pipeline.dedupSurvivors _),
     "q95_repeated_passages" -> ((s: SparkSession, d: String) => TextAnalysis.repeatedPassages(s, d)),
@@ -701,6 +702,13 @@ object SparkEntry {
         |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lab) AS cluster
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact top-16 + the Misra-Gries coverage boolean, which the MG
+    // guarantee forces TRUE under every partitioning — literal TRUE here
+    "q102_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+        |SELECT tok, cnt, TRUE AS mg_covered FROM exact
+        |ORDER BY cnt DESC, tok LIMIT 16""".stripMargin,
     // batch (odd ids) vs corpus (even ids) cross-LSH near-dups
     "q101_incremental_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

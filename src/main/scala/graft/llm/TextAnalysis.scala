@@ -364,6 +364,73 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /**
+   * Heavy hitters via a distributed Misra–Gries sketch, gated the
+   * q53 way (exact counterparts + an error-envelope boolean the oracle
+   * pins to TRUE).
+   *
+   * Per input partition, a (k-1)-counter MG pass summarizes the token
+   * stream in one scan and O(k) memory; summaries then merge in a
+   * single tiny reduce (pointwise sum, subtract the k-th largest,
+   * drop non-positives — the mergeable-summaries construction), so the
+   * full token multiset is NEVER shuffled: at 100 TB the sketch moves
+   * (partitions × k) rows where the exact group-by moves |vocabulary|.
+   *
+   * Determinism discipline: the sketch's surviving counter VALUES are
+   * partition-layout-dependent, so they are not emitted. What IS
+   * emitted is deterministic: the exact top-k tokens/counts (from a
+   * plain group-by twin — this query is the sketch's verification
+   * harness, not its scale pitch) plus `mg_covered`, which the MG
+   * guarantee (any item with frequency > n/k survives, regardless of
+   * partitioning or merge order) forces to TRUE for every row under
+   * EVERY layout — the DuckDB oracle emits literal TRUE, so a sketch
+   * regression fails the hash gate.
+   */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    heavyHittersOf(Tables.documents(spark, dir), k)
+
+  /** [[heavyHitters]] over an arbitrary documents frame (spec entry
+    * point for adversarial partition layouts). */
+  private[llm] def heavyHittersOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("tok")).as[String]
+    val partials = toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k - 1) m(t) = 1L
+        else m.keys.toList.foreach { key =>
+          val c = m(key) - 1L
+          if (c == 0L) m.remove(key) else m(key) = c
+        }
+      }
+      m.iterator
+    }
+    // single small reduce: (#partitions × k) rows, never the stream
+    val candidates = partials.repartition(1).mapPartitions { it =>
+      val summed = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (t, c) => summed(t) = summed.getOrElse(t, 0L) + c }
+      if (summed.size < k) summed.keysIterator
+      else {
+        val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+        summed.iterator.collect { case (t, c) if c - kth > 0L => t }
+      }
+    }.toDF("cand_tok")
+    val exact = toks.toDF().groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = exact.agg(sum(col("cnt")).as("n"))
+    exact
+      .crossJoin(broadcast(total))
+      .join(broadcast(candidates), col("tok") === col("cand_tok"), "left")
+      // exact integer cross-multiply, no division: freq > n/k ⇔ cnt*k > n
+      .withColumn("mg_covered",
+        !(col("cnt") * k > col("n")) || col("cand_tok").isNotNull)
+      .select(col("tok"), col("cnt"), col("mg_covered"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
   def redactDigits(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("props"))

@@ -25,7 +25,8 @@ class DeterminismSpec extends SparkSpec {
     "q68_inverted_index",   // heap-picked ordered postings head
     "q69_dedup_survivors",  // cluster labels from LSH + propagation
     "q100_rank_rewrite",    // optimizer-rewritten top-k (tie-broken)
-    "q101_incremental_dedup") // cross-corpus LSH bucketing + verify
+    "q101_incremental_dedup", // cross-corpus LSH bucketing + verify
+    "q102_heavy_hitters")   // MG coverage boolean must hold any layout
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

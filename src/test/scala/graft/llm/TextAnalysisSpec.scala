@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("Misra-Gries coverage holds on every partition layout") {
+    import spark.implicits._
+    // adversarial mix: two true heavy hitters drowned in a long tail of
+    // near-unique noise tokens, checked across layouts from 1 to many
+    // partitions (the MG guarantee must hold under each)
+    val docs = (
+      Seq.fill(400)("hot alpha") ++ Seq.fill(250)("hot beta") ++
+        (0 until 600).map(i => s"noise$i filler${i % 7}"))
+      .zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(1, 3, 16).foreach { parts =>
+      val out = TextAnalysis.heavyHittersOf(docs.repartition(parts), k = 8)
+        .collect()
+      assert(out.forall(_.getBoolean(2)),
+        s"MG coverage violated at $parts partitions: ${out.mkString(", ")}")
+      // the exact side is layout-independent: 'hot' tops the list
+      assert(out.head.getString(0) == "hot" && out.head.getLong(1) == 650)
+    }
+  }
+
   test("lang-id predicts a language for every document") {
     val df = TextAnalysis.langId(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())

@@ -76,23 +76,37 @@ object CrmPagesSource {
 
   /** One envelope header per page, parsed once per scan at planning time.
     * An unparsable page keeps unbounded ts bounds (unprunable) and zero
-    * rows — the reader agrees. */
+    * rows — the reader agrees. `nTsRows` counts rows with a non-null
+    * `ts_ms` (what any ts-bounded aggregate can see); `pMin`/`pMax`
+    * keep their sentinel values when the page carries no stats. */
   private[sources] case class PageEnvelope(
-      file: String, pMin: Long, pMax: Long, nRows: Long, bytes: Long)
+      file: String, pMin: Long, pMax: Long, nRows: Long, nTsRows: Long,
+      bytes: Long) {
+    def hasStats: Boolean = pMin != Long.MinValue && pMax != Long.MaxValue
+  }
 
   private[sources] def readEnvelopes(dir: String): Seq[PageEnvelope] =
     pageChain(dir).map { p =>
       val f = new java.io.File(s"$dir/$p")
       val node = try mapper.readTree(f)
         catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+      val results = Option(node).flatMap(n => Option(n.get("results")))
+      var nTs = 0L
+      results.foreach { r =>
+        var i = 0
+        while (i < r.size()) {
+          if (r.get(i).hasNonNull("ts_ms")) nTs += 1
+          i += 1
+        }
+      }
       PageEnvelope(
         file = f.getPath,
         pMin = Option(node).flatMap(n => Option(n.get("min_ts_ms")))
           .map(_.asLong).getOrElse(Long.MinValue),
         pMax = Option(node).flatMap(n => Option(n.get("max_ts_ms")))
           .map(_.asLong).getOrElse(Long.MaxValue),
-        nRows = Option(node).flatMap(n => Option(n.get("results")))
-          .map(_.size().toLong).getOrElse(0L),
+        nRows = results.map(_.size().toLong).getOrElse(0L),
+        nTsRows = nTs,
         bytes = f.length())
     }
 
@@ -217,16 +231,32 @@ class CrmPagesScanBuilder(path: String)
     case _ => None
   }
 
+  // a pushed filter the page headers fully account for: ts bounds prune
+  // and, via nTsRows, count exactly; IsNotNull on any other column needs
+  // row-level work
+  private def tsShaped(f: Filter): Boolean = f match {
+    case GreaterThanOrEqual("ts_ms", _: Long) | GreaterThan("ts_ms", _: Long) |
+         LessThanOrEqual("ts_ms", _: Long) | LessThan("ts_ms", _: Long) |
+         IsNotNull("ts_ms") => true
+    case _ => false
+  }
+
   // header stats are page-exact, so they answer exactly iff no row-level
-  // residual work remains inside any surviving page
-  private def headersAnswerExactly(translated: Seq[CrmAgg]): Boolean =
-    if (pushed.isEmpty) true
-    else if (translated.forall(_ == CrmAgg.CountStar) &&
-        !pushed.exists(_.isInstanceOf[IsNotNull])) {
-      val (lo, hi) = CrmPagesSource.tsBounds(pushed)
-      CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), pushed)
-        .forall(e => e.pMin >= lo && e.pMax <= hi)
-    } else false
+  // residual work remains inside any surviving page: every filter is
+  // ts-shaped, every surviving page lies fully inside the ts bounds, and
+  // (for min/max) every surviving page actually carries stats
+  private def headersAnswerExactly(translated: Seq[CrmAgg]): Boolean = {
+    val kept = CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), pushed)
+    val statsOk = !translated.exists(a => a == CrmAgg.MinTs || a == CrmAgg.MaxTs) ||
+      kept.forall(_.hasStats)
+    val filtersOk =
+      if (pushed.isEmpty) true
+      else if (pushed.forall(tsShaped)) {
+        val (lo, hi) = CrmPagesSource.tsBounds(pushed)
+        kept.forall(e => e.pMin >= lo && e.pMax <= hi)
+      } else false
+    statsOk && filtersOk
+  }
 
   override def build(): Scan =
     if (aggs.nonEmpty) new CrmPagesAggScan(path, pushed, aggs, aggComplete)
@@ -406,9 +436,13 @@ class CrmPagesAggScan(path: String, filters: Array[Filter],
     val kept = CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), filters)
     if (complete) {
       // headers answer exactly: the whole aggregate is ONE task emitting
-      // the ONE final row, computed from envelope stats at planning time
+      // the ONE final row, computed from envelope stats at planning time.
+      // Any ts filter (range or IsNotNull) excludes null-ts rows, so the
+      // filtered count is the non-null-ts row count of the kept pages
       val row: Array[Any] = aggs.map {
-        case CrmAgg.CountStar => java.lang.Long.valueOf(kept.map(_.nRows).sum)
+        case CrmAgg.CountStar =>
+          java.lang.Long.valueOf(
+            if (filters.isEmpty) kept.map(_.nRows).sum else kept.map(_.nTsRows).sum)
         case CrmAgg.MinTs =>
           if (kept.isEmpty) null else java.lang.Long.valueOf(kept.map(_.pMin).min)
         case CrmAgg.MaxTs =>

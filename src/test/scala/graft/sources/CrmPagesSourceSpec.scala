@@ -171,6 +171,36 @@ class CrmPagesSourceSpec extends SparkSpec {
     assert(agged.collect()(0).getLong(0) == expected)
   }
 
+  test("page-aligned ts filter keeps COUNT(*) complete (containment path)") {
+    // dedicated fixture with DISJOINT page ts ranges so a boundary
+    // filter can contain whole pages: page i covers [i*1000, i*1000+999]
+    val dir = Files.createTempDirectory("crmdisjoint")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0 until 4).foreach { p =>
+      val root = mapper.createObjectNode()
+      root.put("total", 40)
+      root.put("min_ts_ms", p * 1000L)
+      root.put("max_ts_ms", p * 1000L + 999L)
+      val results = root.putArray("results")
+      (0 until 10).foreach { i =>
+        val rec = results.addObject()
+        rec.put("event_id", (p * 10 + i).toLong)
+        rec.put("ts_ms", p * 1000L + i * 100L)
+        rec.put("event_type", "view")
+        rec.put("value", 1.0)
+      }
+      Files.writeString(dir.resolve(f"page-$p%05d.json"), mapper.writeValueAsString(root))
+    }
+    val df = spark.read.format("graft.sources.CrmPagesSource").load(dir.toString)
+      .filter(col("ts_ms") >= 1000L && col("ts_ms") <= 2999L)
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesAggScan") && plan.contains("mode=complete"),
+      s"page-aligned filter should stay complete:\n$plan")
+    assert(batchScan(df).inputPartitions.length == 1)
+    assert(df.collect()(0).getLong(0) == 20) // pages 1 and 2, 10 rows each
+  }
+
   test("residual filter or grouping vetoes aggregate pushdown") {
     // event_type filter is not pushable -> Spark keeps the row scan
     val residual = read.filter(col("event_type") === "purchase").agg(count(lit(1)).as("n"))

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.functions.VectorFunctions.dot_d
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,13 +178,20 @@ object Pipeline {
    * changes (the property `rand()` splits lack, and the one that
    * matters for never leaking val docs into a later training run).
    */
+  /** The deterministic train/val/test assignment of a doc_id — ONE
+    * definition shared by the split report and the shard writer, so the
+    * ratio can never drift between what is reported and what is
+    * written (the val/train leak the md5 discipline exists to stop). */
+  private[llm] def splitColumn: Column = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    when(h < "e666", "train")        // [0, 0.9) of the hex space
+      .when(h < "f333", "val")       // [0.9, 0.95)
+      .otherwise("test")             // [0.95, 1)
+  }
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
-      .withColumn("split",
-        when(col("h") < "e666", "train")        // [0, 0.9) of the hex space
-          .when(col("h") < "f333", "val")       // [0.9, 0.95)
-          .otherwise("test"))                   // [0.95, 1)
+      .withColumn("split", splitColumn)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"),
@@ -207,12 +214,7 @@ object Pipeline {
   def writeTrainingShards(docs: DataFrame, outDir: String,
       shardRecords: Int = 1000): Unit =
     docs
-      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
-      .withColumn("split",
-        when(col("h") < "e666", "train")
-          .when(col("h") < "f333", "val")
-          .otherwise("test"))
-      .drop("h")
+      .withColumn("split", splitColumn)
       .repartition(col("split"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite")

@@ -110,37 +110,49 @@ object CrmPagesSource {
         bytes = f.length())
     }
 
-  /** S2: the [lo, hi] `ts_ms` bounds implied by the pushed filters. */
-  private[sources] def tsBounds(filters: Array[Filter]): (Long, Long) = {
+  /** S2: the [lo, hi] `ts_ms` bounds implied by the pushed filters, or
+    * None when a strict bound at the Long domain edge makes the filter
+    * vacuously false (v+1/v-1 would otherwise wrap and silently widen
+    * the bounds — fatal once header-only aggregates skip row
+    * evaluation). */
+  private[sources] def tsBounds(filters: Array[Filter]): Option[(Long, Long)] = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    var empty = false
     filters.foreach {
       case GreaterThanOrEqual("ts_ms", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("ts_ms", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("ts_ms", v: Long) =>
+        if (v == Long.MaxValue) empty = true else lo = math.max(lo, v + 1)
       case LessThanOrEqual("ts_ms", v: Long)    => hi = math.min(hi, v)
-      case LessThan("ts_ms", v: Long)           => hi = math.min(hi, v - 1)
+      case LessThan("ts_ms", v: Long) =>
+        if (v == Long.MinValue) empty = true else hi = math.min(hi, v - 1)
       case _ =>
     }
-    (lo, hi)
+    if (empty || lo > hi) None else Some((lo, hi))
   }
 
   /** Page-level min/max pruning: envelopes that can hold a row in bounds. */
   private[sources] def pruneByBounds(
-      envelopes: Seq[PageEnvelope], filters: Array[Filter]): Seq[PageEnvelope] = {
-    val (lo, hi) = tsBounds(filters)
-    envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
-  }
+      envelopes: Seq[PageEnvelope], filters: Array[Filter]): Seq[PageEnvelope] =
+    tsBounds(filters) match {
+      case None => Seq.empty
+      case Some((lo, hi)) => envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
+    }
 
-  /** Row-level evaluation of the pushed filters (exact, per record). */
-  private[sources] def passes(filters: Array[Filter], rec: JsonNode): Boolean =
+  /** Row-level evaluation of the pushed filters (exact, per record).
+    * A null/absent ts_ms fails every comparison — SQL three-valued
+    * logic, matching what the header nTsRows count assumes. */
+  private[sources] def passes(filters: Array[Filter], rec: JsonNode): Boolean = {
+    def ts(f: Long => Boolean): Boolean = rec.hasNonNull("ts_ms") && f(rec.get("ts_ms").asLong)
     filters.forall {
-      case GreaterThanOrEqual("ts_ms", v: Long) => rec.get("ts_ms").asLong >= v
-      case GreaterThan("ts_ms", v: Long)        => rec.get("ts_ms").asLong > v
-      case LessThanOrEqual("ts_ms", v: Long)    => rec.get("ts_ms").asLong <= v
-      case LessThan("ts_ms", v: Long)           => rec.get("ts_ms").asLong < v
+      case GreaterThanOrEqual("ts_ms", v: Long) => ts(_ >= v)
+      case GreaterThan("ts_ms", v: Long)        => ts(_ > v)
+      case LessThanOrEqual("ts_ms", v: Long)    => ts(_ <= v)
+      case LessThan("ts_ms", v: Long)           => ts(_ < v)
       case IsNotNull(col)                       => rec.hasNonNull(col)
       case _                                    => true
     }
+  }
 }
 
 class CrmPagesTable(path: String) extends Table with SupportsRead {
@@ -241,25 +253,33 @@ class CrmPagesScanBuilder(path: String)
     case _ => false
   }
 
+  // parsed once per builder; shared by both pushdown probes and handed
+  // to the aggregate scan (re-parsing every page per probe would triple
+  // driver-side planning I/O)
+  private lazy val envelopes: Seq[CrmPagesSource.PageEnvelope] =
+    CrmPagesSource.readEnvelopes(path)
+
   // header stats are page-exact, so they answer exactly iff no row-level
   // residual work remains inside any surviving page: every filter is
   // ts-shaped, every surviving page lies fully inside the ts bounds, and
   // (for min/max) every surviving page actually carries stats
   private def headersAnswerExactly(translated: Seq[CrmAgg]): Boolean = {
-    val kept = CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), pushed)
+    val kept = CrmPagesSource.pruneByBounds(envelopes, pushed)
     val statsOk = !translated.exists(a => a == CrmAgg.MinTs || a == CrmAgg.MaxTs) ||
       kept.forall(_.hasStats)
     val filtersOk =
       if (pushed.isEmpty) true
       else if (pushed.forall(tsShaped)) {
-        val (lo, hi) = CrmPagesSource.tsBounds(pushed)
-        kept.forall(e => e.pMin >= lo && e.pMax <= hi)
+        CrmPagesSource.tsBounds(pushed) match {
+          case None => true // vacuously false filter: kept is empty
+          case Some((lo, hi)) => kept.forall(e => e.pMin >= lo && e.pMax <= hi)
+        }
       } else false
     statsOk && filtersOk
   }
 
   override def build(): Scan =
-    if (aggs.nonEmpty) new CrmPagesAggScan(path, pushed, aggs, aggComplete)
+    if (aggs.nonEmpty) new CrmPagesAggScan(path, pushed, aggs, aggComplete, envelopes)
     else new CrmPagesScan(path, requiredSchema, pushed, limit)
 }
 
@@ -413,7 +433,8 @@ class CrmPageReader(file: String, required: StructType,
  * to read these columns (complete mode) or fold them (partial mode).
  */
 class CrmPagesAggScan(path: String, filters: Array[Filter],
-    aggs: Seq[CrmAgg], complete: Boolean) extends Scan with Batch {
+    aggs: Seq[CrmAgg], complete: Boolean,
+    envelopes: Seq[CrmPagesSource.PageEnvelope]) extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(aggs.map {
     case CrmAgg.CountStar => StructField("count_star", LongType, nullable = false)
@@ -433,7 +454,7 @@ class CrmPagesAggScan(path: String, filters: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = CrmPagesSource.pruneByBounds(CrmPagesSource.readEnvelopes(path), filters)
+    val kept = CrmPagesSource.pruneByBounds(envelopes, filters)
     if (complete) {
       // headers answer exactly: the whole aggregate is ONE task emitting
       // the ONE final row, computed from envelope stats at planning time.

@@ -3,8 +3,17 @@ package graft.ops
 import graft.SparkSpec
 import graft.model.Tables
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
-class BucketingSpec extends SparkSpec {
+class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
+
+  // the session catalog is shared across suites: drop the managed
+  // tables so later suites never see this one's leftovers
+  override def afterAll(): Unit = {
+    Seq("bkt_orders", "bkt_lineitem")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    super.afterAll()
+  }
 
   private lazy val tablesReady: Unit = {
     Bucketing.writeBucketed(

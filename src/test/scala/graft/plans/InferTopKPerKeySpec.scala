@@ -8,12 +8,21 @@ import org.apache.spark.sql.functions._
 
 class InferTopKPerKeySpec extends SparkSpec {
 
-  /** Isolated session: the rule + strategy are scoped here, the shared
-    * suite session stays vanilla. */
+  /** Isolated session with the rule + strategy installed. */
   private lazy val opt: SparkSession = {
     val s = spark.newSession()
     s.experimental.extraOptimizations = Seq(InferTopKPerKey)
     s.experimental.extraStrategies = Seq(new GraftStrategies)
+    s
+  }
+
+  /** Guaranteed-vanilla baseline session: the SHARED suite session may
+    * have the rule installed by any q100-running suite
+    * (TopK.ensureOptimizations), which would turn the window baselines
+    * below into the operator under test. */
+  private lazy val vanilla: SparkSession = {
+    val s = spark.newSession()
+    assert(s.experimental.extraOptimizations.isEmpty)
     s
   }
 
@@ -45,7 +54,7 @@ class InferTopKPerKeySpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
       s"window survived the rewrite:\n$optimized")
     // bit-identical to the unrewritten window formulation
-    val want = sortAll(rnFiltered(spark, 3)).collect()
+    val want = sortAll(rnFiltered(vanilla, 3)).collect()
     val got = sortAll(df).collect()
     assert(got.length == want.length && got.sameElements(want))
   }
@@ -56,7 +65,7 @@ class InferTopKPerKeySpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan
     assert(optimized.collect { case n: TopKPerKeyNode => n }.nonEmpty,
       s"rule did not fire:\n$optimized")
-    val want = sortAll(rnFiltered(spark, 3, extraPred = Some(pred))).collect()
+    val want = sortAll(rnFiltered(vanilla, 3, extraPred = Some(pred))).collect()
     val got = sortAll(df).collect()
     assert(got.length == want.length && got.sameElements(want))
   }

@@ -7,10 +7,21 @@ import org.apache.spark.sql.functions._
 
 class TopKPerKeySpec extends SparkSpec {
 
+  // the window baseline runs on a guaranteed-vanilla session: other
+  // suites install InferTopKPerKey into the shared session (q100 via
+  // ensureOptimizations), which would silently rewrite this exact
+  // discarded-rank shape into the operator under test — the parity
+  // check must compare against the REAL window plan
+  private lazy val vanilla = {
+    val s = spark.newSession()
+    assert(s.experimental.extraOptimizations.isEmpty)
+    s
+  }
+
   private def windowFormulation(k: Int) = {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, sf)
+    Tables.lineitem(vanilla, sf)
       .select(col("l_suppkey"), col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
       .withColumn("rn", row_number().over(w))

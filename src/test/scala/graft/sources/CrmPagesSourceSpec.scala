@@ -201,6 +201,37 @@ class CrmPagesSourceSpec extends SparkSpec {
     assert(df.collect()(0).getLong(0) == 20) // pages 1 and 2, 10 rows each
   }
 
+  test("null ts_ms rows: excluded by range filters, included by bare COUNT(*)") {
+    // one page, three records, one of them without ts_ms
+    val dir = Files.createTempDirectory("crmnullts")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("total", 3)
+    root.put("min_ts_ms", 100L)
+    root.put("max_ts_ms", 200L)
+    val results = root.putArray("results")
+    Seq(Some(100L), None, Some(200L)).zipWithIndex.foreach { case (ts, i) =>
+      val rec = results.addObject()
+      rec.put("event_id", i.toLong)
+      ts.foreach(rec.put("ts_ms", _))
+      rec.put("event_type", "view")
+      rec.put("value", 1.0)
+    }
+    Files.writeString(dir.resolve("page-00000.json"), mapper.writeValueAsString(root))
+    val df = spark.read.format("graft.sources.CrmPagesSource").load(dir.toString)
+    // bare count sees every record (complete mode, header nRows)
+    assert(df.count() == 3)
+    // any ts comparison is SQL three-valued: the null row never passes,
+    // in BOTH the row-reader path (collect) and the pushed-agg paths
+    assert(df.filter(col("ts_ms") >= 0L).collect().length == 2)
+    assert(df.filter(col("ts_ms") >= 150L).collect().length == 1)
+    assert(df.filter(col("ts_ms") >= 150L).count() == 1) // partial mode
+    val agged = df.filter(col("ts_ms") >= 0L).agg(count(lit(1))) // complete mode
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("CrmPagesAggScan") && plan.contains("mode=complete"), plan)
+    assert(agged.collect()(0).getLong(0) == 2)
+  }
+
   test("residual filter or grouping vetoes aggregate pushdown") {
     // event_type filter is not pushable -> Spark keeps the row scan
     val residual = read.filter(col("event_type") === "purchase").agg(count(lit(1)).as("n"))

@@ -35,10 +35,15 @@ object Bench {
       }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver records only the last ~2000 chars of stdout; keep the
+    // headline metric/value at the END of the (single) JSON line so it
+    // survives the tail window, and round per-query secs to 3 decimals
+    // so more of the map fits too.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

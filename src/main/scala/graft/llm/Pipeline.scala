@@ -170,14 +170,6 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
-  /**
-   * Deterministic train/val/test split: the md5 hex prefix of the
-   * doc_id buckets every document into train/val/test at ~90/5/5 —
-   * the same RNG-free discipline as [[deterministicSample]], so the
-   * assignment is stable under repartitioning, reruns and engine
-   * changes (the property `rand()` splits lack, and the one that
-   * matters for never leaking val docs into a later training run).
-   */
   /** The deterministic train/val/test assignment of a doc_id — ONE
     * definition shared by the split report and the shard writer, so the
     * ratio can never drift between what is reported and what is
@@ -189,6 +181,14 @@ object Pipeline {
       .otherwise("test")             // [0.95, 1)
   }
 
+  /**
+   * Deterministic train/val/test split: the md5 hex prefix of the
+   * doc_id buckets every document into train/val/test at ~90/5/5 —
+   * the same RNG-free discipline as [[deterministicSample]], so the
+   * assignment is stable under repartitioning, reruns and engine
+   * changes (the property `rand()` splits lack, and the one that
+   * matters for never leaking val docs into a later training run).
+   */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("split", splitColumn)

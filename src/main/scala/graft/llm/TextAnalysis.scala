@@ -249,9 +249,15 @@ object TextAnalysis {
    * "Deduplicating Training Data Makes Language Models Better").
    *
    * Scale: one shuffle keyed on the passage — the group-by is the
-   * whole operator; no self-join, no pair explosion. The top-`limit`
-   * cut is a TakeOrderedAndProject under a TOTAL ordering
-   * (n_docs desc, passage), so the kept set is deterministic.
+   * whole operator; no self-join, no pair explosion. The distinct-doc
+   * count is computed as a two-phase aggregate — pre-aggregate by
+   * (passage, doc_id), then count groups — rather than
+   * `countDistinct`, whose Expand would double every exploded row
+   * through the shuffle; the pre-aggregate instead collapses
+   * within-document repeats map-side (a doc's passages all sit in one
+   * scan partition), so the shuffle carries each (passage, doc) once.
+   * The top-`limit` cut is a TakeOrderedAndProject under a TOTAL
+   * ordering (n_docs desc, passage), so the kept set is deterministic.
    */
   def repeatedPassages(spark: SparkSession, dir: String,
       n: Int = 5, limit: Int = 100): DataFrame = {
@@ -262,10 +268,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', $gram))"))
         .as("passage"))
+      .groupBy(col("passage"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("passage"))
       .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= 2)

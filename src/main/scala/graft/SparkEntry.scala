@@ -118,6 +118,14 @@ object SparkEntry {
     "q62_simhash_pairs"    -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q63_kmeans"           -> ((s: SparkSession, d: String) => KMeans.clusterStats(s, d)),
     "q61_label_centroids"  -> ((s: SparkSession, d: String) => KMeans.labelCentroids(s, d)),
+    "q103_countmin"        -> (graft.ops.Sketches.countMinFrequency _),
+    "q104_bloom_join"      -> (graft.ops.Sketches.bloomSemiJoin _),
+    "q105_pmi"             -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
+    "q106_scd2"            -> (graft.ops.Relational4.scd2Intervals _),
+    "q107_window_zscore"   -> (graft.ops.Relational4.windowZScore _),
+    "q108_random_projection" -> ((s: SparkSession, d: String) => Pipeline.randomProjection(s, d)),
+    "q109_containment"     -> (Pipeline.benchmarkContainment _),
+    "q110_stratified_sample" -> ((s: SparkSession, d: String) => Pipeline.stratifiedSample(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1099,6 +1107,154 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 400000.0)
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    // hex2int of the first 6 md5 chars (list_reduce fold — DuckDB has no
+    // conv()); the salt:key concat matches Sketches.md5Bucket exactly.
+    "q103_countmin" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |h AS (SELECT unnest(range(0, 4)) AS r),
+        |ub AS (SELECT DISTINCT user_id, r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(r || ':' || user_id), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 256 AS bucket
+        |  FROM ev, h),
+        |sketch AS (SELECT x.r, x.bucket, COUNT(*) AS c
+        |  FROM (SELECT e.user_id, u.r, u.bucket
+        |        FROM ev e JOIN ub u ON u.user_id = e.user_id) x
+        |  GROUP BY 1, 2),
+        |top AS (SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY 1
+        |        ORDER BY exact_n DESC, user_id LIMIT 16)
+        |SELECT t.user_id, t.exact_n, MIN(s.c) AS cms_est,
+        |       (MIN(s.c) >= t.exact_n) AS no_undercount
+        |FROM top t JOIN ub u ON u.user_id = t.user_id
+        |JOIN sketch s ON s.r = u.r AND s.bucket = u.bucket
+        |GROUP BY t.user_id, t.exact_n
+        |ORDER BY t.exact_n DESC, t.user_id""".stripMargin,
+    "q104_bloom_join" ->
+      """WITH bk AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |            WHERE o_totalprice > 200000.0),
+        |h AS (SELECT unnest(range(0, 3)) AS h),
+        |bits AS (SELECT DISTINCT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(h || ':' || key), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 8192 AS pos
+        |  FROM bk, h),
+        |cust AS (SELECT c_custkey AS key, c_mktsegment FROM customer),
+        |probe AS (SELECT key, c_mktsegment, h,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(h || ':' || key), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) % 8192 AS pos
+        |  FROM cust, h),
+        |cand AS (SELECT key, c_mktsegment FROM probe p
+        |         WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.pos)
+        |         GROUP BY key, c_mktsegment HAVING COUNT(*) = 3),
+        |ver AS (SELECT key, c_mktsegment FROM cand c
+        |        WHERE EXISTS (SELECT 1 FROM bk WHERE bk.key = c.key)),
+        |dct AS (SELECT key, c_mktsegment FROM cust c
+        |        WHERE EXISTS (SELECT 1 FROM bk WHERE bk.key = c.key)),
+        |sc AS (SELECT c_mktsegment, COUNT(*) AS n_customers FROM cust GROUP BY 1),
+        |sa AS (SELECT c_mktsegment, COUNT(*) AS n FROM cand GROUP BY 1),
+        |sv AS (SELECT c_mktsegment, COUNT(*) AS n FROM ver GROUP BY 1),
+        |sd AS (SELECT c_mktsegment, COUNT(*) AS n FROM dct GROUP BY 1)
+        |SELECT sc.c_mktsegment, sc.n_customers,
+        |       COALESCE(sa.n, 0) AS n_candidates,
+        |       COALESCE(sv.n, 0) AS n_members,
+        |       COALESCE(sd.n, 0) AS n_direct,
+        |       COALESCE(sa.n, 0) - COALESCE(sv.n, 0) AS n_false_pos,
+        |       (COALESCE(sv.n, 0) = COALESCE(sd.n, 0)) AS no_false_negatives
+        |FROM sc LEFT JOIN sa USING (c_mktsegment)
+        |LEFT JOIN sv USING (c_mktsegment)
+        |LEFT JOIN sd USING (c_mktsegment)
+        |ORDER BY sc.c_mktsegment""".stripMargin,
+    "q105_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS w FROM w),
+        |uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY 1),
+        |tot1 AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n1 FROM uni),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |bi AS (SELECT w1, w2, COUNT(*) AS n_xy FROM b GROUP BY 1, 2),
+        |tot2 AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n2 FROM bi)
+        |SELECT w1, w2, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+        |       CAST(n_xy AS DOUBLE) * n1 * n1
+        |         / (CAST(n2 AS DOUBLE) * ux.n_w * uy.n_w) AS pmi_ratio
+        |FROM bi JOIN uni ux ON bi.w1 = ux.w
+        |JOIN uni uy ON bi.w2 = uy.w, tot1, tot2
+        |WHERE n_xy >= 10
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 200""".stripMargin,
+    "q106_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |           FROM events),
+        |c AS (SELECT *, LAG(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+        |      FROM e),
+        |k AS (SELECT user_id, event_type, ts_ms, event_id FROM c
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |       event_type, ts_ms AS valid_from_ms,
+        |       LEAD(ts_ms) OVER w - 1 AS valid_to_ms
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q107_window_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT event_id, event_type, ts_ms, value, v,
+        |        COUNT(*) OVER f AS n,
+        |        CAST(SUM(v) OVER f AS DECIMAL(38,2)) AS s1,
+        |        CAST(SUM(v * v) OVER f AS DECIMAL(38,4)) AS s2
+        |      FROM e WINDOW f AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |                          ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mean,
+        |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |          / (n - 1) AS variance
+        |      FROM w WHERE n >= 30)
+        |SELECT event_id, event_type, ts_ms, value,
+        |       (CAST(v AS DOUBLE) - mean) / sqrt(variance) AS z
+        |FROM m WHERE variance > 0.0
+        |  AND abs((CAST(v AS DOUBLE) - mean) / sqrt(variance)) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "q108_random_projection" -> {
+      val cols = (0 until 8).map { i =>
+        s"""  list_sum(list_transform(range(1, len(embedding) + 1),
+           |    j -> (CASE WHEN strpos('02468ace', substr(md5('proj$i:' || j), 1, 1)) > 0
+           |          THEN 1.0 ELSE -1.0 END) * embedding[j]::DOUBLE)) AS p$i""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT vec_id,
+         |$cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+    "q109_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |es AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 < 2),
+        |cs AS (SELECT s FROM sh WHERE doc_id % 100 >= 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM es GROUP BY 1),
+        |com AS (SELECT doc_id, COUNT(*) AS n_common FROM es
+        |        WHERE EXISTS (SELECT 1 FROM cs WHERE cs.s = es.s) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |       COALESCE(com.n_common, 0) AS n_common,
+        |       CAST(COALESCE(com.n_common, 0) AS DOUBLE) / tot.n_shingles
+        |         AS containment
+        |FROM tot LEFT JOIN com USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+    "q110_stratified_sample" ->
+      """WITH q AS (SELECT source, COUNT(*) AS n_src,
+        |             (COUNT(*) + 9) // 10 AS quota
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, source,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.rk, q.quota
+        |FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin,
   )
 
   /**

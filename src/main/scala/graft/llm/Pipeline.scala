@@ -283,6 +283,94 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Benchmark CONTAINMENT scoring — the graded companion to
+   * [[decontaminate]]'s binary drop: for each held-out eval document,
+   * the fraction of its distinct 3-word shingles that appear anywhere
+   * in the training corpus (Brown et al. 2020's n-gram containment).
+   * A decontamination policy thresholds this score; emitting it per
+   * eval doc is what lets the policy be tuned.
+   *
+   * Plan: the corpus side is ONE semi-join shuffle keyed on the
+   * shingle (no distinct pre-pass — the semi-join dedups by
+   * construction); counts are exact integers and the score is a
+   * single integer division. The eval set is a fixed benchmark suite
+   * in practice, so the probe side stays constant as the corpus
+   * grows.
+   */
+  def benchmarkContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(100L)) < 2L  // fixture eval suite
+    val evalSh = Dedup.shingles(docs.filter(isEval))
+    val corpusSh = Dedup.shingles(docs.filter(!isEval)).select(col("s"))
+    val total = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = evalSh.join(corpusSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    total.join(common, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Exact-quota stratified sampling: from each source stratum, take
+   * exactly ceil(n/`denom`) documents, chosen by md5 order — the
+   * deterministic counterpart of per-stratum `sample()` whose quota
+   * never drifts with partitioning (a `rand() < p` sample can't
+   * guarantee the quota, and Spark's `sampleBy` is seed-layout
+   * dependent). The md5 ranking is the same RNG-free discipline as
+   * [[deterministicSample]], but with a HARD per-stratum count.
+   *
+   * Plan: one window ranking partitioned by source (single shuffle;
+   * each stratum sorts independently) joined to the per-stratum
+   * quota table — a categorical-cardinality broadcast.
+   */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      denom: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("quota", expr(s"(n_src + ${denom - 1}) div $denom"))
+    val rankWin = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(rankWin).cast("long"))
+      .join(quotas, "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Random-projection dimensionality reduction (Johnson–Lindenstrauss
+   * via ±1 Achlioptas projections): each output dimension is a dot
+   * product of the embedding with a ±1 hyperplane derived from md5
+   * parity — the projection matrix is CODE, not data: nothing is
+   * broadcast, any executor regenerates any matrix entry from (i, j)
+   * alone, and the result is bit-replayable in the oracle (the same
+   * determinism that makes [[Similarity.annLsh]]'s hyperplanes work).
+   * Each projection folds left-to-right in doubles, the proven
+   * bit-exact discipline of the dot-product family.
+   */
+  def randomProjection(spark: SparkSession, dir: String,
+      outDims: Int = 8): DataFrame = {
+    val projCols = (0 until outDims).map { i =>
+      expr(
+        s"""aggregate(sequence(1, size(embedding)), cast(0.0 as double),
+           |  (acc, j) -> acc +
+           |    (CASE WHEN instr('02468ace',
+           |            substring(md5(concat('proj$i:', cast(j as string))), 1, 1)) > 0
+           |          THEN 1.0 ELSE -1.0 END)
+           |    * cast(element_at(embedding, j) as double))""".stripMargin)
+        .as(s"p$i")
+    }
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") +: projCols): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF coarse-quantizer parameters: a FIXED learned cell count (the
     * broadcast stays k × dim doubles no matter the corpus size, and the
     * assignment pass stays O(N · k), never O(N²/stride)), two Lloyd's

@@ -201,6 +201,48 @@ object TextAnalysis {
   }
 
   /**
+   * PMI collocation mining: bigrams whose observed frequency beats the
+   * independence expectation of their unigrams — the classic
+   * collocation score (Church & Hanks 1990), emitted as the RATIO
+   * p(xy)/(p(x)p(y)) = n_xy·N1²/(N2·n_x·n_y) rather than its log: the
+   * two engines' `ln` differ in the last ulp (the TF-IDF lesson), the
+   * ratio is a fixed-order double chain both replay bit-exactly, and
+   * the ranking is the same either way (log is monotone).
+   *
+   * Plan: two hash aggregations (unigrams, bigrams) + a join of
+   * bigrams to the two unigram sides; the scalar corpus totals ride in
+   * as single-row broadcast joins. Top-200 under a total order
+   * (score desc, w1, w2) is a TakeOrderedAndProject.
+   */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 10L, limit: Int = 200): DataFrame = {
+    val ws = Tables.documents(spark, dir).select(tokens.as("ws"))
+    val toks = ws.select(explode(col("ws")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val totalToks = uni.agg(sum(col("n_w")).as("n1"))
+    val pairs = ws
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val totalBi = bi.agg(sum(col("n_xy")).as("n2"))
+    bi.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
+      .crossJoin(broadcast(totalToks))   // single-row scalar
+      .crossJoin(broadcast(totalBi))     // single-row scalar
+      .withColumn("pmi_ratio",
+        col("n_xy").cast("double") * col("n1") * col("n1")
+          / (col("n2").cast("double") * col("n_x") * col("n_y")))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(limit)
+  }
+
+  /**
    * Within-document repetition ratio (the C4-style "most repeated
    * n-gram share" quality signal): per doc, the most frequent bigram's
    * share of all bigram slots — high values flag boilerplate/spam for

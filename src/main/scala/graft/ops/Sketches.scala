@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Probabilistic-structure operators built as plain relational plans:
+ * the sketch construction itself is a group-by (mergeable, map-side
+ * combinable — the property that makes these structures work on a
+ * 1000-executor cluster), and because every hash is md5-derived the
+ * whole construction is deterministic and bit-replayable by the
+ * DuckDB oracle — no allowlist needed, unlike engine-private sketch
+ * internals (q53's HLL/approx_percentile, which get envelope gating
+ * instead).
+ *
+ * Reference semantics: the reference pipeline ships aggregate counts
+ * per entity page (reference app/hs_contacts.py:66,121); these are the
+ * sublinear-memory counterparts a 100 TB deployment of the same
+ * pipeline needs.
+ */
+object Sketches {
+
+  /** Hex→long of the first `hexDigits` md5 chars of `salt:key` — the
+    * one deterministic hash family both engines can replay (playbook:
+    * never engine-private hashes). 6 hex digits keep the value < 2^24,
+    * far from Long overflow under later arithmetic. */
+  private def md5Bucket(salt: Column, key: Column, hexDigits: Int): Column =
+    conv(substring(md5(concat(salt.cast("string"), lit(":"), key.cast("string"))),
+      1, hexDigits), 16, 10).cast("long")
+
+  val CmsDepth = 4    // hash rows d
+  val CmsWidth = 256L // counters per row w: eps ~ e/w of total count N
+
+  /**
+   * Count-min sketch frequency estimation over the event stream's
+   * user_id (CM sketch, Cormode & Muthukrishnan 2005). The sketch is
+   * `CmsDepth × CmsWidth` counters built by ONE group-by over
+   * (hash_row, bucket) — partial aggregation sums counters map-side,
+   * so the shuffle moves at most `d·w` rows per input partition no
+   * matter how many events: the mergeability that lets 1000 executors
+   * each sketch their slice and combine for free.
+   *
+   * Output: the top-16 users by exact count, their exact count, the
+   * CMS estimate (min over the d row counters), and `no_undercount` —
+   * the CMS theorem that estimates never undercount, which holds
+   * under ANY partition layout; md5-bucketing makes even the estimate
+   * values deterministic, so the oracle replays them exactly rather
+   * than allowlisting.
+   */
+  def countMinFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val hashRows = expr(s"sequence(0, ${CmsDepth - 1})")
+    def bucket = pmod(md5Bucket(col("r"), col("user_id"), 6), lit(CmsWidth))
+    val sketch = ev
+      .select(col("user_id"), explode(hashRows).as("r"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(16)
+    top
+      .select(col("user_id"), col("exact_n"), explode(hashRows).as("r"))
+      .withColumn("bucket", bucket)
+      // the sketch is d·w rows — a fixed-size broadcast at any corpus size
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("no_undercount", col("cms_est") >= col("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val BloomBits   = 8192L
+  val BloomHashes = 3
+
+  /**
+   * Bloom-filter semi-join: the distributed runtime-filter pattern —
+   * build a bloom filter over the SMALL side's join keys (customers
+   * holding a >200k order), broadcast it, and prune the probe side
+   * BEFORE the exact join. At 100 TB this turns a full-shuffle
+   * semi-join into a broadcast filter plus a shuffle of only the
+   * ~matching rows; Spark's own
+   * `spark.sql.optimizer.runtime.bloomFilter.enabled` injects exactly
+   * this shape with an engine-private filter, which this operator
+   * swaps for a replayable md5 one.
+   *
+   * The filter is the SET of set bit positions (the distinct
+   * `BloomHashes` md5 buckets of every build key — at most `BloomBits`
+   * rows, a bitmap expressed relationally), so construction is one
+   * distinct-aggregate and the probe is a bucket semi-join that both
+   * engines replay bit-identically.
+   *
+   * Output (per market segment): probe population, bloom candidates,
+   * bloom-then-verify members, direct semi-join members, false
+   * positives — plus `no_false_negatives`, the bloom guarantee that
+   * verify-after-bloom loses nothing vs the direct semi-join, which
+   * must hold under any layout (the oracle replays every column AND
+   * the boolean).
+   */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = expr(s"sequence(0, ${BloomHashes - 1})")
+    def pos = pmod(md5Bucket(col("h"), col("key"), 6), lit(BloomBits))
+    val buildKeys = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("key")).distinct()
+    val bits = buildKeys
+      .select(col("key"), explode(hashes).as("h"))
+      .withColumn("pos", pos)
+      .select(col("pos")).distinct()
+    val customers = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment"))
+    val candidates = customers
+      .withColumn("h", explode(hashes))
+      .withColumn("pos", pos)
+      // bitmap join: a candidate needs ALL k bits set. The bit set is
+      // <= BloomBits rows — fixed-size broadcast regardless of scale.
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("key"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === BloomHashes)
+      .select(col("key"), col("c_mktsegment"))
+    val verified = candidates.join(buildKeys, Seq("key"), "left_semi")
+    val direct = customers.join(buildKeys, Seq("key"), "left_semi")
+    def seg(df: DataFrame, as: String) =
+      df.groupBy(col("c_mktsegment")).agg(count(lit(1)).as(as))
+    seg(customers, "n_customers")
+      .join(seg(candidates, "n_candidates"), Seq("c_mktsegment"), "left")
+      .join(seg(verified, "n_members"), Seq("c_mktsegment"), "left")
+      .join(seg(direct, "n_direct"), Seq("c_mktsegment"), "left")
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_members"))
+      .withColumn("no_false_negatives", col("n_members") === col("n_direct"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

@@ -26,7 +26,12 @@ class DeterminismSpec extends SparkSpec {
     "q69_dedup_survivors",  // cluster labels from LSH + propagation
     "q100_rank_rewrite",    // optimizer-rewritten top-k (tie-broken)
     "q101_incremental_dedup", // cross-corpus LSH bucketing + verify
-    "q102_heavy_hitters")   // MG coverage boolean must hold any layout
+    "q102_heavy_hitters",   // MG coverage boolean must hold any layout
+    "q103_countmin",        // md5-bucketed sketch counters + min-estimate
+    "q104_bloom_join",      // md5 bit positions + candidate verify
+    "q105_pmi",             // top-200 cut under double-ratio ordering
+    "q107_window_zscore",   // decimal window moments -> double z
+    "q110_stratified_sample") // md5 ranking + exact quota cut
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -126,6 +126,7 @@ object SparkEntry {
     "q108_random_projection" -> ((s: SparkSession, d: String) => Pipeline.randomProjection(s, d)),
     "q109_containment"     -> (Pipeline.benchmarkContainment _),
     "q110_stratified_sample" -> ((s: SparkSession, d: String) => Pipeline.stratifiedSample(s, d)),
+    "q111_kll_quantiles"   -> (graft.ops.Sketches.kllQuantiles _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1244,6 +1245,16 @@ object SparkEntry {
         |       CAST(COALESCE(com.n_common, 0) AS DOUBLE) / tot.n_shingles
         |         AS containment
         |FROM tot LEFT JOIN com USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+    // the KLL booleans are theorems under any layout (see
+    // Sketches.kllQuantiles); exact quantiles replay via quantile_cont
+    "q111_kll_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       quantile_cont(value, 0.25) AS p25,
+        |       quantile_cont(value, 0.5)  AS p50,
+        |       quantile_cont(value, 0.75) AS p75,
+        |       TRUE AS sketch_n_ok, TRUE AS p25_ok,
+        |       TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q110_stratified_sample" ->
       """WITH q AS (SELECT source, COUNT(*) AS n_src,
         |             (COUNT(*) + 9) // 10 AS quota

@@ -73,6 +73,61 @@ object Sketches {
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  /**
+   * Mergeable-quantile verification harness: per event_type, exact
+   * p25/p50/p75 (Spark `percentile` ≡ DuckDB `quantile_cont`,
+   * bit-exact) next to [[graft.functions.KllQuantileAgg]]'s sketch,
+   * gated the q102 way. The sketch's estimates are partition-layout-
+   * dependent, so what's emitted is the exact quantiles plus three
+   * booleans asserting the sketch's one-sided rank guarantee —
+   * `count(v ≤ est) ≥ t` and `count(v < est) < t + slack` for target
+   * rank t — which hold under ANY layout, so the oracle pins them
+   * TRUE and a sketch regression fails the hash gate.
+   *
+   * Scale pitch: the sketch is the 100 TB path — O(k·log n) bytes per
+   * group, merged map-side; exact `percentile` materializes every
+   * group value in one aggregation buffer and exists here as the
+   * verification twin (same relationship as q34's brute-force cosine
+   * to q36/q52's ANN).
+   */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllQuantileAgg.kll_quantiles
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(kll_quantiles(col("value")).as("sk"))
+      .select(col("event_type"), col("sk.n").as("sk_n"), col("sk.slack"),
+        col("sk.est25"), col("sk.est50"), col("sk.est75"))
+    // exact rank of each estimate, computed in the same pass structure
+    // the gate needs: one broadcast of the 5-row estimate table
+    val ranks = ev.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("est25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("value") <  col("est25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("value") <= col("est50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <  col("est50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("est75"), 1L).otherwise(0L)).as("le75"),
+        sum(when(col("value") <  col("est75"), 1L).otherwise(0L)).as("lt75"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+    def ok(t: Column, le: Column, lt: Column, slack: Column): Column =
+      le >= t && lt < t + slack
+    exact.join(sk, "event_type").join(ranks, "event_type")
+      // integer `div`: `/` on Longs is lossy double division in Spark
+      .withColumn("t25", expr("(n + 3) div 4"))
+      .withColumn("t50", expr("(n + 1) div 2"))
+      .withColumn("t75", expr("(3 * n + 3) div 4"))
+      .select(col("event_type"), col("n"), col("p25"), col("p50"), col("p75"),
+        (col("sk_n") === col("n")).as("sketch_n_ok"),
+        ok(col("t25"), col("le25"), col("lt25"), col("slack")).as("p25_ok"),
+        ok(col("t50"), col("le50"), col("lt50"), col("slack")).as("p50_ok"),
+        ok(col("t75"), col("le75"), col("lt75"), col("slack")).as("p75_ok"))
+      .orderBy(col("event_type"))
+  }
+
   val BloomBits   = 8192L
   val BloomHashes = 3
 

@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpec {
     "q104_bloom_join",      // md5 bit positions + candidate verify
     "q105_pmi",             // top-200 cut under double-ratio ordering
     "q107_window_zscore",   // decimal window moments -> double z
-    "q110_stratified_sample") // md5 ranking + exact quota cut
+    "q110_stratified_sample", // md5 ranking + exact quota cut
+    "q111_kll_quantiles")   // KLL rank-guarantee booleans any layout
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -100,6 +100,89 @@ object StatefulOps {
         col("s_ts"), col("p_ts"), col("value"))
   }
 
+  final case class BucketInput(band: Int, sig: String, doc_id: Long, ts: Timestamp)
+  final case class BucketState(docIds: List[Long])
+  final case class CandidatePair(band: Int, sig: String, id_a: Long, id_b: Long)
+
+  /** Per-bucket resident cap and idle TTL for [[streamingLshCandidates]]. */
+  val BucketCap: Int = 8
+  val BucketTtlMs: Long = 60 * 60 * 1000L
+
+  /**
+   * Incremental (streaming) MinHash-LSH near-dup candidates: documents
+   * arrive as a stream, each is banded with the SAME row-local
+   * shingle → salted-md5-minhash → 4×2 banding as the batch
+   * [[graft.llm.Dedup.minhashLsh]] (the signatures are computed inside
+   * one projection — `array_min` over the doc's own shingle array —
+   * so banding needs NO streaming aggregation, leaving the one
+   * stateful operator budget to the bucket store), and every (band,
+   * signature) bucket remembers the doc_ids it has seen; a new
+   * arrival emits a candidate pair against each remembered resident.
+   * Downstream consumers verify exact Jaccard on the candidate sliver,
+   * exactly like the batch pipeline (and like batch q101's
+   * corpus-vs-batch band join, but without re-reading the corpus).
+   *
+   * The two disciplines that keep state BOUNDED at 100 TB/day:
+   *  - hot-bucket cap: a bucket stores at most [[BucketCap]]
+   *    residents — a boilerplate signature shared by millions of docs
+   *    emits ≤ cap pairs per arrival and holds ≤ cap ids, instead of
+   *    the quadratic blowup (the streaming twin of the batch
+   *    `Dedup.BucketCap` guard);
+   *  - idle TTL: event-time timeout drops buckets untouched for
+   *    [[BucketTtlMs]] past the watermark — the state store holds the
+   *    recent-signature working set, not every signature ever seen.
+   */
+  def streamingLshCandidates(docs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      cap: Int = BucketCap, ttlMs: Long = BucketTtlMs): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val mh = (0 until graft.llm.Dedup.NumHashes).map { k =>
+      val salt = if (k < 4) "a|" else "b|"
+      val off = 1 + 8 * (k % 4)
+      expr(s"array_min(transform(sh, s -> substring(md5(concat('$salt', s)), $off, 8)))")
+        .as(s"h$k")
+    }
+    val bandCols = (0 until graft.llm.Dedup.NumBands).map(b =>
+      concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
+          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
+      .select((col("doc_id") +: col("ts") +: mh): _*)
+      .select(col("doc_id"), col("ts"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      .withWatermark("ts", watermarkDelay)
+      .as[BucketInput]
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, sig), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // doc_id order inside the batch: deterministic pair emission
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            var residents = state.getOption.map(_.docIds).getOrElse(Nil)
+            var maxMs = 0L
+            val out = List.newBuilder[CandidatePair]
+            sorted.foreach { r =>
+              maxMs = math.max(maxMs, r.ts.getTime)
+              if (!residents.contains(r.doc_id)) {
+                residents.foreach { s =>
+                  out += CandidatePair(band, sig,
+                    math.min(s, r.doc_id), math.max(s, r.doc_id))
+                }
+                if (residents.size < cap) residents = residents :+ r.doc_id
+              }
+            }
+            state.update(BucketState(residents))
+            state.setTimeoutTimestamp(maxMs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /**
    * Stream-static join: enrich the event stream with the customer
    * dimension. The static side is a plain DataFrame — Spark broadcasts

@@ -37,6 +37,46 @@ class StatefulOpsSpec extends SparkSpec {
       StatefulOps.SessionOutput(2L, ts(5).getTime, ts(5).getTime, 1L)))
   }
 
+  test("streaming LSH emits cross-batch candidates and caps hot buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StatefulOps.streamingLshCandidates(
+      input.toDF().toDF("doc_id", "text", "ts"), cap = 3)
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    val dup = "the quick brown fox jumps over the lazy dog"
+    // batch 1: two identical docs + one unrelated
+    input.addData((1L, dup, ts(0)), (2L, dup, ts(1)),
+      (3L, "completely different words entirely here now", ts(2)))
+    q.processAllAvailable()
+    val b1 = spark.table("lsh_out").as[StatefulOps.CandidatePair].collect()
+    // identical docs share every band signature: one (1,2) pair per band
+    assert(b1.map(p => (p.id_a, p.id_b)).distinct.toSeq == Seq((1L, 2L)))
+    assert(b1.length == graft.llm.Dedup.NumBands)
+    // batch 2: a later duplicate pairs against BOTH remembered residents
+    input.addData((4L, dup, ts(10)))
+    q.processAllAvailable()
+    val b2 = spark.table("lsh_out").as[StatefulOps.CandidatePair].collect()
+      .filter(p => p.id_b == 4L)
+    assert(b2.map(p => (p.id_a, p.id_b)).distinct.sorted.toSeq ==
+      Seq((1L, 4L), (2L, 4L)))
+    // batch 3: the bucket holds 3 residents (cap) — a flood of further
+    // dups each emits exactly cap pairs per band, never more
+    input.addData((5L, dup, ts(20)), (6L, dup, ts(21)), (7L, dup, ts(22)))
+    q.processAllAvailable()
+    val b3 = spark.table("lsh_out").as[StatefulOps.CandidatePair].collect()
+    for (newer <- Seq(5L, 6L, 7L)) {
+      val partners = b3.filter(p => p.id_b == newer)
+        .map(_.id_a).distinct.sorted.toSeq
+      assert(partners == Seq(1L, 2L, 4L),
+        s"doc $newer paired with $partners — cap should pin residents to 1,2,4")
+    }
+    q.stop()
+  }
+
   test("stream-static join enriches events with broadcast customer dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

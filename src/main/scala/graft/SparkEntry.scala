@@ -127,6 +127,10 @@ object SparkEntry {
     "q109_containment"     -> (Pipeline.benchmarkContainment _),
     "q110_stratified_sample" -> ((s: SparkSession, d: String) => Pipeline.stratifiedSample(s, d)),
     "q111_kll_quantiles"   -> (graft.ops.Sketches.kllQuantiles _),
+    "q112_funnel"          -> (graft.ops.Relational4.conversionFunnelBatch _),
+    "q113_retention"       -> (graft.ops.Relational4.retentionCohorts _),
+    "q114_unpivot"         -> (graft.ops.Relational4.unpivotMetrics _),
+    "q115_transitions"     -> (graft.ops.Relational4.transitionMatrix _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1255,6 +1259,57 @@ object SparkEntry {
         |       TRUE AS sketch_n_ok, TRUE AS p25_ok,
         |       TRUE AS p50_ok, TRUE AS p75_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q112_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts_ms) AS t_click
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
+    "q113_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |ch AS (SELECT user_id, MIN(ts_ms) // 604800000 AS cohort_week
+        |       FROM e GROUP BY 1),
+        |cells AS (SELECT cohort_week, "offset", COUNT(*) AS n_active FROM (
+        |    SELECT DISTINCT e.user_id, ch.cohort_week,
+        |           e.ts_ms // 604800000 - ch.cohort_week AS "offset"
+        |    FROM e JOIN ch USING (user_id)) d GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM ch GROUP BY 1)
+        |SELECT c.cohort_week, c."offset", c.n_active, sz.cohort_size,
+        |       CAST(c.n_active AS DOUBLE) / sz.cohort_size AS retention
+        |FROM cells c JOIN sz USING (cohort_week)
+        |ORDER BY c.cohort_week, c."offset"""".stripMargin,
+    "q114_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a) u
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q115_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |           FROM events),
+        |s AS (SELECT event_type, LEAD(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_type
+        |      FROM e),
+        |pr AS (SELECT event_type, next_type, COUNT(*) AS n FROM s
+        |       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |fr AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM pr GROUP BY 1)
+        |SELECT pr.event_type, pr.next_type, pr.n, fr.n_from,
+        |       CAST(pr.n AS DOUBLE) / fr.n_from AS p
+        |FROM pr JOIN fr USING (event_type)
+        |ORDER BY pr.event_type, pr.next_type""".stripMargin,
     "q110_stratified_sample" ->
       """WITH q AS (SELECT source, COUNT(*) AS n_src,
         |             (COUNT(*) + 9) // 10 AS quota

@@ -49,6 +49,114 @@ object Relational4 {
   }
 
   /**
+   * Ordered conversion funnel (view → click → purchase): per user, the
+   * first view, the first click strictly AFTER that view, and the
+   * first purchase strictly after that click — order matters, which is
+   * what separates a funnel from three independent filters.
+   *
+   * Plan: three aggregates joined on user_id — every stage keys on the
+   * SAME column, so the exchange is planned once and reused across
+   * stages (the shuffle-reuse shape); stage tables only ever shrink.
+   * Timestamps are exact epoch-ms integers, so stage mins are
+   * deterministic.
+   */
+  def conversionFunnelBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_ms") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_ms") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * Weekly retention cohorts: users grouped by the week of their first
+   * event; each later week of activity increments that cohort's
+   * retention cell. The activity matrix is (cohort_week × offset) —
+   * the standard growth-analytics artifact.
+   *
+   * Distinct users per cell via pre-aggregation to (user, cohort,
+   * offset) — not countDistinct's Expand (the q95 lesson); both
+   * aggregations and the cohort join key on user_id first, so the
+   * wide fact table is shuffled once.
+   */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val WeekMs = 7L * 24 * 3600 * 1000
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.epochMs(col("ts")).as("ts_ms"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(expr(s"min(ts_ms) div $WeekMs").as("cohort_week"))
+    val cells = e.join(cohort, "user_id")
+      .withColumn("offset", expr(s"ts_ms div $WeekMs") - col("cohort_week"))
+      .select(col("user_id"), col("cohort_week"), col("offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("offset"))
+  }
+
+  /**
+   * Unpivot (wide → long): per-returnflag aggregates melted into
+   * (flag, metric, value) rows via `stack` — Spark's UNPIVOT
+   * primitive, a generator expression that never shuffles (the melt
+   * happens wherever the aggregate row already lives). Values are
+   * exact decimal sums surfaced as doubles, the money discipline.
+   */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        sum(dec("l_discount")).cast("double").as("sum_disc"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+          "'sum_disc', sum_disc) AS (metric, val)")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /**
+   * Event-type transition matrix: counts (and row-normalized
+   * probabilities) of consecutive event-type pairs per user timeline —
+   * the Markov-chain view of the event stream. One window pass
+   * partitioned by user (single shuffle) + one small pair aggregate;
+   * probability is a single integer division.
+   */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, "event_type")
+      .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /**
    * Trailing-window z-score anomaly detection: for each event, the
    * z-score of its value against the preceding 100 events of the same
    * type; emit the |z| > 2.5 anomalies.

@@ -32,6 +32,59 @@ class Relational4Spec extends SparkSpec {
     assert(opens.count() == r.select("user_id").distinct().count())
   }
 
+  test("funnel stages are strictly ordered and monotonically shrinking") {
+    val r = Relational4.conversionFunnelBatch(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("t_click").isNotNull &&
+      col("t_click") <= col("t_view")).count() == 0)
+    assert(r.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") <= col("t_click")).count() == 0)
+    // completing a later stage implies the earlier one
+    assert(r.filter(col("t_purchase").isNotNull &&
+      col("t_click").isNull).count() == 0)
+    val nView = r.count()
+    val nClick = r.filter(col("t_click").isNotNull).count()
+    val nBuy = r.filter(col("t_purchase").isNotNull).count()
+    assert(nView >= nClick && nClick >= nBuy)
+  }
+
+  test("retention cohorts: offset 0 is the full cohort, retention <= 1") {
+    val r = Relational4.retentionCohorts(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("offset") === 0 &&
+      col("n_active") =!= col("cohort_size")).count() == 0)
+    assert(r.filter(col("retention") > 1.0 || col("retention") <= 0.0).count() == 0)
+    assert(r.filter(col("offset") < 0).count() == 0)
+  }
+
+  test("unpivot melts 3 metrics per flag and preserves the wide values") {
+    val r = Relational4.unpivotMetrics(spark, sf).cache()
+    val flags = r.select("l_returnflag").distinct().count()
+    assert(r.count() == flags * 3)
+    // the melted sum_qty equals the directly-aggregated decimal sum
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("want"))
+    val melted = r.filter(col("metric") === "sum_qty")
+      .select(col("l_returnflag"), col("val"))
+    assert(melted.join(direct, "l_returnflag")
+      .filter(col("val") =!= col("want")).count() == 0)
+  }
+
+  test("transition matrix rows are per-from normalized and complete") {
+    val r = Relational4.transitionMatrix(spark, sf).cache()
+    assert(r.count() > 0)
+    // each from-type's probabilities sum to 1 and counts to n_from
+    val sums = r.groupBy("event_type")
+      .agg(sum("p").as("psum"), sum("n").as("nsum"), max("n_from").as("nf"))
+    assert(sums.filter(abs(col("psum") - 1.0) > 1e-9).count() == 0)
+    assert(sums.filter(col("nsum") =!= col("nf")).count() == 0)
+    // total transitions = total events minus one per active user
+    val e = Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(r.agg(sum("n")).head.getLong(0) == expected)
+  }
+
   test("window z-score flags exactly the |z| > 2.5 rows, from >=30-row frames") {
     val r = Relational4.windowZScore(spark, sf).cache()
     assert(r.count() > 0)

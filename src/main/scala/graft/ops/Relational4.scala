@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,20 +168,34 @@ object Relational4 {
    * to doubles, in a fixed operation order the oracle mirrors token
    * for token (identical-order double chains are bit-exact across
    * engines; accumulating doubles inside the window would not be).
-   * One shuffle on event_type; the frame is a bounded 100-row buffer
-   * per task regardless of total scale.
+   *
+   * Plan: the trailing frame is computed as a DIFFERENCE OF RUNNING
+   * SUMS — `lag(cum, 1) − lag(cum, 101)` — because Spark re-aggregates
+   * a bounded `ROWS -100,-1` frame from scratch per row (no
+   * retraction support): O(frame) per row, 4× slower here and worse
+   * as frames widen. Running sums are O(1)/row, and since decimal
+   * arithmetic is exact the difference is bit-identical to the framed
+   * sum — the oracle keeps the framed formulation and still hash-
+   * matches (deliberately: two formulations, one answer). One shuffle
+   * on event_type.
    */
   def windowZScore(spark: SparkSession, dir: String): DataFrame = {
-    val frame = Window.partitionBy(col("event_type"))
+    val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_ms"), col("event_id"))
-      .rowsBetween(-100, -1)
+    val cumFrame = byType.rowsBetween(Window.unboundedPreceding, 0)
     val v = col("value").cast("decimal(18,2)")
+    def trailing(cum: Column, zero: Column) =
+      coalesce(lag(cum, 1).over(byType), zero) -
+        coalesce(lag(cum, 101).over(byType), zero)
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"),
         Tables.epochMs(col("ts")).as("ts_ms"))
-      .withColumn("n", count(lit(1)).over(frame))
-      .withColumn("s1", sum(v).over(frame).cast("decimal(38,2)"))
-      .withColumn("s2", sum(v * v).over(frame).cast("decimal(38,4)"))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("c1", sum(v).over(cumFrame).cast("decimal(38,2)"))
+      .withColumn("c2", sum(v * v).over(cumFrame).cast("decimal(38,4)"))
+      .withColumn("n", least(col("rn") - 1, lit(100)).cast("long"))
+      .withColumn("s1", trailing(col("c1"), lit(0).cast("decimal(38,2)")))
+      .withColumn("s2", trailing(col("c2"), lit(0).cast("decimal(38,4)")))
       .filter(col("n") >= 30)
       .withColumn("mean", col("s1").cast("double") / col("n"))
       .withColumn("variance",

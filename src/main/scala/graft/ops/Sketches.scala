@@ -65,8 +65,9 @@ object Sketches {
     top
       .select(col("user_id"), col("exact_n"), explode(hashRows).as("r"))
       .withColumn("bucket", bucket)
-      // the sketch is d·w rows — a fixed-size broadcast at any corpus size
-      .join(broadcast(sketch), Seq("r", "bucket"))
+      // the sketch is d·w rows — bounded by construction; AQE sees the
+      // tiny aggregate output and broadcasts it without a forced hint
+      .join(sketch, Seq("r", "bucket"))
       .groupBy(col("user_id"), col("exact_n"))
       .agg(min(col("c")).as("cms_est"))
       .withColumn("no_undercount", col("cms_est") >= col("exact_n"))
@@ -97,9 +98,9 @@ object Sketches {
       .agg(kll_quantiles(col("value")).as("sk"))
       .select(col("event_type"), col("sk.n").as("sk_n"), col("sk.slack"),
         col("sk.est25"), col("sk.est50"), col("sk.est75"))
-    // exact rank of each estimate, computed in the same pass structure
-    // the gate needs: one broadcast of the 5-row estimate table
-    val ranks = ev.join(broadcast(sk), "event_type")
+    // exact rank of each estimate: the estimate table is one row per
+    // event_type (categorical), so AQE broadcasts it unhinted
+    val ranks = ev.join(sk, "event_type")
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("value") <= col("est25"), 1L).otherwise(0L)).as("le25"),
@@ -171,8 +172,8 @@ object Sketches {
       .withColumn("h", explode(hashes))
       .withColumn("pos", pos)
       // bitmap join: a candidate needs ALL k bits set. The bit set is
-      // <= BloomBits rows — fixed-size broadcast regardless of scale.
-      .join(broadcast(bits), Seq("pos"), "left_semi")
+      // <= BloomBits rows at any scale; AQE broadcasts it unhinted.
+      .join(bits, Seq("pos"), "left_semi")
       .groupBy(col("key"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === BloomHashes)

@@ -117,6 +117,38 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("round-5 queries keep equi-join shapes (no nested loops)") {
+    Seq("q103_countmin", "q104_bloom_join", "q109_containment",
+      "q110_stratified_sample", "q111_kll_quantiles", "q112_funnel",
+      "q113_retention", "q115_transitions").foreach { q =>
+      val a = auditOf(q)
+      assert(a.nestedLoopJoins == 0, s"$q: $a")
+    }
+    // q105's two cross joins are the single-row corpus totals (the
+    // q59-style scalar pattern) — anything beyond those is a regression
+    assert(auditOf("q105_pmi").nestedLoopJoins <= 2)
+  }
+
+  test("round-5 queries force no broadcast beyond single-row scalars") {
+    // sketch/bit-set/estimate tables are bounded by construction but
+    // unhinted — AQE broadcasts them from runtime sizes; the only
+    // surviving hints are single-row totals (q105)
+    Seq("q103_countmin", "q104_bloom_join", "q105_pmi", "q107_window_zscore",
+      "q109_containment", "q110_stratified_sample", "q111_kll_quantiles",
+      "q112_funnel", "q113_retention", "q114_unpivot", "q115_transitions")
+      .foreach { q =>
+        val v = PlanChecks.forcedBroadcastViolations(
+          SparkEntry.queries(q)(spark, sf))
+        assert(v.isEmpty, s"$q: ${v.mkString("; ")}")
+      }
+  }
+
+  test("q114 unpivot plans a generator, not a shuffle per metric") {
+    val a = auditOf("q114_unpivot")
+    // one agg exchange + one output sort; the melt itself is free
+    assert(a.shuffleExchanges <= 2, a)
+  }
+
   test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
     Seq("q68_inverted_index", "q100_rank_rewrite").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString

@@ -147,29 +147,47 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures, one wide row per doc, in a single grouped pass
-   * over the shingles (no 8× row explode; one shuffle of
-   * (doc_id, h0..h7) with map-side partial mins).
+   * MinHash signatures h0..h7 added to a frame carrying a shingle-array
+   * column `sh` — computed ROW-LOCALLY: a document's minimum hash is a
+   * fold over its own shingle array (`array_min(transform(...))`), so
+   * signing the corpus is a pure projection. The previous formulation
+   * (explode shingles → groupBy(doc_id) with 8 min() aggregates) paid
+   * a full hash-aggregation pass plus a (doc_id, h0..h7) shuffle for
+   * the same values; row-local signing shuffles NOTHING — at 100 TB
+   * the signature stage becomes scan-bound, and the only shuffle left
+   * in LSH is the bucket join itself. (The streaming dedup uses the
+   * same helper for the same reason: no streaming aggregation spent
+   * on signing.)
    *
    * The 8 hash functions are the 4 disjoint 8-hex-char slices of
-   * md5("a|"+s) and md5("b|"+s): two digests per shingle instead of
-   * eight, each slice an independent 32-bit hash, "minimum" =
-   * lexicographic min over the fixed-width hex (≡ numeric min). The
-   * DuckDB oracle replays the identical slicing.
+   * md5("a|"+s) and md5("b|"+s) — the two digests are materialized
+   * once per shingle into array columns, then each slice-min is a
+   * cheap substring pass (8 `array_min`s over `transform(sh, md5)`
+   * directly would recompute every digest 4×). Lexicographic min over
+   * fixed-width hex ≡ numeric min; the DuckDB oracle replays the
+   * identical slicing via its grouped-min formulation — same set,
+   * same minimum, bit-equal.
    */
-  private[llm] def minhashes(sh: DataFrame): DataFrame = {
-    // compute the two digests ONCE per shingle in a projection — inside
-    // the aggregate each of the 8 min() expressions would re-evaluate
-    // its md5 (no cross-aggregate subexpression elimination)
-    val digested = sh.select(
-      col("doc_id"),
-      md5(concat(lit("a|"), col("s"))).as("da"),
-      md5(concat(lit("b|"), col("s"))).as("db"))
-    val mins = (0 until NumHashes).map { k =>
-      min(substring(if (k < 4) col("da") else col("db"), 1 + 8 * (k % 4), 8)).as(s"h$k")
-    }
-    digested.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  private[graft] def withMinhashes(df: DataFrame): DataFrame = {
+    val digested = df
+      .withColumn("da", expr("transform(sh, s -> md5(concat('a|', s)))"))
+      .withColumn("db", expr("transform(sh, s -> md5(concat('b|', s)))"))
+    (0 until NumHashes).foldLeft(digested) { (d, k) =>
+      val src = if (k < 4) "da" else "db"
+      d.withColumn(s"h$k",
+        expr(s"array_min(transform($src, x -> substring(x, ${1 + 8 * (k % 4)}, 8)))"))
+    }.drop("da", "db")
   }
+
+  /** The distinct 3-word shingle ARRAY of each document, as a column —
+    * the row-local twin of [[shingles]] (same guard, same `_` join). */
+  private[graft] def withShingleArray(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
+          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
 
   /**
    * MinHash + LSH near-dup detection, end to end:
@@ -191,7 +209,7 @@ object Dedup {
     // band i = salts (2i, 2i+1); posexplode keeps one narrow band table
     val bandCols = (0 until NumBands).map(b =>
       concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    minhashes(shingles(docs))
+    withMinhashes(withShingleArray(docs))
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
       .localCheckpoint()
   }

@@ -136,21 +136,9 @@ object StatefulOps {
       watermarkDelay: String = "10 seconds",
       cap: Int = BucketCap, ttlMs: Long = BucketTtlMs): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    val mh = (0 until graft.llm.Dedup.NumHashes).map { k =>
-      val salt = if (k < 4) "a|" else "b|"
-      val off = 1 + 8 * (k % 4)
-      expr(s"array_min(transform(sh, s -> substring(md5(concat('$salt', s)), $off, 8)))")
-        .as(s"h$k")
-    }
     val bandCols = (0 until graft.llm.Dedup.NumBands).map(b =>
       concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
-          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
-      .select((col("doc_id") +: col("ts") +: mh): _*)
+    graft.llm.Dedup.withMinhashes(graft.llm.Dedup.withShingleArray(docs))
       .select(col("doc_id"), col("ts"),
         posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
       .withWatermark("ts", watermarkDelay)

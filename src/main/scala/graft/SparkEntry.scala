@@ -131,6 +131,11 @@ object SparkEntry {
     "q113_retention"       -> (graft.ops.Relational4.retentionCohorts _),
     "q114_unpivot"         -> (graft.ops.Relational4.unpivotMetrics _),
     "q115_transitions"     -> (graft.ops.Relational4.transitionMatrix _),
+    "q116_incremental_agg" -> (graft.ops.Relational4.incrementalAgg _),
+    "q117_winsorize"       -> (graft.ops.Relational4.winsorize _),
+    "q118_fuzzy_join"      -> ((s: SparkSession, d: String) => graft.ops.Relational4.fuzzyJoin(s, d)),
+    "q119_bpe_tokens"      -> (TextAnalysis.bpeTokenStats _),
+    "q120_upsert"          -> (graft.ops.MergeOps.customerUpsert _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1310,6 +1315,52 @@ object SparkEntry {
         |       CAST(pr.n AS DOUBLE) / fr.n_from AS p
         |FROM pr JOIN fr USING (event_type)
         |ORDER BY pr.event_type, pr.next_type""".stripMargin,
+    "q120_upsert" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 11 = 0 AND c_custkey % 7 <> 0)
+        |ORDER BY c_custkey""".stripMargin,
+    // oracle recomputes from scratch; the engine merges stored state +
+    // delta partials — hash equality proves the merge is exact
+    "q116_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_winsorize" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |             quantile_cont(c_acctbal, 0.05) AS p05,
+        |             quantile_cont(c_acctbal, 0.95) AS p95
+        |           FROM customer GROUP BY 1)
+        |SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN c.c_acctbal < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN c.c_acctbal > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  MIN(b.p05) AS p05, MAX(b.p95) AS p95,
+        |  CAST(SUM(CAST(LEAST(GREATEST(c.c_acctbal, b.p05), b.p95)
+        |                AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+        |FROM customer c JOIN b USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q118_fuzzy_join" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |     AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 20
+        |ORDER BY key_a, key_b""".stripMargin,
+    "q119_bpe_tokens" ->
+      """SELECT doc_id, n_chars,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+        |         AS n_bpe_tokens,
+        |       CAST(n_chars AS DOUBLE)
+        |         / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+        |         AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q110_stratified_sample" ->
       """WITH q AS (SELECT source, COUNT(*) AS n_src,
         |             (COUNT(*) + 9) // 10 AS quota

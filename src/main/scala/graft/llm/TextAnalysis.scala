@@ -201,6 +201,29 @@ object TextAnalysis {
   }
 
   /**
+   * BPE-style pre-tokenization counts: tokens per document under the
+   * GPT-2-ish pre-tokenizer regex — runs of letters, runs of digits,
+   * runs of other non-space characters, each optionally absorbing one
+   * leading space — next to the whitespace count. The ratio
+   * chars/token is the sequence-length predictor a data-mixing
+   * decision uses before any real BPE merge pass. The regex sticks to
+   * a dialect-neutral subset (character classes + alternation only) so
+   * Java regex and RE2 agree match for match; counts are exact
+   * integers, the ratio a single division.
+   */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+          .as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * PMI collocation mining: bigrams whose observed frequency beats the
    * independence expectation of their unigrams — the classic
    * collocation score (Church & Hanks 1990), emitted as the RATIO

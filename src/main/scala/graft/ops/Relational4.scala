@@ -157,6 +157,84 @@ object Relational4 {
   }
 
   /**
+   * Incremental aggregate maintenance (materialized-view delta
+   * update): the maintained per-customer order stats are refreshed by
+   * merging the STORED aggregate state with the delta batch's partial
+   * aggregate — the base FACTS are never rescanned. This is the
+   * mergeable-state identity every Spark partial aggregation already
+   * relies on, surfaced as an operator: counts add, decimal sums add
+   * (exactly — which is why the merged result is bit-identical to the
+   * full recompute the oracle performs). At 100 TB the delta pass
+   * touches only the new partition; the state table is |keys| rows.
+   */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def partial(df: DataFrame) = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    // fixture split: 90% "already ingested" state, 10% arriving delta
+    val state = partial(orders.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0L))
+    val delta = partial(orders.filter(pmod(col("o_orderkey"), lit(10L)) === 0L))
+    state.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total")).cast("double").as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /**
+   * Winsorization: per-segment p05/p95 clipping of account balances —
+   * the standard outlier treatment before averaging. Exact
+   * `percentile` (≡ quantile_cont) computes the clip bounds; the
+   * segment-bounds table is categorical-cardinality, so the join back
+   * is an AQE broadcast; clipped values re-enter exact decimal sums
+   * (the interpolated bound is a double both engines produce
+   * bit-identically, so its decimal rounding agrees too).
+   */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val bounds = c.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(c_acctbal, 0.05)").as("p05"),
+        expr("percentile(c_acctbal, 0.95)").as("p95"))
+    c.join(bounds, "c_mktsegment")
+      .withColumn("clipped", least(greatest(col("c_acctbal"), col("p05")), col("p95")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("c_acctbal") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"),
+        min(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        sum(col("clipped").cast("decimal(18,2)")).cast("double").as("sum_winsorized"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /**
+   * Fuzzy (edit-distance) self-join over part names, bucketed by
+   * (brand, size) so the quadratic comparison runs inside bounded
+   * buckets — the blocking-key discipline every fuzzy join needs at
+   * scale (all-pairs levenshtein over 10^9 names is not a plan).
+   * `levenshtein` is classic DP with an integer result, identical in
+   * both engines.
+   */
+  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 20): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_brand").as("p_brand"),
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /**
    * Trailing-window z-score anomaly detection: for each event, the
    * z-score of its value against the preceding 100 events of the same
    * type; emit the |z| > 2.5 anomalies.

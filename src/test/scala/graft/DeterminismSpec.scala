@@ -32,7 +32,9 @@ class DeterminismSpec extends SparkSpec {
     "q105_pmi",             // top-200 cut under double-ratio ordering
     "q107_window_zscore",   // decimal window moments -> double z
     "q110_stratified_sample", // md5 ranking + exact quota cut
-    "q111_kll_quantiles")   // KLL rank-guarantee booleans any layout
+    "q111_kll_quantiles",   // KLL rank-guarantee booleans any layout
+    "q116_incremental_agg", // state+delta decimal merge ≡ recompute
+    "q120_upsert")          // anti-join survivors ∪ upserts
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

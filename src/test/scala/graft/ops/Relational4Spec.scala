@@ -85,6 +85,52 @@ class Relational4Spec extends SparkSpec {
     assert(r.agg(sum("n")).head.getLong(0) == expected)
   }
 
+  test("incremental agg merge equals the direct recompute, bit for bit") {
+    val merged = Relational4.incrementalAgg(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("o_custkey"))
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("winsorize clips into [p05, p95] and counts the clipped tails") {
+    val r = Relational4.winsorize(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("p05") > col("p95")).count() == 0)
+    // exact-percentile tail bound: at most floor(0.05·(n−1)) + 1 rows
+    // can sit strictly outside an interpolated p05/p95
+    val tailMax = expr("(5 * (n - 1)) div 100 + 1")
+    assert(r.filter(col("n_clipped_low") > tailMax).count() == 0)
+    assert(r.filter(col("n_clipped_high") > tailMax).count() == 0)
+    // winsorized mean sits inside the clip bounds
+    val bad = r.filter(col("sum_winsorized") / col("n") < col("p05") ||
+      col("sum_winsorized") / col("n") > col("p95"))
+    assert(bad.count() == 0)
+  }
+
+  test("fuzzy join pairs stay inside their blocking bucket with bounded distance") {
+    val r = Relational4.fuzzyJoin(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("dist") > 20 || col("dist") < 0).count() == 0)
+    assert(r.filter(col("key_a") >= col("key_b")).count() == 0)
+    // spot-check one pair's distance against a driver-side DP
+    val row = r.head
+    val p = Tables.part(spark, sf)
+    val nameOf = p.filter(col("p_partkey").isin(row.getLong(1), row.getLong(2)))
+      .select("p_partkey", "p_name").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(lev(nameOf(row.getLong(1)), nameOf(row.getLong(2))) == row.getLong(3))
+  }
+
   test("window z-score flags exactly the |z| > 2.5 rows, from >=30-row frames") {
     val r = Relational4.windowZScore(spark, sf).cache()
     assert(r.count() > 0)

@@ -136,6 +136,10 @@ object SparkEntry {
     "q118_fuzzy_join"      -> ((s: SparkSession, d: String) => graft.ops.Relational4.fuzzyJoin(s, d)),
     "q119_bpe_tokens"      -> (TextAnalysis.bpeTokenStats _),
     "q120_upsert"          -> (graft.ops.MergeOps.customerUpsert _),
+    "q121_streaks"         -> (graft.ops.Relational5.activityStreaks _),
+    "q122_rolling_actives" -> (graft.ops.Relational5.rollingActives _),
+    "q123_region_share"    -> (graft.ops.Relational5.regionShare _),
+    "q124_dq_audit"        -> (graft.ops.Relational5.dataQualityAudit _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1315,6 +1319,68 @@ object SparkEntry {
         |       CAST(pr.n AS DOUBLE) / fr.n_from AS p
         |FROM pr JOIN fr USING (event_type)
         |ORDER BY pr.event_type, pr.next_type""".stripMargin,
+    "q121_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS first_day
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+        |       MIN(first_day) AS first_day
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q122_rolling_actives" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, u.day FROM d, LATERAL (
+        |        SELECT unnest(range(d.day, d.day + 7)) AS day) u),
+        |r AS (SELECT day, COUNT(*) AS rolling7_users FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, r.rolling7_users
+        |FROM dau JOIN r USING (day) ORDER BY dau.day""".stripMargin,
+    "q123_region_share" ->
+      """WITH n AS (SELECT r.r_name, na.n_name, COUNT(*) AS n_customers,
+        |             SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS nation_bal
+        |           FROM customer c
+        |           JOIN nation na ON c.c_nationkey = na.n_nationkey
+        |           JOIN region r ON na.n_regionkey = r.r_regionkey
+        |           GROUP BY 1, 2)
+        |SELECT r_name, n_name, n_customers,
+        |       CAST(nation_bal AS DOUBLE) AS nation_bal,
+        |       CAST(SUM(nation_bal) OVER (PARTITION BY r_name) AS DOUBLE)
+        |         AS region_bal,
+        |       CAST(nation_bal AS DOUBLE)
+        |         / CAST(SUM(nation_bal) OVER (PARTITION BY r_name) AS DOUBLE)
+        |         AS share
+        |FROM n ORDER BY r_name, n_name""".stripMargin,
+    "q124_dq_audit" ->
+      """WITH o AS (SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_fk,
+        |    (SELECT COUNT(*) FROM orders ox
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = ox.o_custkey)) AS orphan_fk,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS range_viol
+        |  FROM orders),
+        |l AS (SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_fk,
+        |    (SELECT COUNT(*) FROM lineitem lx
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders ox
+        |                       WHERE ox.o_orderkey = lx.l_orderkey)) AS orphan_fk,
+        |    CAST(SUM(CASE WHEN l_quantity <= 0.0 OR l_discount < 0.0
+        |                       OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS range_viol
+        |  FROM lineitem)
+        |SELECT table_name, n_rows, dup_keys, null_fk, orphan_fk, range_viol,
+        |       (dup_keys = 0 AND null_fk = 0 AND orphan_fk = 0
+        |        AND range_viol = 0) AS passed
+        |FROM (SELECT * FROM o UNION ALL SELECT * FROM l) u
+        |ORDER BY table_name""".stripMargin,
     "q120_upsert" ->
       """SELECT c_custkey, c_name,
         |       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class Relational5Spec extends SparkSpec {
+
+  test("streaks: consecutive-day islands partition each user's active days") {
+    val r = Relational5.activityStreaks(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("longest_streak") < 1).count() == 0)
+    // spot-check one user against a driver-side scan
+    val row = r.head
+    val uid = row.getLong(0)
+    val days = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(Tables.epochMs(col("ts")).as("ms"))
+      .withColumn("day", expr("ms div 86400000"))
+      .select("day").distinct().collect().map(_.getLong(0)).sorted
+    val streaks = scala.collection.mutable.ListBuffer.empty[Long]
+    var cur = 1L
+    for (i <- 1 until days.length) {
+      if (days(i) == days(i - 1) + 1) cur += 1
+      else { streaks += cur; cur = 1L }
+    }
+    streaks += cur
+    assert(streaks.max == row.getLong(1), s"user $uid")
+    assert(streaks.length == row.getLong(2))
+  }
+
+  test("rolling actives: weekly distinct >= daily, first day equal") {
+    val r = Relational5.rollingActives(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("rolling7_users") < col("dau")).count() == 0)
+    val first = r.orderBy("day").head
+    assert(first.getLong(1) == first.getLong(2),
+      "first stream day has no prior week, rolling == dau")
+  }
+
+  test("region shares sum to one within every region") {
+    val r = Relational5.regionShare(spark, sf).cache()
+    val sums = r.groupBy("r_name").agg(sum("share").as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-9).count() == 0)
+    assert(r.filter(col("share") <= 0.0 || col("share") > 1.0).count() == 0)
+  }
+
+  test("dq audit reports exact violations: orders clean, lineitem's dup keys found") {
+    val r = Relational5.dataQualityAudit(spark, sf).cache()
+    assert(r.count() == 2)
+    val byTable = r.collect().map(x => x.getString(0) -> x).toMap
+    assert(byTable("orders").getLong(1) == Tables.orders(spark, sf).count())
+    assert(byTable("orders").getBoolean(6), "orders should pass every check")
+    // the fixture's lineitem genuinely duplicates (orderkey, linenumber)
+    // — the audit must surface it, with the exact count
+    val li = Tables.lineitem(spark, sf)
+    val dups = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(byTable("lineitem").getLong(2) == dups)
+    assert(byTable("lineitem").getBoolean(6) == (dups == 0L))
+    // FK integrity and ranges hold everywhere
+    assert(r.filter(col("orphan_fk") =!= 0L || col("null_fk") =!= 0L ||
+      col("range_viol") =!= 0L).count() == 0)
+  }
+}

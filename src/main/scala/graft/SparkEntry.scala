@@ -140,6 +140,7 @@ object SparkEntry {
     "q122_rolling_actives" -> (graft.ops.Relational5.rollingActives _),
     "q123_region_share"    -> (graft.ops.Relational5.regionShare _),
     "q124_dq_audit"        -> (graft.ops.Relational5.dataQualityAudit _),
+    "q125_media_manifest"  -> ((s: SparkSession, d: String) => Multimodal.mediaManifest(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1319,6 +1320,20 @@ object SparkEntry {
         |       CAST(pr.n AS DOUBLE) / fr.n_from AS p
         |FROM pr JOIN fr USING (event_type)
         |ORDER BY pr.event_type, pr.next_type""".stripMargin,
+    // analytic twin of the byte-level encode→decode→frame-sample path:
+    // n_bytes = text bytes + 9-byte header; frames = (n_bytes-1)//16 + 1
+    "q125_media_manifest" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       COUNT(*) AS n_assets,
+        |       CAST(SUM(octet_length(CAST(text AS BLOB)) + 9) AS BIGINT)
+        |         AS total_bytes,
+        |       CAST(MIN(64 + doc_id % 512) AS INTEGER) AS min_w,
+        |       CAST(MAX(64 + doc_id % 256) AS INTEGER) AS max_h,
+        |       COUNT(*) AS n_valid,
+        |       CAST(SUM((octet_length(CAST(text AS BLOB)) + 9 - 1) // 16 + 1)
+        |            AS BIGINT) AS total_frames
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
         |           FROM events),

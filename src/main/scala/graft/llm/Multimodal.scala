@@ -147,6 +147,48 @@ object Multimodal {
   }
 
   /**
+   * Media-manifest aggregation, oracle-checked END TO END through the
+   * binary path: payloads are synthesized from fixture text
+   * ([[encodeFake]] with deterministic kind/width/height from doc_id),
+   * pushed through the real batched [[decodeMeta]] decoder and the
+   * [[sampleFrames]] explode, then aggregated per kind. The oracle
+   * never sees a byte — it derives the same numbers analytically
+   * (n_bytes = text bytes + 9-byte header; frames =
+   * (n_bytes−1) div stride + 1) — so hash equality proves the whole
+   * encode → decode → frame-sample round trip byte-exact.
+   *
+   * Scale: the binary column never shuffles — it is decoded to narrow
+   * metadata in the scan stage and every aggregation runs on that.
+   */
+  def mediaManifest(spark: SparkSession, dir: String, stride: Int = 16): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val kind = (id % 3).toByte
+          val w = (64 + id % 512).toInt
+          val h = (64 + id % 256).toInt
+          (id, encodeFake(kind, w, h, text.getBytes("UTF-8")))
+        }
+      }
+      .toDF("media_id", "payload")
+    val meta = decodeMeta(spark, payloads).toDF()
+    val frames = sampleFrames(payloads, stride)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    meta.join(frames, "media_id")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_w"),
+        max(col("height")).as("max_h"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
+  /**
    * Oracle-checkable binary-column query: documents' text re-encoded as
    * binary payloads; project byte length and a prefix — exercises the
    * binary type end-to-end (cast, octet_length, substring-on-binary).

@@ -95,4 +95,19 @@ class MultimodalSpec extends SparkSpec {
     assert(top == (0L, 1L),
       s"same-byte payloads must be the most similar pair, got $top (${sims.toSeq})")
   }
+
+  test("media manifest round-trips every asset through decode with exact byte math") {
+    val r = Multimodal.mediaManifest(spark, sf).cache()
+    val kinds = r.select("kind").collect().map(_.getString(0)).sorted.toSeq
+    assert(kinds == Seq("audio", "image", "video"))
+    // nothing lost or invalid through encode -> decode
+    assert(r.filter(col("n_valid") =!= col("n_assets")).count() == 0)
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(r.agg(sum("n_assets")).head.getLong(0) == docs.count())
+    // total bytes = total text bytes + 9-byte header each
+    val textBytes = docs.agg(
+      sum(octet_length(col("text").cast("binary")).cast("long"))).head.getLong(0)
+    assert(r.agg(sum("total_bytes")).head.getLong(0) ==
+      textBytes + 9L * docs.count())
+  }
 }

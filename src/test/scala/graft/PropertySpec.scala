@@ -120,6 +120,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KLL rank guarantee holds for arbitrary data shapes and layouts") {
+    import spark.implicits._
+    import graft.functions.KllQuantileAgg.kll_quantiles
+    val genData = for {
+      n <- Gen.choose(200, 3000)
+      mode <- Gen.oneOf("uniform", "constant-heavy", "bimodal")
+    } yield (n, mode)
+    samples(genData, 6).foreach { case (n, mode) =>
+      val values: Seq[Double] = mode match {
+        case "uniform"        => (1 to n).map(_.toDouble)
+        case "constant-heavy" => Seq.fill(n / 2)(7.0) ++ (1 to n / 2).map(_.toDouble)
+        case "bimodal"        => (1 to n / 2).map(_.toDouble) ++
+          (1 to n - n / 2).map(i => 1e6 + i)
+      }
+      val sorted = values.sorted.toArray
+      samples(Gen.choose(1, 13), 2).foreach { parts =>
+        val row = values.toDF("v").repartition(parts)
+          .agg(kll_quantiles(col("v")).as("sk"))
+          .select("sk.n", "sk.slack", "sk.est25", "sk.est50", "sk.est75").head
+        assert(row.getLong(0) == sorted.length.toLong, s"$mode/$parts: n")
+        val slack = row.getLong(1)
+        for ((p, idx) <- Seq(0.25 -> 2, 0.5 -> 3, 0.75 -> 4)) {
+          val est = row.getDouble(idx)
+          val t = math.ceil(p * sorted.length).toLong
+          assert(sorted.count(_ <= est) >= t, s"$mode/$parts/$p: lower")
+          assert(sorted.count(_ < est) < t + slack, s"$mode/$parts/$p: upper")
+        }
+      }
+    }
+  }
+
   test("keyset pagination covers the table exactly once for any page size") {
     val ids = Tables.events(spark, sf).select("event_id")
       .orderBy("event_id").collect().map(_.getLong(0))

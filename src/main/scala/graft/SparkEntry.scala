@@ -1262,7 +1262,7 @@ object SparkEntry {
     // the KLL booleans are theorems under any layout (see
     // Sketches.kllQuantiles); exact quantiles replay via quantile_cont
     "q111_kll_quantiles" ->
-      """SELECT event_type, COUNT(*) AS n,
+      """SELECT event_type, COUNT(value) AS n,
         |       quantile_cont(value, 0.25) AS p25,
         |       quantile_cont(value, 0.5)  AS p50,
         |       quantile_cont(value, 0.75) AS p75,
@@ -1439,7 +1439,7 @@ object SparkEntry {
         |       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
         |         AS n_bpe_tokens,
         |       CAST(n_chars AS DOUBLE)
-        |         / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+        |         / NULLIF(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')), 0)
         |         AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q110_stratified_sample" ->

@@ -173,6 +173,9 @@ object Multimodal {
         }
       }
       .toDF("media_id", "payload")
+      // read twice below (decode + frame-sample): checkpoint so the
+      // documents scan + encode runs once, not per branch
+      .localCheckpoint()
     val meta = decodeMeta(spark, payloads).toDF()
     val frames = sampleFrames(payloads, stride)
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))

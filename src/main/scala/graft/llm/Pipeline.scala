@@ -343,27 +343,39 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Dimensions the precomputed sign matrix covers; a vector longer
+    * than this would read past the literal array (element_at → null ⇒
+    * null projection, loud not wrong). */
+  val ProjSignDim = 1024
+
   /**
    * Random-projection dimensionality reduction (Johnson–Lindenstrauss
    * via ±1 Achlioptas projections): each output dimension is a dot
    * product of the embedding with a ±1 hyperplane derived from md5
    * parity — the projection matrix is CODE, not data: nothing is
-   * broadcast, any executor regenerates any matrix entry from (i, j)
-   * alone, and the result is bit-replayable in the oracle (the same
-   * determinism that makes [[Similarity.annLsh]]'s hyperplanes work).
-   * Each projection folds left-to-right in doubles, the proven
-   * bit-exact discipline of the dot-product family.
+   * broadcast, and the oracle regenerates any entry from (i, j) alone
+   * (the same determinism that makes [[Similarity.annLsh]]'s
+   * hyperplanes work). The signs depend only on (i, j), so they are
+   * precomputed ONCE at plan-build time into literal arrays — the
+   * md5-per-row-per-element formulation would burn N·outDims·dim
+   * digests for a matrix of constants. Each projection folds
+   * left-to-right in doubles, the proven bit-exact discipline of the
+   * dot-product family.
    */
   def randomProjection(spark: SparkSession, dir: String,
       outDims: Int = 8): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"proj$i:$j".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
+    }
     val projCols = (0 until outDims).map { i =>
-      expr(
-        s"""aggregate(sequence(1, size(embedding)), cast(0.0 as double),
-           |  (acc, j) -> acc +
-           |    (CASE WHEN instr('02468ace',
-           |            substring(md5(concat('proj$i:', cast(j as string))), 1, 1)) > 0
-           |          THEN 1.0 ELSE -1.0 END)
-           |    * cast(element_at(embedding, j) as double))""".stripMargin)
+      val signs = typedLit((1 to ProjSignDim).map(j => sign(i, j)).toArray)
+      aggregate(
+        sequence(lit(1), size(col("embedding"))), lit(0.0),
+        (acc, j) => acc + element_at(signs, j) *
+          element_at(col("embedding"), j).cast("double"))
         .as(s"p$i")
     }
     Tables.embeddings(spark, dir)

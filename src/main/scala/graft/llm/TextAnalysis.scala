@@ -218,8 +218,11 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
         size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
           .as("n_bpe_tokens"))
+      // NULLIF guard: Spark returns NULL for double/0 where DuckDB
+      // returns inf — an empty/whitespace-only doc would split the
+      // engines without it (both yield NULL through NULLIF)
       .withColumn("chars_per_token",
-        col("n_chars").cast("double") / col("n_bpe_tokens"))
+        col("n_chars").cast("double") / nullif(col("n_bpe_tokens"), lit(0L)))
       .orderBy(col("doc_id"))
   }
 

@@ -38,11 +38,11 @@ object Relational4 {
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
-    val byUserChanges = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ms"), col("event_id"))
-    e.withColumn("version", row_number().over(byUserChanges).cast("long"))
+    // the change-row pass reuses the SAME window spec: both passes must
+    // order identically or versions desynchronize from interval closes
+    e.withColumn("version", row_number().over(byUser).cast("long"))
       .withColumn("valid_from_ms", col("ts_ms"))
-      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(byUserChanges) - 1L)
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(byUser) - 1L)
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from_ms"), col("valid_to_ms"))
       .orderBy(col("user_id"), col("version"))
@@ -269,8 +269,13 @@ object Relational4 {
       .select(col("event_id"), col("event_type"), col("value"),
         Tables.epochMs(col("ts")).as("ts_ms"))
       .withColumn("rn", row_number().over(byType))
-      .withColumn("c1", sum(v).over(cumFrame).cast("decimal(38,2)"))
-      .withColumn("c2", sum(v * v).over(cumFrame).cast("decimal(38,4)"))
+      // widen BEFORE the running sum: sum over (18,2) accumulates at
+      // (28,2), which a 10^12-row partition's cumulative total can
+      // overflow to NULL (and coalesce would silently zero); summing
+      // the (28,2)/(28,4)-cast inputs accumulates at (38,2)/(38,4).
+      // Bounds: |v| ≤ 10^12 (v² fits (28,4)), Σ ≤ 10^34 per partition.
+      .withColumn("c1", sum(v.cast("decimal(28,2)")).over(cumFrame))
+      .withColumn("c2", sum((v * v).cast("decimal(28,4)")).over(cumFrame))
       .withColumn("n", least(col("rn") - 1, lit(100)).cast("long"))
       .withColumn("s1", trailing(col("c1"), lit(0).cast("decimal(38,2)")))
       .withColumn("s2", trailing(col("c2"), lit(0).cast("decimal(38,4)")))

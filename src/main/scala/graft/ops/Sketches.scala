@@ -110,7 +110,11 @@ object Sketches {
         sum(when(col("value") <= col("est75"), 1L).otherwise(0L)).as("le75"),
         sum(when(col("value") <  col("est75"), 1L).otherwise(0L)).as("lt75"))
     val exact = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
+      // count the VALUES, not the rows: the sketch skips NULL inputs,
+      // so an all-rows count would break sketch_n_ok (and skew the
+      // rank targets) on the first NULL value — the booleans must be
+      // null-independent, not just layout-independent
+      .agg(count(col("value")).as("n"),
         expr("percentile(value, 0.25)").as("p25"),
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.75)").as("p75"))

@@ -141,6 +141,8 @@ object SparkEntry {
     "q123_region_share"    -> (graft.ops.Relational5.regionShare _),
     "q124_dq_audit"        -> (graft.ops.Relational5.dataQualityAudit _),
     "q125_media_manifest"  -> ((s: SparkSession, d: String) => Multimodal.mediaManifest(s, d)),
+    "q126_gap_fill"        -> (graft.ops.Relational5.gapFill _),
+    "q127_filtered_aggs"   -> (graft.ops.Relational5.filteredAggs _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1334,6 +1336,32 @@ object SparkEntry {
         |       CAST(SUM((octet_length(CAST(text AS BLOB)) + 9 - 1) // 16 + 1)
         |            AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q126_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(MIN(day), MAX(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.day, d.observed,
+        |       LAST_VALUE(d.observed IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY s.user_id, s.day""".stripMargin,
+    "q127_filtered_aggs" ->
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (WHERE o.o_totalprice > 200000.0) AS n_big,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o.o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    AS urgent_revenue,
+        |  COUNT(DISTINCT o.o_custkey) FILTER (WHERE o.o_totalprice > 200000.0)
+        |    AS n_big_customers
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
         |           FROM events),

@@ -89,6 +89,58 @@ object Relational5 {
   }
 
   /**
+   * Time-series gap-fill with forward fill: each user's daily value
+   * total, densified onto their personal day spine (min..max active
+   * day) and forward-filled through the gaps via
+   * `last(_, ignoreNulls)` over an unbounded-preceding frame — the
+   * interpolation shape every metrics store needs. The spine explode
+   * is bounded by the calendar span; the fill is one user-partitioned
+   * window (single shuffle). Daily totals are exact decimals surfaced
+   * as doubles, so the filled copies are bit-replayable.
+   */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.epochMs(col("ts")).as("ts_ms"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).cast("double").as("observed"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(byUser))
+      .select(col("user_id"), col("day"), col("observed"), col("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /**
+   * FILTER-clause aggregation: one pass computing differently-filtered
+   * aggregates per group — the idiomatic replacement for N separate
+   * filtered scans (or CASE-wrapped sums). Expressed in SQL because
+   * FILTER (WHERE ...) IS the surface being exercised; Catalyst plans
+   * it as conditional aggregation in a single hash-agg pass.
+   */
+  def filteredAggs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g5_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g5_customer")
+    spark.sql(
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (WHERE o.o_totalprice > 200000.0) AS n_big,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o.o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    AS urgent_revenue,
+        |  COUNT(DISTINCT o.o_custkey) FILTER (WHERE o.o_totalprice > 200000.0)
+        |    AS n_big_customers
+        |FROM g5_orders o JOIN g5_customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /**
    * Data-quality audit (the Deequ-style constraint pass): one summary
    * row per audited table with exact violation counts and pass
    * booleans — key uniqueness, null rates, referential integrity,

@@ -45,6 +45,40 @@ class Relational5Spec extends SparkSpec {
     assert(r.filter(col("share") <= 0.0 || col("share") > 1.0).count() == 0)
   }
 
+  test("gap fill: contiguous spine, forward-filled from the latest observation") {
+    import org.apache.spark.sql.expressions.Window
+    val r = Relational5.gapFill(spark, sf).cache()
+    assert(r.count() > 0)
+    // spine is contiguous per user: row count == max - min + 1
+    val span = r.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max("day") - min("day") + 1).as("want"))
+    assert(span.filter(col("n") =!= col("want")).count() == 0)
+    // observed days keep their value; filled never null after the first
+    // day (spines start at each user's first ACTIVE day)
+    assert(r.filter(col("observed").isNotNull &&
+      col("filled") =!= col("observed")).count() == 0)
+    assert(r.filter(col("filled").isNull).count() == 0)
+    // gap days carry the previous filled value forward
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val gaps = r.withColumn("prev_filled", lag("filled", 1).over(w))
+      .filter(col("observed").isNull)
+    assert(gaps.filter(col("filled") =!= col("prev_filled")).count() == 0)
+  }
+
+  test("filtered aggregates agree with separately-filtered scans") {
+    val r = Relational5.filteredAggs(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("n_filled") > col("n_orders") ||
+      col("n_big") > col("n_orders")).count() == 0)
+    val seg = r.head.getString(0)
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === seg && col("o_orderstatus") === "F")
+      .count()
+    assert(r.filter(col("c_mktsegment") === seg).head.getLong(2) == direct)
+  }
+
   test("dq audit reports exact violations: orders clean, lineitem's dup keys found") {
     val r = Relational5.dataQualityAudit(spark, sf).cache()
     assert(r.count() == 2)

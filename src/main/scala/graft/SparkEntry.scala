@@ -143,6 +143,7 @@ object SparkEntry {
     "q125_media_manifest"  -> ((s: SparkSession, d: String) => Multimodal.mediaManifest(s, d)),
     "q126_gap_fill"        -> (graft.ops.Relational5.gapFill _),
     "q127_filtered_aggs"   -> (graft.ops.Relational5.filteredAggs _),
+    "q128_point_in_interval" -> (graft.ops.Relational4.pointInInterval _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1336,6 +1337,33 @@ object SparkEntry {
         |       CAST(SUM((octet_length(CAST(text AS BLOB)) + 9 - 1) // 16 + 1)
         |            AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_point_in_interval" ->
+      """WITH e0 AS (SELECT user_id, event_id, event_type,
+        |              epoch_ms(ts) AS ts_ms FROM events),
+        |c AS (SELECT *, LAG(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+        |      FROM e0),
+        |k AS (SELECT user_id, event_type, ts_ms, event_id FROM c
+        |      WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id,
+        |        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |        event_type, ts_ms AS valid_from_ms,
+        |        LEAD(ts_ms) OVER w - 1 AS valid_to_ms
+        |      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |j AS (SELECT e.user_id, e.event_id, e.event_type AS e_type,
+        |             v.event_type, v.version
+        |      FROM e0 e JOIN v ON e.user_id = v.user_id
+        |        AND e.ts_ms >= v.valid_from_ms
+        |        AND e.ts_ms <= COALESCE(v.valid_to_ms, 9223372036854775807))
+        |SELECT user_id, COUNT(*) AS n_matched,
+        |       COUNT(DISTINCT event_id) AS n_events,
+        |       CAST(SUM(CASE WHEN e_type = event_type THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_type_consistent,
+        |       MAX(version) AS n_versions,
+        |       (COUNT(*) = COUNT(DISTINCT event_id)
+        |        AND CAST(SUM(CASE WHEN e_type = event_type THEN 1 ELSE 0 END)
+        |                 AS BIGINT) = COUNT(*)) AS coverage_ok
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

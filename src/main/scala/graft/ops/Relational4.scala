@@ -49,6 +49,40 @@ object Relational4 {
   }
 
   /**
+   * Temporal point-in-interval join: every event matched to the SCD2
+   * interval valid at its timestamp — the "as of this moment, what was
+   * the dimension state" lookup that versioned warehouses exist for.
+   * The join is user-key EQUALITY plus a range residual (open-ended
+   * current intervals via null-safe coalesce), so Spark plans a plain
+   * hash join on user_id with the range as a post-join filter — never
+   * a range-only cross product. The self-consistency check (an
+   * event's type must equal its covering interval's type, and exactly
+   * one interval must cover each event) is emitted as counts the
+   * oracle recomputes.
+   */
+  def pointInInterval(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = scd2Intervals(spark, dir)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("e_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"))
+    e.join(intervals, Seq("user_id"))
+      .filter(col("ts_ms") >= col("valid_from_ms") &&
+        col("ts_ms") <= coalesce(col("valid_to_ms"), lit(Long.MaxValue)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        countDistinct(col("event_id")).as("n_events"),
+        sum(when(col("e_type") === col("event_type"), 1L).otherwise(0L))
+          .as("n_type_consistent"),
+        max(col("version")).as("n_versions"))
+      .withColumn("coverage_ok",
+        col("n_matched") === col("n_events") &&
+          col("n_type_consistent") === col("n_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
    * Ordered conversion funnel (view → click → purchase): per user, the
    * first view, the first click strictly AFTER that view, and the
    * first purchase strictly after that click — order matters, which is

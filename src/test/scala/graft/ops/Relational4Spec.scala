@@ -85,6 +85,17 @@ class Relational4Spec extends SparkSpec {
     assert(r.agg(sum("n")).head.getLong(0) == expected)
   }
 
+  test("point-in-interval join covers every event exactly once, type-consistent") {
+    val r = Relational4.pointInInterval(spark, sf).cache()
+    assert(r.count() > 0)
+    // the SCD2 theorem: every event falls in exactly one interval and
+    // matches that interval's type — coverage_ok everywhere
+    assert(r.filter(!col("coverage_ok")).count() == 0)
+    // total matched events == total events
+    val total = Tables.events(spark, sf).count()
+    assert(r.agg(sum("n_matched")).head.getLong(0) == total)
+  }
+
   test("incremental agg merge equals the direct recompute, bit for bit") {
     val merged = Relational4.incrementalAgg(spark, sf)
     val direct = Tables.orders(spark, sf)

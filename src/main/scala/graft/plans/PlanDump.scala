@@ -1,34 +1,46 @@
 package graft.plans
 
 import graft.SparkEntry
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FormattedMode
 
 /**
- * Manual plan inspection: `sbt 'runMain graft.plans.PlanDump [sfDir]
- * [query...]'` prints the formatted physical plan plus the
- * [[PlanChecks]] audit line for each named query (default: a
- * representative set).
+ * Physical-plan dump for offline review: writes `explain("formatted")`
+ * output for every registered query (or a named subset) so the
+ * scale-shape claims in SCALE.md can be checked against the actual
+ * plans without a REPL.
+ *
+ * Usage: `sbt 'runMain graft.plans.PlanDump <sfDir> <outDir> [q1,q2]'`
  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "q01_incremental_scan", "q12_revenue_topk", "q26_snowflake_revenue",
-      "q28_asof_join", "q32_minhash_lsh", "q34_cosine_topk",
-      "q100_rank_rewrite", "q101_incremental_dedup")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/plans"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, dir)
-      println(s"\n================ $n ================")
-      println(s"audit: ${PlanChecks.audit(df)}")
-      println(df.queryExecution.explainString(FormattedMode))
-    }
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        } catch {
+          case e: Throwable =>
+            Files.writeString(Paths.get(s"$outDir/$name.txt"),
+              s"PLAN FAILED: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
     spark.stop()
   }
 }

@@ -33,7 +33,11 @@ object PlanDump {
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+          // the PlanChecks audit line the plan-quality spec asserts on —
+          // exchanges/joins/pushdown at a glance above the full plan
+          val audit = PlanChecks.audit(df).toString
+          Files.writeString(Paths.get(s"$outDir/$name.txt"),
+            s"$audit\n\n$plan")
         } catch {
           case e: Throwable =>
             Files.writeString(Paths.get(s"$outDir/$name.txt"),

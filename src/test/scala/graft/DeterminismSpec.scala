@@ -34,7 +34,9 @@ class DeterminismSpec extends SparkSpec {
     "q110_stratified_sample", // md5 ranking + exact quota cut
     "q111_kll_quantiles",   // KLL rank-guarantee booleans any layout
     "q116_incremental_agg", // state+delta decimal merge ≡ recompute
-    "q120_upsert")          // anti-join survivors ∪ upserts
+    "q120_upsert",          // anti-join survivors ∪ upserts
+    "q126_gap_fill",        // forward fill over ordered window
+    "q128_point_in_interval") // SCD2 coverage booleans any layout
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -144,6 +144,9 @@ object SparkEntry {
     "q126_gap_fill"        -> (graft.ops.Relational5.gapFill _),
     "q127_filtered_aggs"   -> (graft.ops.Relational5.filteredAggs _),
     "q128_point_in_interval" -> (graft.ops.Relational4.pointInInterval _),
+    "q129_approx_distinct" -> (graft.ops.Relational5.approxDistinctPerKey _),
+    "q130_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Relational5.weightedSample(s, d)),
+    "q131_regression"      -> (graft.ops.Relational5.regressionSlope _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1337,6 +1340,37 @@ object SparkEntry {
         |       CAST(SUM((octet_length(CAST(text AS BLOB)) + 9 - 1) // 16 + 1)
         |            AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q53-style gating: oracle emits the exact column + literal TRUE
+    "q129_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |             GREATEST(n_chars // 100, 1) AS tickets FROM documents),
+        |x AS (SELECT doc_id, n_chars, tickets,
+        |        MIN(md5(doc_id || ':' || tk)) AS draw
+        |      FROM t, LATERAL (SELECT unnest(range(1, tickets + 1)) AS tk) u
+        |      GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_chars, tickets, draw FROM x
+        |ORDER BY draw, doc_id LIMIT 50""".stripMargin,
+    "q131_regression" ->
+      """WITH e AS (SELECT event_type,
+        |             (epoch_ms(ts) - 1704067200000) // 1000 AS x,
+        |             CAST(value AS DECIMAL(18,2)) AS y FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+        |        CAST(SUM(y) AS DOUBLE) AS sy_d,
+        |        CAST(SUM(y * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxy_d,
+        |        SUM(x * x) AS sxx
+        |      FROM e GROUP BY 1),
+        |s AS (SELECT event_type, n, sx, sy_d,
+        |        (CAST(n AS DOUBLE) * sxy_d - CAST(sx AS DOUBLE) * sy_d)
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |      FROM m)
+        |SELECT event_type, n, slope,
+        |       (sy_d - slope * CAST(sx AS DOUBLE)) / n AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "q128_point_in_interval" ->
       """WITH e0 AS (SELECT user_id, event_id, event_type,
         |              epoch_ms(ts) AS ts_ms FROM events),

@@ -141,6 +141,86 @@ object Relational5 {
   }
 
   /**
+   * Per-key approximate distinct with envelope gating (the q53
+   * discipline at key grain): HLL distinct users per event_type next
+   * to the exact count, plus a boolean asserting the sketch landed
+   * within ±5% (5σ at rsd 1%) — the oracle emits the exact column and
+   * literal TRUE, so HLL drift fails the hash gate. This is the
+   * dashboard-class shape where the exact distinct would shuffle the
+   * whole key universe at 100 TB and the sketch ships ~kilobytes.
+   */
+  def approxDistinctPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .withColumn("approx_ok",
+        abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") < 0.05)
+      .select(col("event_type"), col("exact_users"), col("approx_ok"))
+      .orderBy(col("event_type"))
+
+  /**
+   * Deterministic WEIGHTED sampling via ticket replication: a document
+   * with weight w (chars/100, ≥1) gets w md5 lottery tickets; its draw
+   * is the minimum ticket hash, and the sample is the k smallest draws
+   * — heavier documents hold more tickets, so they win
+   * proportionally more often, yet the outcome is a pure function of
+   * the data (repartition/rerun-stable, oracle-replayable), unlike
+   * rand()-based A-ES whose u^(1/w) also hits the cross-engine log
+   * trap. Replication is bounded by the weight cap; the per-doc min
+   * collapses map-side before the top-k cut (TakeOrderedAndProject).
+   */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        greatest(expr("n_chars div 100"), lit(1L)).as("tickets"))
+      .withColumn("t", explode(expr("sequence(1, tickets)")))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("t").cast("string"))))
+      .groupBy(col("doc_id"), col("n_chars"), col("tickets"))
+      .agg(min(col("h")).as("draw"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(k)
+
+  /**
+   * Group-wise least-squares regression (value over time) from EXACT
+   * moments: Σx, Σy, Σxy, Σx² accumulate as longs/decimals (x =
+   * seconds since the fixture epoch — bounded integers; y = the
+   * decimal-cast value), so the slope/intercept are single fixed-order
+   * double expressions over exact sums — the regr_slope/regr_intercept
+   * surface without the cross-partition float-fold nondeterminism.
+   * One hash aggregation; moments combine map-side.
+   */
+  def regressionSlope(spark: SparkSession, dir: String): DataFrame = {
+    val EpochMs = 1704067200000L // 2024-01-01, the fixture origin
+    Tables.events(spark, dir)
+      .select(col("event_type"), Tables.epochMs(col("ts")).as("ts_ms"),
+        col("value").cast("decimal(18,2)").as("y"))
+      .withColumn("x", expr(s"(ts_ms - $EpochMs) div 1000"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        // decimal-cast sum inputs: long Σx²/Σx would wrap silently on a
+        // big enough partition (per-row x*x stays well inside Long)
+        sum(col("x").cast("decimal(28,0)")).as("sx"),
+        sum(col("y")).cast("double").as("sy_d"),
+        sum(col("y") * col("x").cast("decimal(18,0)")).cast("double").as("sxy_d"),
+        sum((col("x") * col("x")).cast("decimal(28,0)")).as("sxx"))
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy_d")
+          - col("sx").cast("double") * col("sy_d"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy_d") - col("slope") * col("sx").cast("double"))
+          / col("n"))
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * Data-quality audit (the Deequ-style constraint pass): one summary
    * row per audited table with exact violation counts and pass
    * booleans — key uniqueness, null rates, referential integrity,

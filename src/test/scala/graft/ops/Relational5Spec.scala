@@ -79,6 +79,50 @@ class Relational5Spec extends SparkSpec {
     assert(r.filter(col("c_mktsegment") === seg).head.getLong(2) == direct)
   }
 
+  test("per-key approx distinct stays inside its 5% envelope") {
+    val r = Relational5.approxDistinctPerKey(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(!col("approx_ok")).count() == 0)
+  }
+
+  test("weighted sample: correct ticket counts, stable draws, exactly k rows") {
+    val r = Relational5.weightedSample(spark, sf).cache()
+    assert(r.count() == 50)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), greatest(expr("n_chars div 100"), lit(1L)).as("want"))
+    assert(r.join(docs, "doc_id").filter(col("tickets") =!= col("want")).count() == 0)
+    // spot-check one doc's draw = min md5 over its tickets
+    val row = r.head
+    val (id, tickets, draw) = (row.getLong(0), row.getLong(2), row.getString(3))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1L to tickets).map(t => md5hex(s"$id:$t")).min
+    assert(draw == expect)
+    // rerun-stable
+    assert(Relational5.weightedSample(spark, sf).select("doc_id")
+      .exceptAll(r.select("doc_id")).count() == 0)
+  }
+
+  test("regression slope matches a driver-side least squares") {
+    val r = Relational5.regressionSlope(spark, sf).cache()
+    assert(r.count() > 0)
+    val row = r.head
+    val (etype, slope, intercept) = (row.getString(0), row.getDouble(2), row.getDouble(3))
+    val pts = Tables.events(spark, sf)
+      .filter(col("event_type") === etype)
+      .select(Tables.epochMs(col("ts")).as("ms"),
+        col("value").cast("decimal(18,2)").cast("double").as("y"))
+      .collect()
+      .map(x => ((x.getLong(0) - 1704067200000L) / 1000L).toDouble -> x.getDouble(1))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slopeExp = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - slopeExp) < 1e-9 * math.max(1.0, math.abs(slopeExp)))
+    assert(math.abs(intercept - ((sy - slopeExp * sx) / n)) < 1e-6)
+  }
+
   test("dq audit reports exact violations: orders clean, lineitem's dup keys found") {
     val r = Relational5.dataQualityAudit(spark, sf).cache()
     assert(r.count() == 2)

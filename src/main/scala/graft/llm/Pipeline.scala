@@ -423,15 +423,16 @@ object Pipeline {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"),
         explode(expr("transform(pr, x -> x.cid)")).as("cell"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(assigned
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
           col("n2").as("n_n2"), col("cell")), Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("sim",
         dot_d(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter(col("rnk") <= k)
+      // rank-emitting bounded-heap top-k (see Similarity.cosineTopK):
+      // in-cell candidates never make the trip to per-query reducers
+      .transform(j => graft.plans.TopK.perKeyWithRank(j,
+        Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
         col("cell").cast("long").as("cell"))
       .orderBy(col("q_id"), col("rnk"))

@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -62,10 +61,12 @@ object Similarity {
       .withColumn("sim",
         dotD(col("q_emb"), col("embedding")) /
           (sqrt(col("q_n2")) * sqrt(col("n2"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    joined
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // rank-emitting bounded-heap top-k: the corpus×queries candidate set
+    // never shuffles to per-query reducers (the row_number window would
+    // move and fully sort all of it); only ≤ k·queries·partitions
+    // survivor rows cross the exchange
+    graft.plans.TopK.perKeyWithRank(joined,
+        Seq("q_id"), Seq(("sim", true), ("vec_id", false)), k, "rnk")
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -150,22 +151,29 @@ object Similarity {
    * self-join stays linear in corpus size at any scale. The corpus is
    * deliberately NOT cached: at 100 TB the working set never fits, and
    * recomputing `bits` dot products per side is cheaper than the spill.
+   *
+   * `bits` is index-build-time metadata: by default it is derived from
+   * the parquet footer row count ([[Tables.parquetRowCount]] — a
+   * driver-side metadata read, NO Spark job over the embedding store;
+   * round 5 ran a full `count()` here) and can be threaded in
+   * explicitly by callers that maintain their own index catalog.
    */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5, bitsIn: Int = -1): DataFrame = {
+    val bits =
+      if (bitsIn > 0) bitsIn
+      else lshBitsFor(Tables.parquetRowCount(spark, s"$dir/embeddings.parquet"))
     val emb = withNorm(Tables.embeddings(spark, dir))
       .withColumn("bucket", lshKey(col("embedding"), bits))
     val a = emb.select(col("bucket"), col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("n2").as("q_n2"))
     val b = emb.select(col("bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"), col("n2").as("n_n2"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     a.join(b, Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("sim",
         dotD(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+      .transform(j => graft.plans.TopK.perKeyWithRank(j,
+        Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("bucket"))
       .orderBy(col("q_id"), col("rnk"))
   }

@@ -16,8 +16,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
  *   WHERE rn <= k [AND p]
  * }}}
  *
- * into [[TopKPerKeyNode]] whenever the rank column itself is discarded
- * by the enclosing projection. The window formulation shuffles every
+ * into [[TopKPerKeyNode]]. The window formulation shuffles every
  * row of `t` and fully sorts each reducer partition; the rewritten
  * operator keeps a k-row heap per key on the map side, so the exchange
  * moves at most k rows per (key, input partition) and no reducer sort
@@ -35,38 +34,59 @@ import org.apache.spark.sql.catalyst.rules.Rule
  *  - under order ties both formulations are tie-arbitrary in the same
  *    way (callers wanting determinism pass a total order, q94's
  *    documented contract);
- *  - the rank column must be dead above the filter — if it survives,
- *    the window must run to produce it, and the plan is left alone.
+ *  - a SURVIVING rank column rewrites too: the node re-exposes the
+ *    window's own rank attribute (same exprId, same type), materialized
+ *    by the final-phase heap as it drains — the k survivors of a key
+ *    under a total order are exactly the rows row_number would have
+ *    numbered 1..k, so the emitted ranks are identical and everything
+ *    above the filter resolves unchanged.
  */
 object InferTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case p @ Project(_, Filter(cond, w: Window))
-        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
-          w.orderSpec.nonEmpty && isRowNumber(w.windowExpressions.head) =>
+    case p @ Project(_, Filter(cond, w: Window)) if supported(w) =>
       val rnAttr = w.windowExpressions.head.toAttribute
-      if (p.references.contains(rnAttr)) p
-      else {
-        val (rnConds, rest) = splitConjunctivePredicates(cond)
-          .partition(_.references.contains(rnAttr))
-        rnConds.flatMap(limitOf(_, rnAttr)) match {
-          case Seq(k) if rnConds.size == 1 && k > 0 =>
-            // Spark's InferWindowGroupLimit may already have inserted a
-            // WindowGroupLimit below the window from the same rank
-            // filter; the heap operator subsumes it, so unwrap a
-            // matching one instead of stacking redundant passes
-            val child = w.child match {
-              case wgl: WindowGroupLimit
-                  if wgl.limit >= k &&
-                    wgl.partitionSpec == w.partitionSpec &&
-                    wgl.orderSpec == w.orderSpec => wgl.child
-              case c => c
-            }
-            val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, child)
-            p.copy(child = if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
-          case _ => p
+      // if the projection still needs the rank, the node emits it under
+      // the window's own attribute (exprId-stable, so the projection
+      // above resolves without rewriting)
+      val rank = if (p.references.contains(rnAttr)) Some(rnAttr) else None
+      rewrite(w, cond, rank).map(t => p.copy(child = t)).getOrElse(p)
+
+    // no projection above the rank filter: the rank column is part of
+    // the query result by construction, so emit it from the node
+    case f @ Filter(cond, w: Window) if supported(w) =>
+      rewrite(w, cond, Some(w.windowExpressions.head.toAttribute)).getOrElse(f)
+  }
+
+  private def supported(w: Window): Boolean =
+    w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
+      w.orderSpec.nonEmpty && isRowNumber(w.windowExpressions.head)
+
+  /** The [[TopKPerKeyNode]] (plus any residual filter) replacing
+    * `Filter(cond, w)`, or None when the rank conjunct isn't a
+    * supported top-k shape. */
+  private def rewrite(w: Window, cond: Expression,
+      rank: Option[Attribute]): Option[LogicalPlan] = {
+    val rnAttr = w.windowExpressions.head.toAttribute
+    val (rnConds, rest) = splitConjunctivePredicates(cond)
+      .partition(_.references.contains(rnAttr))
+    rnConds.flatMap(limitOf(_, rnAttr)) match {
+      case Seq(k) if rnConds.size == 1 && k > 0 =>
+        // Spark's InferWindowGroupLimit may already have inserted a
+        // WindowGroupLimit below the window from the same rank
+        // filter; the heap operator subsumes it, so unwrap a
+        // matching one instead of stacking redundant passes
+        val child = w.child match {
+          case wgl: WindowGroupLimit
+              if wgl.limit >= k &&
+                wgl.partitionSpec == w.partitionSpec &&
+                wgl.orderSpec == w.orderSpec => wgl.child
+          case c => c
         }
-      }
+        val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, child, rank)
+        Some(if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
+      case _ => None
+    }
   }
 
   private def isRowNumber(e: Expression): Boolean = e match {

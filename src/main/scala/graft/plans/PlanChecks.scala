@@ -24,6 +24,8 @@ object PlanChecks {
       shuffledHashJoins: Int,
       nestedLoopJoins: Int,
       hashAggregates: Int,
+      windows: Int,
+      sorts: Int,
       pushedFilters: Seq[String],
       readSchemas: Seq[String],
       hasTakeOrderedAndProject: Boolean) {
@@ -43,6 +45,10 @@ object PlanChecks {
       shuffledHashJoins = count("ShuffledHashJoin"),
       nestedLoopJoins = count("BroadcastNestedLoopJoin") + count("CartesianProduct"),
       hashAggregates = count("HashAggregate"),
+      // "Window [" is the window exec's rendering; WindowGroupLimit (a
+      // bound, not a window computation) intentionally not counted
+      windows = count("Window ["),
+      sorts = count("Sort ["),
       pushedFilters = "PushedFilters: \\[([^\\]]*)\\]".r
         .findAllMatchIn(plan).map(_.group(1)).filter(_.nonEmpty).toSeq,
       readSchemas = "ReadSchema: ([^\\n]*)".r

@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /**
  * Per-key top-k as a first-class operator: logical plan + planner
@@ -46,21 +47,28 @@ case class TopKPerKeyNode(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // the rank attribute originates HERE, not in the child — without this
+  // CheckAnalysis flags it as a missing input
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
 /** Plans [[TopKPerKeyNode]] as partial(map-side) + final(reduce-side)
   * [[TopKPerKeyExec]]; the exchange between them is inserted by
-  * EnsureRequirements from the final node's required distribution. */
+  * EnsureRequirements from the final node's required distribution.
+  * Only the final phase materializes the optional rank column — the
+  * partial phase can't know a row's global rank, only whether it might
+  * still be a survivor. */
 class GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(g, o, k, child) =>
-      TopKPerKeyExec(g, o, k, partial = false,
-        TopKPerKeyExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKeyNode(g, o, k, child, rank) =>
+      TopKPerKeyExec(g, o, k, partial = false, rank,
+        TopKPerKeyExec(g, o, k, partial = true, None, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -76,9 +84,18 @@ case class TopKPerKeyExec(
     orderExprs: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  rankAttr.foreach { ra =>
+    require(!partial, "rank is only defined on the final phase")
+    require(ra.dataType == LongType || ra.dataType == IntegerType,
+      s"rank attribute must be integral, got ${ra.dataType}")
+  }
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -91,6 +108,7 @@ case class TopKPerKeyExec(
     val o = orderExprs
     val kk = k
     val childOutput = child.output
+    val rank = rankAttr
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val ord = RowOrdering.create(o, childOutput)
@@ -116,7 +134,28 @@ case class TopKPerKeyExec(
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+      rank match {
+        case None =>
+          heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+        case Some(ra) =>
+          // final phase with a requested rank column: the k survivors of
+          // a key are already in hand, so ranking them is a k-row sort —
+          // never the full-partition sort the window formulation runs.
+          // Survivor ranks equal their global ranks (rows 1..k under a
+          // total order are exactly the heap's contents).
+          val proj = UnsafeProjection.create(childOutput :+ ra, childOutput :+ ra)
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          val isLong = ra.dataType == LongType
+          heaps.values().asScala.iterator.flatMap { heap =>
+            val arr = heap.toArray(new Array[InternalRow](heap.size))
+            java.util.Arrays.sort(arr, ord)
+            arr.iterator.zipWithIndex.map { case (r, i) =>
+              rankRow.update(0, if (isLong) (i + 1).toLong else i + 1)
+              proj(joined(r, rankRow))
+            }
+          }
+      }
     }
   }
 
@@ -177,7 +216,24 @@ object TopK {
    * (columnName, descending). The ordering should be total (append a
    * unique tiebreak column) for a deterministic kept set.
    */
-  def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame =
+    build(df, keys, order, k, rankCol = None)
+
+  /**
+   * Like [[perKey]] but additionally emits each kept row's 1-based rank
+   * under `order` as a LongType column named `rankCol` — the bounded-heap
+   * twin of `row_number() OVER (PARTITION BY keys ORDER BY order) <= k`
+   * WITH the rank surviving. The final-phase heap already holds exactly
+   * the k survivors of each key, so ranking them is a k-row sort; the
+   * window formulation would shuffle every candidate row and fully sort
+   * each reducer partition just to number the first k.
+   */
+  def perKeyWithRank(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
+      k: Int, rankCol: String): DataFrame =
+    build(df, keys, order, k, rankCol = Some(rankCol))
+
+  private def build(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
+      k: Int, rankCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = df.queryExecution.analyzed
@@ -189,7 +245,8 @@ object TopK {
     val sortOrders = order.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
-    GraftShims.ofRows(spark, TopKPerKeyNode(keyExprs, sortOrders, k, plan))
+    val rankAttr = rankCol.map(n => AttributeReference(n, LongType, nullable = false)())
+    GraftShims.ofRows(spark, TopKPerKeyNode(keyExprs, sortOrders, k, plan, rankAttr))
   }
 
   /**

@@ -70,11 +70,31 @@ class InferTopKPerKeySpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
-  test("a surviving rank column vetoes the rewrite") {
+  test("a surviving rank column rewrites to a rank-emitting node") {
     val df = rnFiltered(opt, 3, keepRank = true)
     val optimized = df.queryExecution.optimizedPlan
-    assert(optimized.collect { case n: TopKPerKeyNode => n }.isEmpty,
-      s"rewrite dropped a live rank column:\n$optimized")
+    val nodes = optimized.collect { case n: TopKPerKeyNode => n }
+    assert(nodes.nonEmpty, s"surviving-rank shape did not rewrite:\n$optimized")
+    assert(nodes.head.rankAttr.isDefined, s"node does not emit the rank:\n$optimized")
+    assert(optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived the rewrite:\n$optimized")
+    // ranks bit-identical to the unrewritten window formulation
+    val want = sortAll(rnFiltered(vanilla, 3, keepRank = true)).collect()
+    val got = sortAll(df).collect()
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("rank-emitting perKeyWithRank matches the window formulation") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+    val got = sortAll(TopK.perKeyWithRank(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+        k = 3, rankCol = "rn")).collect()
+    val want = sortAll(rnFiltered(vanilla, 3, keepRank = true)
+      .withColumn("rn", col("rn").cast("long"))).collect()
+    assert(got.length == want.length && got.sameElements(want))
   }
 
   test("q100's window formulation plans as the custom operator") {

@@ -149,6 +149,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(a.shuffleExchanges <= 2, a)
   }
 
+  test("similarity top-k family ranks via TopKPerKey — no window, no per-key sort") {
+    // round-5 verdict: the emitted-rank row_number window shuffled the
+    // full candidate set to per-query reducers and fully sorted each
+    // partition — the last 100×-scale shuffle amplifier. The rank now
+    // comes from the bounded-heap operator; the only surviving sort is
+    // the k·queries-row output presentation.
+    Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")
+      val a = PlanChecks.audit(df)
+      assert(a.windows == 0, s"$q still plans a window: $a")
+      assert(a.sorts <= 1, s"$q sorts beyond the output presentation: $a")
+    }
+  }
+
+  test("plan snapshots: exchange and join counts pinned for headline queries") {
+    // golden counts (shuffle exchanges, broadcast exchanges, joins,
+    // windows) so a code or Catalyst change that adds an exchange fails
+    // here instead of surfacing as a bench eyeball (round-5 verdict #4)
+    val pinned = Map(
+      "q01_incremental_scan" -> (0, 0, 0, 0),
+      "q02_projection"       -> (1, 0, 0, 0),
+      "q06_entity_fanout"    -> (3, 0, 0, 0),
+      "q10_pricing_summary"  -> (2, 0, 0, 0),
+      "q12_revenue_topk"     -> (1, 1, 1, 0),
+      "q32_minhash_lsh"      -> (4, 4, 4, 0),
+      "q34_cosine_topk"      -> (2, 1, 0, 0),
+      "q36_ann_lsh"          -> (2, 1, 1, 0),
+      "q52_ivf_ann"          -> (2, 1, 1, 0),
+      "q94_topk_per_key"     -> (2, 0, 0, 0),
+      "q95_repeated_passages" -> (2, 0, 0, 0),
+      "q100_rank_rewrite"    -> (2, 0, 0, 0))
+    pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
+      val a = auditOf(q)
+      assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==
+        ((shuffles, bcasts, joins, windows)),
+        s"$q plan drifted from its golden shape ($shuffles,$bcasts,$joins,$windows): $a")
+    }
+  }
+
   test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
     Seq("q68_inverted_index", "q100_rank_rewrite").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+
+/**
+ * HTTP facade binding the control-plane verbs ([[JobControl]], C2–C5)
+ * and the auth guard ([[Auth]], C1) to a real listener — end-to-end
+ * parity with the reference's Flask service (reference app/app.py:55-116:
+ * routes `/`, `/start`, `/stop`, `/check`; auth decorator app.py:31-52).
+ * Built on the JDK's `com.sun.net.httpserver` so it adds no dependency.
+ *
+ * Route semantics mirror the reference:
+ *  - `GET  /`      (no auth)  → 200 `{"message": "Server up and running"}`
+ *                    while the session is healthy (C5), 503 after stop;
+ *  - `POST /start` (auth)     → launches the named job via the injected
+ *                    launcher; 400 "Must provide job_name" / "Must
+ *                    provide arguments in payload" exactly as app.py:80-83;
+ *  - `POST /stop`  (auth)     → graceful stop by name (vs `kill -9`,
+ *                    app.py:93-96); 200 `{"message": "Job <n> ended"}`;
+ *  - `POST /check` (auth)     → 200 `{"current_status": {...}}` from the
+ *                    query's own progress (vs `ps | grep`, app.py:103-112);
+ *  - any route, bad/missing `x-api-key` → 401 with the reference's
+ *    exact messages (see [[Auth]]).
+ *
+ * The job launcher is injected (`name → started?`) so the facade stays
+ * decoupled from which pipeline a deployment runs — the reference had
+ * the same indirection via `Popen(f"{job_name}.py")`.
+ *
+ * Scale note: the control plane runs ON THE DRIVER and serves O(1)
+ * metadata (job names, progress counters) — no data-plane traffic ever
+ * flows through it, so one listener thread is enough at any cluster
+ * size.
+ */
+final class ControlServer private (
+    server: HttpServer,
+    spark: SparkSession) {
+
+  /** The bound port (useful with port=0 ephemeral binds in tests). */
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+}
+
+object ControlServer {
+
+  /**
+   * Start the facade. `apiKey` plays the reference's `API_KEY` env var;
+   * `launcher` maps a job name to a start attempt (true = launched).
+   */
+  def start(
+      spark: SparkSession,
+      apiKey: String,
+      launcher: String => Boolean,
+      port: Int = 0): ControlServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    def handler(f: HttpExchange => (Int, String)): HttpHandler =
+      new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val (status, body) = try f(ex) catch {
+            case e: Exception => (500, jsonMsg(s"internal error: ${e.getMessage}"))
+          }
+          val bytes = body.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseBody(status, bytes)
+        }
+        private implicit class RichExchange(ex: HttpExchange) {
+          def sendResponseBody(status: Int, bytes: Array[Byte]): Unit = {
+            ex.sendResponseHeaders(status, bytes.length)
+            val os = ex.getResponseBody
+            try os.write(bytes) finally os.close()
+          }
+        }
+      }
+
+    /** Run `action` behind the C1 guard, translating [[Auth.AuthResult]]
+      * to the wire exactly as the reference decorator did. */
+    def authed(ex: HttpExchange)(action: => (Int, String)): (Int, String) = {
+      import scala.jdk.CollectionConverters._
+      val headers: Map[String, String] = ex.getRequestHeaders.asScala.collect {
+        case (k, vs) if !vs.isEmpty => k -> vs.get(0)
+      }.toMap
+      Auth.authorize(headers, apiKey)(action) match {
+        case Auth.Authorized(result) => result
+        case r @ Auth.Rejected(msg)  => (r.status, jsonMsg(msg))
+      }
+    }
+
+    server.createContext("/", handler { ex =>
+      if (ex.getRequestURI.getPath != "/") (404, jsonMsg("not found"))
+      else if (JobControl.healthy(spark)) (200, jsonMsg("Server up and running"))
+      else (503, jsonMsg("Spark session stopped"))
+    })
+
+    server.createContext("/start", handler { ex =>
+      authed(ex) {
+        withJobName(ex) { name =>
+          if (launcher(name)) (200, jsonMsg(s"Job $name started"))
+          else (400, jsonMsg(s"Unknown job $name"))
+        }
+      }
+    })
+
+    server.createContext("/stop", handler { ex =>
+      authed(ex) {
+        withJobName(ex) { name =>
+          if (JobControl.stop(spark, name)) (200, jsonMsg(s"Job $name ended"))
+          else (404, jsonMsg(s"No active job $name"))
+        }
+      }
+    })
+
+    server.createContext("/check", handler { ex =>
+      authed(ex) {
+        withJobName(ex) { name =>
+          JobControl.status(spark, name) match {
+            case Some(s) =>
+              (200, s"""{"current_status": {"name": ${quote(s.name)}, """ +
+                s""""id": ${quote(s.id)}, "isActive": ${s.isActive}, """ +
+                s""""batchesCompleted": ${s.batchesCompleted}, """ +
+                s""""message": ${quote(s.message)}}}""")
+            case None => (200, """{"current_status": null}""")
+          }
+        }
+      }
+    })
+
+    server.setExecutor(null) // control traffic is O(1); one thread suffices
+    server.start()
+    new ControlServer(server, spark)
+  }
+
+  /** Reference payload contract (app.py:66-83): a JSON object with
+    * `job_name`; absent body → 400 "Must provide arguments in payload",
+    * present but no job_name → 400 "Must provide job_name". */
+  private def withJobName(ex: HttpExchange)(
+      f: String => (Int, String)): (Int, String) = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (body.trim.isEmpty) (400, jsonMsg("Must provide arguments in payload"))
+    else jobNameOf(body) match {
+      case Some(name) => f(name)
+      case None       => (400, jsonMsg("Must provide job_name"))
+    }
+  }
+
+  /** Minimal extractor for the control plane's only payload shape — a
+    * flat `{"job_name": "..."}` object (no nesting, no escapes in job
+    * names, which are StreamingQuery names). Not a general JSON parser
+    * by design: the control plane is not a data path. */
+  private[streaming] def jobNameOf(body: String): Option[String] =
+    """"job_name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1))
+      .filter(_.nonEmpty)
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonMsg(m: String): String = s"""{"message": ${quote(m)}}"""
+}

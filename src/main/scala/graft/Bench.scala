@@ -19,10 +19,11 @@ object Bench {
     }
     spark.catalog.clearCache()
     // min-of-N reps per query: host contention inflates individual runs
-    // uniformly (BENCH_r02 recorded 5-13x noise on untouched queries);
+    // uniformly (BENCH_r02 recorded 5-13x noise on untouched queries;
+    // BENCH_r05 still showed a 4x swing on untouched q29 at N=2);
     // the minimum is the contention-resistant estimate of the plan's
     // actual cost
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val dt = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

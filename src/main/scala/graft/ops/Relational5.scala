@@ -244,8 +244,13 @@ object Relational5 {
       .agg(count(lit(1)).as("orphan_fk"))
     val l = lineitem.agg(
       count(lit(1)).as("n_rows"),
+      // distinct over a STRUCT, not the column list: multi-column
+      // countDistinct drops tuples where ANY column is NULL, while
+      // DuckDB's COUNT(DISTINCT (a,b)) counts NULL-bearing tuples —
+      // struct(a,b) is never null, so both engines count identically
+      // even on NULL-keyed fixtures (round-5 advice)
       (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_keys"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber")))).as("dup_keys"),
       sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_fk"),
       sum(when(col("l_quantity") <= 0.0 || col("l_discount") < 0.0 ||
         col("l_discount") > 1.0, 1L).otherwise(0L)).as("range_viol"))

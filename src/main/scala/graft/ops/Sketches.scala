@@ -125,11 +125,18 @@ object Sketches {
       .withColumn("t25", expr("(n + 3) div 4"))
       .withColumn("t50", expr("(n + 1) div 2"))
       .withColumn("t75", expr("(3 * n + 3) div 4"))
+      // coalesce to (n === 0): a group whose values are ALL NULL yields
+      // a NULL sketch struct (KllQuantileAgg.eval at n==0), which would
+      // surface NULL booleans against the oracle's literal TRUE — an
+      // empty-value group is vacuously within bounds (round-5 advice)
       .select(col("event_type"), col("n"), col("p25"), col("p50"), col("p75"),
-        (col("sk_n") === col("n")).as("sketch_n_ok"),
-        ok(col("t25"), col("le25"), col("lt25"), col("slack")).as("p25_ok"),
-        ok(col("t50"), col("le50"), col("lt50"), col("slack")).as("p50_ok"),
-        ok(col("t75"), col("le75"), col("lt75"), col("slack")).as("p75_ok"))
+        coalesce(col("sk_n") === col("n"), col("n") === 0L).as("sketch_n_ok"),
+        coalesce(ok(col("t25"), col("le25"), col("lt25"), col("slack")),
+          col("n") === 0L).as("p25_ok"),
+        coalesce(ok(col("t50"), col("le50"), col("lt50"), col("slack")),
+          col("n") === 0L).as("p50_ok"),
+        coalesce(ok(col("t75"), col("le75"), col("lt75"), col("slack")),
+          col("n") === 0L).as("p75_ok"))
       .orderBy(col("event_type"))
   }
 

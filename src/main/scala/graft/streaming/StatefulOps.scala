@@ -131,6 +131,13 @@ object StatefulOps {
    *  - idle TTL: event-time timeout drops buckets untouched for
    *    [[BucketTtlMs]] past the watermark — the state store holds the
    *    recent-signature working set, not every signature ever seen.
+   *
+   * Emission contract: AT-LEAST-ONCE per candidate pair. A document
+   * that arrives while its bucket is at cap is never recorded, so a
+   * re-arrival of the same doc_id in a later batch re-emits its pairs
+   * against the residents. Downstream consumers already verify exact
+   * Jaccard on the candidate sliver (a natural dedup point), exactly
+   * as the batch pipeline treats candidates as a multiset.
    */
   def streamingLshCandidates(docs: DataFrame,
       watermarkDelay: String = "10 seconds",
@@ -165,7 +172,12 @@ object StatefulOps {
               }
             }
             state.update(BucketState(residents))
-            state.setTimeoutTimestamp(maxMs + ttlMs)
+            // clamp the timeout strictly past the current watermark: a
+            // late-but-admitted row with ttlMs below the watermark delay
+            // would otherwise set a timeout ≤ watermark, which Spark
+            // rejects at runtime (IllegalArgumentException)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1))
             out.result().iterator
           }
       }

@@ -17,6 +17,13 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Test-only: whether the session's SQL cache manager holds any
+    * cached plans — the thing `spark.catalog.clearCache()` clears.
+    * Operators must leave this empty after their action (no
+    * caller-side cache contract). */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Test-only: materialize the planner strategies an extensions object
     * would inject into a session built with it. */
   def plannerStrategies(

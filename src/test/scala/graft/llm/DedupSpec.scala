@@ -81,4 +81,15 @@ class DedupSpec extends SparkSpec {
     assert(sp.filter(col("hamming") =!= 0).count() == 0)
     assert(sp.filter(col("id_b") === col("id_a") + 1).count() == 999)
   }
+
+  test("dedup actions leave no cached plans behind (no clearCache contract)") {
+    // round-5 verdict #5: bucketPairs used cache() and relied on callers
+    // running clearCache(); intermediates are now localCheckpoint'd, so
+    // the SQL cache manager must be untouched after a full LSH action
+    spark.catalog.clearCache()
+    Dedup.minhashLsh(spark, sf).collect()
+    Dedup.ngramJaccardPairs(spark, sf).collect()
+    assert(org.apache.spark.sql.GraftShims.sqlCacheIsEmpty(spark),
+      "a dedup operator left a cached plan registered in the session")
+  }
 }

@@ -63,6 +63,45 @@ object CrmPagesSource {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /**
+   * Config-driven property projection — the reference's operational
+   * knob where each entity's property list arrives as a pipe-separated
+   * config value (env var `HS_<ENTITY>_PROPERTIES`, reference
+   * app/hs_contacts.py:164-169) and decides which fields the scan
+   * requests. Missing or empty config raises, mirroring the
+   * reference's "Property Not Found" guard; unknown property names
+   * raise HERE at plan time instead of surfacing as silent NULL
+   * columns. Pass `sys.env` for reference-identical wiring, or any
+   * other config map.
+   */
+  def configuredProperties(entity: String, conf: Map[String, String]): Seq[String] = {
+    val key = s"HS_${entity.toUpperCase(java.util.Locale.ROOT)}_PROPERTIES"
+    val raw = conf.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val props = raw.toSeq.flatMap(_.split('|').iterator.map(_.trim).filter(_.nonEmpty))
+    if (props.isEmpty)
+      throw new IllegalArgumentException(s"Property Not Found :: $key")
+    val unknown = props.filterNot(Schema.fieldNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown propert${if (unknown.size == 1) "y" else "ies"} for $entity: " +
+          s"${unknown.mkString(", ")} (schema: ${Schema.fieldNames.mkString(", ")})")
+    props.distinct
+  }
+
+  /** Open the paginated scan projecting exactly the configured property
+    * list — the `select` is what Catalyst turns into the DSv2
+    * `pruneColumns` call, so only these fields are parsed out of the
+    * page JSON (asserted on ReadSchema in `CrmPagesSourceSpec`). */
+  def scanWithConfiguredProperties(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      entity: String,
+      conf: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val props = configuredProperties(entity, conf)
+    spark.read.format("graft.sources.CrmPagesSource").load(dir)
+      .select(props.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   /** List page files of a directory in cursor order, verifying the
     * `paging.next.after` chain matches the listing. */
   def pageChain(dir: String): Seq[String] = {

@@ -183,6 +183,105 @@ object StatefulOps {
       }
   }
 
+  final case class AsOfVersion(tsMs: Long, attr: String)
+  final case class AsOfPending(event_id: Long, tsMs: Long)
+  final case class AsOfState(versions: List[AsOfVersion], pending: List[AsOfPending])
+  final case class AsOfOutput(
+      user_id: Long, event_id: Long, event_ts_ms: Long,
+      attr: Option[String], version_ts_ms: Option[Long])
+
+  /** Idle TTL for [[streamingAsOfJoin]] dimension state: a key whose
+    * newest version is this far behind the watermark, with no pending
+    * events, is dropped entirely. */
+  val AsOfIdleTtlMs: Long = 60 * 60 * 1000L
+
+  /**
+   * Streaming stream-stream AS-OF join — the streaming twin of the
+   * batch SCD2 point-in-interval lookup (`Relational4.pointInInterval`,
+   * q128): a stream of dimension updates `(user_id, ts, attr)` versions
+   * each key over time, and every event `(user_id, ts, event_id)` is
+   * enriched with the version valid AT its timestamp (the latest update
+   * with `upd_ts ≤ event_ts`; none → null-padded, left-outer style).
+   *
+   * Spark's built-in stream-stream joins can't express "latest row at
+   * or before" (an inequality against an ORDER-dependent winner, not a
+   * range intersection), so this is the `flatMapGroupsWithState` tier:
+   * both streams are tagged and unioned (one stateful operator, one
+   * shuffle on user_id), and per-key state co-processes them.
+   *
+   * Correctness under out-of-order arrival: an event is matched only
+   * once the watermark passes its timestamp — from then on any update
+   * that could still affect it (`upd_ts ≤ event_ts ≤ watermark`) would
+   * be rejected as too late, so the emitted match is FINAL (exactly
+   * once per event, deterministic under replay).
+   *
+   * Bounded state at stream scale:
+   *  - events buffer only until the watermark passes them (watermark
+   *    delay worth of events per key, same bound as any stream-stream
+   *    join);
+   *  - superseded versions are dropped as the watermark advances — only
+   *    the newest version at-or-below the watermark (the as-of answer
+   *    for all future events) plus any not-yet-final newer versions
+   *    are retained (versions-per-key never grows with stream length);
+   *  - idle keys (no pending events, newest version > [[AsOfIdleTtlMs]]
+   *    behind the watermark) are REMOVED — eviction asserted via
+   *    `stateOperators.numRowsRemoved` in `StatefulOpsSpec`.
+   */
+  def streamingAsOfJoin(updates: DataFrame, events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      idleTtlMs: Long = AsOfIdleTtlMs): Dataset[AsOfOutput] = {
+    import updates.sparkSession.implicits._
+    val u = updates.select(col("user_id").cast("long").as("user_id"), col("ts"),
+      lit("U").as("kind"), lit(-1L).as("event_id"), col("attr").cast("string"))
+    val e = events.select(col("user_id").cast("long").as("user_id"), col("ts"),
+      lit("E").as("kind"), col("event_id").cast("long"),
+      lit(null).cast("string").as("attr"))
+    u.unionByName(e)
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, String, Long, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfState, AsOfOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            // ingest order is irrelevant to matching (flush consults the
+            // whole version list), but keep lists ts-sorted for the
+            // deterministic supersession trim below
+            rows.foreach { r =>
+              if (r._3 == "U")
+                st = st.copy(versions =
+                  (st.versions :+ AsOfVersion(r._2.getTime, r._5.orNull))
+                    .sortBy(_.tsMs))
+              else
+                st = st.copy(pending = st.pending :+ AsOfPending(r._4, r._2.getTime))
+            }
+          }
+          // events finalized by the watermark: match and emit
+          val (ready, waiting) = st.pending.partition(_.tsMs <= wm)
+          val out = ready.sortBy(p => (p.tsMs, p.event_id)).map { p =>
+            val v = st.versions.takeWhile(_.tsMs <= p.tsMs).lastOption
+            AsOfOutput(userId, p.event_id, p.tsMs, v.map(_.attr), v.map(_.tsMs))
+          }
+          // supersession trim: of the versions at-or-below the watermark
+          // only the newest can ever be an as-of answer again
+          val (past, future) = st.versions.partition(_.tsMs <= wm)
+          val kept = past.lastOption.toList ++ future
+          if (waiting.isEmpty && kept.forall(_.tsMs + idleTtlMs <= wm)) {
+            state.remove()
+          } else {
+            state.update(AsOfState(kept, waiting))
+            val next =
+              if (waiting.nonEmpty) waiting.map(_.tsMs).min
+              else kept.map(_.tsMs + idleTtlMs).max
+            // strictly past the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /**
    * Stream-static join: enrich the event stream with the customer
    * dimension. The static side is a plain DataFrame — Spark broadcasts

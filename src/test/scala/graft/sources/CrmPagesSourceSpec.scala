@@ -85,6 +85,37 @@ class CrmPagesSourceSpec extends SparkSpec {
     assert(projected.count() == Tables.events(spark, sf).count())
   }
 
+  test("config-driven property list projects and prunes the scan") {
+    // the reference's HS_<ENTITY>_PROPERTIES pipe-list (hs_contacts
+    // .py:164-169) as a config map; the select it produces must reach
+    // the DSv2 scan as the pruned ReadSchema
+    val conf = Map("HS_CONTACTS_PROPERTIES" -> "event_id|event_type")
+    assert(CrmPagesSource.configuredProperties("contacts", conf) ==
+      Seq("event_id", "event_type"))
+    val df = CrmPagesSource.scanWithConfiguredProperties(
+      spark, pageDir.toString, "contacts", conf)
+    assert(df.columns.toSeq == Seq("event_id", "event_type"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("schema=event_id,event_type"),
+      s"configured projection not pushed:\n$plan")
+    assert(df.count() == Tables.events(spark, sf).count())
+
+    // reference guard semantics: absent and empty lists raise
+    intercept[IllegalArgumentException] {
+      CrmPagesSource.configuredProperties("contacts", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      CrmPagesSource.configuredProperties("contacts",
+        Map("HS_CONTACTS_PROPERTIES" -> "| |"))
+    }
+    // unknown properties fail at plan time, not as NULL columns
+    val err = intercept[IllegalArgumentException] {
+      CrmPagesSource.configuredProperties("contacts",
+        Map("HS_CONTACTS_PROPERTIES" -> "event_id|no_such_field"))
+    }
+    assert(err.getMessage.contains("no_such_field"))
+  }
+
   test("limit pushdown stops readers early") {
     val limited = read.limit(7)
     assert(limited.count() == 7)

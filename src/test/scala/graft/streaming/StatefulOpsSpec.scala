@@ -77,6 +77,56 @@ class StatefulOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of join enriches events with the version valid at their ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val updates = MemoryStream[(Long, Timestamp, String)]
+    val events = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StatefulOps.streamingAsOfJoin(
+      updates.toDF().toDF("user_id", "ts", "attr"),
+      events.toDF().toDF("user_id", "ts", "event_id"),
+      idleTtlMs = 30 * 1000L)
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    // batch 1: version A@t0, event e1@t5 — watermark too low to emit
+    updates.addData((1L, ts(0), "A"))
+    events.addData((1L, ts(5), 1L))
+    q.processAllAvailable()
+    assert(spark.table("asof_out").count() == 0,
+      "no event may emit before the watermark finalizes it")
+    // batch 2: version B@t10, event e2@t12 (out-of-order vs e1 is fine),
+    // event e0@t2 arriving LATE but inside the delay, plus a far clock
+    // row on user 2 to advance the watermark
+    updates.addData((1L, ts(10), "B"))
+    events.addData((1L, ts(12), 2L), (1L, ts(2), 0L), (2L, ts(60), 99L))
+    q.processAllAvailable()
+    // batch 3: clock rows push the watermark past every user-1 event
+    events.addData((2L, ts(120), 98L))
+    q.processAllAvailable()
+    events.addData((2L, ts(240), 97L))
+    q.processAllAvailable()
+    val got = spark.table("asof_out").as[StatefulOps.AsOfOutput].collect()
+      .filter(_.user_id == 1L).sortBy(_.event_id)
+      .map(o => (o.event_id, o.attr, o.version_ts_ms.map(m => (m - ts(0).getTime) / 1000)))
+    assert(got.toSeq == Seq(
+      (0L, Some("A"), Some(0L)),   // e0@t2  → A@t0
+      (1L, Some("A"), Some(0L)),   // e1@t5  → A@t0
+      (2L, Some("B"), Some(10L))), // e2@t12 → B@t10
+      s"got ${got.toSeq}")
+    // user 2 has no version stream: null-padded once finalized
+    val u2 = spark.table("asof_out").as[StatefulOps.AsOfOutput].collect()
+      .filter(o => o.user_id == 2L && o.event_id == 99L)
+    assert(u2.length == 1 && u2.head.attr.isEmpty)
+    // watermark far past user 1's last version + idle TTL: state evicted
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "idle as-of state must be evicted by the watermark")
+    q.stop()
+  }
+
   test("stream-static join enriches events with broadcast customer dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

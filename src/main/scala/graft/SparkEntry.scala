@@ -147,6 +147,17 @@ object SparkEntry {
     "q129_approx_distinct" -> (graft.ops.Relational5.approxDistinctPerKey _),
     "q130_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Relational5.weightedSample(s, d)),
     "q131_regression"      -> (graft.ops.Relational5.regressionSlope _),
+    // — round 6: curation + relational depth —
+    "q132_rerank"          -> ((s: SparkSession, d: String) => graft.llm.Curation.rerank(s, d)),
+    "q133_cross_source_neardup" -> (graft.llm.Curation.crossSourceNearDup _),
+    "q134_equidepth_hist"  -> (graft.ops.Relational6.equidepthHistogram _),
+    "q135_mad_outliers"    -> (graft.ops.Relational6.madOutliers _),
+    "q136_basket_pairs"    -> ((s: SparkSession, d: String) => graft.ops.Relational6.basketPairs(s, d)),
+    "q137_horizon_dedup"   -> (graft.llm.Curation.horizonDedup _),
+    "q138_quantile_normalize" -> (graft.llm.Curation.quantileNormalize _),
+    "q139_token_budget_bins" -> (graft.llm.Curation.tokenBudgetBins _),
+    "q140_order_concurrency" -> (graft.ops.Relational6.orderConcurrency _),
+    "q141_path_trigrams"   -> ((s: SparkSession, d: String) => graft.llm.Curation.pathTrigrams(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -633,32 +644,9 @@ object SparkEntry {
         |  FROM p JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q32_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
-        |         SELECT unnest(list_transform(range(1, len(w) - 1),
-        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
-        |mh AS (SELECT doc_id, salt,
-        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
-        |                    1 + 8 * (salt % 4), 8)) AS h
-        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
-        |       GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, salt // 2 AS band,
-        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
-        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
-        |          FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
-        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
-        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-        |       GROUP BY 1, 2)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT id_a, id_b,
-        |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-        |  FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairsCtes
+        |SELECT id_a, id_b, jaccard FROM neardup
+        |ORDER BY id_a, id_b""".stripMargin,
     "q33_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1354,6 +1342,126 @@ object SparkEntry {
         |      GROUP BY 1, 2, 3)
         |SELECT doc_id, n_chars, tickets, draw FROM x
         |ORDER BY draw, doc_id LIMIT 50""".stripMargin,
+    // — round 6: curation + relational depth —
+    "q132_rerank" -> rerankOracleSql(
+      bits = graft.llm.Curation.RerankCoarseBits,
+      depth = graft.llm.Curation.RerankDepth, k = 5),
+    "q133_cross_source_neardup" ->
+      s"""WITH $minhashPairsCtes
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       COUNT(*) AS n_pairs,
+        |       MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        |FROM neardup p
+        |JOIN documents da ON p.id_a = da.doc_id
+        |JOIN documents db ON p.id_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q134_equidepth_hist" ->
+      s"""SELECT bucket, COUNT(*) AS n_orders,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |        CAST(ntile(${graft.ops.Relational6.HistBuckets}) OVER (
+        |          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |      FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q135_mad_outliers" ->
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med,
+        |        abs(e.value - m.med) AS adev
+        |      FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, COUNT(value) AS n,
+        |       MAX(d.med) AS med, MAX(mad.mad) AS mad,
+        |       CAST(SUM(CASE WHEN adev > ${graft.ops.Relational6.MadK} * mad.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q136_basket_pairs" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey, COUNT(*) AS supp FROM li GROUP BY 1
+        |         HAVING COUNT(*) >= ${graft.ops.Relational6.BasketMinSupport}),
+        |pruned AS (SELECT * FROM li
+        |           WHERE l_partkey IN (SELECT l_partkey FROM freq)),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        COUNT(*) AS n_both
+        |      FROM pruned a JOIN pruned b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+        |       fa.supp AS n_a, fb.supp AS n_b,
+        |       CAST(n_both AS DOUBLE) * t.n_orders / (fa.supp * fb.supp) AS lift
+        |FROM p JOIN freq fa ON part_a = fa.l_partkey
+        |JOIN freq fb ON part_b = fb.l_partkey, tot t
+        |ORDER BY n_both DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q137_horizon_dedup" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+        |             epoch_ms(ts) AS ts_ms FROM events),
+        |k AS (SELECT *, ts_ms // ${86400000L * graft.llm.Curation.HorizonDays}
+        |        AS day FROM e),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type, day
+        |        ORDER BY ts_ms, event_id) AS rn FROM k)
+        |SELECT t.event_type, t.n_total, kept.n_kept,
+        |       t.n_total - kept.n_kept AS n_dropped
+        |FROM (SELECT event_type, COUNT(*) AS n_total FROM e GROUP BY 1) t
+        |JOIN (SELECT event_type, COUNT(*) AS n_kept FROM r
+        |      WHERE rn = 1 GROUP BY 1) kept USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q138_quantile_normalize" ->
+      """SELECT doc_id, source, n_chars, pr,
+        |       CAST(least(floor(pr * 10.0), 9.0) AS BIGINT) AS decile
+        |FROM (SELECT doc_id, source, n_chars,
+        |        percent_rank() OVER (PARTITION BY source
+        |          ORDER BY n_chars, doc_id) AS pr
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q139_token_budget_bins" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |        ORDER BY n_chars DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before FROM d)
+        |SELECT CAST(cum_before // ${graft.llm.Curation.BinTokenBudget} AS BIGINT)
+        |         AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q140_order_concurrency" ->
+      """WITH span AS (SELECT l_orderkey, MAX(epoch_ms(l_shipdate)) AS end_ms
+        |              FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderpriority, o_orderkey,
+        |        epoch_ms(o_orderdate) AS start_ms, end_ms
+        |      FROM orders JOIN span ON o_orderkey = l_orderkey),
+        |d AS (SELECT o_orderpriority, o_orderkey, start_ms AS ts,
+        |        CAST(1 AS BIGINT) AS delta FROM o
+        |      UNION ALL
+        |      SELECT o_orderpriority, o_orderkey, end_ms + 1,
+        |        CAST(-1 AS BIGINT) FROM o),
+        |c AS (SELECT *, SUM(delta) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY ts, delta DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |      FROM d)
+        |SELECT o_orderpriority, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+        |       CAST(COUNT(*) / 2 AS BIGINT) AS n_orders
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q141_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type AS t1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms, event_id) AS t2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms, event_id) AS t3
+        |      FROM e)
+        |SELECT t1, t2, t3, COUNT(*) AS n_paths FROM t
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, t1, t2, t3 LIMIT 25""".stripMargin,
     "q131_regression" ->
       """WITH e AS (SELECT event_type,
         |             (epoch_ms(ts) - 1704067200000) // 1000 AS x,
@@ -1571,6 +1679,37 @@ object SparkEntry {
    * hyperplanes are regenerated in SQL, and only planes below the
    * corpus-dependent bit count contribute to the bucket key.
    */
+  /** The q32 MinHash-LSH pipeline as reusable CTEs ending in `neardup`
+    * (id_a, id_b, jaccard ≥ 0.5) — shared by q32 itself and q133's
+    * cross-source rollup. */
+  private[graft] val minhashPairsCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+      |         SELECT unnest(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+      |mh AS (SELECT doc_id, salt,
+      |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+      |                    1 + 8 * (salt % 4), 8)) AS h
+      |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+      |       GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, salt // 2 AS band,
+      |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+      |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+      |          FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |cm AS (SELECT id_a, id_b, COUNT(*) AS common
+      |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
+      |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+      |       GROUP BY 1, 2),
+      |neardup AS (SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |  FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+      |WHERE jaccard >= 0.5)""".stripMargin
+
   private[graft] def annLshOracleSql(k: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth
     val maxBits = graft.llm.Similarity.MaxLshBits
@@ -1610,6 +1749,67 @@ object SparkEntry {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
        |SELECT q_id, rnk, neighbor_id, sim, bucket FROM r
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of [[graft.llm.Curation.rerank]]: the q93
+   * quantization grid, the q36 md5 plane family truncated to the fixed
+   * coarse bit count, an integer quantized-dot stage-1 cut and the
+   * exact-cosine stage-2 rerank — both ranked by the same
+   * (score DESC, neighbor_id) total order the bounded-heap operator
+   * uses.
+   */
+  private[graft] def rerankOracleSql(bits: Int, depth: Int, k: Int): String = {
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    s"""WITH g AS (SELECT u.i AS i,
+       |    MIN(embedding[u.i]::DOUBLE) AS mn, MAX(embedding[u.i]::DOUBLE) AS mx
+       |  FROM embeddings, LATERAL (
+       |    SELECT unnest(range(1, len(embedding) + 1)) AS i) u GROUP BY 1),
+       |gl AS (SELECT list(mn ORDER BY i) AS mn_l, list(mx ORDER BY i) AS mx_l FROM g),
+       |qv AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+       |      CAST(floor((CASE WHEN mx_l[i] = mn_l[i] THEN 0.0
+       |        ELSE (embedding[i]::DOUBLE - mn_l[i]) / (mx_l[i] - mn_l[i]) END)
+       |        * 255.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, gl),
+       |planes AS (SELECT p,
+       |    list_transform(range(0, 64), d ->
+       |      CAST((16 * (strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
+       |        + strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
+       |        AS DOUBLE)) AS pl
+       |  FROM (SELECT unnest(range(0, $bits)) AS p) t),
+       |e AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |bits AS (SELECT e.vec_id, p.p,
+       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> e.embedding[i]::DOUBLE * p.pl[i])) >= 0
+       |         THEN CAST(pow(2, p.p) AS BIGINT) ELSE 0 END AS bit
+       |  FROM e, planes p),
+       |keyed AS (SELECT e.vec_id, e.embedding, e.n2, qv.q,
+       |    (SELECT CAST(SUM(bit) AS BIGINT) FROM bits b
+       |     WHERE b.vec_id = e.vec_id) AS bucket
+       |  FROM e JOIN qv ON e.vec_id = qv.vec_id),
+       |cand AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    a.embedding AS qe, b.embedding AS ne, a.n2 AS qn2, b.n2 AS nn2,
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+       |      i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 20 = 0 AND a.vec_id < $qCap),
+       |s1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY qdot DESC, neighbor_id) AS crank FROM cand),
+       |s2 AS (SELECT q_id, neighbor_id, qdot,
+       |    list_sum(list_transform(range(1, len(qe) + 1),
+       |      i -> qe[i]::DOUBLE * ne[i]::DOUBLE)) / (sqrt(qn2) * sqrt(nn2)) AS sim
+       |  FROM s1 WHERE crank <= $depth),
+       |r AS (SELECT q_id, neighbor_id, sim, qdot,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s2)
+       |SELECT q_id, rnk, neighbor_id, sim, qdot FROM r
        |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 

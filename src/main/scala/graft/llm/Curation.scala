@@ -1,0 +1,224 @@
+package graft.llm
+
+import graft.functions.VectorFunctions.dot_d
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for the training-data pipeline: two-stage
+ * retrieval, cross-source contamination accounting, ingest-horizon
+ * dedup, cross-source score normalization, token-budget binning and
+ * behavioral path mining. All follow the repo's determinism discipline
+ * (total orders everywhere a window or top-k decides survival; integer
+ * or single-division arithmetic so every value hash-matches DuckDB).
+ */
+object Curation {
+
+  /** Fixed coarse-bucket bit count for [[rerank]] stage 1: wide buckets
+    * on purpose — recall belongs to stage 1, precision to stage 2. */
+  val RerankCoarseBits = 8
+
+  /** Stage-1 candidate depth per query (how many survive the quantized
+    * scorer into the exact rerank). */
+  val RerankDepth = 20
+
+  /**
+   * Two-stage retrieve-then-rerank — the standard serving shape for
+   * embedding search at corpus scale:
+   *
+   *  1. RETRIEVE: queries meet only their coarse LSH bucket
+   *     ([[RerankCoarseBits]] md5-derived hyperplane sign bits, the
+   *     same plane family as q36) and are scored with a CHEAP int8
+   *     quantized dot product (integer arithmetic over the q93
+   *     quantization grid — no doubles, ~4× less memory traffic);
+   *     top-[[RerankDepth]] survive per query.
+   *  2. RERANK: survivors only are re-scored with the exact
+   *     double-precision cosine; top-k emitted with final ranks.
+   *
+   * Both stages rank through the rank-emitting bounded-heap operator
+   * ([[graft.plans.TopK.perKeyWithRank]]) — no row_number window, no
+   * per-key sort of the candidate sets.
+   *
+   * The per-dimension quantization grid (min/max per dim) is collected
+   * driver-side: it is DIMENSION-bound (64 rows), not corpus-bound —
+   * the same bounded-collect exemption as the k-means centroids — and
+   * ships back as array literals so quantization is a row-local
+   * projection.
+   */
+  def rerank(spark: SparkSession, dir: String, k: Int = 5,
+      depth: Int = RerankDepth): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    // dimension-bound quantization grid (index-build metadata)
+    val grid = base
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnLit = array(grid.map(g => lit(g._2)): _*)
+    val mxLit = array(grid.map(g => lit(g._3)): _*)
+    val emb = base
+      .withColumn("mn_arr", mnLit)
+      .withColumn("mx_arr", mxLit)
+      // q93's exact grid: floor(ratio*255 + 0.5), 0 on degenerate dims
+      .withColumn("qv", expr(
+        """transform(sequence(0, size(embedding) - 1), i ->
+          |  CAST(floor((CASE WHEN mx_arr[i] = mn_arr[i] THEN 0.0D
+          |    ELSE (CAST(embedding[i] AS DOUBLE) - mn_arr[i])
+          |         / (mx_arr[i] - mn_arr[i]) END) * 255.0D + 0.5D) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("n2", dot_d(col("embedding"), col("embedding")))
+      .withColumn("bucket", Similarity.lshKey(col("embedding"), RerankCoarseBits))
+      .drop("mn_arr", "mx_arr")
+    val queries = emb
+      .filter(pmod(col("vec_id"), lit(20)) === 0 &&
+        col("vec_id") < lit(20L * Similarity.MaxBruteQueries))
+      .select(col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val corpus = emb.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("qv").as("n_qv"), col("n2").as("n_n2"))
+    val cand = queries.join(corpus, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    val stage1 = graft.plans.TopK.perKeyWithRank(cand,
+      Seq("q_id"), Seq(("qdot", true), ("neighbor_id", false)), depth, "crank")
+    val stage2 = stage1
+      .withColumn("sim",
+        dot_d(col("q_emb"), col("n_emb")) / (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
+      .transform(s => graft.plans.TopK.perKeyWithRank(s,
+        Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
+    stage2
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("qdot"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /**
+   * Cross-source near-duplicate accounting: the verified MinHash-LSH
+   * pairs (q32's scale path, bucket join + candidate-only verify)
+   * rolled up into a source×source contamination matrix — the report a
+   * curation team reads to find which crawls re-serve which. Pair
+   * sources are emitted canonically ordered, so (srcA, srcB) and
+   * (srcB, srcA) collapse into one cell.
+   */
+  def crossSourceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Dedup horizon in days for [[horizonDedup]]. */
+  val HorizonDays = 1L
+
+  /**
+   * Ingest-horizon dedup: within each (user, event_type,
+   * [[HorizonDays]]-day bucket) only the FIRST event survives — the
+   * re-crawl / re-delivery suppression every ingest pipeline runs
+   * before anything else touches the data. Written as the universal
+   * `row_number = 1` idiom; [[graft.plans.InferTopKPerKey]] plans it
+   * as the bounded-heap operator (k=1), so no per-key sort runs — at
+   * 100 TB/day this is one shuffle on the dedup key and nothing else.
+   */
+  def horizonDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopK.ensureOptimizations(spark) // rn=1 → bounded-heap rewrite
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("day", expr(s"ts_ms div ${86400000L * HorizonDays}"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("day"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val kept = e
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_kept")),
+        "event_type")
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Cross-source quantile normalization: a document's raw size is
+   * meaningless across heterogeneous sources (one crawl's median is
+   * another's p99), so each doc gets its PERCENT RANK within its own
+   * source — the distribution-free score that makes thresholds
+   * comparable corpus-wide. Tiebreak on doc_id makes the rank (and so
+   * the single division percent_rank performs) deterministic. One
+   * shuffle on source; per-source sort, never a global one.
+   */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("decile", least(floor(col("pr") * 10.0), lit(9.0)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token budget per curriculum bin for [[tokenBudgetBins]]. */
+  val BinTokenBudget = 4000L
+
+  /**
+   * Token-budget curriculum binning: documents ordered by a curriculum
+   * key (length-descending here, tiebreak doc_id) are packed greedily
+   * into consecutive bins of ~[[BinTokenBudget]] whitespace tokens —
+   * the sharding step that turns a scored corpus into fixed-budget
+   * training chunks. The running token sum is an ordered window over
+   * the curriculum order (range-partitioned sort at scale, same shape
+   * as q16's running total); bin assignment is integer division of the
+   * PRECEDING cumulative sum, so a document always lands in the bin
+   * that was open when it arrived.
+   */
+  def tokenBudgetBins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val order = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${BinTokenBudget}"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  /**
+   * Behavioral path mining: the top event-type TRIGRAMS across user
+   * timelines (q115's transition matrix, one order deeper — order is
+   * what separates a path from a bag of events). Per-user `lead`
+   * windows share ONE (user_id) partitioning — a single shuffle — and
+   * the global top-25 cut is `TakeOrderedAndProject`, never a sort of
+   * the full path table.
+   */
+  def pathTrigrams(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topN)
+  }
+}

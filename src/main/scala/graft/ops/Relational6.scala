@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-6 relational depth: equi-depth histograms, robust (MAD-based)
+ * outlier detection, market-basket co-occurrence with apriori pruning,
+ * and interval-concurrency sweep lines. Determinism discipline as
+ * everywhere: total orders under every window, integer or
+ * single-division arithmetic.
+ */
+object Relational6 {
+
+  /** Equi-depth bucket count for [[equidepthHistogram]]. */
+  val HistBuckets = 16
+
+  /**
+   * Equi-depth (equal-frequency) histogram of order totals: ntile over
+   * a TOTAL order (price, orderkey tiebreak) yields deterministic
+   * bucket boundaries — the optimizer-statistics shape (equal-height
+   * histograms are what engines keep for selectivity estimation).
+   * The global ordered window is a range-partitioned sort at scale —
+   * one pass, same cost class as any ORDER BY of the table; at 100 TB
+   * the approximate twin is percentile_approx cut points (q53's
+   * sketch family), with this exact version as its oracle.
+   */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(HistBuckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Robust-z multiplier for [[madOutliers]]: |x − median| > K·MAD. */
+  val MadK = 5.0
+
+  /**
+   * Median-absolute-deviation outlier audit per event type: median and
+   * MAD are the robust location/scale pair (one wild sensor value
+   * shifts a mean/stddev audit, not this one). Two grouped exact
+   * `percentile` passes (bit-identical to DuckDB `quantile_cont`, the
+   * q45 discipline) joined back — the group table is
+   * categorical-bounded, so AQE broadcasts it unhinted; arithmetic is
+   * subtraction + one multiply, no division anywhere.
+   */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = ev.join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withDev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Minimum distinct-order support for a part to enter
+    * [[basketPairs]] — the apriori prune. */
+  val BasketMinSupport = 3L
+
+  /**
+   * Market-basket co-occurrence with apriori pruning: parts bought
+   * together in the same order, scored by lift. The scale discipline
+   * is the prune-then-pair order: infrequent parts are removed by a
+   * semi-join BEFORE the in-order pair explode, so pair volume is
+   * bounded by (basket size)² per order over frequent items only —
+   * never a corpus-wide part×part matrix. Lift is the single double
+   * division `(n_both · N) / (n_a · n_b)`; the top-50 cut is
+   * `TakeOrderedAndProject` under a total order.
+   */
+  def basketPairs(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    // materialized once (localCheckpoint, the Dedup discipline): the
+    // distinct basket projection feeds the support count, the pruned
+    // pair join (twice) and the order total — without it the lineitem
+    // scan + distinct shuffle would run four times
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val freq = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= BasketMinSupport)
+    val pruned = li.join(freq.select(col("l_partkey")), Seq("l_partkey"), "left_semi")
+    val totalOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(pruned.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("supp").as("n_a")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"), col("supp").as("n_b")), "part_b")
+      .crossJoin(broadcast(totalOrders)) // single-row scalar, q59 pattern
+      .withColumn("lift",
+        col("n_both").cast("double") * col("n_orders") / (col("n_a") * col("n_b")))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("n_both").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /**
+   * Interval-concurrency sweep line: how many orders are "open"
+   * (order date → last lineitem ship date) at once, per order
+   * priority. The classic +1/−1 delta encoding under a TOTAL order
+   * (ts, starts-before-ends, orderkey) with a running sum — one
+   * shuffle on the priority key, per-key ordered pass; no
+   * interval×interval join anywhere (the O(N²) formulation this
+   * replaces). Ends are placed at end+1ms so intervals are inclusive.
+   */
+  def orderConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(Tables.epochMs(col("l_shipdate"))).as("end_ms"))
+    val o = Tables.orders(spark, dir)
+      .join(span, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        Tables.epochMs(col("o_orderdate")).as("start_ms"), col("end_ms"))
+    val deltas = o.select(col("o_orderpriority"), col("o_orderkey"),
+        col("start_ms").as("ts"), lit(1L).as("delta"))
+      .unionByName(o.select(col("o_orderpriority"), col("o_orderkey"),
+        (col("end_ms") + 1L).as("ts"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("ts"), col("delta").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+}

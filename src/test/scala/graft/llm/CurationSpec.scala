@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("rerank: contiguous final ranks, sims in [-1,1], rank stages coherent") {
+    val rows = Curation.rerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"q=$q ranks $ranks")
+      assert(ranks.length <= 5)
+      // final order follows exact sim desc (neighbor_id tiebreak)
+      val bySim = rs.sortBy(r => (-r.getDouble(3), r.getLong(2))).map(_.getLong(1)).toSeq
+      assert(bySim == rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq)
+    }
+    assert(rows.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
+  }
+
+  test("rerank plans both stages through TopKPerKey with no window") {
+    val df = Curation.rerank(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TopKPerKey"), s"no bounded-heap operator:\n$plan")
+    assert(!plan.contains("Window "), s"rerank must not plan a window:\n$plan")
+  }
+
+  test("cross-source matrix partitions the q32 pair set") {
+    val cells = Curation.crossSourceNearDup(spark, sf).collect()
+    val total = Dedup.minhashLsh(spark, sf).count()
+    assert(cells.map(_.getLong(2)).sum == total,
+      "matrix cells must partition the verified pair set")
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"pair sources not canonical: $r")
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("horizon dedup keeps exactly the first event per (user, type, day)") {
+    val rows = Curation.horizonDedup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+    // direct recompute for one event type
+    val et = rows.head.getString(0)
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .select(col("user_id"), Tables.epochMs(col("ts")).as("ts_ms"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .select(col("user_id"), col("day")).distinct().count()
+    assert(rows.head.getLong(2) == expected,
+      s"kept count for $et should equal distinct (user, day) buckets")
+  }
+
+  test("quantile normalization: pr in [0,1], monotone in n_chars per source") {
+    val rows = Curation.quantileNormalize(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 9))
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(3))
+        case _ => ()
+      }
+      assert(sorted.last.getDouble(3) == 1.0)
+      assert(sorted.head.getDouble(3) == 0.0)
+    }
+  }
+
+  test("token-budget bins: contiguous bins conserving docs and tokens") {
+    val rows = Curation.tokenBudgetBins(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong))
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.agg(sum(col("t"))).head.getLong(0))
+    // greedy packing: when bin b+1 opened, the cumulative token count
+    // had reached (b+1)·budget — so every non-final prefix closes at or
+    // over its budget line
+    val prefix = rows.map(_.getLong(2)).scanLeft(0L)(_ + _).drop(1)
+    rows.init.zip(prefix.init).foreach { case (r, cum) =>
+      assert(cum >= (r.getLong(0) + 1) * Curation.BinTokenBudget,
+        s"bin ${r.getLong(0)} closed under budget: cum=$cum")
+    }
+  }
+
+  test("path trigrams: counts descend under the total order, paths from real types") {
+    val rows = Curation.pathTrigrams(spark, sf).collect()
+    assert(rows.length <= 25 && rows.nonEmpty)
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(types(r.getString(0)) && types(r.getString(1)) && types(r.getString(2)))
+      assert(r.getLong(3) >= 1)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+      case _ => ()
+    }
+  }
+}

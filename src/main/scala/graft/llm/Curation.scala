@@ -177,22 +177,22 @@ object Curation {
    * key (length-descending here, tiebreak doc_id) are packed greedily
    * into consecutive bins of ~[[BinTokenBudget]] whitespace tokens —
    * the sharding step that turns a scored corpus into fixed-budget
-   * training chunks. The running token sum is an ordered window over
-   * the curriculum order (range-partitioned sort at scale, same shape
-   * as q16's running total); bin assignment is integer division of the
-   * PRECEDING cumulative sum, so a document always lands in the bin
-   * that was open when it arrived.
+   * training chunks. The running token sum comes from
+   * [[graft.ops.GlobalOrder.withRankAndPrefix]]'s distributed global
+   * prefix sum — a literal `SUM() OVER (ORDER BY …)` would funnel the
+   * corpus through ONE window task; the two-phase form
+   * (range-repartition + per-partition sums + a partitions-bound
+   * offset fold) keeps every partition working. Bin assignment is
+   * integer division of the EXCLUSIVE prefix, so a document always
+   * lands in the bin that was open when it arrived.
    */
   def tokenBudgetBins(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val order = Window.orderBy(col("n_chars").desc, col("doc_id"))
-    docs
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(
-          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("bin", expr(s"cum_before div ${BinTokenBudget}"))
+    graft.ops.GlobalOrder.withRankAndPrefix(docs,
+        Seq(col("n_chars").desc, col("doc_id")), Some(col("n_tokens")))
+      .withColumn("bin", expr(s"g_prefix div ${BinTokenBudget}"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -18,20 +18,23 @@ object Relational6 {
   val HistBuckets = 16
 
   /**
-   * Equi-depth (equal-frequency) histogram of order totals: ntile over
-   * a TOTAL order (price, orderkey tiebreak) yields deterministic
-   * bucket boundaries — the optimizer-statistics shape (equal-height
-   * histograms are what engines keep for selectivity estimation).
-   * The global ordered window is a range-partitioned sort at scale —
-   * one pass, same cost class as any ORDER BY of the table; at 100 TB
-   * the approximate twin is percentile_approx cut points (q53's
-   * sketch family), with this exact version as its oracle.
+   * Equi-depth (equal-frequency) histogram of order totals under a
+   * TOTAL order (price, orderkey tiebreak) — the optimizer-statistics
+   * shape (equal-height histograms are what engines keep for
+   * selectivity estimation). A literal `ntile() OVER (ORDER BY …)`
+   * would move EVERY row into one window task; the bucket instead
+   * comes from [[GlobalOrder.withRankAndPrefix]]'s distributed global
+   * rank (range-repartition + per-partition rank + a partitions-bound
+   * offset fold) with [[GlobalOrder.ntileFromRank]] reproducing ANSI
+   * ntile semantics exactly — the DuckDB oracle still runs the literal
+   * window formulation, so matching hashes prove the plan-only swap.
    */
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bucket", ntile(HistBuckets).over(w).cast("long"))
+    GlobalOrder.withRankAndPrefix(o, Seq(col("o_totalprice"), col("o_orderkey")))
+      .withColumn("bucket", GlobalOrder.ntileFromRank(
+        col("g_rank"), col("g_total_rows"), HistBuckets))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("lo"),

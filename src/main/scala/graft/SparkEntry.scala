@@ -158,6 +158,10 @@ object SparkEntry {
     "q139_token_budget_bins" -> (graft.llm.Curation.tokenBudgetBins _),
     "q140_order_concurrency" -> (graft.ops.Relational6.orderConcurrency _),
     "q141_path_trigrams"   -> ((s: SparkSession, d: String) => graft.llm.Curation.pathTrigrams(s, d)),
+    "q142_lang_confusion"  -> (graft.llm.Curation.langConfusion _),
+    "q143_chunk_dedup"     -> (graft.llm.Curation.chunkDedup _),
+    "q144_shingle_novelty" -> (graft.llm.Curation.shingleNovelty _),
+    "q145_dim_stats"       -> (graft.llm.Curation.dimStats _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -866,27 +870,9 @@ object SparkEntry {
         |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "q37_lang_id" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'fast')) AS BIGINT) AS hits_en,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'nicht')) AS BIGINT) AS hits_de,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t = 'el' OR t = 'la' OR t = 'que' OR t = 'de')) AS BIGINT) AS hits_es,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est')) AS BIGINT) AS hits_fr,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t = 'de5' OR t = 'shi4' OR t = 'bu4' OR t = 'le5')) AS BIGINT) AS hits_zh
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE
-        |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
-        |    WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
-        |    WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
-        |    WHEN hits_fr >= hits_zh THEN 'fr'
-        |    ELSE 'zh' END AS pred,
-        |  hits_en, hits_de, hits_es, hits_fr, hits_zh
-        |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH $langPredCtes
+        |SELECT doc_id, lang, pred, hits_en, hits_de, hits_es, hits_fr, hits_zh
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q38_quality_score" ->
       """WITH b AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1462,6 +1448,53 @@ object SparkEntry {
         |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, t1, t2, t3 LIMIT 25""".stripMargin,
+    "q142_lang_confusion" ->
+      s"""WITH $langPredCtes,
+        |conf AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, COUNT(*) AS n_lang FROM p GROUP BY 1)
+        |SELECT conf.lang, pred, n, n_lang,
+        |       CAST(n AS DOUBLE) / n_lang AS share
+        |FROM conf JOIN tot USING (lang)
+        |ORDER BY conf.lang, pred""".stripMargin,
+    "q143_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, ci, ci * 24 + 1 AS start, w FROM t, LATERAL (
+        |        SELECT unnest(range(0, (len(w) - 1) // 24 + 1)) AS ci) u),
+        |ch AS (SELECT doc_id,
+        |         md5(array_to_string(list_slice(w, start, start + 31), ' ')) AS h
+        |       FROM c),
+        |spread AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_chunks,
+        |       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS dup_ratio
+        |FROM ch JOIN spread USING (h) JOIN documents USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_shingle_novelty" ->
+      s"""WITH $shingleCtes,
+        |j AS (SELECT source, s FROM sh JOIN documents USING (doc_id)),
+        |slots AS (SELECT source, COUNT(*) AS n_slots FROM j GROUP BY 1),
+        |uniq AS (SELECT source, COUNT(*) AS n_distinct
+        |         FROM (SELECT DISTINCT source, s FROM j) d GROUP BY 1)
+        |SELECT source, n_slots, n_distinct,
+        |       1.0 - CAST(n_distinct AS DOUBLE) / n_slots AS dup_ratio
+        |FROM slots JOIN uniq USING (source) ORDER BY source""".stripMargin,
+    "q145_dim_stats" ->
+      """WITH x AS (SELECT u.i - 1 AS dim,
+        |    embedding[u.i]::DOUBLE AS v,
+        |    CAST(embedding[u.i]::DOUBLE * 281474976710656.0 AS HUGEINT) AS q
+        |  FROM embeddings, LATERAL (
+        |    SELECT unnest(range(1, len(embedding) + 1)) AS i) u)
+        |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |       MIN(v) AS mn, MAX(v) AS mx,
+        |       CAST(SUM(q) AS DOUBLE) / 281474976710656.0 / COUNT(*) AS mean,
+        |       CAST(SUM(q * q) AS DOUBLE) / 281474976710656.0 / 281474976710656.0
+        |           / COUNT(*)
+        |         - (CAST(SUM(q) AS DOUBLE) / 281474976710656.0 / COUNT(*))
+        |           * (CAST(SUM(q) AS DOUBLE) / 281474976710656.0 / COUNT(*))
+        |         AS variance
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "q131_regression" ->
       """WITH e AS (SELECT event_type,
         |             (epoch_ms(ts) - 1704067200000) // 1000 AS x,
@@ -1679,14 +1712,46 @@ object SparkEntry {
    * hyperplanes are regenerated in SQL, and only planes below the
    * corpus-dependent bit count contribute to the bucket key.
    */
+  /** The q37 marker-lexicon language classifier as reusable CTEs ending
+    * in `p` (doc_id, lang, pred, hits_*) — shared by q37 and q142's
+    * confusion matrix. */
+  private[graft] val langPredCtes: String =
+    """h AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'the' OR t = 'a' OR t = 'value' OR t = 'fast')) AS BIGINT) AS hits_en,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'nicht')) AS BIGINT) AS hits_de,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'el' OR t = 'la' OR t = 'que' OR t = 'de')) AS BIGINT) AS hits_es,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est')) AS BIGINT) AS hits_fr,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t = 'de5' OR t = 'shi4' OR t = 'bu4' OR t = 'le5')) AS BIGINT) AS hits_zh
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang,
+      |  CASE
+      |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+      |    WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+      |    WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+      |    WHEN hits_fr >= hits_zh THEN 'fr'
+      |    ELSE 'zh' END AS pred,
+      |  hits_en, hits_de, hits_es, hits_fr, hits_zh
+      |FROM h)""".stripMargin
+
+  /** The corpus shingle table (distinct 3-gram set per doc) as reusable
+    * CTEs ending in `sh` (doc_id, s) — the head of the MinHash pipeline,
+    * also consumed standalone by q144's novelty profile. */
+  private[graft] val shingleCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+      |         SELECT unnest(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u)""".stripMargin
+
   /** The q32 MinHash-LSH pipeline as reusable CTEs ending in `neardup`
     * (id_a, id_b, jaccard ≥ 0.5) — shared by q32 itself and q133's
     * cross-source rollup. */
   private[graft] val minhashPairsCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
-      |         SELECT unnest(list_transform(range(1, len(w) - 1),
-      |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+    s"""$shingleCtes,
       |mh AS (SELECT doc_id, salt,
       |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
       |                    1 + 8 * (salt % 4), 8)) AS h

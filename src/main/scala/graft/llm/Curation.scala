@@ -200,6 +200,98 @@ object Curation {
   }
 
   /**
+   * Language-ID confusion matrix: the q37 marker classifier's
+   * predictions against the labeled `lang` column — the model-eval
+   * report every heuristic filter needs before it gates a corpus. One
+   * count per (true, predicted) cell plus the within-language share
+   * (a single double division). Two aggregates share the langId scan.
+   */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.langId(spark, dir).select(col("lang"), col("pred"))
+    val conf = scored.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    conf.join(totals, "lang")
+      .withColumn("share", col("n").cast("double") / col("n_lang"))
+      .select(col("lang"), col("pred"), col("n"), col("n_lang"), col("share"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /**
+   * Chunk-level duplication profile: the q54 sliding-window chunks
+   * hashed (md5) and checked for cross-document repetition — the
+   * granularity between whole-document dedup (q30/q32) and 5-gram
+   * passage dedup (q95), and the one that matters when documents embed
+   * shared boilerplate blocks. Per source: chunk count, chunks whose
+   * text also appears in ANOTHER document, and the duplicated share.
+   * The shuffle key is the 16-byte chunk hash, never the chunk text.
+   */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(spark, dir)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val spread = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(spread, "h")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * Per-source shingle novelty: of each source's shingle SLOTS (a
+   * doc's distinct 3-gram set contributes one slot per shingle), how
+   * many are repeats of a shingle already seen elsewhere in the same
+   * source — the corpus-level duplication-rate signal that says "this
+   * crawl is 40% boilerplate" before any pairwise dedup runs. Distinct
+   * counting is Expand-free: the (source, shingle) table is
+   * pre-deduplicated and counted, never `countDistinct` over the raw
+   * slots (the q95/q113 discipline).
+   */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val j = Dedup.shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s"))
+    val slots = j.groupBy(col("source")).agg(count(lit(1)).as("n_slots"))
+    val distinct = j.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    slots.join(distinct, "source")
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_slots"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * Per-dimension embedding statistics (the feature-normalization
+   * metadata a whitening/standardization step consumes): exact mean
+   * via 2^48-scaled DECIMAL(38,0) sums (the q61 discipline — addends
+   * are exact integers, so the sum is partition-order-independent) and
+   * population variance from the exactly-summed second moment, with
+   * doubles entering only in the final fixed-order expression. min/max
+   * are picks, order-free by nature. Output is dimension-bound
+   * (64 rows) no matter the corpus size.
+   */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val scale = KMeans.Scale // 2^48 — fixture floats scale to exact integers
+    val x = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val q = (col("v") * lit(scale)).cast("decimal(38,0)")
+    val meanOf = (s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      s1.cast("double") / lit(scale) / n
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(q).as("s1"), sum(q * q).as("s2"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("mn"), col("mx"),
+        meanOf(col("s1"), col("n")).as("mean"),
+        (col("s2").cast("double") / lit(scale) / lit(scale) / col("n") -
+          meanOf(col("s1"), col("n")) * meanOf(col("s1"), col("n"))).as("variance"))
+      .orderBy(col("dim"))
+  }
+
+  /**
    * Behavioral path mining: the top event-type TRIGRAMS across user
    * timelines (q115's transition matrix, one order deeper — order is
    * what separates a path from a bag of events). Per-user `lead`

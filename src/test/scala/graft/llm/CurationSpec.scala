@@ -88,6 +88,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion: cells partition the corpus, diagonal dominates") {
+    val cells = Curation.langConfusion(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    // per-language shares sum to 1
+    cells.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+    // the marker classifier should beat uniform-random over 5 classes
+    // (fixture docs are synthetic word soup, so the bar is chance, not
+    // production accuracy — the matrix exists to REPORT this honestly)
+    val diag = cells.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(diag * 5 > Tables.documents(spark, sf).count(), "classifier no better than random")
+  }
+
+  test("chunk dedup: ratios in [0,1], duplicated chunks bounded by totals") {
+    val rows = Curation.chunkDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val totalChunks = TextAnalysis.chunkDocuments(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == totalChunks)
+  }
+
+  test("shingle novelty: distinct never exceeds slots; ratio in [0,1)") {
+    val rows = Curation.shingleNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"distinct > slots: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("dim stats: 64 dims, variance non-negative and consistent with min/max") {
+    val rows = Curation.dimStats(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (mn, mx, mean, v) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mean >= mn && mean <= mx)
+      assert(v >= -1e-9, s"negative variance: $r")
+      // population variance is bounded by the squared half-range
+      val half = (mx - mn) / 2.0
+      assert(v <= half * half + 1e-6, s"variance beyond range bound: $r")
+    }
+  }
+
   test("path trigrams: counts descend under the total order, paths from real types") {
     val rows = Curation.pathTrigrams(spark, sf).collect()
     assert(rows.length <= 25 && rows.nonEmpty)

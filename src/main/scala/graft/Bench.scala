@@ -9,6 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine-wide extensions, exactly as a deployed session would run
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: JIT + codegen cache + parquet
@@ -24,8 +26,8 @@ object Bench {
     // the minimum is the contention-resistant estimate of the plan's
     // actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val dt = (0 until reps).map { _ =>
+    val timed = SparkEntry.queries.map { case (name, fn) =>
+      val ts = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
@@ -33,9 +35,10 @@ object Bench {
         // aren't timed under accumulated memory pressure
         spark.catalog.clearCache()
         t
-      }.min
-      name -> dt
+      }
+      name -> ts
     }
+    val results = timed.map { case (name, ts) => name -> ts.min }
     // The driver records only the last ~2000 chars of stdout; keep the
     // headline metric/value at the END of the (single) JSON line so it
     // survives the tail window, and round per-query secs to 3 decimals
@@ -43,8 +46,16 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query max/min spread across reps: >2 means host contention
+    // touched that query's reps and the min absorbed it — telemetry so
+    // a noisy host is VISIBLE, not silently smoothed. Early on the
+    // line: dispensable if the driver's tail window truncates.
+    val spread = timed.map { case (k, ts) =>
+      val s = if (ts.min > 0) ts.max / ts.min else Double.NaN
+      "\"" + k + "\":" + fmt(s)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    println(s"""{"spread":$spread,"reps":$reps,"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine-wide extensions, exactly as a deployed session would run:
+      // custom functions + TopKPerKey strategy + the InferTopKPerKey
+      // rewrite apply to EVERY query, not just per-query opt-ins
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -133,7 +133,6 @@ object Curation {
    * 100 TB/day this is one shuffle on the dedup key and nothing else.
    */
   def horizonDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.TopK.ensureOptimizations(spark) // rn=1 → bounded-heap rewrite
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         Tables.epochMs(col("ts")).as("ts_ms"))
@@ -157,17 +156,30 @@ object Curation {
    * another's p99), so each doc gets its PERCENT RANK within its own
    * source — the distribution-free score that makes thresholds
    * comparable corpus-wide. Tiebreak on doc_id makes the rank (and so
-   * the single division percent_rank performs) deterministic. One
-   * shuffle on source; per-source sort, never a global one.
+   * the single division percent_rank performs) deterministic.
+   *
+   * The rank comes from
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]] — a
+   * `Window.partitionBy(source)` would funnel the whole corpus into
+   * source-cardinality reducer tasks; the grouped two-phase form
+   * range-partitions on (source, n_chars, doc_id) so every core
+   * works. The order is total, so
+   * `percent_rank = (rank−1)/(N_k−1)` is the exact division the
+   * window function performs.
    */
-  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("pr", percent_rank().over(w))
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalOrder.groupedRankAndPrefix(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        keys = Seq(col("source")),
+        order = Seq(col("n_chars"), col("doc_id")))
+      .withColumn("pr",
+        when(col("g_total_rows") > 1L,
+          (col("g_rank") - 1L).cast("double") /
+            (col("g_total_rows") - 1L).cast("double")).otherwise(0.0))
       .withColumn("decile", least(floor(col("pr") * 10.0), lit(9.0)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pr"), col("decile"))
       .orderBy(col("doc_id"))
-  }
 
   /** Token budget per curriculum bin for [[tokenBudgetBins]]. */
   val BinTokenBudget = 4000L

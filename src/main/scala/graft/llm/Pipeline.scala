@@ -323,9 +323,15 @@ object Pipeline {
    * dependent). The md5 ranking is the same RNG-free discipline as
    * [[deterministicSample]], but with a HARD per-stratum count.
    *
-   * Plan: one window ranking partitioned by source (single shuffle;
-   * each stratum sorts independently) joined to the per-stratum
-   * quota table — a categorical-cardinality broadcast.
+   * Plan: the per-stratum rank comes from
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]] rather than a
+   * `Window.partitionBy(source)` — the quota bound is NON-LITERAL
+   * (`rk <= quota`), so neither `InferWindowGroupLimit` nor the
+   * bounded-heap rewrite could cap the window's per-source sort, and
+   * the full corpus would both sort AND funnel into
+   * source-cardinality tasks. The grouped form range-partitions on
+   * (source, md5, doc_id), keeping every core busy; the quota join
+   * stays a categorical-cardinality broadcast.
    */
   def stratifiedSample(spark: SparkSession, dir: String,
       denom: Int = 10): DataFrame = {
@@ -333,10 +339,11 @@ object Pipeline {
     val quotas = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
       .withColumn("quota", expr(s"(n_src + ${denom - 1}) div $denom"))
-    val rankWin = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs
-      .withColumn("rk", row_number().over(rankWin).cast("long"))
+    graft.ops.GlobalOrder.groupedRankAndPrefix(
+        docs.select(col("doc_id"), col("source")),
+        keys = Seq(col("source")),
+        order = Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        rankCol = "rk")
       .join(quotas, "source")
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"), col("quota"))

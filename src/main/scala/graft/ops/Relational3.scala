@@ -154,17 +154,32 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Distribution ranks: percent_rank / cume_dist / ntile (exact
+  /** Distribution ranks: percent_rank / cume_dist / ntile, derived
+    * from [[graft.ops.GlobalOrder.groupedRankAndPrefix]]'s per-key
+    * rank and total instead of a `Window.partitionBy(c_nationkey)` —
+    * the 25-key window would shuffle every customer into 25 reducer
+    * tasks; the grouped form range-partitions on (nation, acctbal, …)
+    * so parallelism never caps at key cardinality. The order is total
+    * (custkey tiebreak), so rank has no peers and
+    * `percent_rank = (rank−1)/(N_k−1)`, `cume_dist = rank/N_k` — the
+    * same single divisions the window functions perform (exact
     * rational arithmetic — cross-engine deterministic). */
   def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    graft.ops.GlobalOrder.groupedRankAndPrefix(c,
+        keys = Seq(col("c_nationkey")),
+        order = Seq(col("c_acctbal"), col("c_custkey")))
       .select(
         col("c_nationkey"), col("c_custkey"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"),
-        ntile(4).over(w).cast("long").as("quartile"))
+        when(col("g_total_rows") > 1L,
+          (col("g_rank") - 1L).cast("double") /
+            (col("g_total_rows") - 1L).cast("double"))
+          .otherwise(0.0).as("pct_rank"),
+        (col("g_rank").cast("double") / col("g_total_rows").cast("double"))
+          .as("cume"),
+        graft.ops.GlobalOrder.ntileFromRank(col("g_rank"), col("g_total_rows"), 4)
+          .as("quartile"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 

@@ -281,38 +281,51 @@ object Relational4 {
    * for token (identical-order double chains are bit-exact across
    * engines; accumulating doubles inside the window would not be).
    *
-   * Plan: the trailing frame is computed as a DIFFERENCE OF RUNNING
-   * SUMS — `lag(cum, 1) − lag(cum, 101)` — because Spark re-aggregates
-   * a bounded `ROWS -100,-1` frame from scratch per row (no
-   * retraction support): O(frame) per row, 4× slower here and worse
-   * as frames widen. Running sums are O(1)/row, and since decimal
+   * Plan: the trailing frame is computed as a DIFFERENCE OF EXCLUSIVE
+   * PREFIX SUMS — `P(r) − P(r−100)`, where `P(r) = Σ_{i<r} v_i` —
+   * rather than re-aggregating a bounded `ROWS -100,-1` frame per row
+   * (O(frame)/row, Spark has no retraction support). Since decimal
    * arithmetic is exact the difference is bit-identical to the framed
    * sum — the oracle keeps the framed formulation and still hash-
-   * matches (deliberately: two formulations, one answer). One shuffle
-   * on event_type.
+   * matches (deliberately: two formulations, one answer).
+   *
+   * The prefixes come from
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]] — the previous
+   * `Window.partitionBy(event_type)` running sums shuffled every
+   * event into ~10 reducer tasks (the event_type cardinality) and
+   * sorted there, a hard parallelism ceiling at 100×. The grouped
+   * two-phase form range-partitions on (type, ts, id) so every core
+   * works; `P(r−100)` is then a self equi-join on the
+   * high-cardinality composite (event_type, rank−100) — hash-spread
+   * across the cluster, left rows with `r ≤ 100` coalesce to the
+   * exact zero (P of m ≤ 1 is 0).
+   *
+   * Widening discipline unchanged: summing the (28,2)/(28,4)-cast
+   * inputs accumulates at (38,2)/(38,4) — a 10^12-row key's
+   * cumulative total cannot silently overflow to NULL. Bounds:
+   * |v| ≤ 10^12 (v² fits (28,4)), Σ ≤ 10^34 per key.
    */
   def windowZScore(spark: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_ms"), col("event_id"))
-    val cumFrame = byType.rowsBetween(Window.unboundedPreceding, 0)
     val v = col("value").cast("decimal(18,2)")
-    def trailing(cum: Column, zero: Column) =
-      coalesce(lag(cum, 1).over(byType), zero) -
-        coalesce(lag(cum, 101).over(byType), zero)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"),
-        Tables.epochMs(col("ts")).as("ts_ms"))
-      .withColumn("rn", row_number().over(byType))
-      // widen BEFORE the running sum: sum over (18,2) accumulates at
-      // (28,2), which a 10^12-row partition's cumulative total can
-      // overflow to NULL (and coalesce would silently zero); summing
-      // the (28,2)/(28,4)-cast inputs accumulates at (38,2)/(38,4).
-      // Bounds: |v| ≤ 10^12 (v² fits (28,4)), Σ ≤ 10^34 per partition.
-      .withColumn("c1", sum(v.cast("decimal(28,2)")).over(cumFrame))
-      .withColumn("c2", sum((v * v).cast("decimal(28,4)")).over(cumFrame))
-      .withColumn("n", least(col("rn") - 1, lit(100)).cast("long"))
-      .withColumn("s1", trailing(col("c1"), lit(0).cast("decimal(38,2)")))
-      .withColumn("s2", trailing(col("c2"), lit(0).cast("decimal(38,4)")))
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          Tables.epochMs(col("ts")).as("ts_ms")),
+      keys = Seq(col("event_type")),
+      order = Seq(col("ts_ms"), col("event_id")),
+      values = Seq(
+        (v.cast("decimal(28,2)"), "p1"),
+        ((v * v).cast("decimal(28,4)"), "p2")))
+    val lagged = ranked.select(
+      col("event_type").as("l_type"), (col("g_rank") + 100L).as("l_rank"),
+      col("p1").as("lp1"), col("p2").as("lp2"))
+    ranked
+      .join(lagged,
+        col("event_type") === col("l_type") && col("g_rank") === col("l_rank"),
+        "left")
+      .withColumn("n", least(col("g_rank") - 1L, lit(100L)))
+      .withColumn("s1", col("p1") - coalesce(col("lp1"), lit(0).cast("decimal(38,2)")))
+      .withColumn("s2", col("p2") - coalesce(col("lp2"), lit(0).cast("decimal(38,4)")))
       .filter(col("n") >= 30)
       .withColumn("mean", col("s1").cast("double") / col("n"))
       .withColumn("variance",

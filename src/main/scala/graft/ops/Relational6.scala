@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,13 +86,13 @@ object Relational6 {
    * `TakeOrderedAndProject` under a total order.
    */
   def basketPairs(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
-    // materialized once (localCheckpoint, the Dedup discipline): the
+    // materialized once (GlobalOrder.pin — localCheckpoint by default,
+    // reliable checkpoint under `graft.checkpoint.reliable`): the
     // distinct basket projection feeds the support count, the pruned
     // pair join (twice) and the order total — without it the lineitem
     // scan + distinct shuffle would run four times
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+    val li = GlobalOrder.pin(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
     val freq = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= BasketMinSupport)
@@ -122,10 +121,18 @@ object Relational6 {
    * Interval-concurrency sweep line: how many orders are "open"
    * (order date → last lineitem ship date) at once, per order
    * priority. The classic +1/−1 delta encoding under a TOTAL order
-   * (ts, starts-before-ends, orderkey) with a running sum — one
-   * shuffle on the priority key, per-key ordered pass; no
+   * (ts, starts-before-ends, orderkey) with a running sum; no
    * interval×interval join anywhere (the O(N²) formulation this
    * replaces). Ends are placed at end+1ms so intervals are inclusive.
+   *
+   * The running sum routes through
+   * [[GlobalOrder.groupedRankAndPrefix]] — a
+   * `Window.partitionBy(o_orderpriority)` would shuffle every delta
+   * row into FIVE reducer tasks (the priority cardinality) and sort
+   * there, a hard parallelism ceiling at 100×; the grouped two-phase
+   * form range-partitions on (priority, ts, …) so every core works.
+   * Concurrency at a row = its exclusive per-key prefix + its own
+   * delta.
    */
   def orderConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val span = Tables.lineitem(spark, dir)
@@ -139,11 +146,11 @@ object Relational6 {
         col("start_ms").as("ts"), lit(1L).as("delta"))
       .unionByName(o.select(col("o_orderpriority"), col("o_orderkey"),
         (col("end_ms") + 1L).as("ts"), lit(-1L).as("delta")))
-    val sweep = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("ts"), col("delta").desc, col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .withColumn("conc", sum(col("delta")).over(sweep))
+    GlobalOrder.groupedRankAndPrefix(deltas,
+        keys = Seq(col("o_orderpriority")),
+        order = Seq(col("ts"), col("delta").desc, col("o_orderkey")),
+        values = Seq((col("delta"), "prefix_delta")))
+      .withColumn("conc", col("prefix_delta") + col("delta"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("conc")).as("max_concurrent"),
         (count(lit(1)) / 2).cast("long").as("n_orders"))

@@ -195,12 +195,16 @@ object TopK {
    * rank discarded — and silently planned as the bounded-heap operator
    * by [[InferTopKPerKey]] (`InferTopKPerKeySpec` asserts the rewrite;
    * the DuckDB oracle replays the literal window formulation, proving
-   * the rewrite changes the plan and nothing else).
+   * the rewrite changes the plan and nothing else). The rule arrives
+   * with the session — `spark.sql.extensions =
+   * graft.functions.GraftExtensions`, the way Verify/Bench build
+   * theirs — not via a per-query install; on a vanilla session this
+   * plans as the literal (still correct, `InferWindowGroupLimit`-
+   * bounded) window.
    */
   def customerTopOrders(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
-    ensureOptimizations(spark)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     graft.model.Tables.orders(spark, dir)

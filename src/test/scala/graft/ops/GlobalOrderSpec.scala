@@ -11,6 +11,10 @@ class GlobalOrderSpec extends SparkSpec {
     .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
       col("l_quantity").cast("long").as("q"))
 
+  private def liK = Tables.lineitem(spark, sf)
+    .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"), col("l_quantity").cast("long").as("q"))
+
   test("distributed global rank equals the single-partition window rank") {
     val order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val got = GlobalOrder.withRankAndPrefix(li, order, Some(col("q")))
@@ -48,6 +52,112 @@ class GlobalOrderSpec extends SparkSpec {
       .groupBy("b").count().orderBy("b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("grouped rank/prefix equals the per-key window formulation") {
+    val keys = Seq(col("l_returnflag"))
+    val order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val src = liK
+    val got = GlobalOrder.groupedRankAndPrefix(src, keys, order,
+        values = Seq((col("q"), "pfx")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("g_rank"),
+        col("g_total_rows"), col("pfx"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val want = src
+      .withColumn("g_rank", row_number().over(w).cast("long"))
+      .withColumn("g_total_rows", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("pfx", coalesce(
+        sum(col("q")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("g_rank"),
+        col("g_total_rows"), col("pfx"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("grouped decimal prefixes are exact and match the window sums") {
+    val keys = Seq(col("l_returnflag"))
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(28,2)").as("p"))
+    val got = GlobalOrder.groupedRankAndPrefix(src, keys, order,
+        values = Seq((col("p"), "pfx")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pfx"))
+    assert(got.schema("pfx").dataType.sql == "DECIMAL(38,2)")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val want = src
+      .withColumn("pfx", coalesce(
+        sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast("decimal(38,2)")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pfx"))
+    val sortCols = Seq(col("l_orderkey"), col("l_linenumber"))
+    assert(got.orderBy(sortCols: _*).collect()
+      .sameElements(want.orderBy(sortCols: _*).collect()))
+  }
+
+  test("grouped: null keys form their own group (null-safe join back)") {
+    import spark.implicits._
+    val src = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 20L),
+      (None: Option[String], 3L, 5L), (None: Option[String], 4L, 7L))
+      .toDF("k", "id", "v")
+    val got = GlobalOrder.groupedRankAndPrefix(src,
+        Seq(col("k")), Seq(col("id")), values = Seq((col("v"), "pfx")))
+      .orderBy(col("id"))
+      .select(col("id"), col("g_rank"), col("g_total_rows"), col("pfx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2L, 0L), (2L, 2L, 2L, 10L),
+      (3L, 1L, 2L, 0L), (4L, 2L, 2L, 5L)))
+  }
+
+  test("grouped: double value columns are rejected (order-dependent sums)") {
+    intercept[IllegalArgumentException] {
+      GlobalOrder.groupedRankAndPrefix(li, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber")),
+        values = Seq((col("l_extendedprice"), "bad")))
+    }
+  }
+
+  test("grouped plan: no window anywhere; offsets return as a LocalRelation broadcast") {
+    val df = GlobalOrder.groupedRankAndPrefix(liK,
+      Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      values = Seq((col("q"), "pfx")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("MapPartitions"), s"expected mapPartitions pass:\n$plan")
+    assert(!plan.contains("Window ["), s"grouped form must plan NO window:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"offsets must come back as a broadcast:\n$plan")
+    // the offsets side is a LocalRelation — provably bounded, so the
+    // broadcast hint passes the forced-broadcast audit
+    assert(graft.plans.PlanChecks.forcedBroadcastViolations(df).isEmpty)
+  }
+
+  test("pin honors the reliable-checkpoint escape hatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    val hadDir = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val pinned = GlobalOrder.pin(li)
+      // reliable checkpoints read back from the checkpoint dir — the
+      // RDD must be a ReliableCheckpointRDD, not executor-local blocks
+      assert(pinned.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        pinned.rdd.toDebugString)
+      assert(pinned.count() == li.count())
+      // and the grouped operator is correct in reliable mode too
+      val r = GlobalOrder.groupedRankAndPrefix(li, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber")))
+      assert(r.filter(col("g_rank") === 1L).count() ==
+        li.select(col("l_orderkey")).distinct().count())
+    } finally {
+      spark.conf.set("graft.checkpoint.reliable", "false")
+      hadDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   test("no global window touches the big input; one tiny offset fold remains") {

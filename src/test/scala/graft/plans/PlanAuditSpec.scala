@@ -190,6 +190,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("few-key ordered analytics plan NO window — grouped GlobalOrder everywhere") {
+    // round-6 verdict #1: these five shuffled a fact-scale table into
+    // key-cardinality reducer tasks (≤25 keys) and sorted there — a
+    // hard parallelism ceiling at 100×. All now route through
+    // GlobalOrder.groupedRankAndPrefix: range partition on
+    // (key, order), per-(key, pid) segment pass, driver-folded
+    // offsets as a LocalRelation broadcast. No Window exec of ANY
+    // size may survive in these plans.
+    Seq("q67_distribution_ranks", "q107_window_zscore",
+      "q110_stratified_sample", "q138_quantile_normalize",
+      "q140_order_concurrency").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val a = PlanChecks.audit(df)
+      assert(a.windows == 0, s"$q still plans a window: $a")
+      val v = PlanChecks.forcedBroadcastViolations(df)
+      assert(v.isEmpty, s"$q: ${v.mkString("; ")}")
+    }
+  }
+
   test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
     Seq("q68_inverted_index", "q100_rank_rewrite").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString

@@ -1473,10 +1473,10 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q144_shingle_novelty" ->
       s"""WITH $shingleCtes,
-        |j AS (SELECT source, s FROM sh JOIN documents USING (doc_id)),
+        |j AS (SELECT source, md5(s) AS hs FROM sh JOIN documents USING (doc_id)),
         |slots AS (SELECT source, COUNT(*) AS n_slots FROM j GROUP BY 1),
         |uniq AS (SELECT source, COUNT(*) AS n_distinct
-        |         FROM (SELECT DISTINCT source, s FROM j) d GROUP BY 1)
+        |         FROM (SELECT DISTINCT source, hs FROM j) d GROUP BY 1)
         |SELECT source, n_slots, n_distinct,
         |       1.0 - CAST(n_distinct AS DOUBLE) / n_slots AS dup_ratio
         |FROM slots JOIN uniq USING (source) ORDER BY source""".stripMargin,

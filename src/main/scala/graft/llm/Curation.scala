@@ -260,13 +260,16 @@ object Curation {
    * crawl is 40% boilerplate" before any pairwise dedup runs. Distinct
    * counting is Expand-free: the (source, shingle) table is
    * pre-deduplicated and counted, never `countDistinct` over the raw
-   * slots (the q95/q113 discipline).
+   * slots (the q95/q113 discipline). The shingle is md5'd BEFORE the
+   * distinct — the shuffle key is the 16-byte digest, never 3-gram
+   * text (the q143 chunk discipline, ~2-3× narrower shuffle; the
+   * oracle hashes identically so any collision would be mirrored).
    */
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val j = Dedup.shingles(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("s"))
+      .select(col("source"), md5(col("s")).as("hs"))
     val slots = j.groupBy(col("source")).agg(count(lit(1)).as("n_slots"))
     val distinct = j.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
     slots.join(distinct, "source")

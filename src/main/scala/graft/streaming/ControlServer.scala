@@ -98,8 +98,20 @@ object ControlServer {
     server.createContext("/start", handler { ex =>
       authed(ex) {
         withJobName(ex) { name =>
-          if (launcher(name)) (200, jsonMsg(s"Job $name started"))
-          else (400, jsonMsg(s"Unknown job $name"))
+          // already-running path (reference app.py:70-78): /start on a
+          // live job is NOT an error there — the handler re-greps `ps`
+          // and echoes the existing process line with a 200. Mirror
+          // that: echo the running job's own status instead of
+          // double-launching (the reference's Popen would actually
+          // fork a second poller; a named StreamingQuery can't run
+          // twice, so the echo is the faithful non-broken semantics).
+          JobControl.status(spark, name) match {
+            case Some(s) if s.isActive =>
+              (200, jsonMsg(s"Job $name already running: ${s.message}"))
+            case _ =>
+              if (launcher(name)) (200, jsonMsg(s"Job $name started"))
+              else (400, jsonMsg(s"Unknown job $name"))
+          }
         }
       }
     })

@@ -61,6 +61,14 @@ class ControlServerSpec extends SparkSpec {
       // C2 start → C4 check → C3 stop, all over HTTP
       val started = send(srv.port, "/start", body = """{"job_name": "http_job"}""")
       assert(started.statusCode() == 200, started.body())
+      // /start on an already-running job: 200 + status echo, never a
+      // double launch (reference app.py:70-78 re-greps `ps` and echoes
+      // the live process line) — and the job must still be the SAME
+      // single query afterwards
+      val again = send(srv.port, "/start", body = """{"job_name": "http_job"}""")
+      assert(again.statusCode() == 200 &&
+        again.body().contains("Job http_job already running"), again.body())
+      assert(spark.streams.active.count(_.name == "http_job") == 1)
       val checked = send(srv.port, "/check", body = """{"job_name": "http_job"}""")
       assert(checked.statusCode() == 200 && checked.body().contains("\"isActive\": true"),
         checked.body())

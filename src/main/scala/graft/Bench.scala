@@ -16,9 +16,12 @@ object Bench {
     // Untimed warmup at the smallest SF: JIT + codegen cache + parquet
     // footer reads, so timed numbers measure the plans, not JVM startup.
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
-    }
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => warmOnly.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
     // min-of-N reps per query: host contention inflates individual runs
     // uniformly (BENCH_r02 recorded 5-13x noise on untouched queries;
@@ -26,7 +29,12 @@ object Bench {
     // the minimum is the contention-resistant estimate of the plan's
     // actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val timed = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the contract surface is unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val timed = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val ts = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

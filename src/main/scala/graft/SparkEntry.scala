@@ -162,6 +162,8 @@ object SparkEntry {
     "q143_chunk_dedup"     -> (graft.llm.Curation.chunkDedup _),
     "q144_shingle_novelty" -> (graft.llm.Curation.shingleNovelty _),
     "q145_dim_stats"       -> (graft.llm.Curation.dimStats _),
+    "q146_source_quantiles" -> (graft.llm.Curation.sourceQuantiles _),
+    "q147_nucleus_vocab"   -> (graft.llm.Curation.nucleusVocab _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1480,6 +1482,30 @@ object SparkEntry {
         |SELECT source, n_slots, n_distinct,
         |       1.0 - CAST(n_distinct AS DOUBLE) / n_slots AS dup_ratio
         |FROM slots JOIN uniq USING (source) ORDER BY source""".stripMargin,
+    "q146_source_quantiles" ->
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.50) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_nucleus_vocab" ->
+      """WITH c AS (SELECT source, tok, COUNT(*) AS cnt
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) u
+        |           GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+        |r AS (SELECT c.source, cnt, total,
+        |        CAST(COALESCE(SUM(cnt) OVER (PARTITION BY c.source
+        |          ORDER BY cnt DESC, tok
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cum_before
+        |      FROM c JOIN t USING (source))
+        |SELECT source, COUNT(*) AS n_vocab, CAST(SUM(cnt) AS BIGINT) AS n_covered,
+        |       MAX(total) AS total,
+        |       CAST(SUM(cnt) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS coverage
+        |FROM r
+        |WHERE CAST(cum_before AS DOUBLE) < 0.9 * CAST(total AS DOUBLE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_dim_stats" ->
       """WITH x AS (SELECT u.i - 1 AS dim,
         |    embedding[u.i]::DOUBLE AS v,

@@ -314,6 +314,90 @@ object Curation {
    * the global top-25 cut is `TakeOrderedAndProject`, never a sort of
    * the full path table.
    */
+  /**
+   * Exact interpolated per-source quantiles (p25/p50/p75 of document
+   * length) — the curriculum/thresholding statistic computed EXACTLY,
+   * not sketched, and without the per-key sort a
+   * `percentile_cont OVER (PARTITION BY source)` would plan (all rows
+   * of a source into one reducer). The per-key rank and total come
+   * from [[graft.ops.GlobalOrder.groupedRankAndPrefix]]; each
+   * quantile is the standard linear interpolation at
+   * `pos = 1 + p·(N_k−1)` between the two neighboring order
+   * statistics, picked by rank equality inside a single hash
+   * aggregate. For quarter fractions over integer values every double
+   * op here is exact, so the result matches DuckDB's `quantile_cont`
+   * bit for bit regardless of either engine's internal op order.
+   */
+  def sourceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      keys = Seq(col("source")),
+      order = Seq(col("n_chars"), col("doc_id")))
+    val ps = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+    def lo(p: Double) = floor(lit(1.0) +
+      lit(p) * (col("g_total_rows") - 1L).cast("double")).cast("long")
+    val aggs = count(lit(1)).as("__n") +: ps.flatMap { case (nm, p) =>
+      Seq(
+        max(when(col("g_rank") === lo(p), col("n_chars"))).as(s"__lo_$nm"),
+        max(when(col("g_rank") === lo(p) + 1L, col("n_chars"))).as(s"__hi_$nm"))
+    }
+    ranked.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source") +: ps.map { case (nm, p) =>
+        val pos = lit(1.0) + lit(p) * (col("__n") - 1L).cast("double")
+        val frac = pos - floor(pos)
+        val vlo = col(s"__lo_$nm").cast("double")
+        val vhi = coalesce(col(s"__hi_$nm"), col(s"__lo_$nm")).cast("double")
+        (vlo + (vhi - vlo) * frac).as(nm)
+      }: _*)
+      .orderBy(col("source"))
+  }
+
+  /** Nucleus (top-p) cumulative-mass threshold for [[nucleusVocab]]. */
+  val NucleusP = 0.9
+
+  /**
+   * Nucleus-style vocabulary cut per source: the smallest set of
+   * highest-frequency tokens whose cumulative mass reaches
+   * [[NucleusP]] of the source's token count — the top-p truncation a
+   * tokenizer-vocabulary or sampling pipeline applies, profiled per
+   * corpus slice. A token survives iff its EXCLUSIVE cumulative mass
+   * (all strictly-more-frequent tokens, count-desc with token
+   * tiebreak) is below p·total — the textbook minimal covering
+   * prefix.
+   *
+   * The cumulative mass is
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]]'s per-key
+   * exclusive prefix over the (source, token, count) table — vocab-
+   * scale rows, source-cardinality keys, exactly the few-key regime
+   * where a window would cap parallelism. The per-source totals join
+   * back as a categorical-cardinality broadcast. Output is
+   * aggregate-only (vocab size + covered mass), so count-tie
+   * permutations at the boundary cannot change the answer — the kept
+   * MULTISET of counts is tie-invariant even though the kept token
+   * set is not.
+   */
+  def nucleusVocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+    graft.ops.GlobalOrder.groupedRankAndPrefix(counts,
+        keys = Seq(col("source")),
+        order = Seq(col("cnt").desc, col("token")),
+        values = Seq((col("cnt"), "cum_before")))
+      .join(totals, "source")
+      .filter(col("cum_before").cast("double") <
+        lit(NucleusP) * col("total").cast("double"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("n_covered"),
+        max(col("total")).as("total"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("total").cast("double"))
+      .orderBy(col("source"))
+  }
+
   def pathTrigrams(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))

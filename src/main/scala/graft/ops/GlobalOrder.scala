@@ -180,7 +180,11 @@ object GlobalOrder {
    * parallelizes there and is the simpler plan.
    *
    * Callers MUST pass a total order per key (include a unique
-   * tiebreak) — same caveat as [[withRankAndPrefix]].
+   * tiebreak) — same caveat as [[withRankAndPrefix]]. And note the
+   * range partitioner SAMPLES its input in a separate pass, so `df`'s
+   * lineage executes twice — callers whose upstream is expensive
+   * (joins/aggregates, or a union reading one subplan twice) should
+   * [[pin]] it first (q140 does).
    */
   def groupedRankAndPrefix(
       df: DataFrame,

@@ -307,10 +307,12 @@ object Relational4 {
    */
   def windowZScore(spark: SparkSession, dir: String): DataFrame = {
     val v = col("value").cast("decimal(18,2)")
+    // pinned: the range partitioner's sampling pass plus the shuffle
+    // pass would otherwise scan + timestamp-parse the events table twice
     val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
-      Tables.events(spark, dir)
+      graft.ops.GlobalOrder.pin(Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"),
-          Tables.epochMs(col("ts")).as("ts_ms")),
+          Tables.epochMs(col("ts")).as("ts_ms"))),
       keys = Seq(col("event_type")),
       order = Seq(col("ts_ms"), col("event_id")),
       values = Seq(

@@ -138,10 +138,13 @@ object Relational6 {
     val span = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(max(Tables.epochMs(col("l_shipdate"))).as("end_ms"))
-    val o = Tables.orders(spark, dir)
+    // pinned once: the +1/−1 union reads `o` TWICE, and the grouped
+    // operator's range partitioner adds a sampling pass over its input
+    // — unpinned, the lineitem aggregate + join would execute 4×
+    val o = GlobalOrder.pin(Tables.orders(spark, dir)
       .join(span, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"), col("o_orderkey"),
-        Tables.epochMs(col("o_orderdate")).as("start_ms"), col("end_ms"))
+        Tables.epochMs(col("o_orderdate")).as("start_ms"), col("end_ms")))
     val deltas = o.select(col("o_orderpriority"), col("o_orderkey"),
         col("start_ms").as("ts"), lit(1L).as("delta"))
       .unionByName(o.select(col("o_orderpriority"), col("o_orderkey"),

@@ -200,7 +200,10 @@ class PlanAuditSpec extends SparkSpec {
     // size may survive in these plans.
     Seq("q67_distribution_ranks", "q107_window_zscore",
       "q110_stratified_sample", "q138_quantile_normalize",
-      "q140_order_concurrency").foreach { q =>
+      "q140_order_concurrency",
+      // built grouped-first (round 7): exact interpolated quantiles
+      // and the nucleus vocabulary cut
+      "q146_source_quantiles", "q147_nucleus_vocab").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val a = PlanChecks.audit(df)
       assert(a.windows == 0, s"$q still plans a window: $a")

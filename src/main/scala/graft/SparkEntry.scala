@@ -164,6 +164,7 @@ object SparkEntry {
     "q145_dim_stats"       -> (graft.llm.Curation.dimStats _),
     "q146_source_quantiles" -> (graft.llm.Curation.sourceQuantiles _),
     "q147_nucleus_vocab"   -> (graft.llm.Curation.nucleusVocab _),
+    "q148_repetition"      -> (graft.llm.TextAnalysis.repetitionScore _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -1506,6 +1507,18 @@ object SparkEntry {
         |FROM r
         |WHERE CAST(cum_before AS DOUBLE) < 0.9 * CAST(total AS DOUBLE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q148_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE len(w) >= 5),
+        |g AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS h
+        |      FROM f, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) u),
+        |c AS (SELECT doc_id, h, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |       COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_repeat,
+        |       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+        |         AS dup_ratio
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_dim_stats" ->
       """WITH x AS (SELECT u.i - 1 AS dim,
         |    embedding[u.i]::DOUBLE AS v,

@@ -227,6 +227,35 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document repetition detection — the quality filter that drops
+   * boilerplate/loop-generated text before training: the ratio of
+   * DUPLICATE 5-gram slots within each document (1 − distinct/total)
+   * plus the hottest single 5-gram's repeat count. High dup_ratio =
+   * the document repeats itself; max_repeat pins the offender. The
+   * 5-gram explode is row-local (a `transform` over the doc's own
+   * token array); the only shuffle keys on (doc_id, md5(gram)) — the
+   * 16-byte digest, never 5-gram text (the q143/q144 discipline).
+   * Documents under 5 tokens carry no 5-gram and are excluded (the
+   * oracle mirrors; also dodges Spark's DESCENDING `sequence` when
+   * the range would be empty).
+   */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), md5(col("g")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_repeat"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+
+  /**
    * PMI collocation mining: bigrams whose observed frequency beats the
    * independence expectation of their unigrams — the classic
    * collocation score (Church & Hanks 1990), emitted as the RATIO

@@ -151,6 +151,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("groupedRankAndPrefix == per-key window, under hot keys and collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial layouts: few keys (some hot enough to span range
+    // partitions), heavily colliding order values (ties broken by the
+    // unique id), negative and zero summands
+    val gen = for {
+      n      <- Gen.choose(2, 400)
+      nKeys  <- Gen.choose(1, 5)
+      rows   <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, nKeys - 1)
+        v <- Gen.choose(-50L, 50L)
+        o <- Gen.choose(0, 7) // colliding order values
+      } yield (k, o, v))
+    } yield rows
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, o, v), id) => (k, o, v, id.toLong) }
+        .toDF("k", "o", "v", "id")
+        .repartition(7) // scatter so key segments straddle partitions
+      val got = graft.ops.GlobalOrder.groupedRankAndPrefix(df,
+          Seq(col("k")), Seq(col("o"), col("id")),
+          values = Seq((col("v"), "pfx")))
+        .select(col("id"), col("g_rank"), col("g_total_rows"), col("pfx"))
+        .orderBy(col("id")).collect()
+      val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+      val want = df
+        .withColumn("g_rank", row_number().over(w).cast("long"))
+        .withColumn("g_total_rows", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("pfx", coalesce(sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("id"), col("g_rank"), col("g_total_rows"), col("pfx"))
+        .orderBy(col("id")).collect()
+      assert(got.sameElements(want), s"n=${rows.length}")
+    }
+  }
+
   test("keyset pagination covers the table exactly once for any page size") {
     val ids = Tables.events(spark, sf).select("event_id")
       .orderBy("event_id").collect().map(_.getLong(0))

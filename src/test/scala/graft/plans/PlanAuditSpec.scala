@@ -181,7 +181,19 @@ class PlanAuditSpec extends SparkSpec {
       "q52_ivf_ann"          -> (2, 1, 1, 0),
       "q94_topk_per_key"     -> (2, 0, 0, 0),
       "q95_repeated_passages" -> (2, 0, 0, 0),
-      "q100_rank_rewrite"    -> (2, 0, 0, 0))
+      "q100_rank_rewrite"    -> (2, 0, 0, 0),
+      // grouped-GlobalOrder family (round 7): the range exchange is
+      // the only fact-scale shuffle (the segment fold runs as its own
+      // tiny job at build time); offsets come back as LocalRelation
+      // broadcasts; zero windows by construction
+      "q67_distribution_ranks"  -> (1, 1, 1, 0),
+      "q107_window_zscore"      -> (1, 3, 3, 0),
+      "q110_stratified_sample"  -> (2, 2, 2, 0),
+      "q138_quantile_normalize" -> (1, 1, 1, 0),
+      "q140_order_concurrency"  -> (2, 1, 1, 0),
+      "q146_source_quantiles"   -> (2, 1, 1, 0),
+      "q147_nucleus_vocab"      -> (4, 2, 2, 0),
+      "q148_repetition"         -> (3, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

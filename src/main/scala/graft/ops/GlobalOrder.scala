@@ -186,19 +186,33 @@ object GlobalOrder {
    * (joins/aggregates, or a union reading one subplan twice) should
    * [[pin]] it first (q140 does).
    */
-  def groupedRankAndPrefix(
+  /** Shared staging for the grouped operators: materialize key/value
+    * columns (integral values normalized to Long; doubles rejected —
+    * float running sums are evaluation-order dependent, which these
+    * operators exist to avoid), range-partition on (keys ++ order),
+    * sort within, [[pin]]. */
+  private final case class GroupedStage(
+      sorted: DataFrame,
+      kCols: Seq[String],
+      vCols: Seq[String],
+      kIdx: Array[Int],
+      vIdx: Array[Int],
+      vScale: Array[Option[Int]]) {
+    def prefixType(i: Int): DataType =
+      vScale(i).map(s => DecimalType(38, s): DataType).getOrElse(LongType)
+    def schema: org.apache.spark.sql.types.StructType = sorted.schema
+  }
+
+  private def stageGrouped(
       df: DataFrame,
       keys: Seq[Column],
+      values: Seq[(Column, String)],
       order: Seq[Column],
-      values: Seq[(Column, String)] = Nil,
-      rankCol: String = "g_rank",
-      totalRowsCol: String = "g_total_rows"): DataFrame = {
+      caller: String): GroupedStage = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val kCols = keys.indices.map(i => s"__k$i")
     val vCols = values.indices.map(i => s"__v$i")
-    // stage keys and values as materialized columns so the local pass
-    // can read them by field index; integral values normalize to Long
     var staged = df
     keys.zipWithIndex.foreach { case (k, i) =>
       staged = staged.withColumn(s"__k$i", k)
@@ -210,7 +224,7 @@ object GlobalOrder {
         case dt if isIntegral(dt) =>
           staged = staged.withColumn(s"__v$i", col(s"__v$i").cast("long"))
         case dt => throw new IllegalArgumentException(
-          s"groupedRankAndPrefix value '$name' has non-exact type $dt; " +
+          s"$caller value '$name' has non-exact type $dt; " +
             "pass an integral or decimal column")
       }
     }
@@ -219,18 +233,37 @@ object GlobalOrder {
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
-    val kIdx = kCols.map(schema.fieldIndex).toArray
-    val vIdx = vCols.map(schema.fieldIndex).toArray
-    // per-value emit type: Long stays Long; decimal(p, s) emits at the
-    // widened decimal(38, s) its phase-2 Spark sum also lands on
-    val vScale: Array[Option[Int]] = vCols.map { c =>
-      schema(c).dataType match {
-        case d: DecimalType => Some(d.scale)
-        case _              => None
-      }
-    }.toArray
-    val prefixType: Int => DataType = i =>
-      vScale(i).map(s => DecimalType(38, s): DataType).getOrElse(LongType)
+    GroupedStage(
+      sorted, kCols, vCols,
+      kCols.map(schema.fieldIndex).toArray,
+      vCols.map(schema.fieldIndex).toArray,
+      // per-value emit type: Long stays Long; decimal(p, s) emits at
+      // the widened decimal(38, s) its phase-2 Spark sum also lands on
+      vCols.map { c =>
+        schema(c).dataType match {
+          case d: DecimalType => Some(d.scale)
+          case _              => None
+        }
+      }.toArray)
+  }
+
+  def groupedRankAndPrefix(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      values: Seq[(Column, String)] = Nil,
+      rankCol: String = "g_rank",
+      totalRowsCol: String = "g_total_rows"): DataFrame = {
+    val spark = df.sparkSession
+    val st = stageGrouped(df, keys, values, order, "groupedRankAndPrefix")
+    val sorted = st.sorted
+    val kCols = st.kCols
+    val vCols = st.vCols
+    val schema = st.schema
+    val kIdx = st.kIdx
+    val vIdx = st.vIdx
+    val vScale = st.vScale
+    val prefixType: Int => DataType = st.prefixType
     val outSchema = values.indices.foldLeft(
       schema
         .add("__pid", LongType, nullable = false)
@@ -349,6 +382,181 @@ object GlobalOrder {
     val temp = Seq("__pid", "__lrank", "__rank_off") ++
       kCols ++ vCols ++
       values.indices.flatMap(i => Seq(s"__ls$i", s"__off$i"))
+    out.drop(temp: _*)
+  }
+
+  /**
+   * Grouped BOUNDED TRAILING SUMS: for each row, the sum of each
+   * `values` column over the previous `frame` rows of the same key
+   * (the `ROWS BETWEEN frame PRECEDING AND 1 PRECEDING` window frame)
+   * — plus the per-key rank and total from [[groupedRankAndPrefix]]'s
+   * machinery — computed WITHOUT a window and WITHOUT the
+   * prefix-difference self-join.
+   *
+   * Spark re-aggregates a bounded ROWS frame from scratch per row
+   * (O(frame)/row, no retraction support), and the prefix-difference
+   * trick (`P(r) − P(r−frame)`) needs a self equi-join on (key, rank)
+   * that exchanges the whole table twice more. This operator does
+   * neither: the phase-1 local pass keeps an exact ring buffer of the
+   * last `frame` contributions (Long or BigDecimal — add AND evict
+   * are exact, so retraction is safe where floats would drift), and
+   * segment boundaries are SEEDED with the tail of the preceding
+   * segments: a second metadata-size pass collects the last `frame`
+   * contributions of every (partition, key) segment — at most
+   * `frame × (keys + partitions − 1)` scalars, the k-row-collect
+   * class — and the driver threads them together in pid order. Total
+   * cost: the one range exchange, two passes over the pinned blocks,
+   * and a frame×segments broadcast. Nothing is O(rows × frame) and
+   * nothing re-exchanges the data.
+   *
+   * Null values contribute zero to the sums but still occupy their
+   * frame slot — exactly the window function's semantics. Emitted
+   * types match [[groupedRankAndPrefix]] (Long, or decimal(38, s)).
+   *
+   * Envelope: `frame × segments` must stay metadata-size (guarded by
+   * `graft.groupedOrder.maxSegments` on segments; frames are typically
+   * 10–10⁴). For unbounded trailing frames use the exclusive prefix
+   * from [[groupedRankAndPrefix]] directly.
+   */
+  def groupedTrailingSums(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      values: Seq[(Column, String)],
+      frame: Int,
+      rankCol: String = "g_rank",
+      totalRowsCol: String = "g_total_rows"): DataFrame = {
+    require(frame > 0, s"frame must be positive, got $frame")
+    require(values.nonEmpty, "groupedTrailingSums needs at least one value")
+    val spark = df.sparkSession
+    val st = stageGrouped(df, keys, values, order, "groupedTrailingSums")
+    val sorted = st.sorted
+    val kIdx = st.kIdx
+    val vIdx = st.vIdx
+    val vScale = st.vScale
+    val nv = values.size
+    val nKeys = keys.size
+    // contribution of a row to value i: Long or BigDecimal; null → zero
+    // (occupies its frame slot, adds nothing — window semantics)
+    def contrib(r: Row, i: Int): Any = vScale(i) match {
+      case Some(_) =>
+        if (r.isNullAt(vIdx(i))) java.math.BigDecimal.ZERO else r.getDecimal(vIdx(i))
+      case None =>
+        if (r.isNullAt(vIdx(i))) 0L else r.getLong(vIdx(i))
+    }
+    // tails pass: per (partition, key) segment, the last ≤ frame rows'
+    // contribution tuples in order + the segment row count (reused for
+    // the rank fold — one collect serves both)
+    val tailsRaw: Array[(Long, Seq[Any], Long, Vector[Array[Any]])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[Any], (Long, scala.collection.mutable.ArrayDeque[Array[Any]])]
+        rows.foreach { r =>
+          val k: Seq[Any] = kIdx.map(r.get).toSeq
+          val (n, buf) = acc.getOrElseUpdate(k,
+            (0L, scala.collection.mutable.ArrayDeque.empty[Array[Any]]))
+          buf.append(Array.tabulate[Any](nv)(i => contrib(r, i)))
+          if (buf.size > frame) buf.removeHead()
+          acc(k) = (n + 1, buf)
+        }
+        acc.iterator.map { case (k, (n, buf)) => (pid.toLong, k, n, buf.toVector) }
+      }.collect()
+    val maxSegs = spark.conf
+      .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
+    require(tailsRaw.length <= maxSegs,
+      s"groupedTrailingSums saw ${tailsRaw.length} (partition, key) segments " +
+        s"(> $maxSegs): with that many keys a plain per-key window already " +
+        "parallelizes — use that instead, or raise graft.groupedOrder.maxSegments")
+    // driver fold in pid order per key: rank offsets + per-key totals
+    // (as groupedRankAndPrefix) and the SEED for each segment — the
+    // last ≤ frame contributions of all preceding segments of its key
+    val seedBySeg = new java.util.HashMap[(Long, Seq[Any]), Array[Array[Any]]]()
+    val foldedRows = new java.util.ArrayList[Row](tailsRaw.length)
+    tailsRaw.groupBy(_._2).foreach { case (k, segRows) =>
+      val inOrder = segRows.sortBy(_._1)
+      val totalN = inOrder.map(_._3).sum
+      var rankOff = 0L
+      var rolling = Vector.empty[Array[Any]]
+      inOrder.foreach { case (pid, _, n, tail) =>
+        seedBySeg.put((pid, k), rolling.takeRight(frame).toArray)
+        foldedRows.add(Row.fromSeq((pid +: k) ++ Seq(rankOff, totalN)))
+        rankOff += n
+        // a segment with n ≥ frame rows fully determines the next
+        // seed; otherwise its tail extends what came before
+        rolling = if (n >= frame) tail else (rolling ++ tail).takeRight(frame)
+      }
+    }
+    val seeds = spark.sparkContext.broadcast(seedBySeg)
+    // phase-1 local pass: seeded ring buffer per segment; add and
+    // evict are exact, so the running frame sums never drift
+    val outSchema = values.indices.foldLeft(
+      st.schema
+        .add("__pid", LongType, nullable = false)
+        .add("__lrank", LongType, nullable = false)) { (sch, i) =>
+      sch.add(s"__t$i", st.prefixType(i), nullable = false)
+    }
+    val local = sorted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var curKey: Seq[Any] = null
+      var rank = 0L
+      val ring = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
+      val sumL = Array.fill(nv)(0L)
+      val sumD = Array.fill(nv)(java.math.BigDecimal.ZERO)
+      def add(c: Array[Any], sign: Int): Unit = (0 until nv).foreach { i =>
+        vScale(i) match {
+          case Some(_) =>
+            val d = c(i).asInstanceOf[java.math.BigDecimal]
+            sumD(i) = if (sign > 0) sumD(i).add(d) else sumD(i).subtract(d)
+          case None =>
+            val l = c(i).asInstanceOf[Long]
+            sumL(i) = if (sign > 0) sumL(i) + l else sumL(i) - l
+        }
+      }
+      rows.map { r =>
+        val k: Seq[Any] = kIdx.map(r.get).toSeq
+        if (curKey == null || k != curKey) {
+          curKey = k
+          rank = 0L
+          ring.clear()
+          java.util.Arrays.fill(sumL, 0L)
+          java.util.Arrays.fill(sumD.asInstanceOf[Array[AnyRef]],
+            java.math.BigDecimal.ZERO)
+          Option(seeds.value.get((pid, k))).foreach(_.foreach { c =>
+            ring.append(c); add(c, 1)
+            if (ring.size > frame) add(ring.removeHead(), -1)
+          })
+        }
+        rank += 1
+        val sums: Seq[Any] = (0 until nv).map { i =>
+          vScale(i) match {
+            case Some(s) => sumD(i).setScale(s)
+            case None    => sumL(i)
+          }
+        }
+        val c = Array.tabulate[Any](nv)(i => contrib(r, i))
+        ring.append(c); add(c, 1)
+        if (ring.size > frame) add(ring.removeHead(), -1)
+        Row.fromSeq(r.toSeq ++ (pid +: rank +: sums))
+      }
+    }(Encoders.row(outSchema))
+    val foldSchema = st.kCols.foldLeft(new org.apache.spark.sql.types.StructType()
+        .add("__pid", LongType, nullable = false)) { (s2, c) =>
+      s2.add(st.schema(c))
+    }
+      .add("__rank_off", LongType, nullable = false)
+      .add(totalRowsCol, LongType, nullable = false)
+    val l = local.alias("l")
+    val f = broadcast(spark.createDataFrame(foldedRows, foldSchema)).alias("f")
+    val cond = (col("l.__pid") === col("f.__pid")) +: kIdx.indices.map(i =>
+      col(s"l.__k$i") <=> col(s"f.__k$i"))
+    var out = l.join(f, cond.reduce(_ && _))
+      .select((col("l.*") +: Seq(col("f.__rank_off"), col(s"f.$totalRowsCol"))): _*)
+      .withColumn(rankCol, col("__rank_off") + col("__lrank"))
+    values.zipWithIndex.foreach { case ((_, name), i) =>
+      out = out.withColumn(name, col(s"__t$i"))
+    }
+    val temp = Seq("__pid", "__lrank", "__rank_off") ++
+      st.kCols ++ st.vCols ++ values.indices.map(i => s"__t$i")
     out.drop(temp: _*)
   }
 

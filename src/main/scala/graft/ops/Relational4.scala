@@ -281,24 +281,21 @@ object Relational4 {
    * for token (identical-order double chains are bit-exact across
    * engines; accumulating doubles inside the window would not be).
    *
-   * Plan: the trailing frame is computed as a DIFFERENCE OF EXCLUSIVE
-   * PREFIX SUMS — `P(r) − P(r−100)`, where `P(r) = Σ_{i<r} v_i` —
-   * rather than re-aggregating a bounded `ROWS -100,-1` frame per row
-   * (O(frame)/row, Spark has no retraction support). Since decimal
-   * arithmetic is exact the difference is bit-identical to the framed
-   * sum — the oracle keeps the framed formulation and still hash-
-   * matches (deliberately: two formulations, one answer).
-   *
-   * The prefixes come from
-   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]] — the previous
-   * `Window.partitionBy(event_type)` running sums shuffled every
-   * event into ~10 reducer tasks (the event_type cardinality) and
-   * sorted there, a hard parallelism ceiling at 100×. The grouped
-   * two-phase form range-partitions on (type, ts, id) so every core
-   * works; `P(r−100)` is then a self equi-join on the
-   * high-cardinality composite (event_type, rank−100) — hash-spread
-   * across the cluster, left rows with `r ≤ 100` coalesce to the
-   * exact zero (P of m ≤ 1 is 0).
+   * Plan: the trailing sums come from
+   * [[graft.ops.GlobalOrder.groupedTrailingSums]] — an exact seeded
+   * ring buffer over range-partitioned data. Three formulations of
+   * the same frame, in descending cost: Spark's window re-aggregates
+   * the bounded `ROWS -100,-1` frame from scratch per row
+   * (O(frame)/row, no retraction) AND caps parallelism at the
+   * event_type cardinality (~10 reducer tasks); the prefix-difference
+   * trick (`P(r) − P(r−100)`) fixes both but needs a self equi-join
+   * that exchanges the table twice more; the seeded ring buffer is
+   * O(1)/row with ONE exchange total — segment boundary seeds are
+   * frame × segments scalars, metadata-size. Decimal add and evict
+   * are exact, so the running frame sum is bit-identical to the
+   * window's re-aggregation — the oracle keeps the framed window
+   * formulation and still hash-matches (deliberately: two
+   * formulations, one answer).
    *
    * Widening discipline unchanged: summing the (28,2)/(28,4)-cast
    * inputs accumulates at (38,2)/(38,4) — a 10^12-row key's
@@ -309,34 +306,33 @@ object Relational4 {
     val v = col("value").cast("decimal(18,2)")
     // pinned: the range partitioner's sampling pass plus the shuffle
     // pass would otherwise scan + timestamp-parse the events table twice
-    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+    graft.ops.GlobalOrder.groupedTrailingSums(
       graft.ops.GlobalOrder.pin(Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"),
           Tables.epochMs(col("ts")).as("ts_ms"))),
       keys = Seq(col("event_type")),
       order = Seq(col("ts_ms"), col("event_id")),
       values = Seq(
-        (v.cast("decimal(28,2)"), "p1"),
-        ((v * v).cast("decimal(28,4)"), "p2")))
-    val lagged = ranked.select(
-      col("event_type").as("l_type"), (col("g_rank") + 100L).as("l_rank"),
-      col("p1").as("lp1"), col("p2").as("lp2"))
-    ranked
-      .join(lagged,
-        col("event_type") === col("l_type") && col("g_rank") === col("l_rank"),
-        "left")
+        (v.cast("decimal(28,2)"), "s1"),
+        ((v * v).cast("decimal(28,4)"), "s2")),
+      frame = 100)
       .withColumn("n", least(col("g_rank") - 1L, lit(100L)))
-      .withColumn("s1", col("p1") - coalesce(col("lp1"), lit(0).cast("decimal(38,2)")))
-      .withColumn("s2", col("p2") - coalesce(col("lp2"), lit(0).cast("decimal(38,4)")))
       .filter(col("n") >= 30)
-      .withColumn("mean", col("s1").cast("double") / col("n"))
+      // NULLIF guards (the bpeTokenStats discipline): without the
+      // window in the plan, Catalyst pushes the later variance/z
+      // predicates down and may evaluate these divisions on rows the
+      // n >= 30 filter discards — under ANSI that's a DIVIDE_BY_ZERO
+      // on n = 0 rows. Guarded, those rows yield NULL (then filter
+      // false); surviving rows divide by the same nonzero values.
+      .withColumn("mean", col("s1").cast("double") / nullif(col("n"), lit(0L)))
       .withColumn("variance",
-        (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n"))
-          / (col("n") - 1))
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / nullif(col("n"), lit(0L)))
+          / nullif(col("n") - 1, lit(0L)))
       .filter(col("variance") > 0.0)
       .withColumn("z",
         (col("value").cast("decimal(18,2)").cast("double") - col("mean"))
-          / sqrt(col("variance")))
+          / nullif(sqrt(col("variance")), lit(0.0)))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("ts_ms"),
         col("value"), col("z"))

@@ -189,6 +189,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("groupedTrailingSums == bounded window frame, across frame sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // frames from degenerate (1) past segment-straddling sizes; hot
+    // keys so segments span range partitions and seeds chain across
+    // more than one predecessor segment
+    val gen = for {
+      n     <- Gen.choose(2, 300)
+      nKeys <- Gen.choose(1, 3)
+      frame <- Gen.oneOf(1, 2, 7, 50)
+      rows  <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, nKeys - 1)
+        v <- Gen.choose(-9L, 9L)
+      } yield (k, v))
+    } yield (frame, rows)
+    samples(gen, 6).foreach { case (frame, rows) =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), id) => (k, v, id.toLong) }
+        .toDF("k", "v", "id")
+        .repartition(7)
+      val got = graft.ops.GlobalOrder.groupedTrailingSums(df,
+          Seq(col("k")), Seq(col("id")),
+          values = Seq((col("v"), "ts")), frame = frame)
+        .select(col("id"), col("g_rank"), col("ts"))
+        .orderBy(col("id")).collect()
+      val w = Window.partitionBy(col("k")).orderBy(col("id"))
+      val want = df
+        .withColumn("g_rank", row_number().over(w).cast("long"))
+        .withColumn("ts", coalesce(sum(col("v")).over(
+          w.rowsBetween(-frame.toLong, -1L)), lit(0L)))
+        .select(col("id"), col("g_rank"), col("ts"))
+        .orderBy(col("id")).collect()
+      assert(got.sameElements(want), s"frame=$frame n=${rows.length}")
+    }
+  }
+
   test("keyset pagination covers the table exactly once for any page size") {
     val ids = Tables.events(spark, sf).select("event_id")
       .orderBy("event_id").collect().map(_.getLong(0))

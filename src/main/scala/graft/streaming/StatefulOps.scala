@@ -282,6 +282,85 @@ object StatefulOps {
       }
   }
 
+  final case class ZPending(event_id: Long, tsMs: Long, value: Double)
+  final case class ZState(ring: List[Double], pending: List[ZPending])
+  final case class ZOutput(
+      event_type: String, event_id: Long, ts_ms: Long, value: Double, z: Double)
+
+  /**
+   * Streaming trailing z-score anomaly detection — the streaming twin
+   * of the batch `Relational4.windowZScore` (q107): each event is
+   * scored against the previous ≤ `frame` events of its type and
+   * emitted when |z| exceeds `threshold`.
+   *
+   * Deterministic under out-of-order arrival, the
+   * [[streamingAsOfJoin]] discipline: an event is scored only once the
+   * watermark passes its timestamp — every event that belongs before
+   * it in (ts, event_id) order has either arrived or would be rejected
+   * as too late — so the trailing window it sees is FINAL and identical
+   * under any replay/arrival interleaving (asserted by the shuffled-
+   * arrival spec). Scoring folds the ring left-to-right in its event
+   * order, so even the double arithmetic is replay-stable.
+   *
+   * Bounded state: ≤ `frame` doubles per event type (a bounded
+   * categorical domain) plus the pending buffer, which holds at most a
+   * watermark-delay's worth of events per key — the same bound as any
+   * stream-stream join. No TTL needed: the ring IS the key's value.
+   */
+  def streamingAnomalies(events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      frame: Int = 100, minN: Int = 30,
+      threshold: Double = 2.5): Dataset[ZOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type").cast("string").as("event_type"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, Double, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZState, ZOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(ZState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            rows.foreach { r =>
+              st = st.copy(pending =
+                st.pending :+ ZPending(r._2, r._4.getTime, r._3))
+            }
+          }
+          val (ready, waiting) = st.pending.partition(_.tsMs <= wm)
+          var ring = st.ring
+          val out = List.newBuilder[ZOutput]
+          ready.sortBy(p => (p.tsMs, p.event_id)).foreach { p =>
+            val n = ring.size
+            if (n >= minN) {
+              val s1 = ring.foldLeft(0.0)(_ + _)
+              val s2 = ring.foldLeft(0.0)((a, v) => a + v * v)
+              val mean = s1 / n
+              val variance = (s2 - s1 * s1 / n) / (n - 1)
+              if (variance > 0.0) {
+                val z = (p.value - mean) / math.sqrt(variance)
+                if (math.abs(z) > threshold)
+                  out += ZOutput(etype, p.event_id, p.tsMs, p.value, z)
+              }
+            }
+            ring = (ring :+ p.value).takeRight(frame)
+          }
+          if (waiting.isEmpty && ring.isEmpty) state.remove()
+          else {
+            state.update(ZState(ring, waiting))
+            if (waiting.nonEmpty) {
+              // wake when the watermark can next finalize something;
+              // strictly past the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(waiting.map(_.tsMs).min, wm + 1))
+            } // no pending: the ring just waits for the key's next rows
+          }
+          out.result().iterator
+      }
+  }
+
   /**
    * Stream-static join: enrich the event stream with the customer
    * dimension. The static side is a plain DataFrame — Spark broadcasts

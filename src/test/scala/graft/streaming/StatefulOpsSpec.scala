@@ -77,6 +77,63 @@ class StatefulOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming anomalies score against watermark-final trailing frames, any arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: the same ring logic in plain Scala over event order
+    val frame = 10; val minN = 5; val threshold = 2.5
+    val values = (0 until 40).map(i => (i % 7).toDouble) :+ 500.0 // spike at id 40
+    def expected: Seq[(Long, Double)] = {
+      var ring = List.empty[Double]
+      val out = Seq.newBuilder[(Long, Double)]
+      values.zipWithIndex.foreach { case (v, i) =>
+        val n = ring.size
+        if (n >= minN) {
+          val s1 = ring.sum; val s2 = ring.map(x => x * x).sum
+          val mean = s1 / n
+          val variance = (s2 - s1 * s1 / n) / (n - 1)
+          if (variance > 0.0) {
+            val z = (v - mean) / math.sqrt(variance)
+            if (math.abs(z) > threshold) out += ((i.toLong, z))
+          }
+        }
+        ring = (ring :+ v).takeRight(frame)
+      }
+      out.result()
+    }
+    def run(batches: Seq[Seq[Int]], name: String): Seq[(Long, Double)] = {
+      val input = MemoryStream[(String, Long, Double, Timestamp)]
+      val q = StatefulOps.streamingAnomalies(
+        input.toDF().toDF("event_type", "event_id", "value", "ts"),
+        watermarkDelay = "2 hours", frame = frame, minN = minN,
+        threshold = threshold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+        .start()
+      batches.foreach { b =>
+        input.addData(b.map(i => ("a", i.toLong, values(i), ts(i))))
+        q.processAllAvailable()
+      }
+      // sentinel on ANOTHER key advances the watermark past every "a"
+      // row (2h delay), finalizing them; the sentinel itself stays
+      // pending forever, which is fine — it is never scored
+      input.addData(Seq(("wm", -1L, 0.0, ts(3 * 3600 + 100))))
+      q.processAllAvailable()
+      val got = spark.table(name).as[StatefulOps.ZOutput].collect()
+        .sortBy(_.event_id).map(o => (o.event_id, o.z)).toSeq
+      q.stop()
+      got
+    }
+    val ordered = run(Seq(values.indices.toSeq), "z_ordered")
+    assert(ordered == expected, s"ordered run: $ordered vs $expected")
+    assert(ordered.map(_._1) == Seq(40L), "exactly the spike flags")
+    // shuffled across three batches: ids interleaved out of event-time
+    // order — identical output bit for bit (watermark finalization)
+    val shuffled = values.indices.toSeq.reverse.grouped(14).toSeq
+    assert(run(shuffled, "z_shuffled") == ordered)
+  }
+
   test("streaming as-of join enriches events with the version valid at their ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -97,6 +97,27 @@ class GlobalOrderSpec extends SparkSpec {
       .sameElements(want.orderBy(sortCols: _*).collect()))
   }
 
+  test("grouped trailing decimal sums match the bounded window frame exactly") {
+    val keys = Seq(col("l_returnflag"))
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(28,2)").as("p"))
+    val got = GlobalOrder.groupedTrailingSums(src, keys, order,
+        values = Seq((col("p"), "tsum")), frame = 17)
+      .select(col("l_orderkey"), col("l_linenumber"), col("tsum"))
+    assert(got.schema("tsum").dataType.sql == "DECIMAL(38,2)")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val want = src
+      .withColumn("tsum", coalesce(
+        sum(col("p")).over(w.rowsBetween(-17L, -1L)),
+        lit(0).cast("decimal(38,2)")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("tsum"))
+    val sortCols = Seq(col("l_orderkey"), col("l_linenumber"))
+    assert(got.orderBy(sortCols: _*).collect()
+      .sameElements(want.orderBy(sortCols: _*).collect()))
+  }
+
   test("grouped: null keys form their own group (null-safe join back)") {
     import spark.implicits._
     val src = Seq(

@@ -165,6 +165,7 @@ object SparkEntry {
     "q146_source_quantiles" -> (graft.llm.Curation.sourceQuantiles _),
     "q147_nucleus_vocab"   -> (graft.llm.Curation.nucleusVocab _),
     "q148_repetition"      -> (graft.llm.TextAnalysis.repetitionScore _),
+    "q149_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -841,6 +842,7 @@ object SparkEntry {
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
+    "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),
@@ -1813,6 +1815,75 @@ object SparkEntry {
       |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
       |  FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
       |WHERE jaccard >= 0.5)""".stripMargin
+
+  /**
+   * DuckDB replay of [[graft.llm.Similarity.annRecall]]: the q36 CTE
+   * family (adaptive bits, md5 planes, bucketed candidates) and the
+   * q34 exact baseline in one statement, intersected per query.
+   */
+  private[graft] def annRecallOracleSql(k: Int): String = {
+    val target = graft.llm.Similarity.TargetBucketWidth
+    val maxBits = graft.llm.Similarity.MaxLshBits
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    val caseTerms = (8 until maxBits).map(j =>
+      s"(CASE WHEN n > ${target.toLong << j} THEN 1 ELSE 0 END)")
+      .mkString("\n        + ")
+    s"""WITH nbits AS (SELECT 8
+       |        + $caseTerms AS b
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+       |planes AS (SELECT p,
+       |    list_transform(range(0, 64), d ->
+       |      CAST((16 * (strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
+       |        + strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
+       |        AS DOUBLE)) AS pl
+       |  FROM (SELECT unnest(range(0, $maxBits)) AS p) t),
+       |e AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |bits AS (SELECT e.vec_id, p.p,
+       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> e.embedding[i]::DOUBLE * p.pl[i])) >= 0
+       |         THEN CAST(pow(2, p.p) AS BIGINT) ELSE 0 END AS bit
+       |  FROM e, planes p WHERE p.p < (SELECT b FROM nbits)),
+       |keyed AS (SELECT e.vec_id, e.embedding, e.n2,
+       |    (SELECT CAST(SUM(bit) AS BIGINT) FROM bits b
+       |     WHERE b.vec_id = e.vec_id) AS bucket FROM e),
+       |s_ann AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |      / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 20 = 0 AND a.vec_id < $qCap),
+       |r_ann AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ann),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+       |      FROM e WHERE vec_id % 20 = 0 AND vec_id < $qCap),
+       |s_ex AS (SELECT q_id, vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+       |      / (sqrt(q_n2) * sqrt(n2)) AS sim
+       |  FROM q, e WHERE vec_id <> q_id),
+       |r_ex AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+       |      WHERE rnk <= $k GROUP BY 1) t
+       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |           JOIN (SELECT q_id, neighbor_id FROM r_ann WHERE rnk <= $k) a
+       |             USING (q_id, neighbor_id)
+       |           GROUP BY 1) h
+       |  ON t.q_id = h.q_id
+       |ORDER BY t.q_id""".stripMargin
+  }
 
   private[graft] def annLshOracleSql(k: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth

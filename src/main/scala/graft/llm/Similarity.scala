@@ -71,6 +71,48 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /**
+   * ANN recall audit — recall@k of the LSH index ([[annLsh]]) against
+   * the exact brute-force baseline ([[cosineTopK]]) over the same
+   * bounded query set: the index-quality measurement every
+   * approximate-similarity deployment runs before trusting the scale
+   * path. Per query: how many of the exact top-k the bucket-restricted
+   * ANN also returned. Both sides carry deterministic
+   * (sim DESC, neighbor_id) tiebreaks and bit-exact double sims
+   * (q34/q36 both hash-match DuckDB), so the intersection count — and
+   * thus recall — is oracle-exact, not approximate-compared.
+   *
+   * Plan: re-runs the two ranked pipelines (queries are independent by
+   * the driver contract), semi-joins exact hits against ANN results on
+   * (q_id, neighbor_id), and aggregates per query — the recall join
+   * moves only k·queries rows.
+   *
+   * Expect LOW recall on the synthetic fixture: its embeddings are
+   * near-random, so cosine "neighbors" are marginal and a single-probe
+   * sign-LSH bucket rarely contains them — which is precisely the
+   * situation this audit exists to expose before a deployment trusts
+   * the approximate path. On clustered real-world embeddings the same
+   * index scores far higher; raising recall = multi-probe (flip
+   * low-margin bits) or the IVF route's nprobe > 1 (q52).
+   */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val ann = annLsh(spark, dir, k)
+      .filter(pmod(col("q_id"), lit(20)) === 0 &&
+        col("q_id") < lit(20L * MaxBruteQueries))
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy(col("q_id"))
+  }
+
   /** Anchor-window bound for the exact near-dup ground truth: pairs
     * are anchored on the first [[NearDupAnchor]] ids, so the exact scan
     * is anchor × corpus — LINEAR in corpus size, like q31's bounded

@@ -166,6 +166,7 @@ object SparkEntry {
     "q147_nucleus_vocab"   -> (graft.llm.Curation.nucleusVocab _),
     "q148_repetition"      -> (graft.llm.TextAnalysis.repetitionScore _),
     "q149_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "q150_multiprobe_recall" -> ((s: SparkSession, d: String) => Similarity.multiProbeRecall(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -843,6 +844,7 @@ object SparkEntry {
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
+    "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),
@@ -1858,6 +1860,85 @@ object SparkEntry {
        |  FROM keyed a JOIN keyed b
        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id % 20 = 0 AND a.vec_id < $qCap),
+       |r_ann AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ann),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+       |      FROM e WHERE vec_id % 20 = 0 AND vec_id < $qCap),
+       |s_ex AS (SELECT q_id, vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+       |      / (sqrt(q_n2) * sqrt(n2)) AS sim
+       |  FROM q, e WHERE vec_id <> q_id),
+       |r_ex AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+       |      WHERE rnk <= $k GROUP BY 1) t
+       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |           JOIN (SELECT q_id, neighbor_id FROM r_ann WHERE rnk <= $k) a
+       |             USING (q_id, neighbor_id)
+       |           GROUP BY 1) h
+       |  ON t.q_id = h.q_id
+       |ORDER BY t.q_id""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of [[graft.llm.Similarity.multiProbeRecall]]: the
+   * plane family with raw per-plane dots, lowest-margin bit flips via
+   * `xor`, the probe-bucket union, and the q34 exact baseline.
+   */
+  private[graft] def multiProbeRecallOracleSql(k: Int, probes: Int): String = {
+    val target = graft.llm.Similarity.TargetBucketWidth
+    val maxBits = graft.llm.Similarity.MaxLshBits
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    val caseTerms = (8 until maxBits).map(j =>
+      s"(CASE WHEN n > ${target.toLong << j} THEN 1 ELSE 0 END)")
+      .mkString("\n        + ")
+    s"""WITH nbits AS (SELECT 8
+       |        + $caseTerms AS b
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+       |planes AS (SELECT p,
+       |    list_transform(range(0, 64), d ->
+       |      CAST((16 * (strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 1, 1)) - 1)
+       |        + strpos('0123456789abcdef',
+       |              substr(md5('plane' || p || '|' || d), 2, 1)) - 1) - 128
+       |        AS DOUBLE)) AS pl
+       |  FROM (SELECT unnest(range(0, $maxBits)) AS p) t),
+       |e AS (SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |pdots AS (SELECT e.vec_id, p.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE * p.pl[i])) AS dt
+       |  FROM e, planes p WHERE p.p < (SELECT b FROM nbits)),
+       |keyed AS (SELECT e.vec_id, e.embedding, e.n2,
+       |    (SELECT CAST(SUM(CASE WHEN dt >= 0
+       |                   THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |     FROM pdots d WHERE d.vec_id = e.vec_id) AS bucket FROM e),
+       |qk AS (SELECT * FROM keyed WHERE vec_id % 20 = 0 AND vec_id < $qCap),
+       |flips AS (SELECT d.vec_id,
+       |    xor(k.bucket, CAST(pow(2, d.p) AS BIGINT)) AS probe
+       |  FROM (SELECT vec_id, p,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY abs(dt), p) AS mr
+       |        FROM pdots WHERE vec_id % 20 = 0 AND vec_id < $qCap) d
+       |  JOIN qk k ON d.vec_id = k.vec_id
+       |  WHERE d.mr <= ${probes - 1}),
+       |pr AS (SELECT vec_id, bucket AS probe FROM qk
+       |       UNION ALL SELECT vec_id, probe FROM flips),
+       |s_ann AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |      / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+       |  FROM pr JOIN qk a ON pr.vec_id = a.vec_id
+       |  JOIN keyed b ON b.bucket = pr.probe AND b.vec_id <> a.vec_id),
        |r_ann AS (SELECT q_id, neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ann),

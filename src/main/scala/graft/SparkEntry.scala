@@ -167,6 +167,7 @@ object SparkEntry {
     "q148_repetition"      -> (graft.llm.TextAnalysis.repetitionScore _),
     "q149_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q150_multiprobe_recall" -> ((s: SparkSession, d: String) => Similarity.multiProbeRecall(s, d)),
+    "q151_ivf_recall"      -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -845,6 +846,9 @@ object SparkEntry {
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
+    "q151_ivf_recall" -> ivfRecallOracleSql(
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),
@@ -2140,6 +2144,68 @@ object SparkEntry {
    * `nprobe` nearest cells, and candidates rank by the same exact
    * cosine fold as the brute-force oracle.
    */
+  /**
+   * DuckDB replay of [[graft.llm.Similarity.ivfRecall]]: the q52 IVF
+   * CTEs (learned k-means quantizer, nprobe cells) restricted to the
+   * bounded audit query set, intersected with the q34 exact baseline.
+   */
+  private[graft] def ivfRecallOracleSql(
+      cells: Int, iters: Int, nprobe: Int, k: Int): String = {
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $kmeansDist, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |),
+       |n2 AS (SELECT vec_id,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |asg AS (
+       |  SELECT r.vec_id, r.embedding, n2.n2, r.cid AS cell
+       |  FROM ranked r JOIN n2 ON n2.vec_id = r.vec_id WHERE r.rn = 1),
+       |probe AS (
+       |  SELECT r.vec_id AS q_id, r.embedding AS q_emb, n2.n2 AS q_n2, r.cid AS cell
+       |  FROM ranked r JOIN n2 ON n2.vec_id = r.vec_id
+       |  WHERE r.rn <= $nprobe AND r.vec_id % 20 = 0 AND r.vec_id < $qCap),
+       |s_ann AS (
+       |  SELECT q.q_id, n.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(n.embedding) + 1),
+       |      i -> q.q_emb[i]::DOUBLE * n.embedding[i]::DOUBLE))
+       |      / (sqrt(q.q_n2) * sqrt(n.n2)) AS sim
+       |  FROM probe q JOIN asg n ON q.cell = n.cell AND n.vec_id <> q.q_id),
+       |r_ann AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ann),
+       |eq AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+       |      FROM (SELECT e.vec_id, e.embedding, n2.n2
+       |            FROM embeddings e JOIN n2 ON n2.vec_id = e.vec_id) t
+       |      WHERE vec_id % 20 = 0 AND vec_id < $qCap),
+       |s_ex AS (SELECT eq.q_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> eq.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |      / (sqrt(eq.q_n2) * sqrt(n2.n2)) AS sim
+       |  FROM eq, embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+       |  WHERE e.vec_id <> eq.q_id),
+       |r_ex AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+       |      WHERE rnk <= $k GROUP BY 1) t
+       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |           JOIN (SELECT q_id, neighbor_id FROM r_ann WHERE rnk <= $k) a
+       |             USING (q_id, neighbor_id)
+       |           GROUP BY 1) h
+       |  ON t.q_id = h.q_id
+       |ORDER BY t.q_id""".stripMargin
+  }
+
   private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
     s"""WITH ${kmeansCtes(cells, iters)},
        |ranked AS (

@@ -95,10 +95,17 @@ object Similarity {
    * index scores far higher; raising recall = multi-probe (flip
    * low-margin bits) or the IVF route's nprobe > 1 (q52).
    */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsExact(spark, dir, k, annLsh(spark, dir, k))
+
+  /** Shared recall@k join: exact top-k vs an approximate result
+    * restricted to the same bounded query set; emits per-query
+    * (n_exact, n_hit, recall). The join moves only k·queries rows. */
+  private def recallVsExact(spark: SparkSession, dir: String, k: Int,
+      approx: DataFrame): DataFrame = {
     val exact = cosineTopK(spark, dir, k)
       .select(col("q_id"), col("neighbor_id"))
-    val ann = annLsh(spark, dir, k)
+    val ann = approx
       .filter(pmod(col("q_id"), lit(20)) === 0 &&
         col("q_id") < lit(20L * MaxBruteQueries))
       .select(col("q_id"), col("neighbor_id"))
@@ -112,6 +119,13 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
       .orderBy(col("q_id"))
   }
+
+  /** Recall@k of the IVF route ([[graft.llm.Pipeline.ivfAnn]], q52)
+    * against the exact baseline — the third audit in the family
+    * (q149 single-probe LSH, q150 multi-probe LSH, q151 IVF), so the
+    * three index strategies are comparable on one measurement. */
+  def ivfRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsExact(spark, dir, k, graft.llm.Pipeline.ivfAnn(spark, dir, k))
 
   /** Probe-bucket list for multi-probe LSH: the query's own bucket
     * plus `probes − 1` single-bit flips at the LOWEST-margin planes
@@ -175,23 +189,8 @@ object Similarity {
     * [[annRecall]]'s measurement applied to the multi-probe index, so
     * q149 vs q150 quantifies exactly what the extra probes buy. */
   def multiProbeRecall(spark: SparkSession, dir: String, k: Int = 5,
-      probes: Int = 3): DataFrame = {
-    val exact = cosineTopK(spark, dir, k)
-      .select(col("q_id"), col("neighbor_id"))
-    val ann = annLshMultiProbe(spark, dir, k, probes)
-      .filter(pmod(col("q_id"), lit(20)) === 0 &&
-        col("q_id") < lit(20L * MaxBruteQueries))
-      .select(col("q_id"), col("neighbor_id"))
-    val hits = exact.join(ann, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-      .withColumn("recall",
-        col("n_hit").cast("double") / col("n_exact").cast("double"))
-      .orderBy(col("q_id"))
-  }
+      probes: Int = 3): DataFrame =
+    recallVsExact(spark, dir, k, annLshMultiProbe(spark, dir, k, probes))
 
   /** Anchor-window bound for the exact near-dup ground truth: pairs
     * are anchored on the first [[NearDupAnchor]] ids, so the exact scan

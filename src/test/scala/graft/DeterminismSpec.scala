@@ -36,7 +36,19 @@ class DeterminismSpec extends SparkSpec {
     "q116_incremental_agg", // state+delta decimal merge ≡ recompute
     "q120_upsert",          // anti-join survivors ∪ upserts
     "q126_gap_fill",        // forward fill over ordered window
-    "q128_point_in_interval") // SCD2 coverage booleans any layout
+    "q128_point_in_interval", // SCD2 coverage booleans any layout
+    // grouped-GlobalOrder family: a different partition count changes
+    // the (key, pid) SEGMENT layout — ranks/prefixes/trailing sums must
+    // compose identically from any segmentation
+    "q67_distribution_ranks",
+    "q138_quantile_normalize",
+    "q140_order_concurrency",
+    "q146_source_quantiles",
+    "q147_nucleus_vocab",
+    // recall audits: heap cuts + md5 planes + k-means, all tie-broken
+    "q149_ann_recall",
+    "q150_multiprobe_recall",
+    "q151_ivf_recall")
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -168,6 +168,8 @@ object SparkEntry {
     "q149_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q150_multiprobe_recall" -> ((s: SparkSession, d: String) => Similarity.multiProbeRecall(s, d)),
     "q151_ivf_recall"      -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
+    "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
+    "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
     "q30_exact_dedup"      -> (Dedup.exactDedup _),
     "q31_ngram_jaccard"    -> (Dedup.ngramJaccardPairs _),
@@ -849,6 +851,33 @@ object SparkEntry {
     "q151_ivf_recall" -> ivfRecallOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
+    "q152_vocab_growth" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS decile
+        |  FROM documents),
+        |tok AS (SELECT source, md5(tok) AS h, MIN(doc_id) AS first_doc
+        |        FROM (SELECT source, doc_id,
+        |                unnest(string_split(text, ' ')) AS tok
+        |              FROM documents) u
+        |        GROUP BY 1, 2),
+        |fd AS (SELECT t.source, r.decile
+        |       FROM tok t JOIN r ON r.doc_id = t.first_doc
+        |         AND r.source = t.source),
+        |d AS (SELECT source, decile, COUNT(*) AS new_tokens
+        |      FROM fd GROUP BY 1, 2)
+        |SELECT source, decile, new_tokens,
+        |  CAST(SUM(new_tokens) OVER (PARTITION BY source ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM d ORDER BY source, decile""".stripMargin,
+    "q153_freq_spectrum" ->
+      """WITH c AS (SELECT source, md5(tok) AS h, COUNT(*) AS freq
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) u
+        |           GROUP BY 1, 2)
+        |SELECT source, freq, COUNT(*) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q34_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    list_sum(list_transform(range(1, len(embedding) + 1),

@@ -398,6 +398,63 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /**
+   * Vocabulary growth curve (the Heaps'-law diagnostic): per source,
+   * how many NEW distinct tokens each decile of the corpus (in doc_id
+   * ingest order) introduces, and the cumulative vocabulary size — the
+   * saturation signal that says "this crawl has stopped contributing
+   * new language" (a flattening curve) or "still novel" (near-linear).
+   *
+   * Plan: the document decile comes from
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]] +
+   * [[graft.ops.GlobalOrder.ntileFromRank]] (no per-source window over
+   * the corpus); each token's FIRST document is one md5-keyed
+   * aggregate; the cumulative sum runs over the (source × decile)
+   * aggregate — ≤ 10 rows per source, the pre-aggregated-window
+   * precedent (q62 mode, q51 region share), never fact-scale.
+   */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+        docs.select(col("doc_id"), col("source")),
+        keys = Seq(col("source")), order = Seq(col("doc_id")))
+      .withColumn("decile",
+        graft.ops.GlobalOrder.ntileFromRank(col("g_rank"), col("g_total_rows"), 10))
+      .select(col("doc_id"), col("source"), col("decile"))
+    val firstDoc = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), md5(col("tok")).as("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDecile = firstDoc
+      .join(ranked, firstDoc("source") === ranked("source") &&
+        firstDoc("first_doc") === ranked("doc_id"))
+      .groupBy(ranked("source").as("source"), col("decile"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /**
+   * Token frequency-of-frequencies spectrum per source (how many
+   * distinct tokens occur exactly f times) — the Good–Turing smoothing
+   * input and the quickest Zipf-shape diagnostic that needs no
+   * logarithms (ln is not portable across libm implementations, the
+   * q105 lesson). Two exact hash aggregates, md5-keyed token shuffle,
+   * no window, no ordering anywhere but the output presentation.
+   */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), md5(col("tok")).as("h"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"), col("freq"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy(col("source"), col("freq"))
+
   def pathTrigrams(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))

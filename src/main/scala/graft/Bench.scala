@@ -16,9 +16,12 @@ object Bench {
     // Untimed warmup at the smallest SF: JIT + codegen cache + parquet
     // footer reads, so timed numbers measure the plans, not JVM startup.
     val warmupDir = "/root/testdata/sf0.001"
-    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the contract surface is unchanged.
+    // Parsed ONCE and reused by warmup + timed loop so the two can't drift.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
-      .filter { case (name, _) => warmOnly.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
@@ -29,9 +32,6 @@ object Bench {
     // the minimum is the contention-resistant estimate of the plan's
     // actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // optional comma-separated name filter for local iteration; the
-    // driver never sets it, so the contract surface is unchanged
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val timed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -56,14 +56,28 @@ object Bench {
       .mkString("{", ",", "}")
     // Per-query max/min spread across reps: >2 means host contention
     // touched that query's reps and the min absorbed it — telemetry so
-    // a noisy host is VISIBLE, not silently smoothed. Early on the
-    // line: dispensable if the driver's tail window truncates.
-    val spread = timed.map { case (k, ts) =>
-      val s = if (ts.min > 0) ts.max / ts.min else Double.NaN
-      "\"" + k + "\":" + fmt(s)
-    }.mkString("{", ",", "}")
+    // a noisy host is VISIBLE, not silently smoothed. The full per-query
+    // map goes early on the line (dispensable under the driver's
+    // last-~2000-chars tail window); a COMPACT summary — max spread plus
+    // the names of queries with spread > 2 — is repeated at the END,
+    // immediately before the headline metric, so the recorded artifact
+    // can always distinguish a noisy host from a real regression
+    // (BENCH_r07's 80.4s headline was ~30% contention-inflated and the
+    // artifact couldn't show it).
+    val spreads = timed.map { case (k, ts) =>
+      k -> (if (ts.min > 0) ts.max / ts.min else Double.NaN)
+    }
+    val spread = spreads.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val finite = spreads.filter { case (_, s) => !s.isNaN }
+    val maxSpread = if (finite.nonEmpty) finite.values.max else 0.0
+    // cap the noisy-name list so the tail stays small even on a very
+    // noisy host (names alone, worst-case ~12 chars each; 20 names +
+    // headline fits well inside the 2000-char window)
+    val noisy = finite.filter(_._2 > 2.0).toSeq.sortBy(-_._2).take(20)
+      .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"spread":$spread,"reps":$reps,"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    println(s"""{"spread":$spread,"reps":$reps,"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"max_spread":${fmt(maxSpread)},"noisy":$noisy,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

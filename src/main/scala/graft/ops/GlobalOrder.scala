@@ -57,13 +57,23 @@ object GlobalOrder {
    * SparkContext: the pin then writes to reliable storage (HDFS/S3)
    * and survives any executor's death, at the cost of one distributed
    * write+read. Same rows either way — only the failure story differs.
+   *
+   * Setting the flag WITHOUT a checkpoint dir is an error, not a
+   * silent downgrade: a durability opt-in that quietly fell back to
+   * executor-local blocks would leave a spot-fleet job believing it is
+   * failure-safe when it is not.
    */
   def pin(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val reliable = df.sparkSession.conf
       .get("graft.checkpoint.reliable", "false").toBoolean
-    if (reliable && sc.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (reliable) {
+      require(sc.getCheckpointDir.isDefined,
+        "graft.checkpoint.reliable=true but no checkpoint dir is set: " +
+          "call sparkContext.setCheckpointDir(<reliable storage path>) " +
+          "so the pin actually survives executor loss, or unset the flag")
+      df.checkpoint()
+    } else df.localCheckpoint()
   }
 
   /**
@@ -315,16 +325,23 @@ object GlobalOrder {
     // window of any size appears in the plan.
     val segAggs = count(lit(1)).as("__n") +:
       values.indices.map(i => sum(col(s"__v$i")).as(s"__s$i"))
+    val maxSegs = spark.conf
+      .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
+    // collect through a LIMIT of maxSegs+1 so the guard binds BEFORE
+    // driver materialization: a caller outside the few-key envelope
+    // gets this error, never a driver OOM — the limit caps what can
+    // land on the driver regardless of the true segment count, and
+    // when the guard passes the limited collect IS the full segment
+    // set (length ≤ maxSegs < limit)
     val segs = sorted
       .withColumn("__pid", spark_partition_id().cast("long"))
       .groupBy((col("__pid") +: kCols.map(col)): _*)
       .agg(segAggs.head, segAggs.tail: _*)
+      .limit(maxSegs + 1)
       .collect()
-    val maxSegs = spark.conf
-      .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
     require(segs.length <= maxSegs,
-      s"groupedRankAndPrefix saw ${segs.length} (partition, key) segments " +
-        s"(> $maxSegs): key cardinality is large enough that a plain " +
+      s"groupedRankAndPrefix saw more than $maxSegs (partition, key) " +
+        "segments: key cardinality is large enough that a plain " +
         "per-key window already parallelizes — use that instead, or " +
         "raise graft.groupedOrder.maxSegments")
     // exclusive fold per key in pid order (exact: Long / BigDecimal)
@@ -413,10 +430,12 @@ object GlobalOrder {
    * frame slot — exactly the window function's semantics. Emitted
    * types match [[groupedRankAndPrefix]] (Long, or decimal(38, s)).
    *
-   * Envelope: `frame × segments` must stay metadata-size (guarded by
-   * `graft.groupedOrder.maxSegments` on segments; frames are typically
-   * 10–10⁴). For unbounded trailing frames use the exclusive prefix
-   * from [[groupedRankAndPrefix]] directly.
+   * Envelope: `frame × segments` must stay metadata-size — ENFORCED
+   * before anything is collected, by `graft.groupedOrder.maxSegments`
+   * on the segment count and `graft.groupedOrder.maxTailContribs`
+   * (default 2²⁴) on the frame × segments product. For unbounded
+   * trailing frames use the exclusive prefix from
+   * [[groupedRankAndPrefix]] directly.
    */
   def groupedTrailingSums(
       df: DataFrame,
@@ -444,9 +463,41 @@ object GlobalOrder {
       case None =>
         if (r.isNullAt(vIdx(i))) 0L else r.getLong(vIdx(i))
     }
+    // Guards run BEFORE the tails collect so a caller outside the
+    // few-key envelope gets a friendly error, never a driver OOM. The
+    // pre-count is one cheap pass over the already-pinned blocks
+    // (scan + partial distinct; nothing recomputes), and the LIMIT
+    // caps its own cost at maxSegs+1 rows. When the first guard
+    // passes, nSegs is the EXACT segment count, so the frame×segments
+    // product bound is exact too — the scaladoc's "frames are
+    // typically 10–10⁴" envelope, enforced: at the default caps a
+    // frame=10⁴ caller is held to ≤ ~1.7k segments instead of being
+    // allowed to pull frame × 2²⁰ boxed contributions onto the driver.
+    val maxSegs = spark.conf
+      .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
+    val maxTail = spark.conf
+      .get("graft.groupedOrder.maxTailContribs", (1 << 24).toString).toLong
+    val nSegs = sorted
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .select((col("__pid") +: st.kCols.map(col)): _*)
+      .distinct()
+      .limit(maxSegs + 1)
+      .count()
+    require(nSegs <= maxSegs,
+      s"groupedTrailingSums saw more than $maxSegs (partition, key) " +
+        "segments: with that many keys a plain per-key window already " +
+        "parallelizes — use that instead, or raise " +
+        "graft.groupedOrder.maxSegments")
+    require(frame.toLong * nSegs <= maxTail,
+      s"groupedTrailingSums would buffer frame × segments = $frame × " +
+        s"$nSegs > $maxTail contribution tuples on the driver: shrink " +
+        "the frame, reduce key cardinality (a plain per-key window " +
+        "already parallelizes at high cardinality), or raise " +
+        "graft.groupedOrder.maxTailContribs")
     // tails pass: per (partition, key) segment, the last ≤ frame rows'
     // contribution tuples in order + the segment row count (reused for
-    // the rank fold — one collect serves both)
+    // the rank fold — one collect serves both). Bounded by the guards
+    // above: ≤ nSegs rows, ≤ frame × nSegs ≤ maxTail tuples.
     val tailsRaw: Array[(Long, Seq[Any], Long, Vector[Array[Any]])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
         val acc = scala.collection.mutable.LinkedHashMap
@@ -461,12 +512,6 @@ object GlobalOrder {
         }
         acc.iterator.map { case (k, (n, buf)) => (pid.toLong, k, n, buf.toVector) }
       }.collect()
-    val maxSegs = spark.conf
-      .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
-    require(tailsRaw.length <= maxSegs,
-      s"groupedTrailingSums saw ${tailsRaw.length} (partition, key) segments " +
-        s"(> $maxSegs): with that many keys a plain per-key window already " +
-        "parallelizes — use that instead, or raise graft.groupedOrder.maxSegments")
     // driver fold in pid order per key: rank offsets + per-key totals
     // (as groupedRankAndPrefix) and the SEED for each segment — the
     // last ≤ frame contributions of all preceding segments of its key

@@ -181,6 +181,54 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("pin rejects reliable=true without a checkpoint dir (no silent downgrade)") {
+    val sc = spark.sparkContext
+    val hadDir = sc.getCheckpointDir
+    // Spark's setCheckpointDir(null) clears the dir (Option(null) → None)
+    sc.setCheckpointDir(null)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val e = intercept[IllegalArgumentException] { GlobalOrder.pin(li) }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    } finally {
+      spark.conf.set("graft.checkpoint.reliable", "false")
+      hadDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  test("grouped segment guard binds before the driver collect") {
+    // l_orderkey has ~1.5k distinct values at sf0.001 — far over a cap
+    // of 1; the guard must reject with the friendly envelope message
+    // (and via the LIMIT, without having materialized the segments)
+    spark.conf.set("graft.groupedOrder.maxSegments", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GlobalOrder.groupedRankAndPrefix(li, Seq(col("l_orderkey")),
+          Seq(col("l_linenumber")))
+      }
+      assert(e.getMessage.contains("maxSegments"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.groupedOrder.maxSegments")
+    }
+  }
+
+  test("trailing sums enforce the frame × segments product bound") {
+    // 3 return flags over ≤32 partitions → tens of segments; frame=17
+    // makes the product overshoot a cap of 10 while the segment count
+    // alone stays far under maxSegments — the product guard must trip
+    spark.conf.set("graft.groupedOrder.maxTailContribs", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GlobalOrder.groupedTrailingSums(liK, Seq(col("l_returnflag")),
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          values = Seq((col("q"), "tsum")), frame = 17)
+      }
+      assert(e.getMessage.contains("maxTailContribs"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.groupedOrder.maxTailContribs")
+    }
+  }
+
   test("no global window touches the big input; one tiny offset fold remains") {
     val df = GlobalOrder.withRankAndPrefix(li,
       Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))

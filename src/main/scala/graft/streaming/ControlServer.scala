@@ -95,6 +95,16 @@ object ControlServer {
       else (503, jsonMsg("Spark session stopped"))
     })
 
+    // Serializes the check-then-launch on /start: without it, two
+    // concurrent requests for the same job can BOTH observe the query
+    // as inactive and invoke the launcher twice — the second named
+    // StreamingQuery start then throws instead of echoing the
+    // documented 200. Control traffic is O(1) metadata, so one global
+    // lock (not per-name striping) is the right-sized fix; the
+    // already-active catch below additionally covers launches that
+    // race with starts from OUTSIDE this facade.
+    val startLock = new Object
+
     server.createContext("/start", handler { ex =>
       authed(ex) {
         withJobName(ex) { name =>
@@ -105,12 +115,24 @@ object ControlServer {
           // double-launching (the reference's Popen would actually
           // fork a second poller; a named StreamingQuery can't run
           // twice, so the echo is the faithful non-broken semantics).
-          JobControl.status(spark, name) match {
-            case Some(s) if s.isActive =>
-              (200, jsonMsg(s"Job $name already running: ${s.message}"))
-            case _ =>
-              if (launcher(name)) (200, jsonMsg(s"Job $name started"))
-              else (400, jsonMsg(s"Unknown job $name"))
+          startLock.synchronized {
+            JobControl.status(spark, name) match {
+              case Some(s) if s.isActive =>
+                (200, jsonMsg(s"Job $name already running: ${s.message}"))
+              case _ =>
+                try {
+                  if (launcher(name)) (200, jsonMsg(s"Job $name started"))
+                  else (400, jsonMsg(s"Unknown job $name"))
+                } catch {
+                  // a start that lost a race to an out-of-band launch:
+                  // Spark rejects the duplicate name ("... is already
+                  // active ...") — same idempotent echo, not a 500
+                  case e: IllegalArgumentException
+                      if e.getMessage != null &&
+                        e.getMessage.contains("already active") =>
+                    (200, jsonMsg(s"Job $name already running"))
+                }
+            }
           }
         }
       }

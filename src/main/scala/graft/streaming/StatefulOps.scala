@@ -303,14 +303,25 @@ object StatefulOps {
    * order, so even the double arithmetic is replay-stable.
    *
    * Bounded state: ≤ `frame` doubles per event type (a bounded
-   * categorical domain) plus the pending buffer, which holds at most a
-   * watermark-delay's worth of events per key — the same bound as any
-   * stream-stream join. No TTL needed: the ring IS the key's value.
+   * categorical domain) plus the pending buffer, which normally holds
+   * at most a watermark-delay's worth of events per key — the same
+   * bound as any stream-stream join — and is HARD-capped at
+   * `maxPending` against the pathological case the delay bound can't
+   * cover: one key flooding while the watermark stalls (an idle
+   * upstream partition holds the global watermark still no matter how
+   * much data arrives on this key). When the cap binds, the events
+   * kept are the `maxPending` earliest in (ts, event_id) order — the
+   * ones the watermark will finalize first — and the overflow is
+   * load-shed, mirroring the streaming-LSH hot-bucket cap: bounded
+   * state is the contract, and the shed set is a deterministic
+   * function of what arrived, never of arrival order. No TTL needed:
+   * the ring IS the key's value.
    */
   def streamingAnomalies(events: DataFrame,
       watermarkDelay: String = "10 seconds",
       frame: Int = 100, minN: Int = 30,
-      threshold: Double = 2.5): Dataset[ZOutput] = {
+      threshold: Double = 2.5,
+      maxPending: Int = 100000): Dataset[ZOutput] = {
     import events.sparkSession.implicits._
     events
       .select(col("event_type").cast("string").as("event_type"),
@@ -323,14 +334,20 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (etype, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
-          var st = state.getOption.getOrElse(ZState(Nil, Nil))
+          val st = state.getOption.getOrElse(ZState(Nil, Nil))
+          // batch rows land in a growable buffer and join the carried
+          // pending list with ONE O(old + new) concat — the previous
+          // per-row `List :+` was O(n) per append, O(n²) across a hot
+          // batch
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[ZPending]
           if (!state.hasTimedOut) {
-            rows.foreach { r =>
-              st = st.copy(pending =
-                st.pending :+ ZPending(r._2, r._4.getTime, r._3))
-            }
+            rows.foreach(r => fresh += ZPending(r._2, r._4.getTime, r._3))
           }
-          val (ready, waiting) = st.pending.partition(_.tsMs <= wm)
+          val all = st.pending ++ fresh
+          val bounded =
+            if (all.lengthCompare(maxPending) <= 0) all
+            else all.sortBy(p => (p.tsMs, p.event_id)).take(maxPending)
+          val (ready, waiting) = bounded.partition(_.tsMs <= wm)
           var ring = st.ring
           val out = List.newBuilder[ZOutput]
           ready.sortBy(p => (p.tsMs, p.event_id)).foreach { p =>

@@ -89,6 +89,26 @@ class ControlServerSpec extends SparkSpec {
     }
   }
 
+  test("/start that loses a race to an out-of-band launch echoes 200, not 500") {
+    // Simulates the TOCTOU tail the lock can't cover: the status check
+    // sees no active query, but by launch time the name is taken (a
+    // start from outside this facade). Spark surfaces that as an
+    // IllegalArgumentException("... already active ..."); the route
+    // must translate it to the same idempotent 200 echo as the
+    // ordinary already-running path.
+    val launcher: String => Boolean = { _ =>
+      throw new IllegalArgumentException(
+        "Cannot start query with name raced_job as a query with that name " +
+          "is already active in this SparkSession")
+    }
+    val srv = ControlServer.start(spark, key, launcher)
+    try {
+      val r = send(srv.port, "/start", body = """{"job_name": "raced_job"}""")
+      assert(r.statusCode() == 200 &&
+        r.body().contains("Job raced_job already running"), r.body())
+    } finally srv.stop()
+  }
+
   test("jobNameOf parses the control payload shape only") {
     assert(ControlServer.jobNameOf("""{"job_name": "a_b-1"}""").contains("a_b-1"))
     assert(ControlServer.jobNameOf("""{ "job_name" :"x" }""").contains("x"))

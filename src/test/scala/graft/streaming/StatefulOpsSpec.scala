@@ -134,6 +134,55 @@ class StatefulOpsSpec extends SparkSpec {
     assert(run(shuffled, "z_shuffled") == ordered)
   }
 
+  test("anomaly pending flood is load-shed at maxPending, keeping the earliest events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val frame = 5; val minN = 3; val threshold = 1.0; val cap = 10
+    val input = MemoryStream[(String, Long, Double, Timestamp)]
+    val q = StatefulOps.streamingAnomalies(
+      input.toDF().toDF("event_type", "event_id", "value", "ts"),
+      watermarkDelay = "2 hours", frame = frame, minN = minN,
+      threshold = threshold, maxPending = cap)
+      .writeStream.format("memory").queryName("z_flood")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .start()
+    // one large batch on a single key while the watermark is still at
+    // its initial floor — the stalled-watermark flood the cap guards
+    val values = (0 until 30).map(i => if (i == 8) 50.0 else (i % 3).toDouble)
+    input.addData(values.zipWithIndex.map { case (v, i) => ("a", i.toLong, v, ts(i)) })
+    q.processAllAvailable()
+    assert(spark.table("z_flood").count() == 0,
+      "nothing may emit before the watermark finalizes it")
+    // sentinel on another key advances the watermark past every "a" row
+    input.addData(Seq(("wm", -1L, 0.0, ts(3 * 3600 + 100))))
+    q.processAllAvailable()
+    val got = spark.table("z_flood").as[StatefulOps.ZOutput].collect()
+      .sortBy(_.event_id).map(_.event_id).toSeq
+    q.stop()
+    // reference: the ring simulation over ONLY the cap earliest events
+    // (ids 0..9) — anything scored beyond id 9 would mean the shed
+    // didn't happen; a different kept-set would break the id list
+    val expected = {
+      var ring = List.empty[Double]
+      val out = Seq.newBuilder[Long]
+      values.take(cap).zipWithIndex.foreach { case (v, i) =>
+        val n = ring.size
+        if (n >= minN) {
+          val s1 = ring.sum; val s2 = ring.map(x => x * x).sum
+          val mean = s1 / n
+          val variance = (s2 - s1 * s1 / n) / (n - 1)
+          if (variance > 0.0 && math.abs((v - mean) / math.sqrt(variance)) > threshold)
+            out += i.toLong
+        }
+        ring = (ring :+ v).takeRight(frame)
+      }
+      out.result()
+    }
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got.forall(_ < cap), "no event beyond the kept cap may be scored")
+  }
+
   test("streaming as-of join enriches events with the version valid at their ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

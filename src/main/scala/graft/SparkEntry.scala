@@ -168,6 +168,7 @@ object SparkEntry {
     "q149_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q150_multiprobe_recall" -> ((s: SparkSession, d: String) => Similarity.multiProbeRecall(s, d)),
     "q151_ivf_recall"      -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
+    "q154_planted_recall"  -> ((s: SparkSession, d: String) => Similarity.plantedRecall(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -848,6 +849,7 @@ object SparkEntry {
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
+    "q154_planted_recall" -> plantedRecallOracleSql(k = 5, probes = 3),
     "q151_ivf_recall" -> ivfRecallOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
@@ -1925,14 +1927,57 @@ object SparkEntry {
    * plane family with raw per-plane dots, lowest-margin bit flips via
    * `xor`, the probe-bucket union, and the q34 exact baseline.
    */
-  private[graft] def multiProbeRecallOracleSql(k: Int, probes: Int): String = {
+  private[graft] def multiProbeRecallOracleSql(k: Int, probes: Int): String =
+    multiProbeRecallSqlOver("", "embeddings", k, probes)
+
+  /**
+   * DuckDB replay of the planted-neighbor certification
+   * ([[graft.llm.Similarity.plantedRecall]], q154): the q150
+   * multi-probe statement run over the base corpus UNION the
+   * md5-perturbed planted rows. The perturbation step is the dyadic
+   * 2⁻¹⁴ — `(md5Byte − 128) / 16384` is exact in double in both
+   * engines, so the planted float embeddings (and everything cosine
+   * downstream) hash-match bit for bit. Index bits still size from
+   * the BASE corpus count, matching the Spark side's footer read.
+   */
+  private[graft] def plantedRecallOracleSql(k: Int, probes: Int): String = {
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    val base = graft.llm.Similarity.PlantedBase
+    val perAnchor = graft.llm.Similarity.PlantedPerAnchor
+    def byte(key: String) =
+      s"""(16 * (strpos('0123456789abcdef',
+         |              substr(md5($key), 1, 1)) - 1)
+         |        + strpos('0123456789abcdef',
+         |              substr(md5($key), 2, 1)) - 1)""".stripMargin
+    val k1 = byte("'plant|' || a.vec_id || '|' || j || '|' || (i - 1)")
+    val corpusCtes =
+      s"""anchors AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE vec_id % 20 = 0 AND vec_id < $qCap),
+         |planted AS (SELECT $base + a.vec_id * $perAnchor + j AS vec_id,
+         |    list_transform(range(1, len(a.embedding) + 1), i ->
+         |      CAST(a.embedding[i]::DOUBLE +
+         |        CAST($k1 - 128 AS DOUBLE) / 16384 AS FLOAT)) AS embedding
+         |  FROM anchors a, (SELECT unnest(range(0, $perAnchor)) AS j) js),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL SELECT vec_id, embedding FROM planted),
+         |""".stripMargin
+    multiProbeRecallSqlOver(corpusCtes, "corpus", k, probes)
+  }
+
+  /** The q150 multi-probe recall statement, parameterized on the
+    * corpus relation so q154 can run it over the planted union.
+    * `nbits` always sizes from the BASE embeddings table — index
+    * bits are build-time metadata derived from the base footer on the
+    * Spark side in both callers. */
+  private def multiProbeRecallSqlOver(corpusCtes: String, corpusRel: String,
+      k: Int, probes: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth
     val maxBits = graft.llm.Similarity.MaxLshBits
     val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
     val caseTerms = (8 until maxBits).map(j =>
       s"(CASE WHEN n > ${target.toLong << j} THEN 1 ELSE 0 END)")
       .mkString("\n        + ")
-    s"""WITH nbits AS (SELECT 8
+    s"""WITH ${corpusCtes}nbits AS (SELECT 8
        |        + $caseTerms AS b
        |  FROM (SELECT COUNT(*) AS n FROM embeddings) t),
        |planes AS (SELECT p,
@@ -1946,7 +1991,7 @@ object SparkEntry {
        |e AS (SELECT vec_id, embedding,
        |    list_sum(list_transform(range(1, len(embedding) + 1),
        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
-       |  FROM embeddings),
+       |  FROM $corpusRel),
        |pdots AS (SELECT e.vec_id, p.p,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
        |      i -> e.embedding[i]::DOUBLE * p.pl[i])) AS dt

@@ -50,8 +50,14 @@ object Similarity {
    * broadcast — the oracle-checkable ground-truth twin of the ANN
    * paths (q36/q52), bounded the same way q31 bounds exact Jaccard.
    */
-  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    cosineTopKOf(Tables.embeddings(spark, dir), k)
+
+  /** [[cosineTopK]] over an explicit corpus DataFrame
+    * (`vec_id`, `embedding`) — the planted-recall certification runs
+    * the same exact baseline over an augmented corpus. */
+  private[llm] def cosineTopKOf(emb0: DataFrame, k: Int): DataFrame = {
+    val emb = withNorm(emb0)
     val queries = emb
       .filter(pmod(col("vec_id"), lit(20)) === 0 &&
         col("vec_id") < lit(20L * MaxBruteQueries))
@@ -102,8 +108,12 @@ object Similarity {
     * restricted to the same bounded query set; emits per-query
     * (n_exact, n_hit, recall). The join moves only k·queries rows. */
   private def recallVsExact(spark: SparkSession, dir: String, k: Int,
+      approx: DataFrame): DataFrame =
+    recallVsExactOf(Tables.embeddings(spark, dir), k, approx)
+
+  private def recallVsExactOf(corpus: DataFrame, k: Int,
       approx: DataFrame): DataFrame = {
-    val exact = cosineTopK(spark, dir, k)
+    val exact = cosineTopKOf(corpus, k)
       .select(col("q_id"), col("neighbor_id"))
     val ann = approx
       .filter(pmod(col("q_id"), lit(20)) === 0 &&
@@ -168,7 +178,15 @@ object Similarity {
     val bits =
       if (bitsIn > 0) bitsIn
       else lshBitsFor(Tables.parquetRowCount(spark, s"$dir/embeddings.parquet"))
-    val emb = withNorm(Tables.embeddings(spark, dir))
+    annLshMultiProbeOf(Tables.embeddings(spark, dir), k, probes, bits)
+  }
+
+  /** [[annLshMultiProbe]] over an explicit corpus DataFrame with an
+    * explicit bit count (index-build metadata is the caller's at this
+    * layer). */
+  private[llm] def annLshMultiProbeOf(emb0: DataFrame, k: Int,
+      probes: Int, bits: Int): DataFrame = {
+    val emb = withNorm(emb0)
     val a = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("n2").as("q_n2"),
       explode(probeBuckets(col("embedding"), bits, probes)).as("bucket"))
@@ -191,6 +209,82 @@ object Similarity {
   def multiProbeRecall(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 3): DataFrame =
     recallVsExact(spark, dir, k, annLshMultiProbe(spark, dir, k, probes))
+
+  /** Planted neighbors per anchor; equals the audit family's k so the
+    * exact top-k of every anchor is exactly its planted set. */
+  val PlantedPerAnchor = 5
+
+  /** Id offset for planted vectors — far above any fixture vec_id, so
+    * planted rows never collide with (or get selected as) queries. */
+  val PlantedBase = 1000000L
+
+  /**
+   * Planted perturbation step: DYADIC (2⁻¹⁴), so
+   * `eps × (md5Byte − 128)` is an exact double (an integer scaled by a
+   * power of two, well inside the 53-bit mantissa) in BOTH engines —
+   * a decimal literal like 0.0001 would round differently under
+   * DuckDB's literal-is-DECIMAL arithmetic than under Spark's
+   * double-literal arithmetic, and the planted embeddings would stop
+   * hash-matching. At this step the planted cosine is ≈ 0.9994
+   * (perturbation norm ≈ 0.036 on unit-norm fixture vectors) and the
+   * per-plane sign-flip probability is ~1%, which is what makes the
+   * certification bound achievable by construction.
+   */
+  val PlantedEps: Double = 1.0 / 16384
+
+  /**
+   * The base corpus plus [[PlantedPerAnchor]] planted near-neighbors
+   * for every audit-family anchor (the `vec_id % 20 == 0` bounded
+   * query set): planted vector j of anchor a has id
+   * `PlantedBase + a·P + j` and embedding
+   * `anchor[d] + PlantedEps · (md5Byte("plant|a|j|d") − 128)` — an
+   * md5-disciplined perturbation, no RNG, replayable verbatim in the
+   * DuckDB oracle. Planted rows are anchor-set-sized (≤ P × queries),
+   * so the augmentation is metadata-scale at any corpus size.
+   */
+  private[llm] def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val anchors = emb
+      .filter(pmod(col("vec_id"), lit(20)) === 0 &&
+        col("vec_id") < lit(20L * MaxBruteQueries))
+    val js = spark.range(PlantedPerAnchor.toLong).select(col("id").as("j"))
+    val planted = anchors.crossJoin(js)
+      .select(
+        (lit(PlantedBase) + col("vec_id") * lit(PlantedPerAnchor.toLong) + col("j"))
+          .as("p_id"),
+        transform(col("embedding"), (x, d) =>
+          (x.cast("double") +
+            (conv(substring(md5(concat(lit("plant|"), col("vec_id"), lit("|"),
+              col("j"), lit("|"), d)), 1, 2), 16, 10).cast("int") - 128)
+              .cast("double") / lit(16384.0) // exact: integer / 2^14 is dyadic
+          ).cast("float")).as("p_emb"))
+      .select(col("p_id").as("vec_id"), col("p_emb").as("embedding"))
+    emb.unionByName(planted)
+  }
+
+  /**
+   * Planted-neighbor recall CERTIFICATION (q154): the q150 multi-probe
+   * measurement run over [[plantedCorpus]]. The fixture's own
+   * embeddings are near-random, so q149–q151 can only report low
+   * recall "by construction" — they detect a broken index but cannot
+   * certify a working one. Here every anchor gets
+   * [[PlantedPerAnchor]] = k planted neighbors at cosine ≈ 0.9994
+   * (≫ the ~0.5 background max), so the exact top-k IS the planted
+   * set and recall measures exactly "does the index find true
+   * near-neighbors when they exist" — the spec asserts it ≥ 0.9 at
+   * the family's operating point (3 probes), certifying the index
+   * rather than measuring fixture noise.
+   *
+   * Index bits are sized from the BASE corpus footer (the planted
+   * rows are anchor-set-sized — they don't move the sizing ladder),
+   * matching the oracle's `COUNT(*) FROM embeddings`.
+   */
+  def plantedRecall(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 3): DataFrame = {
+    val bits = lshBitsFor(Tables.parquetRowCount(spark, s"$dir/embeddings.parquet"))
+    val corpus = plantedCorpus(spark, dir)
+    recallVsExactOf(corpus, k, annLshMultiProbeOf(corpus, k, probes, bits))
+  }
 
   /** Anchor-window bound for the exact near-dup ground truth: pairs
     * are anchored on the first [[NearDupAnchor]] ids, so the exact scan

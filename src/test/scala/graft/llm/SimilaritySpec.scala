@@ -52,6 +52,19 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("planted-neighbor recall certifies the multi-probe index") {
+    // the premise: with cosine-0.9994 planted neighbors, the exact
+    // top-k of every anchor is exactly its planted set
+    val exact = Similarity.cosineTopKOf(Similarity.plantedCorpus(spark, sf), 5)
+    assert(exact.filter(col("neighbor_id") < Similarity.PlantedBase).count() == 0,
+      "exact top-k must be dominated by the planted neighbors")
+    // the certification: the multi-probe index retrieves them
+    val r = Similarity.plantedRecall(spark, sf).cache()
+    assert(r.filter(col("n_exact") =!= 5).count() == 0)
+    val mean = r.agg(avg("recall")).head.getDouble(0)
+    assert(mean >= 0.9, s"planted recall $mean below the certification bound")
+  }
+
   test("LSH bit count grows with the corpus, holding bucket width bounded") {
     import Similarity.{lshBitsFor, MaxLshBits, TargetBucketWidth}
     assert(lshBitsFor(500) == 8)      // small corpora keep the floor

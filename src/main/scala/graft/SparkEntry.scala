@@ -169,6 +169,7 @@ object SparkEntry {
     "q150_multiprobe_recall" -> ((s: SparkSession, d: String) => Similarity.multiProbeRecall(s, d)),
     "q151_ivf_recall"      -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q154_planted_recall"  -> ((s: SparkSession, d: String) => Similarity.plantedRecall(s, d)),
+    "q155_winnow_dedup"    -> ((s: SparkSession, d: String) => TextAnalysis.winnowedFingerprints(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -850,6 +851,28 @@ object SparkEntry {
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
     "q154_planted_recall" -> plantedRecallOracleSql(k = 5, probes = 3),
+    // q155: robust winnowing (SWA 2003) — k=4-token grams, w=4 windows,
+    // rightmost-min fingerprints; detects any exact repeat >= 7 tokens
+    "q155_winnow_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 7),
+        |h AS (SELECT doc_id, list_transform(range(1, len(ws) - 2), i ->
+        |        substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16)) AS hs
+        |      FROM t),
+        |wins AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 2), p ->
+        |      list_min(hs[p:p+3]))) AS fp,
+        |    unnest(list_transform(range(1, len(hs) - 2), p ->
+        |      list_max(list_transform(range(p, p + 4), j ->
+        |        CASE WHEN hs[j] = list_min(hs[p:p+3]) THEN j ELSE 0 END)))) AS pos
+        |  FROM h),
+        |f AS (SELECT DISTINCT doc_id, fp, pos FROM wins),
+        |per AS (SELECT fp, doc_id, COUNT(*) AS occ FROM f GROUP BY 1, 2)
+        |SELECT fp, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM per GROUP BY 1
+        |HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin,
     "q151_ivf_recall" -> ivfRecallOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),

@@ -379,6 +379,80 @@ object TextAnalysis {
   }
 
   /**
+   * Substring-level dedup via ROBUST WINNOWING (Schleimer, Wilkerson,
+   * Aiken 2003, "Winnowing: Local Algorithms for Document
+   * Fingerprinting" — the MOSS fingerprinting algorithm): per
+   * document, hash every `k`-token gram, slide a window of `w`
+   * consecutive gram hashes, and keep from each window its MINIMUM
+   * hash (ties → the RIGHTMOST position, the "robust" rule that makes
+   * the selected set depend only on context, not on window phase).
+   * The selected (hash, position) pairs are the document's
+   * fingerprints; matching fingerprints across documents detect any
+   * exact repeat of ≥ `w + k − 1` tokens — the winnowing guarantee —
+   * while storing only ~2/(w+1) of the grams. This is the real
+   * training-data substring-dedup shape (q95's every-5-gram table is
+   * the dense stand-in): fingerprint density is TUNABLE via `w`
+   * at a guaranteed detection length, instead of paying one shuffle
+   * row per gram.
+   *
+   * Scale: gram hashing and winnowing are ROW-LOCAL array folds
+   * (whole-stage codegen'd higher-order functions — no UDF, no
+   * shuffle); only selected fingerprints explode, and the shuffle
+   * keys are 16-hex md5 prefixes, never passage text (the q144
+   * discipline). The group-by is the whole cross-doc operator — no
+   * self-join, no pair explosion — with the q95 two-phase
+   * distinct-doc aggregate. The top-`limit` cut is a
+   * TakeOrderedAndProject under a total ordering.
+   *
+   * The tie rule is hash-STRING lexicographic: both engines compare
+   * lowercase-hex ASCII bytewise, so min-of-window and the rightmost
+   * tiebreak replay identically in the DuckDB oracle.
+   */
+  def winnowedFingerprints(spark: SparkSession, dir: String,
+      k: Int = 4, w: Int = 4, limit: Int = 100): DataFrame =
+    winnowedFingerprintsOf(Tables.documents(spark, dir), k, w, limit)
+
+  /** [[winnowedFingerprints]] over an explicit documents DataFrame
+    * (`doc_id`, `text`) — the spec plants known repeated passages. */
+  private[llm] def winnowedFingerprintsOf(docs: DataFrame,
+      k: Int, w: Int, limit: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val gram = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    // per-window rightmost-min: the inner fold recomputes the window
+    // min per candidate position (w² string compares per window, w is
+    // single-digit) to keep both engines on the same primitive ops
+    val winnow =
+      s"""transform(sequence(1, size(hs) - ${w - 1}), p -> struct(
+         |  array_min(slice(hs, p, $w)) AS fp,
+         |  aggregate(sequence(p, p + ${w - 1}), 0, (a, j) ->
+         |    if(element_at(hs, j) = array_min(slice(hs, p, $w)),
+         |       greatest(a, j), a)) AS pos))""".stripMargin
+    docs
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> substring(md5(concat_ws(' ', $gram)), 1, 16))")
+        .as("hs"))
+      // window overlap re-selects the same (hash, pos); every duplicate
+      // comes from the SAME document row, so array_distinct dedups
+      // row-locally before the explode — no distinct shuffle exists in
+      // the plan at all
+      .select(col("doc_id"), explode(array_distinct(expr(winnow))).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"), col("f.pos").as("pos"))
+      .groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("fp"))
+      .limit(limit)
+  }
+
+  /**
    * Per-source corpus quality profile: document counts plus exact
    * length quantiles (Spark exact `percentile` ≡ DuckDB
    * `quantile_cont`, verified bit-exact on doubles) and an exact-sum

@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("winnowing detects every planted >=w+k-1-token repeat, never sub-gram overlap") {
+    import spark.implicits._
+    // 7 tokens = w + k - 1 at (k=4, w=4): the winnowing guarantee's
+    // exact detection threshold
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight"),
+      (2L, s"nine ten eleven twelve $shared thirteen fourteen"),
+      // 3-token overlap (below the gram size k): no shared gram can
+      // exist, so no fingerprint may match docs 3/4
+      (3L, "alpha beta gamma completely different tail words go here okay"),
+      (4L, "unrelated content with alpha beta gamma inside another spot place"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowedFingerprintsOf(docs, k = 4, w = 4, limit = 100)
+      .collect()
+    assert(fps.nonEmpty, "the planted 7-token repeat must share a fingerprint")
+    assert(fps.forall(r => r.getAs[Long]("first_doc") == 1L &&
+      r.getAs[Long]("last_doc") == 2L),
+      s"only docs 1/2 share a >=7-token passage: ${fps.mkString(", ")}")
+    // robustness to phase: embedding the same passage at DIFFERENT
+    // offsets (above) still matched — the rightmost-min rule picks
+    // fingerprints by local context, not window alignment
+  }
+
   test("Misra-Gries coverage holds on every partition layout") {
     import spark.implicits._
     // adversarial mix: two true heavy hitters drowned in a long tail of

@@ -195,7 +195,11 @@ class PlanAuditSpec extends SparkSpec {
       "q140_order_concurrency"  -> (2, 1, 1, 0),
       "q146_source_quantiles"   -> (2, 1, 1, 0),
       "q147_nucleus_vocab"      -> (4, 2, 2, 0),
-      "q148_repetition"         -> (3, 0, 0, 0))
+      "q148_repetition"         -> (3, 0, 0, 0),
+      // q155 winnowing: hashing + window-min selection are row-local
+      // array folds; the only exchanges are the two-phase (fp, doc) →
+      // fp aggregate, exactly q95's shape at ~2/(w+1) the shuffle rows
+      "q155_winnow_dedup"       -> (2, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -406,6 +406,15 @@ object Relational3 {
    * `saltBuckets` reducers. Cost: `saltBuckets × |dim|` replication —
    * the knob trades dim duplication against reducer skew. Results are
    * identical to the plain join (the oracle IS the plain join).
+   *
+   * WHEN to use it (the `AqeSkewSpec`-measured decision rule, also in
+   * SCALE.md): Spark 4 AQE's skew-join already splits hot partitions
+   * of shuffled equi-joins at runtime — prefer the plain join there.
+   * The manual salt earns its replication cost only when AQE is off,
+   * or when the join's output partitioning must survive exactly for a
+   * downstream stage (AQE skew splits forfeit it). Hot-key AGGREGATES
+   * have no AQE rewrite at all — for those see the salted two-phase
+   * aggregate (q49, `Relational2.saltedAgg`).
    */
   def saltedJoin(spark: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
     val ev = Tables.events(spark, dir)

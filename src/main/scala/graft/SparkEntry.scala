@@ -170,6 +170,8 @@ object SparkEntry {
     "q151_ivf_recall"      -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q154_planted_recall"  -> ((s: SparkSession, d: String) => Similarity.plantedRecall(s, d)),
     "q155_winnow_dedup"    -> ((s: SparkSession, d: String) => TextAnalysis.winnowedFingerprints(s, d)),
+    "q156_token_rarity"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenRarity(s, d)),
+    "q157_cluster_sample"  -> ((s: SparkSession, d: String) => graft.llm.Pipeline.clusterBalancedSample(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -847,10 +849,31 @@ object SparkEntry {
     "q52_ivf_ann" -> ivfOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
+    "q157_cluster_sample" -> clusterSampleOracleSql(
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      cap = 32),
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
     "q154_planted_recall" -> plantedRecallOracleSql(k = 5, probes = 3),
+    // q156: corpus-relative token rarity — integer thresholds + exact
+    // frequency-mass sum; md5 token keys in both engines
+    "q156_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, md5(t) AS tok FROM (
+        |                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                FROM documents) raw),
+        |freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(SUM(CASE WHEN n >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |       CAST(SUM(n) AS BIGINT) AS freq_mass,
+        |       CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |         AS rare_frac,
+        |       CAST(SUM(CASE WHEN n >= 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |         AS common_frac,
+        |       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q155: robust winnowing (SWA 2003) — k=4-token grams, w=4 windows,
     // rightmost-min fingerprints; detects any exact repeat >= 7 tokens
     "q155_winnow_dedup" ->
@@ -2302,6 +2325,28 @@ object SparkEntry {
        |  ON t.q_id = h.q_id
        |ORDER BY t.q_id""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.llm.Pipeline.clusterBalancedSample]]:
+    * the q52 KMeans assignment CTEs + a per-cell md5-ordered cap. */
+  private[graft] def clusterSampleOracleSql(cells: Int, iters: Int, cap: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |ranked AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $kmeansDist, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |),
+       |asg AS (SELECT vec_id, cid AS cell, md5('bal|' || vec_id) AS h
+       |        FROM ranked WHERE rn = 1),
+       |tot AS (SELECT cell, COUNT(*) AS n_cell FROM asg GROUP BY 1),
+       |keep AS (SELECT cell, vec_id, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |         ORDER BY h, vec_id) AS BIGINT) AS rnk
+       |  FROM asg)
+       |SELECT CAST(k.cell AS BIGINT) AS cell, k.rnk, k.vec_id, k.h, t.n_cell
+       |FROM keep k JOIN tot t ON k.cell = t.cell
+       |WHERE k.rnk <= $cap
+       |ORDER BY cell, rnk""".stripMargin
 
   private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
     s"""WITH ${kmeansCtes(cells, iters)},

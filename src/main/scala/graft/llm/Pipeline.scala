@@ -410,6 +410,44 @@ object Pipeline {
    * arithmetic — no join, no shuffle; the only exchange is the in-cell
    * candidate equi-join on the cell id.
    */
+  /**
+   * Cluster-balanced deterministic sample: assign every embedding to
+   * its nearest learned centroid (the q52 coarse quantizer — same
+   * deterministic KMeans, so the oracle replays the assignment), then
+   * keep at most `cap` vectors per cluster in md5-hash order — the
+   * topic-balancing subset constructor (SemDeDup/DoReMi-style
+   * curation: dominant clusters downsample to the cap, rare clusters
+   * survive whole, and the per-cluster totals ride along so the
+   * consumer knows each cluster's sampling rate).
+   *
+   * Determinism: the kept set is a pure function of (vec_id, corpus) —
+   * md5 order, never RNG — so retries, replays and the DuckDB oracle
+   * all agree. Scale: assignment is centroid-literal arithmetic (no
+   * join, no shuffle); the cap is the rank-emitting bounded-heap
+   * operator (≤ cap rows per cluster per map partition cross the
+   * wire, never a per-cluster sort); totals are a `cells`-row
+   * broadcast. One fact-scale exchange total.
+   */
+  def clusterBalancedSample(spark: SparkSession, dir: String, cap: Int = 32,
+      cells: Int = IvfCells, iters: Int = IvfIters): DataFrame = {
+    val model = KMeans.fit(spark, dir, cells, iters)
+    val emb = Tables.embeddings(spark, dir)
+    val distArr = array(model.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val assigned = emb
+      .withColumn("cell", sort_array(distArr)(0)("cid"))
+      .select(col("vec_id"), col("cell"),
+        md5(concat(lit("bal|"), col("vec_id"))).as("h"))
+    val totals = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    graft.plans.TopK.perKeyWithRank(assigned,
+        Seq("cell"), Seq(("h", false), ("vec_id", false)), cap, "rnk")
+      .join(broadcast(totals), Seq("cell"))
+      .select(col("cell").cast("long").as("cell"), col("rnk"), col("vec_id"),
+        col("h"), col("n_cell"))
+      .orderBy(col("cell"), col("rnk"))
+  }
+
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5, cells: Int = IvfCells,
       iters: Int = IvfIters, nprobe: Int = IvfProbe): DataFrame = {
     val model = KMeans.fit(spark, dir, cells, iters)

@@ -499,6 +499,48 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-relative token-rarity profile — the quality dimension the
+   * length/punctuation battery (q38) cannot see: a document whose
+   * token instances are mostly corpus-RARE is OCR junk, misparsed
+   * markup, or wrong-script text; one whose instances are mostly
+   * corpus-COMMON head tokens is boilerplate. Gopher/C4-style corpus
+   * filters use exactly this signal; it is LOG-FREE here (integer
+   * frequency thresholds + an exact frequency-mass sum, not a
+   * perplexity), so the oracle replays it bit for bit.
+   *
+   * Per document: token instance count, the fraction of instances
+   * whose corpus frequency ≤ `rareMax` (hapax-ish), the fraction with
+   * frequency ≥ `commonMin` (head mass), and the exact mean corpus
+   * frequency (integer sum / count, one double division at the end).
+   *
+   * Scale: corpus token frequencies are vocabulary-cardinality — NOT
+   * broadcastable (unlike q97's fixed top-k head) — so the probe is a
+   * shuffled equi-join on md5 token keys (never raw text on the
+   * wire), exactly the q56 tf-idf join shape: both sides partition on
+   * the token hash, AQE handles stopword-key skew (the `AqeSkewSpec`
+   * rule — joins lean on AQE, no salt needed). Two shuffles + the
+   * doc-id aggregate, all hash aggregates with map-side partials.
+   */
+  def tokenRarity(spark: SparkSession, dir: String,
+      rareMax: Long = 2L, commonMin: Long = 100L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("n") >= commonMin, 1L).otherwise(0L)).as("n_common"),
+        sum(col("n")).as("freq_mass"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
+      .withColumn("common_frac", col("n_common").cast("double") / col("n_tokens"))
+      .withColumn("mean_freq", col("freq_mass").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * PII-redaction plumbing over the event property JSON: replace every
    * digit run with a mask and count the redactions. The `[0-9]+`
    * pattern is the stand-in for the production email/phone/ID

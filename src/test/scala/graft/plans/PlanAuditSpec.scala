@@ -199,7 +199,15 @@ class PlanAuditSpec extends SparkSpec {
       // q155 winnowing: hashing + window-min selection are row-local
       // array folds; the only exchanges are the two-phase (fp, doc) →
       // fp aggregate, exactly q95's shape at ~2/(w+1) the shuffle rows
-      "q155_winnow_dedup"       -> (2, 0, 0, 0))
+      "q155_winnow_dedup"       -> (2, 0, 0, 0),
+      // q156 rarity: token agg + frequency probe + doc agg; the probe
+      // joins broadcast at fixture scale (vocab under the threshold) —
+      // at corpus scale AQE decides SMJ, and skew stays AQE's job
+      "q156_token_rarity"       -> (3, 1, 1, 0),
+      // q157 balanced sample: centroid assignment is literal arithmetic
+      // (no shuffle); heap cap + totals agg + output sort, cells-row
+      // totals broadcast back
+      "q157_cluster_sample"     -> (3, 1, 1, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==
@@ -231,7 +239,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
-    Seq("q68_inverted_index", "q100_rank_rewrite").foreach { q =>
+    Seq("q68_inverted_index", "q100_rank_rewrite", "q157_cluster_sample")
+      .foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
       assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")
     }

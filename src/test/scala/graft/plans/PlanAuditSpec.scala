@@ -9,8 +9,17 @@ import graft.{SparkEntry, SparkSpec}
  */
 class PlanAuditSpec extends SparkSpec {
 
-  private def auditOf(name: String) =
+  private def auditOf(name: String) = {
+    // Audits pin the UNCACHED plan shape. Other suites sharing this JVM
+    // .cache() intermediate results of the same queries; the shared
+    // CacheManager would then substitute an InMemoryRelation into the
+    // audited plan and shift exchange counts with suite ORDER (observed:
+    // q95 2→4 exchanges when TextAnalysisSpec's cached repeatedPassages
+    // survives into this suite). Clearing per audit keeps pins
+    // deterministic regardless of which suites ran first.
+    spark.catalog.clearCache()
     PlanChecks.audit(SparkEntry.queries(name)(spark, sf))
+  }
 
   test("q02 projection: filter pushed to parquet, scan reads only used columns") {
     val a = auditOf("q02_projection")

@@ -172,6 +172,8 @@ object SparkEntry {
     "q155_winnow_dedup"    -> ((s: SparkSession, d: String) => TextAnalysis.winnowedFingerprints(s, d)),
     "q156_token_rarity"    -> ((s: SparkSession, d: String) => TextAnalysis.tokenRarity(s, d)),
     "q157_cluster_sample"  -> ((s: SparkSession, d: String) => graft.llm.Pipeline.clusterBalancedSample(s, d)),
+    "q158_pq_ann"          -> ((s: SparkSession, d: String) => graft.llm.PQ.pqAnn(s, d)),
+    "q159_pq_recall"       -> ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -899,6 +901,14 @@ object SparkEntry {
     "q151_ivf_recall" -> ivfRecallOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe, k = 5),
+    "q158_pq_ann" -> pqOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, iters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5),
+    "q159_pq_recall" -> pqRecallOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, iters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5),
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)
@@ -2347,6 +2357,154 @@ object SparkEntry {
        |FROM keep k JOIN tot t ON k.cell = t.cell
        |WHERE k.rnk <= $cap
        |ORDER BY cell, rnk""".stripMargin
+
+  /** The per-subspace Lloyd's distance for the PQ replay — the
+    * [[kmeansDist]] formula over the sliced sub-vector column `v`. */
+  private def pqDist: String =
+    s"""list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> e.v[i]::DOUBLE * e.v[i]::DOUBLE))
+       |        - 2 * list_sum(list_transform(range(1, len(e.v) + 1),
+       |          i -> e.v[i]::DOUBLE * c.c[i]))
+       |        + list_sum(list_transform(c.c, x -> x * x))""".stripMargin
+
+  /**
+   * Chained CTEs replaying [[graft.llm.PQ.pqAnn]] in DuckDB through the
+   * final reranked table `r`: `sub` slices every embedding into
+   * [[graft.llm.PQ.SubSpaces]] sub-vectors (subspace as DATA, so one
+   * init/assign/update chain serves all subspaces, partitioned by
+   * `s`); the Lloyd's rounds are the [[kmeansCtes]] discipline per
+   * (vec, s); `enc` is the final per-subspace code; `contrib`/`adc0`
+   * compute the ADC score with explicit left-associated 4-term sums
+   * (single-row `MAX(CASE WHEN s=…)` pivots — never an unordered SQL
+   * SUM, whose merge order the engine doesn't fix); `s1`/`s2`/`r` are
+   * the shortlist cut, exact-cosine rerank, and final rank.
+   */
+  private def pqCtes(sd: Int, m: Int, kk: Int, iters: Int, depth: Int): String = {
+    val scale = "281474976710656.0" // 2^48, exact in double
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    def assignCte(name: String, cPrev: String, withV: Boolean): String = {
+      val vSel = if (withV) ", e.v" else ""
+      val vOut = if (withV) ", v" else ""
+      s"""$name AS (
+         |  SELECT vec_id, s$vOut, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.s$vSel, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+         |        $pqDist, c.cid) AS rn
+         |    FROM sub e JOIN $cPrev c ON c.s = e.s) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    def updateCte(name: String, aPrev: String): String =
+      s"""$name AS (
+         |  SELECT s, cid, list(v ORDER BY dim) AS c FROM (
+         |    SELECT a.s, a.cluster AS cid, u.i - 1 AS dim,
+         |      CAST(SUM(CAST(a.v[u.i]::DOUBLE * $scale AS HUGEINT)) AS DOUBLE)
+         |        / $scale / COUNT(*) AS v
+         |    FROM $aPrev a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) u
+         |    GROUP BY 1, 2, 3) t
+         |  GROUP BY s, cid)""".stripMargin
+    val cf = s"c$iters"
+    val adot = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN lv END)").mkString(" + ")
+    val rn2 = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN cn2 END)").mkString(" + ")
+    val head = Seq(
+      s"""sub AS (
+         |  SELECT e.vec_id, sp.s, e.embedding[sp.s*$sd+1 : sp.s*$sd+$sd] AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS s) sp)""".stripMargin,
+      s"""c0 AS (
+         |  SELECT s, CAST(rn - 1 AS BIGINT) AS cid,
+         |         list_transform(v, x -> x::DOUBLE) AS c
+         |  FROM (
+         |    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+         |    FROM sub
+         |    WHERE vec_id % (SELECT greatest(1, COUNT(*) // $kk) FROM embeddings) = 0) t
+         |  WHERE rn <= $kk)""".stripMargin)
+    val rounds = (1 to iters).flatMap(i =>
+      Seq(assignCte(s"a$i", s"c${i - 1}", withV = true), updateCte(s"c$i", s"a$i")))
+    val tail = Seq(
+      assignCte("enc", cf, withV = false),
+      s"""cn AS (SELECT s, cid,
+         |  list_sum(list_transform(c, x -> x * x)) AS cn2 FROM $cf)""".stripMargin,
+      s"""n2 AS (SELECT vec_id, list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+         |  FROM embeddings)""".stripMargin,
+      s"""contrib AS (
+         |  SELECT sq.vec_id AS q_id, en.vec_id AS neighbor_id, en.s,
+         |    list_sum(list_transform(range(1, len(sq.v) + 1),
+         |      i -> sq.v[i]::DOUBLE * c.c[i])) AS lv,
+         |    cn.cn2 AS cn2
+         |  FROM sub sq
+         |  JOIN enc en ON en.s = sq.s AND en.vec_id <> sq.vec_id
+         |  JOIN $cf c ON c.s = en.s AND c.cid = en.cluster
+         |  JOIN cn ON cn.s = en.s AND cn.cid = en.cluster
+         |  WHERE sq.vec_id % 20 = 0 AND sq.vec_id < $qCap)""".stripMargin,
+      s"""adc0 AS (
+         |  SELECT q_id, neighbor_id, $adot AS adot, $rn2 AS rn2
+         |  FROM contrib GROUP BY 1, 2)""".stripMargin,
+      s"""s1 AS (
+         |  SELECT a.q_id, a.neighbor_id,
+         |    a.adot / (sqrt(qn.n2) * sqrt(a.rn2)) AS adc,
+         |    CAST(row_number() OVER (PARTITION BY a.q_id
+         |      ORDER BY a.adot / (sqrt(qn.n2) * sqrt(a.rn2)) DESC,
+         |               a.neighbor_id) AS BIGINT) AS crank
+         |  FROM adc0 a JOIN n2 qn ON qn.vec_id = a.q_id)""".stripMargin,
+      s"""s2 AS (
+         |  SELECT s.q_id, s.neighbor_id, s.adc,
+         |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
+         |      i -> eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE))
+         |      / (sqrt(qn.n2) * sqrt(nn.n2)) AS sim
+         |  FROM s1 s
+         |  JOIN embeddings eq ON eq.vec_id = s.q_id
+         |  JOIN embeddings en ON en.vec_id = s.neighbor_id
+         |  JOIN n2 qn ON qn.vec_id = s.q_id
+         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id
+         |  WHERE s.crank <= $depth)""".stripMargin,
+      s"""r AS (
+         |  SELECT q_id, neighbor_id, sim, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM s2)""".stripMargin)
+    (head ++ rounds ++ tail).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.llm.PQ.pqAnn]] (q158): the PQ CTE chain,
+    * top-`k` of the reranked table. */
+  private[graft] def pqOracleSql(sd: Int, m: Int, kk: Int, iters: Int,
+      depth: Int, k: Int): String =
+    s"""WITH ${pqCtes(sd, m, kk, iters, depth)}
+       |SELECT q_id, rnk, neighbor_id, sim, adc
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Similarity.pqRecall]] (q159): the PQ
+    * chain's final top-`k` intersected with the exact brute-force
+    * baseline over the same bounded query set. */
+  private[graft] def pqRecallOracleSql(sd: Int, m: Int, kk: Int, iters: Int,
+      depth: Int, k: Int): String = {
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    s"""WITH ${pqCtes(sd, m, kk, iters, depth)},
+       |eq AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, n2.n2 AS q_n2
+       |      FROM embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+       |      WHERE e.vec_id % 20 = 0 AND e.vec_id < $qCap),
+       |s_ex AS (SELECT eq.q_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> eq.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |      / (sqrt(eq.q_n2) * sqrt(n2.n2)) AS sim
+       |  FROM eq, embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+       |  WHERE e.vec_id <> eq.q_id),
+       |r_ex AS (SELECT q_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+       |      WHERE rnk <= $k GROUP BY 1) t
+       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |           JOIN (SELECT q_id, neighbor_id FROM r WHERE rnk <= $k) a
+       |             USING (q_id, neighbor_id)
+       |           GROUP BY 1) h
+       |  ON t.q_id = h.q_id
+       |ORDER BY t.q_id""".stripMargin
+  }
 
   private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
     s"""WITH ${kmeansCtes(cells, iters)},

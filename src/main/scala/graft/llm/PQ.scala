@@ -1,0 +1,219 @@
+package graft.llm
+
+import graft.functions.VectorFunctions.{dot_d, dot_fd}
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (Jégou, Douze, Schmid 2011, "Product
+ * Quantization for Nearest Neighbor Search") — the COMPRESSION axis of
+ * the approximate-similarity family, complementing the pruning axes
+ * already in the library (sign-LSH buckets q36/q150, learned IVF cells
+ * q52): split each `dim`-vector into [[SubSpaces]] contiguous
+ * sub-vectors, learn an independent [[Codes]]-codeword quantizer per
+ * subspace (Lloyd's, exactly [[KMeans]]'s deterministic discipline),
+ * and store each corpus vector as [[SubSpaces]] small codes. Queries
+ * score candidates WITHOUT touching stored vectors: an
+ * asymmetric-distance (ADC) lookup table of query-subvector ×
+ * codeword dot products, [[Codes]] doubles per subspace per query,
+ * turns each query/candidate pair into [[SubSpaces]] array lookups
+ * plus a fixed left-associated 4-term sum.
+ *
+ * Why this matters at 100 TB: a 64-dim float corpus is 256 B/vector;
+ * PQ codes are [[SubSpaces]] bytes — a 64× residency cut, which is
+ * what lets a 10^11-vector index live in executor memory while the
+ * full vectors stay in cold parquet. The scan shape is the q34
+ * broadcast pattern (constant-size query set against one pass over the
+ * code table), and the production composition is exactly the q132
+ * two-stage: ADC shortlist over codes, exact-cosine rerank of the
+ * shortlist rows only — implemented here as [[pqAnn]], so the operator
+ * both demonstrates the compressed scan AND bounds its quality loss
+ * (the rerank reads `depth` full vectors per query, never the corpus).
+ *
+ * Determinism (what lets the whole index replay in DuckDB, oracle
+ * `SparkEntry.pqOracleSql`):
+ *  - training init/iterations inherit [[KMeans]]'s contract verbatim —
+ *    stride-sampled lowest-id init, 2^48-scaled DECIMAL(38,0) centroid
+ *    sums, argmin ties to the lowest code;
+ *  - codes are POSITIONS into the cid-sorted surviving codebook, an
+ *    order-preserving relabel of the oracle's cids, so assignments
+ *    agree even if a codeword empties mid-training;
+ *  - every cross-engine double is a left-to-right fold: sub-vector
+ *    dots via the codegen'd [[graft.functions.DotProductFD]], the
+ *    4-term ADC sums as explicit left-associated `+` chains (never an
+ *    unordered SQL aggregate).
+ */
+object PQ {
+
+  /** Number of contiguous sub-vector blocks (64-dim corpus → 16-dim
+    * sub-vectors). */
+  val SubSpaces = 4
+
+  /** Dimensions per subspace. */
+  val SubDim = 16
+
+  /** Codewords per subspace: 4 bits/subspace, 2 bytes/vector total at
+    * the default geometry — a 128× compression of 256 B vectors. */
+  val Codes = 16
+
+  /** Lloyd's rounds per subspace (the oracle replays each as chained
+    * CTEs, so the count is part of the query contract). */
+  val Iters = 2
+
+  /** ADC shortlist depth ahead of the exact rerank — the q132
+    * retrieve-rerank knob: recall@k is bounded by whether the true
+    * neighbors survive the compressed stage-1 cut at this depth. */
+  val Shortlist = 32
+
+  /** Per-subspace codebooks, `books(s)(p)` = codeword `p` (cid-sorted
+    * position) of subspace `s`, as exact doubles. */
+  final case class Model(books: IndexedSeq[IndexedSeq[Array[Double]]])
+
+  /** Sub-vector `s` of an embedding column (1-based `slice`, mirrored
+    * by the oracle's 1-based inclusive list slice). */
+  private def subCol(emb: Column, s: Int): Column =
+    slice(emb, s * SubDim + 1, SubDim)
+
+  /** Argmin codeword POSITION for sub-vector `s` under the current
+    * books — `least` over (dist, position) structs is the same
+    * lexicographic argmin-with-lowest-tie as [[KMeans]]'s assignment
+    * (positions are cid-sorted, so lowest position ≡ lowest cid). */
+  private def codeCol(emb: Column, books: Model, s: Int): Column =
+    least(books.books(s).zipWithIndex.map { case (c, p) =>
+      struct(KMeans.sqDist(subCol(emb, s), c).as("d"), lit(p).as("cid"))
+    }: _*)("cid")
+
+  /**
+   * Train the per-subspace quantizers: [[Iters]] Lloyd's rounds, all
+   * [[SubSpaces]] subspaces advanced in ONE job per round (the
+   * assignment is codeword-literal arithmetic per subspace; the update
+   * explodes to (subspace, code, dim) and decimal-sums, map-side
+   * partials collapsing each partition to SubSpaces × Codes × SubDim
+   * rows before the exchange). The driver ever holds only the
+   * codebooks — SubSpaces × Codes × SubDim doubles (16 KB) — at any
+   * corpus size.
+   */
+  private[llm] def fit(emb0: DataFrame): Model = {
+    val emb = emb0.select(col("vec_id"), col("embedding")).cache()
+    val n = emb.count()
+    val stride = math.max(1L, n / Codes)
+    // init: sub-slices of the Codes lowest stride-matching vectors —
+    // KMeans.fit's deterministic init, sliced per subspace
+    val seed = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(Codes).collect()
+      .map(_.getSeq[Float](1).toArray)
+    var books = Model((0 until SubSpaces).map { s =>
+      seed.map(v => v.slice(s * SubDim, (s + 1) * SubDim).map(_.toDouble))
+        .toIndexedSeq
+    })
+    for (_ <- 0 until Iters) {
+      val pairs = array((0 until SubSpaces).map { s =>
+        struct(lit(s).as("sub"), codeCol(col("embedding"), books, s).as("cluster"),
+          subCol(col("embedding"), s).as("v"))
+      }: _*)
+      val updated = emb.select(explode(pairs).as("x"))
+        .select(col("x.sub").as("sub"), col("x.cluster").as("cluster"),
+          posexplode(col("x.v")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cluster"), col("dim"))
+        .agg(
+          sum((col("v").cast("double") * lit(KMeans.Scale)).cast("decimal(38,0)"))
+            .as("sc"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cluster"), col("dim"),
+          (col("sc").cast("double") / lit(KMeans.Scale) / col("n")).as("v"))
+        .collect()
+      books = Model((0 until SubSpaces).map { s =>
+        updated.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq
+          .sortBy(_._1)
+          .map { case (_, rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray }
+          .toIndexedSeq
+      })
+    }
+    emb.unpersist()
+    books
+  }
+
+  /** Exact squared norm of codeword `p` of subspace `s` — a driver
+    * constant (left-to-right fold over doubles, same order as the
+    * oracle's `list_sum(list_transform(c, x -> x*x))`). */
+  private def codeNorms(books: Model, s: Int): Array[Double] =
+    books.books(s).map { c =>
+      var t = 0.0; var i = 0
+      while (i < c.length) { t += c(i) * c(i); i += 1 }
+      t
+    }.toArray
+
+  /**
+   * PQ ANN with exact rerank (q158): encode the corpus row-locally to
+   * [[SubSpaces]] codes, score every query/candidate pair by ADC
+   * approximate cosine (lookup-table dots against the RECONSTRUCTED
+   * candidate, over the reconstruction's norm), shortlist the top
+   * [[Shortlist]] per query on the compressed score, then rerank the
+   * shortlist rows by exact cosine and keep `k`.
+   *
+   * Plan shape: one pass over the corpus against a broadcast
+   * constant-size query set (the q34 scan), both cuts via the
+   * rank-emitting bounded-heap operator (no windows, only
+   * ≤ depth·queries·partitions survivor rows cross the exchange), and
+   * the stage-2 exact dots run only on shortlist survivor rows. The
+   * codebooks and LUTs ride the broadcast — nothing scales with the
+   * corpus but the single scan.
+   */
+  def pqAnn(spark: SparkSession, dir: String, k: Int = 5,
+      depth: Int = Shortlist): DataFrame =
+    pqAnnOf(Tables.embeddings(spark, dir), k, depth)
+
+  /** [[pqAnn]] over an explicit corpus DataFrame (`vec_id`,
+    * `embedding`) — the planted-recall certification runs the same
+    * index over the augmented corpus. */
+  private[llm] def pqAnnOf(emb0: DataFrame, k: Int, depth: Int): DataFrame = {
+    val books = fit(emb0)
+    val enc = (0 until SubSpaces).foldLeft(
+      emb0.select(col("vec_id"), col("embedding"))) { (d, s) =>
+        d.withColumn(s"c$s", codeCol(col("embedding"), books, s))
+      }
+      .withColumn("n2", dot_d(col("embedding"), col("embedding")))
+    // per-query ADC lookup tables: lut_s[p] = q_sub_s · codeword_p —
+    // Codes doubles per subspace, computed once per query row, so each
+    // pair below costs SubSpaces lookups instead of `dim` multiplies
+    val queries = (0 until SubSpaces).foldLeft(
+      enc.filter(pmod(col("vec_id"), lit(20)) === 0 &&
+          col("vec_id") < lit(20L * Similarity.MaxBruteQueries))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"))) { (d, s) =>
+        d.withColumn(s"lut$s", array(books.books(s).map { c =>
+          dot_fd(subCol(col("q_emb"), s), array(c.map(lit(_)): _*))
+        }: _*))
+      }
+    val cand = enc.select(
+      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
+        col("n2").as("n_n2") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
+    // ADC score: left-associated 4-term sums (bit-exact in any IEEE
+    // engine; the oracle writes the same explicit `+` chain)
+    val adot = (0 until SubSpaces)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
+      .reduce(_ + _)
+    val recon2 = (0 until SubSpaces)
+      .map(s => element_at(array(codeNorms(books, s).map(lit(_)): _*),
+        col(s"c$s") + 1))
+      .reduce(_ + _)
+    val pairs = cand.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("adc", adot / (sqrt(col("q_n2")) * sqrt(recon2)))
+    val stage1 = graft.plans.TopK.perKeyWithRank(pairs,
+      Seq("q_id"), Seq(("adc", true), ("neighbor_id", false)), depth, "crank")
+    val stage2 = stage1
+      .withColumn("sim",
+        dot_d(col("q_emb"), col("n_emb")) /
+          (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
+      .transform(s => graft.plans.TopK.perKeyWithRank(s,
+        Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
+    stage2
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("adc"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+}

@@ -137,6 +137,28 @@ object Similarity {
   def ivfRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallVsExact(spark, dir, k, graft.llm.Pipeline.ivfAnn(spark, dir, k))
 
+  /** Recall@k of the PQ retrieve-rerank route ([[graft.llm.PQ.pqAnn]],
+    * q158) against the exact baseline — the compression axis joins the
+    * audit family (q149 single-probe LSH, q150 multi-probe, q151 IVF),
+    * measuring exactly what the 64× residency cut costs in recall at
+    * the chosen shortlist depth. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsExact(spark, dir, k, PQ.pqAnn(spark, dir, k))
+
+  /** Planted-corpus PQ certification (spec-driven, the q154 pattern
+    * applied to the compression axis): train + encode over
+    * [[plantedCorpus]] and measure recall of the planted true
+    * neighbors. Planted vectors sit [[PlantedEps]]-close to their
+    * anchors, far inside a quantization cell, so they encode to the
+    * anchor's codes and survive the ADC shortlist — the spec asserts
+    * the recall bound that certifies the compressed index finds true
+    * near-neighbors when they exist. */
+  private[llm] def plantedPqRecall(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    recallVsExactOf(corpus, k, PQ.pqAnnOf(corpus, k, PQ.Shortlist))
+  }
+
   /** Probe-bucket list for multi-probe LSH: the query's own bucket
     * plus `probes − 1` single-bit flips at the LOWEST-margin planes
     * (|dot| smallest ⇒ the hyperplanes the vector most nearly

@@ -164,7 +164,7 @@ class PlanAuditSpec extends SparkSpec {
     // partition — the last 100×-scale shuffle amplifier. The rank now
     // comes from the bounded-heap operator; the only surviving sort is
     // the k·queries-row output presentation.
-    Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann").foreach { q =>
+    Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann", "q158_pq_ann").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.sparkPlan.toString
       assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")
@@ -188,6 +188,10 @@ class PlanAuditSpec extends SparkSpec {
       "q34_cosine_topk"      -> (2, 1, 0, 0),
       "q36_ann_lsh"          -> (2, 1, 1, 0),
       "q52_ivf_ann"          -> (2, 1, 1, 0),
+      // q158 PQ: one corpus scan vs the broadcast query set; the exact
+      // rerank's heap reuses the ADC shortlist's q_id partitioning, so
+      // the two TopK stages share ONE exchange (+ the output sort)
+      "q158_pq_ann"          -> (2, 1, 0, 0),
       "q94_topk_per_key"     -> (2, 0, 0, 0),
       "q95_repeated_passages" -> (2, 0, 0, 0),
       "q100_rank_rewrite"    -> (2, 0, 0, 0),

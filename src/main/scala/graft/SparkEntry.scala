@@ -174,6 +174,9 @@ object SparkEntry {
     "q157_cluster_sample"  -> ((s: SparkSession, d: String) => graft.llm.Pipeline.clusterBalancedSample(s, d)),
     "q158_pq_ann"          -> ((s: SparkSession, d: String) => graft.llm.PQ.pqAnn(s, d)),
     "q159_pq_recall"       -> ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)),
+    "q160_ivfpq_ann"       -> ((s: SparkSession, d: String) => graft.llm.PQ.ivfPqAnn(s, d)),
+    "q161_ivfpq_recall"    -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
+    "q162_semantic_dedup"  -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -909,6 +912,21 @@ object SparkEntry {
       sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
       kk = graft.llm.PQ.Codes, iters = graft.llm.PQ.Iters,
       depth = graft.llm.PQ.Shortlist, k = 5),
+    "q160_ivfpq_ann" -> ivfPqOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, pqIters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5,
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe),
+    "q161_ivfpq_recall" -> ivfPqRecallOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, pqIters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5,
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe),
+    "q162_semantic_dedup" -> semanticDedupOracleSql(
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      tau = Dedup.SemTau),
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)
@@ -2378,8 +2396,15 @@ object SparkEntry {
    * (single-row `MAX(CASE WHEN s=…)` pivots — never an unordered SQL
    * SUM, whose merge order the engine doesn't fix); `s1`/`s2`/`r` are
    * the shortlist cut, exact-cosine rerank, and final rank.
+   *
+   * `p` prefixes every CTE name (the composed IVF×PQ replay shares a
+   * WITH clause with [[kmeansCtes]], whose `c0`/`a1`… names would
+   * otherwise collide); `candJoin` injects extra join lines into the
+   * pairing CTE to restrict (query, candidate) pairs — the IVF cell
+   * pruning hook.
    */
-  private def pqCtes(sd: Int, m: Int, kk: Int, iters: Int, depth: Int): String = {
+  private def pqCtes(sd: Int, m: Int, kk: Int, iters: Int, depth: Int,
+      p: String = "", candJoin: String = ""): String = {
     val scale = "281474976710656.0" // 2^48, exact in double
     val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
     def assignCte(name: String, cPrev: String, withV: Boolean): String = {
@@ -2390,7 +2415,7 @@ object SparkEntry {
          |    SELECT e.vec_id, e.s$vSel, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
          |        $pqDist, c.cid) AS rn
-         |    FROM sub e JOIN $cPrev c ON c.s = e.s) t
+         |    FROM ${p}sub e JOIN $cPrev c ON c.s = e.s) t
          |  WHERE rn = 1)""".stripMargin
     }
     def updateCte(name: String, aPrev: String): String =
@@ -2402,66 +2427,68 @@ object SparkEntry {
          |    FROM $aPrev a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) u
          |    GROUP BY 1, 2, 3) t
          |  GROUP BY s, cid)""".stripMargin
-    val cf = s"c$iters"
+    val cf = s"${p}c$iters"
     val adot = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN lv END)").mkString(" + ")
     val rn2 = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN cn2 END)").mkString(" + ")
     val head = Seq(
-      s"""sub AS (
+      s"""${p}sub AS (
          |  SELECT e.vec_id, sp.s, e.embedding[sp.s*$sd+1 : sp.s*$sd+$sd] AS v
          |  FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS s) sp)""".stripMargin,
-      s"""c0 AS (
+      s"""${p}c0 AS (
          |  SELECT s, CAST(rn - 1 AS BIGINT) AS cid,
          |         list_transform(v, x -> x::DOUBLE) AS c
          |  FROM (
          |    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
-         |    FROM sub
+         |    FROM ${p}sub
          |    WHERE vec_id % (SELECT greatest(1, COUNT(*) // $kk) FROM embeddings) = 0) t
          |  WHERE rn <= $kk)""".stripMargin)
     val rounds = (1 to iters).flatMap(i =>
-      Seq(assignCte(s"a$i", s"c${i - 1}", withV = true), updateCte(s"c$i", s"a$i")))
+      Seq(assignCte(s"${p}a$i", s"${p}c${i - 1}", withV = true),
+        updateCte(s"${p}c$i", s"${p}a$i")))
     val tail = Seq(
-      assignCte("enc", cf, withV = false),
-      s"""cn AS (SELECT s, cid,
+      assignCte(s"${p}enc", cf, withV = false),
+      s"""${p}cn AS (SELECT s, cid,
          |  list_sum(list_transform(c, x -> x * x)) AS cn2 FROM $cf)""".stripMargin,
-      s"""n2 AS (SELECT vec_id, list_sum(list_transform(range(1, len(embedding) + 1),
+      s"""${p}n2 AS (SELECT vec_id, list_sum(list_transform(range(1, len(embedding) + 1),
          |  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
          |  FROM embeddings)""".stripMargin,
-      s"""contrib AS (
+      s"""${p}contrib AS (
          |  SELECT sq.vec_id AS q_id, en.vec_id AS neighbor_id, en.s,
          |    list_sum(list_transform(range(1, len(sq.v) + 1),
          |      i -> sq.v[i]::DOUBLE * c.c[i])) AS lv,
          |    cn.cn2 AS cn2
-         |  FROM sub sq
-         |  JOIN enc en ON en.s = sq.s AND en.vec_id <> sq.vec_id
+         |  FROM ${p}sub sq
+         |  JOIN ${p}enc en ON en.s = sq.s AND en.vec_id <> sq.vec_id
          |  JOIN $cf c ON c.s = en.s AND c.cid = en.cluster
-         |  JOIN cn ON cn.s = en.s AND cn.cid = en.cluster
+         |  JOIN ${p}cn cn ON cn.s = en.s AND cn.cid = en.cluster
+         |  $candJoin
          |  WHERE sq.vec_id % 20 = 0 AND sq.vec_id < $qCap)""".stripMargin,
-      s"""adc0 AS (
+      s"""${p}adc0 AS (
          |  SELECT q_id, neighbor_id, $adot AS adot, $rn2 AS rn2
-         |  FROM contrib GROUP BY 1, 2)""".stripMargin,
-      s"""s1 AS (
+         |  FROM ${p}contrib GROUP BY 1, 2)""".stripMargin,
+      s"""${p}s1 AS (
          |  SELECT a.q_id, a.neighbor_id,
          |    a.adot / (sqrt(qn.n2) * sqrt(a.rn2)) AS adc,
          |    CAST(row_number() OVER (PARTITION BY a.q_id
          |      ORDER BY a.adot / (sqrt(qn.n2) * sqrt(a.rn2)) DESC,
          |               a.neighbor_id) AS BIGINT) AS crank
-         |  FROM adc0 a JOIN n2 qn ON qn.vec_id = a.q_id)""".stripMargin,
-      s"""s2 AS (
+         |  FROM ${p}adc0 a JOIN ${p}n2 qn ON qn.vec_id = a.q_id)""".stripMargin,
+      s"""${p}s2 AS (
          |  SELECT s.q_id, s.neighbor_id, s.adc,
          |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
          |      i -> eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE))
          |      / (sqrt(qn.n2) * sqrt(nn.n2)) AS sim
-         |  FROM s1 s
+         |  FROM ${p}s1 s
          |  JOIN embeddings eq ON eq.vec_id = s.q_id
          |  JOIN embeddings en ON en.vec_id = s.neighbor_id
-         |  JOIN n2 qn ON qn.vec_id = s.q_id
-         |  JOIN n2 nn ON nn.vec_id = s.neighbor_id
+         |  JOIN ${p}n2 qn ON qn.vec_id = s.q_id
+         |  JOIN ${p}n2 nn ON nn.vec_id = s.neighbor_id
          |  WHERE s.crank <= $depth)""".stripMargin,
-      s"""r AS (
+      s"""${p}r AS (
          |  SELECT q_id, neighbor_id, sim, adc,
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
-         |  FROM s2)""".stripMargin)
+         |  FROM ${p}s2)""".stripMargin)
     (head ++ rounds ++ tail).mkString(",\n")
   }
 
@@ -2473,21 +2500,20 @@ object SparkEntry {
        |SELECT q_id, rnk, neighbor_id, sim, adc
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  /** DuckDB replay of [[graft.llm.Similarity.pqRecall]] (q159): the PQ
-    * chain's final top-`k` intersected with the exact brute-force
-    * baseline over the same bounded query set. */
-  private[graft] def pqRecallOracleSql(sd: Int, m: Int, kk: Int, iters: Int,
-      depth: Int, k: Int): String = {
+  /** Recall tail shared by the PQ-family audits: exact brute-force
+    * top-`k` over the bounded query set, intersected with the
+    * approximate chain's final table `${p}r`; `${p}n2` supplies the
+    * exact norms already computed in the chain. */
+  private def pqRecallTail(p: String, k: Int): String = {
     val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
-    s"""WITH ${pqCtes(sd, m, kk, iters, depth)},
-       |eq AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, n2.n2 AS q_n2
-       |      FROM embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+    s"""eq AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, n2.n2 AS q_n2
+       |      FROM embeddings e JOIN ${p}n2 n2 ON n2.vec_id = e.vec_id
        |      WHERE e.vec_id % 20 = 0 AND e.vec_id < $qCap),
        |s_ex AS (SELECT eq.q_id, e.vec_id AS neighbor_id,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
        |      i -> eq.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
        |      / (sqrt(eq.q_n2) * sqrt(n2.n2)) AS sim
-       |  FROM eq, embeddings e JOIN n2 ON n2.vec_id = e.vec_id
+       |  FROM eq, embeddings e JOIN ${p}n2 n2 ON n2.vec_id = e.vec_id
        |  WHERE e.vec_id <> eq.q_id),
        |r_ex AS (SELECT q_id, neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
@@ -2499,12 +2525,89 @@ object SparkEntry {
        |      WHERE rnk <= $k GROUP BY 1) t
        |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
        |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
-       |           JOIN (SELECT q_id, neighbor_id FROM r WHERE rnk <= $k) a
+       |           JOIN (SELECT q_id, neighbor_id FROM ${p}r WHERE rnk <= $k) a
        |             USING (q_id, neighbor_id)
        |           GROUP BY 1) h
        |  ON t.q_id = h.q_id
        |ORDER BY t.q_id""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.llm.Similarity.pqRecall]] (q159): the PQ
+    * chain's final top-`k` intersected with the exact brute-force
+    * baseline over the same bounded query set. */
+  private[graft] def pqRecallOracleSql(sd: Int, m: Int, kk: Int, iters: Int,
+      depth: Int, k: Int): String =
+    s"""WITH ${pqCtes(sd, m, kk, iters, depth)},
+       |${pqRecallTail("", k)}""".stripMargin
+
+  /** The IVF-side CTEs of the composed replay: nearest-cell ranking of
+    * every vector against the final coarse centroids (`c$iters` from
+    * [[kmeansCtes]]), the rank-1 cell assignment, and each vector's
+    * `nprobe` probe cells. */
+  private def ivfCellCtes(iters: Int, nprobe: Int): String =
+    s"""ivfr AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $kmeansDist, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c),
+       |iasg AS (SELECT vec_id, cid AS cell FROM ivfr WHERE rn = 1),
+       |iprobe AS (SELECT vec_id AS q_id, cid AS cell FROM ivfr
+       |           WHERE rn <= $nprobe)""".stripMargin
+
+  /** The cell-pruning join injected into the PQ pairing CTE: keep a
+    * (query, candidate) pair only when the candidate's assigned cell is
+    * among the query's probe cells. */
+  private val ivfCandJoin: String =
+    """JOIN iasg ia ON ia.vec_id = en.vec_id
+      |  JOIN iprobe ip ON ip.q_id = sq.vec_id AND ip.cell = ia.cell""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.PQ.ivfPqAnn]] (q160): the coarse
+    * k-means CTEs + cell assignment/probes, the `pq`-prefixed PQ chain
+    * with the cell-pruning join, and the candidate's cell joined back
+    * onto the final ranking. */
+  private[graft] def ivfPqOracleSql(sd: Int, m: Int, kk: Int, pqIters: Int,
+      depth: Int, k: Int, cells: Int, iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |${ivfCellCtes(iters, nprobe)},
+       |${pqCtes(sd, m, kk, pqIters, depth, p = "pq", candJoin = ivfCandJoin)}
+       |SELECT r.q_id, r.rnk, r.neighbor_id, r.sim, r.adc, ia.cell
+       |FROM pqr r JOIN iasg ia ON ia.vec_id = r.neighbor_id
+       |WHERE r.rnk <= $k ORDER BY r.q_id, r.rnk""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Dedup.semanticDedup]] (q162): the
+    * coarse k-means CTEs + rank-1 cell assignment, then a within-cell
+    * lower-id cosine-threshold count — the SemDeDup keep-lowest-id
+    * rule with the dyadic threshold literal (0.34375 is exact in both
+    * engines' doubles). */
+  private[graft] def semanticDedupOracleSql(cells: Int, iters: Int,
+      tau: Double): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |${ivfCellCtes(iters, 1)},
+       |sn2 AS (SELECT vec_id, list_sum(list_transform(range(1, len(embedding) + 1),
+       |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+       |  FROM embeddings),
+       |sa AS (SELECT a.vec_id, a.cell, e.embedding, n.n2
+       |       FROM iasg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |       JOIN sn2 n ON n.vec_id = a.vec_id),
+       |sclose AS (
+       |  SELECT hi.vec_id, COUNT(*) AS n_close_lower
+       |  FROM sa hi JOIN sa lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(hi.embedding) + 1),
+       |      i -> hi.embedding[i]::DOUBLE * lo.embedding[i]::DOUBLE))
+       |      / (sqrt(hi.n2) * sqrt(lo.n2)) >= $tau
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cell, COALESCE(c.n_close_lower, 0) AS n_close_lower
+       |FROM sa a LEFT JOIN sclose c ON c.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Similarity.ivfPqRecall]] (q161): the
+    * composed IVF × PQ chain intersected with the exact baseline. */
+  private[graft] def ivfPqRecallOracleSql(sd: Int, m: Int, kk: Int, pqIters: Int,
+      depth: Int, k: Int, cells: Int, iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |${ivfCellCtes(iters, nprobe)},
+       |${pqCtes(sd, m, kk, pqIters, depth, p = "pq", candJoin = ivfCandJoin)},
+       |${pqRecallTail("pq", k)}""".stripMargin
 
   private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
     s"""WITH ${kmeansCtes(cells, iters)},

@@ -376,4 +376,69 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** Semantic-dedup cosine threshold — DYADIC (11/32 = 0.34375), so the
+    * literal is the same double in both engines (the fixture's
+    * background pairwise cosine tops out ≈ 0.51 with p99.9 ≈ 0.38, so
+    * the threshold acts on real pairs without flooding). */
+  val SemTau: Double = 0.34375
+
+  /**
+   * Embedding-cosine near-duplicate dedup (q162) — the SemDeDup shape
+   * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): partition the corpus
+   * by the learned coarse quantizer's cells (the q52 [[KMeans]]
+   * centroids — deterministic, oracle-replayable), compare vectors
+   * ONLY within their cell by exact cosine, and mark a vector a
+   * duplicate when any lower-id vector in its cell sits at cosine ≥
+   * [[SemTau]] — keep-lowest-id, the same deterministic-representative
+   * rule as every other dedup family here. Output is one row per
+   * vector: (vec_id, cell, n_close_lower), survivors being the
+   * `n_close_lower = 0` rows, so the decision AND its degree are both
+   * oracle-hashed.
+   *
+   * Scale: this is never all-pairs — pairing is an equi-join on the
+   * cell id, O(N²/cells) work, and `cells` is the knob (SemDeDup uses
+   * cells ≈ √N, making within-cell work linear-ish; the 8-cell default
+   * is the fixture miniature of that). The few-distinct-key join the
+   * small fixture produces is exactly the shape the `AqeSkewSpec` rule
+   * covers: AQE's OptimizeSkewedJoin splits oversized join partitions
+   * at runtime, so cell count bounds WORK, not parallelism. Cross-cell
+   * near-duplicates are the accepted SemDeDup loss (quantization puts
+   * true near-dups in the same cell — certified by the planted spec:
+   * eps-planted vectors land in their anchor's cell by construction).
+   */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOf(Tables.embeddings(spark, dir))
+
+  /** [[semanticDedup]] over an explicit corpus DataFrame — the planted
+    * certification dedups the augmented corpus and asserts every
+    * planted vector is dropped (its anchor has the lower id). */
+  private[llm] def semanticDedupOf(emb0: DataFrame, tau: Double = SemTau,
+      cells: Int = Pipeline.IvfCells, iters: Int = Pipeline.IvfIters): DataFrame = {
+    import graft.functions.VectorFunctions.dot_d
+    val model = KMeans.fitOf(emb0, cells, iters)
+    // nearest-cell assignment against the centroid literals — row-local
+    // arithmetic, no shuffle (the q52/q157 discipline)
+    val distArr = array(model.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val asg = emb0.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", sort_array(distArr)(0)("cid"))
+      .withColumn("n2", dot_d(col("embedding"), col("embedding")))
+    val hi = asg.select(col("cell"), col("vec_id"),
+      col("embedding").as("h_emb"), col("n2").as("h_n2"))
+    val lo = asg.select(col("cell"), col("vec_id").as("lo_id"),
+      col("embedding").as("l_emb"), col("n2").as("l_n2"))
+    val close = hi.join(lo, Seq("cell"))
+      .filter(col("lo_id") < col("vec_id") &&
+        dot_d(col("h_emb"), col("l_emb")) /
+          (sqrt(col("h_n2")) * sqrt(col("l_n2"))) >= lit(tau))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_close_lower"))
+    asg.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"))
+      .orderBy(col("vec_id"))
+  }
 }

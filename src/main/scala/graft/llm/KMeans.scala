@@ -67,8 +67,14 @@ object KMeans {
 
   /** Run Lloyd's iterations; k clusters, deterministic stride-sampled
     * init (k lowest matching vec_ids). */
-  def fit(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): Model = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).cache()
+  def fit(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): Model =
+    fitOf(Tables.embeddings(spark, dir), k, iters)
+
+  /** [[fit]] over an explicit corpus DataFrame (`vec_id`, `embedding`)
+    * — the planted-recall certifications train the same quantizer over
+    * the augmented corpus. */
+  private[llm] def fitOf(emb0: DataFrame, k: Int, iters: Int): Model = {
+    val emb = emb0.select(col("vec_id"), col("embedding")).cache()
     val n = emb.count()
     val stride = math.max(1L, n / k)
     var centroids: Seq[(Int, Array[Double])] = emb

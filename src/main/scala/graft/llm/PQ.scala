@@ -165,44 +165,55 @@ object PQ {
       depth: Int = Shortlist): DataFrame =
     pqAnnOf(Tables.embeddings(spark, dir), k, depth)
 
-  /** [[pqAnn]] over an explicit corpus DataFrame (`vec_id`,
-    * `embedding`) — the planted-recall certification runs the same
-    * index over the augmented corpus. */
-  private[llm] def pqAnnOf(emb0: DataFrame, k: Int, depth: Int): DataFrame = {
-    val books = fit(emb0)
-    val enc = (0 until SubSpaces).foldLeft(
+  /** Corpus side of the compressed index: each vector's [[SubSpaces]]
+    * codes (`c0…`) plus its exact squared norm `n2` — all row-local
+    * codeword-literal arithmetic, no shuffle. */
+  private def encode(emb0: DataFrame, books: Model): DataFrame =
+    (0 until SubSpaces).foldLeft(
       emb0.select(col("vec_id"), col("embedding"))) { (d, s) =>
         d.withColumn(s"c$s", codeCol(col("embedding"), books, s))
       }
       .withColumn("n2", dot_d(col("embedding"), col("embedding")))
-    // per-query ADC lookup tables: lut_s[p] = q_sub_s · codeword_p —
-    // Codes doubles per subspace, computed once per query row, so each
-    // pair below costs SubSpaces lookups instead of `dim` multiplies
-    val queries = (0 until SubSpaces).foldLeft(
-      enc.filter(pmod(col("vec_id"), lit(20)) === 0 &&
-          col("vec_id") < lit(20L * Similarity.MaxBruteQueries))
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("n2").as("q_n2"))) { (d, s) =>
-        d.withColumn(s"lut$s", array(books.books(s).map { c =>
-          dot_fd(subCol(col("q_emb"), s), array(c.map(lit(_)): _*))
-        }: _*))
-      }
-    val cand = enc.select(
-      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
-        col("n2").as("n_n2") +:
-        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
-    // ADC score: left-associated 4-term sums (bit-exact in any IEEE
-    // engine; the oracle writes the same explicit `+` chain)
-    val adot = (0 until SubSpaces)
-      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
-      .reduce(_ + _)
-    val recon2 = (0 until SubSpaces)
-      .map(s => element_at(array(codeNorms(books, s).map(lit(_)): _*),
-        col(s"c$s") + 1))
-      .reduce(_ + _)
-    val pairs = cand.crossJoin(broadcast(queries))
+
+  /** Query side: the bounded audit query set with per-query ADC lookup
+    * tables — lut_s[p] = q_sub_s · codeword_p, [[Codes]] doubles per
+    * subspace, computed once per query row, so each candidate pair
+    * costs [[SubSpaces]] lookups instead of `dim` multiplies. */
+  private def withLuts(queries0: DataFrame, books: Model): DataFrame =
+    (0 until SubSpaces).foldLeft(queries0) { (d, s) =>
+      d.withColumn(s"lut$s", array(books.books(s).map { c =>
+        dot_fd(subCol(col("q_emb"), s), array(c.map(lit(_)): _*))
+      }: _*))
+    }
+
+  /** The bounded query-set predicate shared by the whole audit family. */
+  private def queryFilter: Column =
+    pmod(col("vec_id"), lit(20)) === 0 &&
+      col("vec_id") < lit(20L * Similarity.MaxBruteQueries)
+
+  /** ADC approximate dot: left-associated [[SubSpaces]]-term sums of
+    * LUT lookups (bit-exact in any IEEE engine; the oracle writes the
+    * same explicit `+` chain). */
+  private def adcDot: Column = (0 until SubSpaces)
+    .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
+    .reduce(_ + _)
+
+  /** Squared norm of the RECONSTRUCTED candidate — [[SubSpaces]]
+    * lookups into the driver-constant per-code norm tables. */
+  private def reconNorm2(books: Model): Column = (0 until SubSpaces)
+    .map(s => element_at(array(codeNorms(books, s).map(lit(_)): _*),
+      col(s"c$s") + 1))
+    .reduce(_ + _)
+
+  /** Shared tail of the PQ family: ADC-score the (candidate × query)
+    * pairs, shortlist `depth` per query on the compressed score, rerank
+    * by exact cosine, keep `k` — both cuts via the rank-emitting
+    * bounded heap, sharing one `q_id` exchange. */
+  private def adcRerank(pairs0: DataFrame, books: Model, k: Int, depth: Int,
+      extraCols: Seq[Column]): DataFrame = {
+    val pairs = pairs0
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("adc", adot / (sqrt(col("q_n2")) * sqrt(recon2)))
+      .withColumn("adc", adcDot / (sqrt(col("q_n2")) * sqrt(reconNorm2(books))))
     val stage1 = graft.plans.TopK.perKeyWithRank(pairs,
       Seq("q_id"), Seq(("adc", true), ("neighbor_id", false)), depth, "crank")
     val stage2 = stage1
@@ -212,8 +223,81 @@ object PQ {
       .transform(s => graft.plans.TopK.perKeyWithRank(s,
         Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
     stage2
-      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
-        col("adc"))
+      .select((Seq(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
+        col("adc")) ++ extraCols): _*)
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** [[pqAnn]] over an explicit corpus DataFrame (`vec_id`,
+    * `embedding`) — the planted-recall certification runs the same
+    * index over the augmented corpus. */
+  private[llm] def pqAnnOf(emb0: DataFrame, k: Int, depth: Int): DataFrame = {
+    val books = fit(emb0)
+    val enc = encode(emb0, books)
+    val queries = withLuts(
+      enc.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2")), books)
+    val cand = enc.select(
+      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
+        col("n2").as("n_n2") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
+    adcRerank(cand.crossJoin(broadcast(queries)), books, k, depth, Nil)
+  }
+
+  /**
+   * IVF × PQ composed ANN (q160) — the production index shape SCALE.md
+   * promised: the learned coarse quantizer ([[KMeans.fit]], the q52
+   * cells) prunes WHICH candidates each query scores, and product
+   * quantization compresses HOW each surviving candidate is scored.
+   * Corpus rows carry their nearest coarse cell AND their [[SubSpaces]]
+   * codes (both row-local literal arithmetic); queries probe their
+   * `nprobe` nearest cells; the candidate join matches on the cell id,
+   * so each query ADC-scores only ~`nprobe/cells` of the corpus, then
+   * the exact rerank reads the `depth` shortlist survivors.
+   *
+   * One deliberate divergence from FAISS-style IVFADC: codes quantize
+   * the RAW vectors against one global codebook, not per-cell
+   * residuals. Residual encoding refines precision but forces a
+   * per-(query, cell) lookup table; the global codebook computes each
+   * query's LUT once across all probed cells — the scan-cost shape we
+   * want, and the recall loss is measured (q161) and certified planted
+   * (spec) rather than assumed. At 100 TB the cell id is the storage
+   * partition key, so probing prunes parquet partitions before the
+   * scan; broadcast state stays constant-size (cells × dim centroids +
+   * the 16 KB codebook).
+   */
+  def ivfPqAnn(spark: SparkSession, dir: String, k: Int = 5,
+      depth: Int = Shortlist): DataFrame =
+    ivfPqAnnOf(Tables.embeddings(spark, dir), k, depth)
+
+  /** [[ivfPqAnn]] over an explicit corpus DataFrame. */
+  private[llm] def ivfPqAnnOf(emb0: DataFrame, k: Int, depth: Int,
+      cells: Int = Pipeline.IvfCells, iters: Int = Pipeline.IvfIters,
+      nprobe: Int = Pipeline.IvfProbe): DataFrame = {
+    val coarse = KMeans.fitOf(emb0, cells, iters)
+    val books = fit(emb0)
+    // nearest-cell ranking against the centroid literals: sort_array's
+    // lexicographic (d, cid) order is the deterministic argmin with
+    // ties on cid — same discipline as Pipeline.ivfAnn
+    val distArr = array(coarse.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val enc = encode(emb0, books)
+      .withColumn("pr", slice(sort_array(distArr), 1, nprobe))
+    val queries = withLuts(
+      enc.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"), col("pr")), books)
+      .withColumn("cell", explode(expr("transform(pr, x -> x.cid)")))
+      .drop("pr")
+    val cand = enc.select(
+      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
+        col("n2").as("n_n2") +: col("pr")(0)("cid").as("cell") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
+    // a candidate lives in exactly one cell and probe cells are
+    // distinct, so a (query, candidate) pair arises at most once
+    adcRerank(cand.join(broadcast(queries), Seq("cell")), books, k, depth,
+      Seq(col("cell").cast("long").as("cell")))
   }
 }

@@ -159,6 +159,25 @@ object Similarity {
     recallVsExactOf(corpus, k, PQ.pqAnnOf(corpus, k, PQ.Shortlist))
   }
 
+  /** Recall@k of the composed IVF × PQ route ([[graft.llm.PQ.ivfPqAnn]],
+    * q160) against the exact baseline — completes the audit family
+    * (LSH q149/q150, IVF q151, PQ q159) with the production
+    * composition, so the combined cost of cell pruning AND code
+    * compression is measured on the same scale as each axis alone. */
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsExact(spark, dir, k, PQ.ivfPqAnn(spark, dir, k))
+
+  /** Planted-corpus certification of the composed IVF × PQ index:
+    * planted vectors land in their anchor's coarse cell AND encode to
+    * its codes (eps is far inside both quantizers' cells), so they
+    * survive the probe + shortlist; the spec asserts the recall bound
+    * for the full composition. */
+  private[llm] def plantedIvfPqRecall(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    recallVsExactOf(corpus, k, PQ.ivfPqAnnOf(corpus, k, PQ.Shortlist))
+  }
+
   /** Probe-bucket list for multi-probe LSH: the query's own bucket
     * plus `probes − 1` single-bit flips at the LOWEST-margin planes
     * (|dot| smallest ⇒ the hyperplanes the vector most nearly

@@ -82,6 +82,30 @@ class DedupSpec extends SparkSpec {
     assert(sp.filter(col("id_b") === col("id_a") + 1).count() == 999)
   }
 
+  test("semantic dedup: one row per vector, keep-lowest-id within cells") {
+    val n = Tables.embeddings(spark, sf).count()
+    val r = Dedup.semanticDedup(spark, sf).cache()
+    assert(r.count() == n, "semantic dedup must emit one decision per vector")
+    // the lowest vec_id can never be a duplicate (nothing below it)
+    assert(r.orderBy("vec_id").head.getLong(2) == 0)
+    // the threshold really acts on the fixture: some drops, never all
+    val dropped = r.filter(col("n_close_lower") > 0).count()
+    info(s"semantic dedup drops $dropped / $n")
+    assert(dropped > 0 && dropped < n / 2)
+  }
+
+  test("planted near-duplicates are all dropped, anchors survive them") {
+    // planted vectors sit at cosine ≈ 0.9994 to their anchors — far
+    // above SemTau — and land in the anchor's cell by construction;
+    // their ids are above every base id, so keep-lowest-id must drop
+    // every planted vector while the anchors never lose to them
+    val r = Dedup.semanticDedupOf(Similarity.plantedCorpus(spark, sf)).cache()
+    val planted = r.filter(col("vec_id") >= Similarity.PlantedBase)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_close_lower") === 0).count() == 0,
+      "every planted near-duplicate must be marked a duplicate")
+  }
+
   test("dedup actions leave no cached plans behind (no clearCache contract)") {
     // round-5 verdict #5: bucketPairs used cache() and relied on callers
     // running clearCache(); intermediates are now localCheckpoint'd, so

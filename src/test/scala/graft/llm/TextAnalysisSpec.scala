@@ -30,6 +30,26 @@ class TextAnalysisSpec extends SparkSpec {
     // fingerprints by local context, not window alignment
   }
 
+  test("decontamination flags exactly the training docs sharing an eval passage") {
+    import spark.implicits._
+    // doc 100 is the eval doc (100 % 50 == 0); docs 7 and 23 embed its
+    // 7-token passage at different offsets; docs 8 and 150 share
+    // nothing long enough (sub-gram overlap only)
+    val leaked = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (100L, s"the held out benchmark question is $leaked end of prompt"),
+      (7L,   s"training web page containing $leaked scraped verbatim today"),
+      (23L,  s"$leaked appears right at the start of this one"),
+      (8L,   "alpha beta gamma but then it diverges completely from there"),
+      (150L, "another clean training document with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateOf(docs, k = 4, w = 4, evalMod = 50)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(7L, 23L),
+      s"exactly docs 7 and 23 are contaminated: ${out.mkString(", ")}")
+    assert(out.forall(_.getLong(2) == 1L), "each matched one eval doc")
+  }
+
   test("Misra-Gries coverage holds on every partition layout") {
     import spark.implicits._
     // adversarial mix: two true heavy hitters drowned in a long tail of

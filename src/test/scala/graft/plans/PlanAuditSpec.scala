@@ -189,14 +189,15 @@ class PlanAuditSpec extends SparkSpec {
       "q34_cosine_topk"      -> (2, 1, 0, 0),
       "q36_ann_lsh"          -> (2, 1, 1, 0),
       "q52_ivf_ann"          -> (2, 1, 1, 0),
-      // q158 PQ: one corpus scan vs the broadcast query set; the exact
-      // rerank's heap reuses the ADC shortlist's q_id partitioning, so
-      // the two TopK stages share ONE exchange (+ the output sort)
-      "q158_pq_ann"          -> (2, 1, 0, 0),
-      // q160 IVF×PQ: same scan + broadcast shape as q158, but the
-      // query set joins on the cell id (a broadcast hash join) instead
-      // of a cross join — cell pruning costs no extra exchange
-      "q160_ivfpq_ann"       -> (2, 1, 1, 0),
+      // q158 PQ (stored-index shape): the ADC stage scans the PINNED
+      // compact index vs broadcast LUTs; the rerank joins the broadcast
+      // shortlist back against the corpus for vectors. Three exchanges,
+      // but only the stage-1 one ever carries more than shortlist-sized
+      // rows (and it carries at most depth·queries·partitions rows)
+      "q158_pq_ann"          -> (3, 3, 2, 0),
+      // q160 IVF×PQ: q158's shape plus the cell-id broadcast hash join
+      // in place of the cross join — cell pruning costs no exchange
+      "q160_ivfpq_ann"       -> (3, 3, 3, 0),
       "q94_topk_per_key"     -> (2, 0, 0, 0),
       "q95_repeated_passages" -> (2, 0, 0, 0),
       "q100_rank_rewrite"    -> (2, 0, 0, 0),

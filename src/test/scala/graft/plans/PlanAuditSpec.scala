@@ -175,6 +175,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ pair scoring reads the pinned index, never a live encode projection") {
+    // the codegen-deferral guard: exchange/join counts do NOT change if
+    // the index pin is dropped, but the per-pair join loop would then
+    // re-run the argmin encode once per (candidate, query) pair —
+    // measured 21 s vs 0.7 s at sf0.1. The pinned index surfaces as a
+    // checkpoint RDD scan in the physical plan; assert it's there.
+    Seq("q158_pq_ann", "q160_ivfpq_ann").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q must score pairs from the pinned index (checkpoint scan):\n$plan")
+    }
+  }
+
   test("plan snapshots: exchange and join counts pinned for headline queries") {
     // golden counts (shuffle exchanges, broadcast exchanges, joins,
     // windows) so a code or Catalyst change that adds an exchange fails

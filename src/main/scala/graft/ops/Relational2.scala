@@ -114,15 +114,20 @@ object Relational2 {
   }
 
   /** Exact percentiles (linear interpolation) of extended price per
-    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. ONE
+    * array-argument aggregate, not four scalar ones: each exact
+    * `percentile` buffers the full value multiset per group, so four
+    * separate calls buffered (and shuffled) the column four times —
+    * the array form sorts one buffer and reads four interpolation
+    * points from it (measured 6.8 s → ~1.7 s at sf0.1). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+        col("ps")(2).as("p75"), col("ps")(3).as("p95"))
       .orderBy("l_returnflag")
 
   /** String-function sampler #2: edit distance, padding, search,
@@ -184,23 +189,30 @@ object Relational2 {
    *    error ≤ n/1000, so the sketch median must lie inside the exact
    *    [p45, p55] envelope (a ~50× margin).
    */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // exact distinct via the two-phase route (pre-deduplicated pairs,
+    // counted — no countDistinct Expand doubling the fact rows through
+    // the exchange), and ONE array-argument percentile buffer instead
+    // of three scalar ones; the sketch aggregates stay in a single
+    // pass over the facts. The final join moves event_type-cardinality
+    // rows only.
+    val exact = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+    val sketches = ev.groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        expr("percentile(value, 0.5)").as("exact_median"),
-        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"),
-        expr("percentile(value, 0.45)").as("p45"),
-        expr("percentile(value, 0.55)").as("p55"))
+        expr("percentile(value, array(0.45D, 0.5D, 0.55D))").as("ps"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
+    exact.join(sketches, Seq("event_type"))
       .select(
-        col("event_type"), col("exact_users"), col("exact_median"),
+        col("event_type"), col("exact_users"), col("ps")(1).as("exact_median"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * lit(0.05)).as("users_ok"),
-        (col("approx_median") >= col("p45") &&
-          col("approx_median") <= col("p55")).as("median_ok"))
+        (col("approx_median") >= col("ps")(0) &&
+          col("approx_median") <= col("ps")(2)).as("median_ok"))
       .orderBy("event_type")
+  }
 
   /** S5 keyset pagination: resume-after-cursor page fetch (the
     * reference's `paging.next.after` as a batch predicate; scales as an

@@ -149,17 +149,22 @@ object Relational5 {
    * dashboard-class shape where the exact distinct would shuffle the
    * whole key universe at 100 TB and the sketch ships ~kilobytes.
    */
-  def approxDistinctPerKey(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+  def approxDistinctPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // two-phase exact distinct (no countDistinct Expand over the fact
+    // rows); the HLL pass stays a single scan, and the comparison join
+    // moves event_type-cardinality rows
+    val exact = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    exact.join(approx, Seq("event_type"))
       .withColumn("approx_ok",
         abs(col("approx_users") - col("exact_users")).cast("double")
           / col("exact_users") < 0.05)
       .select(col("event_type"), col("exact_users"), col("approx_ok"))
       .orderBy(col("event_type"))
+  }
 
   /**
    * Deterministic WEIGHTED sampling via ticket replication: a document

@@ -178,6 +178,7 @@ object SparkEntry {
     "q161_ivfpq_recall"    -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
     "q162_semantic_dedup"  -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q163_decontaminate"   -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "q164_dsir_select"     -> ((s: SparkSession, d: String) => graft.llm.Selection.dsirSelect(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -948,6 +949,35 @@ object SparkEntry {
         |       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
         |FROM tr JOIN ev ON ev.fp = tr.fp
         |GROUP BY 1 ORDER BY tr.doc_id""".stripMargin,
+    // q164: DSIR importance selection — fixed-point add-one-smoothed
+    // likelihood-ratio weights over md5-hashed bigram buckets (B=4096,
+    // SCALE=1e6), target slice source='src0'; integer div replays
+    // exactly (both engines truncate positive quotients)
+    "q164_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, source,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, 9),
+        |            j -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(w[i] || ' ' || w[i+1]), j, 1)) - 1
+        |                 AS BIGINT))),
+        |          (a, b) -> a * 16 + b) % 4096 AS b
+        |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |            FROM t) u),
+        |wt AS (SELECT b,
+        |         (1000000 * (CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0
+        |            END) AS BIGINT) + 1))
+        |           // (CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0
+        |              END) AS BIGINT) + 4096) AS w
+        |       FROM g GROUP BY 1)
+        |SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+        |       CAST(SUM(wt.w) AS BIGINT) AS w_sum
+        |FROM g JOIN wt USING (b)
+        |WHERE g.source <> 'src0'
+        |GROUP BY 1, 2
+        |ORDER BY w_sum DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -72,8 +72,14 @@ object KMeans {
 
   /** [[fit]] over an explicit corpus DataFrame (`vec_id`, `embedding`)
     * — the planted-recall certifications train the same quantizer over
-    * the augmented corpus. */
-  private[llm] def fitOf(emb0: DataFrame, k: Int, iters: Int): Model = {
+    * the augmented corpus. Memoized per (corpus, k, iters) via
+    * [[ModelCache]]: the fit is deterministic, so every query serving
+    * the same learned cells reuses one training run, as a deployed
+    * index would. */
+  private[llm] def fitOf(emb0: DataFrame, k: Int, iters: Int): Model =
+    ModelCache.memo(emb0, s"kmeans|$k|$iters")(fitImpl(emb0, k, iters))
+
+  private def fitImpl(emb0: DataFrame, k: Int, iters: Int): Model = {
     val emb = emb0.select(col("vec_id"), col("embedding")).cache()
     val n = emb.count()
     val stride = math.max(1L, n / k)

@@ -1,0 +1,84 @@
+package graft.llm
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/**
+ * Train-once / serve-many memoization for the learned index models
+ * (the IVF coarse quantizer, the PQ codebooks). In deployment an ANN
+ * index is built OFFLINE and served by every query that follows; the
+ * audit family (q52/q157/q158–q162) mirrors that by reusing one
+ * trained model per corpus instead of re-running Lloyd's per query —
+ * without this, four PQ-family queries each re-trained the identical
+ * codebooks (~4.7 s of redundant training jobs per query at sf0.1).
+ *
+ * Correctness is unaffected BY CONSTRUCTION: both fits are fully
+ * deterministic (stride-sampled lowest-id init, 2^48-scaled decimal
+ * centroid sums, lowest-tie argmin — see [[KMeans]]), so a cache hit
+ * returns bit-identically what the fresh fit would. The oracles
+ * replay training from scratch every time and still hash-match.
+ *
+ * Key discipline: models are cached ONLY for file-backed corpora —
+ * every leaf of the analyzed plan must be a file relation — keyed by
+ * (hyperparameters, the relations' root paths, the canonicalized
+ * plan). Plans over in-memory test relations train fresh:
+ * `LocalRelation`'s canonical form does not include its data, so two
+ * different planted fixtures with one schema would collide.
+ *
+ * Memory: a model is ≤ ~16 KB of doubles; the map holds one entry per
+ * (corpus, hyperparameter) pair per JVM — bounded by the query
+ * surface, not the data.
+ */
+private[llm] object ModelCache {
+
+  private val cache = new ConcurrentHashMap[String, AnyRef]()
+
+  def memo[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T =
+    corpusKey(corpus, tag) match {
+      case None      => train
+      case Some(key) => cache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+    }
+
+  /**
+   * [[memo]] for the STORED INDEX itself (a pinned DataFrame): one
+   * encode + checkpoint per (session, corpus, geometry), reused by
+   * every query serving that index — q159's audit reads the index
+   * q158 built, exactly as a deployed recall probe would. The key
+   * additionally carries the session (checkpointed blocks are
+   * session-lifetime state) and the reliable-checkpoint flag (the two
+   * pin modes differ in failure semantics, never in rows — but a
+   * caller opting into durability must not receive an ephemeral pin).
+   */
+  def memoIndex(corpus: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    corpusKey(corpus, tag) match {
+      case None => build
+      case Some(key) =>
+        val session = corpus.sparkSession
+        val reliable = session.conf.get("graft.checkpoint.reliable", "false")
+        val full = s"$key|session=${System.identityHashCode(session)}|reliable=$reliable"
+        cache.computeIfAbsent(full, _ => build).asInstanceOf[DataFrame]
+    }
+
+  /** Cache key for a file-backed corpus plan; None (do not cache) if
+    * any leaf is not a file relation. */
+  private def corpusKey(corpus: DataFrame, tag: String): Option[String] = {
+    val plan = corpus.queryExecution.analyzed
+    val leaves = plan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case _ => false
+    }
+    if (!fileBacked) None
+    else {
+      val paths = plan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      }.mkString(";")
+      Some(s"$tag|$paths|${plan.canonicalized.toString}")
+    }
+  }
+}

@@ -118,7 +118,10 @@ object PQ {
    * codebooks — SubSpaces × Codes × SubDim doubles (16 KB) — at any
    * corpus size.
    */
-  private[llm] def fit(emb0: DataFrame): Model = {
+  private[llm] def fit(emb0: DataFrame): Model =
+    ModelCache.memo(emb0, s"pq|$SubSpaces|$Codes|$Iters")(fitImpl(emb0))
+
+  private def fitImpl(emb0: DataFrame): Model = {
     val emb = emb0.select(col("vec_id"), col("embedding")).cache()
     val n = emb.count()
     val stride = math.max(1L, n / Codes)
@@ -288,9 +291,11 @@ object PQ {
     // the PQ deployment shape: the compressed index persists, the full
     // vectors stay in cold parquet and are only read back for
     // shortlist rows.
-    val index = graft.ops.GlobalOrder.pin(enc.select(
-      (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
-        (0 until SubSpaces).map(s => col(s"c$s"))): _*))
+    val index = ModelCache.memoIndex(emb0, s"pqindex|$SubSpaces|$Codes|$Iters") {
+      graft.ops.GlobalOrder.pin(enc.select(
+        (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
+          (0 until SubSpaces).map(s => col(s"c$s"))): _*))
+    }
     val queries = withLuts(
       enc.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -345,10 +350,13 @@ object PQ {
     // the stored index, cell id included — at deployment scale the
     // cell is the storage partition key, so the probe join prunes
     // index partitions before any row is read
-    val index = graft.ops.GlobalOrder.pin(enc.select(
-      (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
-        col("pr")(0)("cid").cast("long").as("cell") +:
-        (0 until SubSpaces).map(s => col(s"c$s"))): _*))
+    val index = ModelCache.memoIndex(emb0,
+      s"ivfpqindex|$SubSpaces|$Codes|$Iters|$cells|$iters|$nprobe") {
+      graft.ops.GlobalOrder.pin(enc.select(
+        (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
+          col("pr")(0)("cid").cast("long").as("cell") +:
+          (0 until SubSpaces).map(s => col(s"c$s"))): _*))
+    }
     val queries = withLuts(
       enc.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

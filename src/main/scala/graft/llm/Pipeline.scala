@@ -64,7 +64,15 @@ object Pipeline {
    * components are tiny, so 2–3). The driver loop only checks a scalar
    * convergence count; labels never leave the cluster.
    */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    // memoized per corpus: the label table is the artifact a dedup
+    // stage persists — the survivor report (q69) reads the clusters
+    // (q72) computed, never re-propagates
+    ModelCache.memoIndex(Tables.documents(spark, dir), "neardup-labels") {
+      nearDupClustersImpl(spark, dir)
+    }
+
+  private def nearDupClustersImpl(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint truncates lineage at each round boundary: without
     // it every round's plan embeds all previous rounds' trees and
     // re-optimization cost grows per iteration (measured 18s -> ~6s on

@@ -37,58 +37,81 @@ object Bench {
         try run(fn, warmupDir) catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
+    // Snapshot one-time artifact build cost (IVF/PQ training, LSH band
+    // tables, pinned stored indexes) accumulated during warmup, so the
+    // build figures reported at the end cover ONLY the bench SF dir.
+    val warmupBuild = graft.llm.ModelCache.buildSeconds
     // min-of-N reps per query: host contention inflates individual runs
     // uniformly (BENCH_r02 recorded 5-13x noise on untouched queries;
     // BENCH_r05 still showed a 4x swing on untouched q29 at N=2);
     // the minimum is the contention-resistant estimate of the plan's
     // actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val timed = SparkEntry.queries
+    // A query that throws must be LOUD, not a bogus ~0.05 s entry:
+    // round 8's headline silently absorbed 37 broken queries as fake
+    // fast times. Failures short-circuit remaining reps, are EXCLUDED
+    // from the headline total, and are listed with a count at the END
+    // of the line where the driver's tail capture keeps them.
+    val timed: Seq[(String, Either[String, Seq[Double]])] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq
       .map { case (name, fn) =>
-      val ts = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn, sfDir) } catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        // queries may cache intermediates; drop them so later queries
-        // aren't timed under accumulated memory pressure
-        spark.catalog.clearCache()
-        t
+        var err: String = null
+        val ts = Seq.newBuilder[Double]
+        var rep = 0
+        while (rep < reps && err == null) {
+          val t0 = System.nanoTime()
+          try { run(fn, sfDir); ts += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            err = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+          }
+          // queries may cache intermediates; drop them so later queries
+          // aren't timed under accumulated memory pressure
+          spark.catalog.clearCache()
+          rep += 1
+        }
+        val res = ts.result()
+        name -> (if (err != null) Left(err) else Right(res))
       }
-      name -> ts
-    }
-    val results = timed.map { case (name, ts) => name -> ts.min }
-    // The driver records only the last ~2000 chars of stdout; keep the
-    // headline metric/value at the END of the (single) JSON line so it
-    // survives the tail window, and round per-query secs to 3 decimals
-    // so more of the map fits too.
+    val ok = timed.collect { case (name, Right(ts)) => name -> ts }
+    val failed = timed.collect { case (name, Left(e)) => name -> e }
+    // min-of-reps: the contention-resistant estimate of the plan's cost
+    val results = ok.map { case (name, ts) => name -> ts.min }
+    // The driver records only the last ~2000 chars of stdout; the full
+    // per-query map goes FIRST (dispensable under truncation) and
+    // everything diagnostic — slowest queries, build cost, noise
+    // summary, failures, headline — goes at the END so it survives.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = jmap(results)
     // Per-query max/min spread across reps: >2 means host contention
-    // touched that query's reps and the min absorbed it — telemetry so
-    // a noisy host is VISIBLE, not silently smoothed. The full per-query
-    // map goes early on the line (dispensable under the driver's
-    // last-~2000-chars tail window); a COMPACT summary — max spread plus
-    // the names of queries with spread > 2 — is repeated at the END,
-    // immediately before the headline metric, so the recorded artifact
-    // can always distinguish a noisy host from a real regression
-    // (BENCH_r07's 80.4s headline was ~30% contention-inflated and the
-    // artifact couldn't show it).
-    val spreads = timed.map { case (k, ts) =>
+    // touched that query's reps and the min absorbed it. Only the
+    // compact summary (max + the noisy names) is emitted — round 7/8
+    // showed the full spread map just truncates real data out of the
+    // artifact tail.
+    val spreads = ok.map { case (k, ts) =>
       k -> (if (ts.min > 0) ts.max / ts.min else Double.NaN)
-    }
-    val spread = spreads.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
-      .mkString("{", ",", "}")
-    val finite = spreads.filter { case (_, s) => !s.isNaN }
-    val maxSpread = if (finite.nonEmpty) finite.values.max else 0.0
-    // cap the noisy-name list so the tail stays small even on a very
-    // noisy host (names alone, worst-case ~12 chars each; 20 names +
-    // headline fits well inside the 2000-char window)
-    val noisy = finite.filter(_._2 > 2.0).toSeq.sortBy(-_._2).take(20)
+    }.filter { case (_, s) => !s.isNaN }
+    val maxSpread = if (spreads.nonEmpty) spreads.map(_._2).max else 0.0
+    val noisy = spreads.filter(_._2 > 2.0).sortBy(-_._2).take(20)
       .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"spread":$spread,"reps":$reps,"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"max_spread":${fmt(maxSpread)},"noisy":$noisy,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    // Every query ≥0.5 s (capped at 40), slowest first — the per-query
+    // detail that must survive the tail window.
+    val top = jmap(results.filter(_._2 >= 0.5).sortBy(-_._2).take(40))
+    // One-time artifact build cost (this SF dir only): ANN model
+    // training, LSH band signing, pinned stored indexes. The headline
+    // measures SERVE cost (indexes built offline in deployment); this
+    // makes the build side visible instead of silently discounted.
+    val buildAll = graft.llm.ModelCache.buildSeconds
+    val build = buildAll.toSeq
+      .map { case (k, v) => k -> (v - warmupBuild.getOrElse(k, 0.0)) }
+      .filter(_._2 > 0.001).sortBy(-_._2)
+    val buildTotal = build.map(_._2).sum
+    val failedJson = failed.map { case (k, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"queries":$qs,"reps":$reps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"max_spread":${fmt(maxSpread)},"noisy":$noisy,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

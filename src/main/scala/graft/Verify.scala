@@ -22,12 +22,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD in the artifacts: a query that throws would
+    // otherwise just be missing its output dir and silently vanish from
+    // the driver's correctness compare (round 8: 37 broken queries read
+    // as "127/127 green"). Collect every failure and write failed.json
+    // next to oracle_sql.json, and print the count on stdout/stderr.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // queries may cache intermediates
@@ -47,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    println(s"[verify] n_failed=${failed.size} of ${SparkEntry.queries.size}" +
+      (if (failed.nonEmpty) s" FAILED: ${failed.keys.mkString(",")}" else ""))
+    // exit 0 even on failures: the driver must still run the DuckDB
+    // compare over the queries that DID produce output; failed.json +
+    // the stdout count are the loud signal.
     spark.stop()
   }
 }

@@ -28,12 +28,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
   /**
-   * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-   * rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as Long
-   * (`spark.sql.legacy.parquet.nanosAsLong`) and expose two columns:
-   *  - `ts`: TimestampType truncated to microseconds — bit-identical to
+   * `events.parquet` has shipped with two `ts` encodings across fixture
+   * generations: parquet TIMESTAMP(NANOS) (loads as Long under
+   * `spark.sql.legacy.parquet.nanosAsLong`) and
+   * TIMESTAMP(µs, isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ in
+   * Spark 4). The loader normalizes BOTH to the same two columns so a
+   * fixture regeneration can never change query semantics:
+   *  - `ts`: TimestampType at microsecond precision — bit-identical to
    *    what DuckDB produces when it coerces the same file to TIMESTAMP(µs).
-   *  - `ts_ns`: the raw nanosecond Long, for callers that need it.
+   *  - `ts_ns`: epoch nanoseconds as Long, for callers that need it.
    *
    * The reference's stream record shape maps here: `ts` plays
    * `lastmodifieddate` (reference app/hs_contacts.py:66), `props` the
@@ -42,14 +45,29 @@ object Tables {
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      // positive epochs: integer `div` == floor, matching DuckDB's
-      // ns→µs truncation of the same parquet column. (`/` on Long
-      // columns is DOUBLE division in Spark — lossy above 2^53 — so
-      // integer `div` is load-bearing here.)
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEvents(read(spark, dir, "events"))
   }
+
+  /** Normalize an events frame with either `ts` encoding to the
+    * canonical (ts: TIMESTAMP µs, ts_ns: Long) pair. Pure column
+    * arithmetic — stays inside whole-stage codegen, no shuffle. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) fixture read as raw nanos Long.
+        raw.withColumn("ts_ns", col("ts").cast("long"))
+          // positive epochs: integer `div` == floor, matching DuckDB's
+          // ns→µs truncation of the same parquet column. (`/` on Long
+          // columns is DOUBLE division in Spark — lossy above 2^53 — so
+          // integer `div` is load-bearing here.)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // TIMESTAMP_NTZ (µs fixture) or already TimestampType. Session
+        // TZ is pinned UTC, so the NTZ→LTZ cast is the identity mapping
+        // the DuckDB oracle sees too.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   /**
    * Exact row count of a parquet table from its file footers — a

@@ -33,7 +33,16 @@ object PlanChecks {
   }
 
   def audit(df: DataFrame): Audit = {
-    val plan = df.queryExecution.executedPlan.toString
+    // An EXECUTED AdaptiveSparkPlanExec renders "== Final Plan ==" AND
+    // "== Initial Plan ==" sections — counting the whole string would
+    // tally every exchange twice (observed when auditing a memoized
+    // DataFrame another suite had already collected). Keep only the
+    // final section; an unexecuted plan has no such marker.
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
     def count(token: String): Int =
       plan.sliding(token.length).count(_ == token)
     Audit(

@@ -35,10 +35,11 @@ object MicroBatch {
     def load(spark: SparkSession): DataFrame // streaming DataFrame
   }
 
-  /** File-based source replaying the `events` fixture schema. Handles
-    * the fixture's nanosecond `ts` (read as Long under
-    * `nanosAsLong`) by normalizing to a µs timestamp so downstream
-    * watermarks see event time. */
+  /** File-based source replaying the `events` fixture schema. The
+    * fixture's `ts` has shipped as both TIMESTAMP(NANOS) (loads as Long
+    * under `nanosAsLong`) and TIMESTAMP(µs) NTZ; normalize either to a
+    * plain TimestampType so `withWatermark` (which rejects NTZ) sees
+    * event time regardless of fixture generation. */
   final class FileEventSource(path: String, schemaSource: String) extends EventSource {
     def load(spark: SparkSession): DataFrame = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,7 +47,10 @@ object MicroBatch {
       val raw = spark.readStream.schema(schema).parquet(path)
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else
+        // NTZ→LTZ cast is identity under the pinned-UTC session TZ;
+        // no-op if the column is already TimestampType.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
 

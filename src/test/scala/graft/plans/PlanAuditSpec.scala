@@ -16,8 +16,13 @@ class PlanAuditSpec extends SparkSpec {
     // audited plan and shift exchange counts with suite ORDER (observed:
     // q95 2→4 exchanges when TextAnalysisSpec's cached repeatedPassages
     // survives into this suite). Clearing per audit keeps pins
-    // deterministic regardless of which suites ran first.
+    // deterministic regardless of which suites ran first. ModelCache is
+    // invalidated too: a memoized index DataFrame another suite already
+    // COLLECTED carries a finalized AQE plan whose query-stage wrapping
+    // (ReusedExchange etc.) shifts the counts — a fresh unexecuted
+    // build is the deterministic shape the pins describe.
     spark.catalog.clearCache()
+    graft.llm.ModelCache.invalidate()
     PlanChecks.audit(SparkEntry.queries(name)(spark, sf))
   }
 

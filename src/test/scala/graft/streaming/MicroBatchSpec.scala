@@ -85,9 +85,15 @@ class MicroBatchSpec extends SparkSpec {
     // drop a second file in (fresh ids, timestamps past the watermark):
     // only its rows are appended
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val shifted = spark.read.parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("event_id", col("event_id") + 10000000L)
-      .withColumn("ts", expr("ts + cast(40 as bigint) * 86400 * 1000000000"))
+    // shift 40 days in whichever encoding this fixture generation uses
+    // (ns-Long or µs-NTZ) so the staged file keeps the source schema
+    val shifted =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("ts + cast(40 as bigint) * 86400 * 1000000000"))
+      else
+        raw.withColumn("ts", expr("ts + INTERVAL 40 DAYS"))
     val stage = Files.createTempDirectory("stage")
     shifted.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst.get

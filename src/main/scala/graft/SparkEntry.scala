@@ -179,6 +179,10 @@ object SparkEntry {
     "q162_semantic_dedup"  -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q163_decontaminate"   -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q164_dsir_select"     -> ((s: SparkSession, d: String) => graft.llm.Selection.dsirSelect(s, d)),
+    "q165_filter_ablation" -> (graft.llm.MixPlan.filterAblation _),
+    "q166_token_budget_mix" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.tokenBudgetMix(s, d)),
+    "q167_interleave"      -> ((s: SparkSession, d: String) => graft.llm.MixPlan.interleaveSchedule(s, d)),
+    "q168_bigram_novelty"  -> ((s: SparkSession, d: String) => graft.llm.MixPlan.bigramNovelty(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -978,6 +982,98 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY w_sum DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // q165: filter-rule ablation — per rule: docs it fails, docs ONLY
+    // it kills, and survivors if the rule were dropped; all exact
+    // integer conditional sums over one row-local rule matrix
+    "q165_filter_ablation" ->
+      """WITH f AS (
+        |  SELECT len(w) >= 5 AS p_min_len,
+        |         10 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |           <= length(text) AS p_max_digits,
+        |         list_has_any(w, ['the', 'a', 'of', 'and']) AS p_has_stopword,
+        |         lang IN ('en', 'es', 'fr') AS p_lang_allowed,
+        |         10 * len(list_distinct(w)) >= 3 * len(w) AS p_distinct_ratio
+        |  FROM (SELECT lang, text, string_split(text, ' ') AS w FROM documents)),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_min_len AND p_max_digits AND p_has_stopword
+        |      AND p_lang_allowed AND p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+        |    CAST(SUM(CASE WHEN NOT p_min_len THEN 1 ELSE 0 END) AS BIGINT) AS f_min_len,
+        |    CAST(SUM(CASE WHEN NOT p_min_len AND p_max_digits AND p_has_stopword
+        |      AND p_lang_allowed AND p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS u_min_len,
+        |    CAST(SUM(CASE WHEN NOT p_max_digits THEN 1 ELSE 0 END) AS BIGINT) AS f_max_digits,
+        |    CAST(SUM(CASE WHEN NOT p_max_digits AND p_min_len AND p_has_stopword
+        |      AND p_lang_allowed AND p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS u_max_digits,
+        |    CAST(SUM(CASE WHEN NOT p_has_stopword THEN 1 ELSE 0 END) AS BIGINT) AS f_has_stopword,
+        |    CAST(SUM(CASE WHEN NOT p_has_stopword AND p_min_len AND p_max_digits
+        |      AND p_lang_allowed AND p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS u_has_stopword,
+        |    CAST(SUM(CASE WHEN NOT p_lang_allowed THEN 1 ELSE 0 END) AS BIGINT) AS f_lang_allowed,
+        |    CAST(SUM(CASE WHEN NOT p_lang_allowed AND p_min_len AND p_max_digits
+        |      AND p_has_stopword AND p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS u_lang_allowed,
+        |    CAST(SUM(CASE WHEN NOT p_distinct_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_distinct_ratio,
+        |    CAST(SUM(CASE WHEN NOT p_distinct_ratio AND p_min_len AND p_max_digits
+        |      AND p_has_stopword AND p_lang_allowed THEN 1 ELSE 0 END) AS BIGINT) AS u_distinct_ratio
+        |  FROM f)
+        |SELECT rule, n_fail, n_unique_kill, n_pass_all + n_unique_kill AS n_survivors_if_dropped
+        |FROM (
+        |  SELECT 'min_len' AS rule, f_min_len AS n_fail, u_min_len AS n_unique_kill, n_pass_all FROM a
+        |  UNION ALL SELECT 'max_digits', f_max_digits, u_max_digits, n_pass_all FROM a
+        |  UNION ALL SELECT 'has_stopword', f_has_stopword, u_has_stopword, n_pass_all FROM a
+        |  UNION ALL SELECT 'lang_allowed', f_lang_allowed, u_lang_allowed, n_pass_all FROM a
+        |  UNION ALL SELECT 'distinct_ratio', f_distinct_ratio, u_distinct_ratio, n_pass_all FROM a)
+        |ORDER BY rule""".stripMargin,
+    // q166: token-budget water-filling (budget = 3/5 of corpus
+    // tokens) — integer waterline from prefix sums over the
+    // per-source aggregate; both engines truncate positive int div
+    "q166_token_budget_mix" ->
+      """WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS k,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS pk,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+        |        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+        |      FROM s),
+        |b AS (SELECT *, (total * 3) // 5 AS budget FROM r),
+        |l AS (SELECT MAX(CASE WHEN k < n_src AND pk + (n_src - k) * n_tokens <= budget
+        |                      THEN (budget - pk) // (n_src - k)
+        |                      ELSE budget // n_src END) AS lambda,
+        |             BOOL_OR(k = n_src AND pk <= budget) AS all_funded
+        |      FROM b)
+        |SELECT source, n_tokens,
+        |       CASE WHEN all_funded THEN n_tokens
+        |            ELSE LEAST(n_tokens, lambda) END AS alloc
+        |FROM b, l
+        |ORDER BY source""".stripMargin,
+    // q167: deterministic source-interleaved training order —
+    // pos = (rank within source − 1) · n_sources + source index
+    "q167_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS g_rank
+        |           FROM documents),
+        |i AS (SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS src_idx
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM i)
+        |SELECT (r.g_rank - 1) * n.n_src + i.src_idx AS pos, r.doc_id, r.source
+        |FROM r JOIN i USING (source) CROSS JOIN n
+        |ORDER BY pos
+        |LIMIT 200""".stripMargin,
+    // q168: rare-bigram novelty — per doc: bigram slots, slots whose
+    // corpus bigram count ≤ 2, min corpus count, fixed-point ppm rate
+    "q168_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       MIN(c.n) AS min_count,
+        |       (1000000 * CAST(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // COUNT(*) AS rare_ppm
+        |FROM b JOIN c USING (w1, w2)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -1,0 +1,219 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tables
+
+/**
+ * Data-mix PLANNING operators: the decisions a training-data pipeline
+ * makes before it writes shards — which filter rules earn their keep,
+ * how a token budget splits across sources, and what order the
+ * training stream interleaves in. All outputs are exact integer
+ * arithmetic (the repo's cross-engine determinism discipline — see
+ * [[Selection]] for the rationale), so every query here hash-matches
+ * its DuckDB oracle bit-for-bit.
+ *
+ * Reference tie-in: the reference ships every polled record unchanged
+ * (app/hs_contacts.py:85-96); this is part of the curation tier the
+ * survey adds on top of that raw feed.
+ */
+object MixPlan {
+
+  /** Quality-rule definitions for [[filterAblation]]: name → row-local
+    * boolean PASS expression over a documents row extended with `w`
+    * (the token array). Every rule is pure column arithmetic — the
+    * whole rule matrix evaluates inside one whole-stage-codegen'd
+    * projection, no joins, no UDFs. */
+  private def rulePass: Seq[(String, Column)] = Seq(
+    // long enough to carry signal
+    "min_len" -> (size(col("w")) >= 5),
+    // digit-light: 10 · digit-chars ≤ chars (integer cross-multiply)
+    "max_digits" -> (lit(10) * (length(col("text")) -
+      length(translate(col("text"), "0123456789", ""))) <= length(col("text"))),
+    // carries at least one function word (stopword prior)
+    "has_stopword" -> arrays_overlap(col("w"),
+      array(lit("the"), lit("a"), lit("of"), lit("and"))),
+    // language allow-list
+    "lang_allowed" -> col("lang").isin("en", "es", "fr"),
+    // lexical diversity: 10 · distinct tokens ≥ 3 · tokens
+    "distinct_ratio" -> (lit(10) * size(array_distinct(col("w"))) >=
+      lit(3) * size(col("w"))))
+
+  /**
+   * Filter-rule ABLATION audit: for each quality rule, how many docs
+   * it fails, how many it alone kills (docs passing every other
+   * rule), and how many docs would survive the chain if the rule were
+   * dropped. This is the report that decides whether a rule earns its
+   * false-positive budget — unique kills are the rule's marginal
+   * contribution, exactly the ablation a curation team runs before
+   * tightening a 100 TB filter chain.
+   *
+   * Scale shape: ONE scan evaluates the full rule matrix row-locally;
+   * ONE group-less aggregate reduces it to a single row of
+   * conditional sums; `stack` unpivots that row to one output row per
+   * rule. Nothing here grows with corpus size except the scan.
+   */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val rules = rulePass
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+    val flagged = rules.foldLeft(docs) { case (d, (name, pass)) =>
+      d.withColumn(s"p_$name", pass)
+    }
+    val passAll = rules.map(r => col(s"p_${r._1}")).reduce(_ && _)
+    // one row: per-rule fail / unique-kill counts + the chain survivors
+    val aggs =
+      sum(when(passAll, 1L).otherwise(0L)).as("n_pass_all") +:
+        rules.flatMap { case (name, _) =>
+          val othersPass = rules.filter(_._1 != name)
+            .map(r => col(s"p_${r._1}")).reduce(_ && _)
+          Seq(
+            sum(when(!col(s"p_$name"), 1L).otherwise(0L)).as(s"f_$name"),
+            sum(when(!col(s"p_$name") && othersPass, 1L).otherwise(0L))
+              .as(s"u_$name"))
+        }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', f_$name, u_$name"
+    }.mkString(", ")
+    one
+      .select(expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_fail, n_unique_kill)"),
+        col("n_pass_all"))
+      .withColumn("n_survivors_if_dropped", col("n_pass_all") + col("n_unique_kill"))
+      .select(col("rule"), col("n_fail"), col("n_unique_kill"),
+        col("n_survivors_if_dropped"))
+      .orderBy(col("rule"))
+  }
+
+  /**
+   * Token-budget WATER-FILLING across sources: given a target budget
+   * of `budgetNum/budgetDen` of the corpus's tokens (default 3/5),
+   * cap every source at the common waterline λ — the largest integer
+   * cap with Σ min(tokens_s, λ) ≤ budget — and report each source's
+   * allocation. Small sources are fully funded; big sources are
+   * clipped to λ: the classic de-duplication of source dominance in a
+   * training mix (a web crawl can't drown the curated slices).
+   *
+   * λ is found WITHOUT search: sort sources by token count ascending;
+   * for prefix k the spend of capping at the k-th count is
+   * `P_k + (n−k)·T_k`, monotone in k, so λ comes from the largest
+   * feasible k as `(B − P_k) div (n − k)` — pure window arithmetic
+   * over the per-source aggregate, which is SOURCE-cardinality rows
+   * (tiny, bounded by the catalog, not the corpus). The only
+   * data-scale work is the one per-source token aggregate.
+   */
+  def tokenBudgetMix(
+      spark: SparkSession,
+      dir: String,
+      budgetNum: Long = 3L,
+      budgetDen: Long = 5L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("n_tokens"))
+    // everything below runs on #sources rows — the single-partition
+    // window is bounded by source cardinality, never the corpus
+    // (same justification as the Misra-Gries merge)
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = perSource
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pk", sum(col("n_tokens")).over(w))
+    val stats = ranked.agg(
+      count(lit(1)).as("n_src"), sum(col("n_tokens")).as("total"))
+    val withB = ranked.crossJoin(broadcast(stats))
+      .withColumn("budget", expr(s"(total * $budgetNum) div $budgetDen"))
+    // candidate waterline per feasible prefix (feasibility is
+    // downward-closed and λ_k is monotone over feasible k, so the max
+    // IS the waterline); the base candidate B div n stands in for k=0
+    // and keeps the max null-free in both engines
+    val lambda = withB
+      .withColumn("cand",
+        when(col("pk") + (col("n_src") - col("k")) * col("n_tokens") <= col("budget")
+          && col("k") < col("n_src"),
+          expr("(budget - pk) div (n_src - k)"))
+          .otherwise(expr("budget div n_src")))
+      .agg(max(col("cand")).as("lambda"),
+        max(col("k") === col("n_src") && col("pk") <= col("budget")).as("all_funded"))
+    withB.crossJoin(broadcast(lambda))
+      .withColumn("alloc",
+        when(col("all_funded"), col("n_tokens"))
+          .otherwise(least(col("n_tokens"), col("lambda"))))
+      .select(col("source"), col("n_tokens"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * Deterministic INTERLEAVE schedule: the global training order that
+   * round-robins sources — position = (rank within source − 1) ·
+   * n_sources + source index. A reproducible curriculum (every rerun,
+   * every cluster size emits the identical stream) with no RNG.
+   *
+   * Per-source ranks route through
+   * [[graft.ops.GlobalOrder.groupedRankAndPrefix]]: a
+   * `Window.partitionBy(source)` would shuffle the corpus into
+   * source-cardinality reducer tasks (the few-key parallelism ceiling
+   * this repo bans); the grouped form range-partitions on
+   * (source, doc_id) so every core ranks a slice. The source index
+   * table is source-cardinality rows, broadcast. Output is the first
+   * `k` schedule slots via `TakeOrderedAndProject` — never a global
+   * sort of the corpus.
+   */
+  def interleaveSchedule(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      docs, keys = Seq(col("source")), order = Seq(col("doc_id")))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    ranked
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("pos", (col("g_rank") - 1L) * col("n_src") + col("src_idx"))
+      .select(col("pos"), col("doc_id"), col("source"))
+      .orderBy(col("pos"))
+      .limit(k)
+  }
+
+  /**
+   * Rare-bigram NOVELTY score: per document, how much of it is built
+   * from bigrams the corpus has (almost) never seen — `n_rare` bigram
+   * slots with corpus count ≤ `rareMax`, the fixed-point rate
+   * `rare_ppm`, and the document's minimum corpus bigram count. High
+   * rare-rates flag gibberish/noise for the filter chain; LOW minimum
+   * counts with low rare-rates flag genuinely novel text worth
+   * keeping — the count-based twin of an LM perplexity filter
+   * (log-free: see [[Selection]] on why logs can't hash-match).
+   *
+   * Scale shape: the corpus bigram-count table is the stored LM
+   * artifact — one (w1,w2) aggregate; scoring re-joins doc bigrams
+   * against it on the same key (co-partitioned with the agg output),
+   * then one doc_id aggregate. Three shuffles total, each over bigram
+   * or doc rows, never a cross product.
+   */
+  def bigramNovelty(
+      spark: SparkSession,
+      dir: String,
+      rareMax: Long = 2L): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    bi.join(counts, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        min(col("n")).as("min_count"))
+      .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        col("min_count"), col("rare_ppm"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -732,15 +732,23 @@ object TextAnalysis {
       .limit(k)
   }
 
-  def redactDigits(spark: SparkSession, dir: String): DataFrame =
+  def redactDigits(spark: SparkSession, dir: String): DataFrame = {
+    // One regex pass (the scrub itself); the counts derive from cheap
+    // char-map `translate`s instead of two more regex engines per row:
+    //  - n_digits: digits removed by translate ≡ regexp [0-9] removal;
+    //  - n_runs: each digit-run collapses to one '#', so the run count
+    //    is the '#'-count delta between scrubbed and the original
+    //    (robust even if props itself contains '#').
+    def countChar(c: org.apache.spark.sql.Column, ch: String) =
+      length(c) - length(translate(c, ch, ""))
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("props"))
       .withColumn("scrubbed", regexp_replace(col("props"), "[0-9]+", "#"))
       .withColumn("n_digits",
-        (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+        (length(col("props")) - length(translate(col("props"), "0123456789", "")))
           .cast("long"))
       .withColumn("n_runs",
-        (length(col("scrubbed")) -
-          length(regexp_replace(col("props"), "[0-9]+", ""))).cast("long"))
+        (countChar(col("scrubbed"), "#") - countChar(col("props"), "#")).cast("long"))
       .orderBy("event_id")
+  }
 }

@@ -99,10 +99,22 @@ object Relational6 {
     val pruned = li.join(freq.select(col("l_partkey")), Seq("l_partkey"), "left_semi")
     val totalOrders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = pruned.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(pruned.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    // Pair generation is ROW-LOCAL over per-order sorted baskets: one
+    // groupBy(l_orderkey) shuffle collects each (pruned) basket, then
+    // an array comprehension emits the i<j pairs — replacing the
+    // orderkey self-join, which shuffled the pruned projection twice
+    // and evaluated |basket|² join rows per order before the a<b
+    // filter. Basket size is bounded per order (the pair volume bound
+    // is unchanged), and the sorted-distinct array makes part_a<part_b
+    // hold by construction.
+    val baskets = pruned.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (a, i) -> " +
+          "transform(slice(parts, i + 2, size(parts) - i - 1), " +
+          "b -> struct(a AS part_a, b AS part_b))))")).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs

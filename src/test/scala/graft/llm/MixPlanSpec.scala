@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.plans.PlanChecks
+import org.apache.spark.sql.functions._
+
+class MixPlanSpec extends SparkSpec {
+
+  test("filter ablation: unique kills bound fails; survivor arithmetic consistent") {
+    val rows = MixPlan.filterAblation(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (fail, uniq, ifDropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(uniq <= fail, s"rule ${r.getString(0)}: unique kills exceed fails")
+      assert(ifDropped >= uniq)
+    }
+    // n_survivors_if_dropped − n_unique_kill is the pass-all count:
+    // identical across every rule row by construction
+    assert(rows.map(r => r.getLong(3) - r.getLong(2)).distinct.length == 1)
+  }
+
+  test("filter ablation plans as one scan + one group-less aggregate (no joins)") {
+    val a = PlanChecks.audit(MixPlan.filterAblation(spark, sf))
+    assert(a.joins == 0, a)
+    assert(a.shuffleExchanges <= 1, a)
+  }
+
+  test("token budget mix: allocation is feasible and waterline-maximal") {
+    val rows = MixPlan.tokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    val budget = total * 3 / 5
+    val spent = rows.map(_._3).sum
+    assert(spent <= budget, s"allocation $spent exceeds budget $budget")
+    rows.foreach { case (s, t, a) => assert(a <= t, s"$s allocated beyond its tokens") }
+    // maximality: if anything was clipped, raising the waterline by one
+    // token must blow the budget
+    val lambda = rows.filter { case (_, t, a) => a < t }.map(_._3).distinct
+    assert(lambda.length <= 1, "clipped sources must share one waterline")
+    lambda.foreach { lam =>
+      val spentPlus = rows.map { case (_, t, _) => math.min(t, lam + 1) }.sum
+      assert(spentPlus > budget, "waterline not maximal")
+    }
+  }
+
+  test("interleave schedule round-robins sources over consecutive positions") {
+    val rows = MixPlan.interleaveSchedule(spark, sf).collect()
+    val pos = rows.map(_.getLong(0))
+    assert(pos.toSeq == (1L to rows.length).toSeq,
+      "positions must be consecutive from 1")
+    val nSrc = rows.map(_.getString(2)).distinct.length
+    // each full cycle of n_src consecutive slots touches n_src sources
+    rows.grouped(nSrc).filter(_.length == nSrc).foreach { cycle =>
+      assert(cycle.map(_.getString(2)).distinct.length == nSrc,
+        "a round-robin cycle repeated a source")
+    }
+  }
+
+  test("bigram novelty: slot accounting matches a direct per-doc recount") {
+    val out = MixPlan.bigramNovelty(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBi, nRare, minC, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nRare <= nBi && minC >= 1L && ppm <= 1000000L)
+      assert(ppm == 1000000L * nRare / nBi)
+    }
+    // direct recount of one doc's bigram slots
+    val doc = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L)
+      .select(size(split(col("text"), " ")).as("n")).head.getInt(0)
+    val row0 = rows.find(_.getLong(0) == 0L)
+    if (doc >= 2) assert(row0.exists(_.getLong(1) == doc - 1L))
+  }
+}

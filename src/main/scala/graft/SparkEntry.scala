@@ -183,6 +183,8 @@ object SparkEntry {
     "q166_token_budget_mix" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.tokenBudgetMix(s, d)),
     "q167_interleave"      -> ((s: SparkSession, d: String) => graft.llm.MixPlan.interleaveSchedule(s, d)),
     "q168_bigram_novelty"  -> ((s: SparkSession, d: String) => graft.llm.MixPlan.bigramNovelty(s, d)),
+    "q169_quality_survivors" -> (Pipeline.qualitySurvivors _),
+    "q170_dup_span_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.dupSpanCoverage(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1073,6 +1075,76 @@ object SparkEntry {
         |         // COUNT(*) AS rare_ppm
         |FROM b JOIN c USING (w1, w2)
         |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // q169: quality-aware dedup survivors — within each q72 near-dup
+    // cluster keep the best member by (stopword ppm, token count,
+    // lowest id); the cluster CTE replays q72's label propagation
+    "q169_quality_survivors" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
+        |         SELECT unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
+        |mh AS (SELECT doc_id, salt,
+        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
+        |                    1 + 8 * (salt % 4), 8)) AS h
+        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, salt // 2 AS band,
+        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
+        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
+        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |    FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |labels AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |        (1000000 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and')))
+        |           AS BIGINT)) // CAST(len(w) AS BIGINT) AS q_ppm
+        |      FROM t),
+        |rk AS (SELECT cluster, doc_id, q_ppm,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster
+        |           ORDER BY q_ppm DESC, n_tokens DESC, doc_id) AS rk
+        |       FROM labels JOIN q USING (doc_id))
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+        |       MAX(CASE WHEN rk = 1 THEN q_ppm END) AS survivor_q_ppm,
+        |       CAST(COUNT(*) AS BIGINT) - 1 AS n_displaced
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: duplicated-span coverage — per doc: 7-gram slots shared
+    // with another doc and the token positions they cover (the
+    // exact-substring-dedup trim measure)
+    "q170_dup_span_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 7),
+        |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i AS pos,
+        |        md5(array_to_string(w[i:i+6], ' ')) AS g
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 5)) AS i) u),
+        |d AS (SELECT g FROM g GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |dp AS (SELECT doc_id, n_tokens, pos FROM g JOIN d USING (g)),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+        |         MAX(n_tokens) AS n_tokens
+        |       FROM dp GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_covered_tokens
+        |        FROM dp, LATERAL (SELECT unnest(range(pos, pos + 7)) AS p) u
+        |        GROUP BY 1)
+        |SELECT nd.doc_id, nd.n_tokens, nd.n_dup_grams, cov.n_covered_tokens,
+        |       (1000000 * cov.n_covered_tokens) // nd.n_tokens AS covered_ppm
+        |FROM nd JOIN cov USING (doc_id)
         |ORDER BY 1""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,

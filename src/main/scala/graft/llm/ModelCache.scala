@@ -72,10 +72,27 @@ object ModelCache {
   /** Drop every cached model/pin (tests; corpus retirement). */
   def invalidate(): Unit = cache.clear()
 
+  /** get-or-build WITHOUT holding the map's bin lock during the build:
+    * builds nest (the lsh-pairs build calls the lsh-bands memo on this
+    * same map), and a nested `computeIfAbsent` whose key collides with
+    * the in-flight bin throws `IllegalStateException: Recursive
+    * update`. Racing threads may build twice; both values are
+    * bit-identical by construction (see class doc), `putIfAbsent`
+    * keeps the first. */
+  private def getOrBuild(key: String, tag: String)(build: => AnyRef): AnyRef = {
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val v = timed(tag)(build)
+      val prev = cache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def memo[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T =
     corpusKey(corpus, tag) match {
       case None      => train
-      case Some(key) => cache.computeIfAbsent(key, _ => timed(tag)(train)).asInstanceOf[T]
+      case Some(key) => getOrBuild(key, tag)(train).asInstanceOf[T]
     }
 
   /**
@@ -95,7 +112,7 @@ object ModelCache {
         val session = corpus.sparkSession
         val reliable = session.conf.get("graft.checkpoint.reliable", "false")
         val full = s"$key|session=${System.identityHashCode(session)}|reliable=$reliable"
-        cache.computeIfAbsent(full, _ => timed(tag)(build)).asInstanceOf[DataFrame]
+        getOrBuild(full, tag)(build).asInstanceOf[DataFrame]
     }
 
   /** Cache key for a file-backed corpus plan; None (do not cache) if

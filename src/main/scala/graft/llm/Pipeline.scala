@@ -134,6 +134,51 @@ object Pipeline {
   }
 
   /**
+   * QUALITY-AWARE dedup survivor selection: within each near-dup
+   * cluster keep the best member by an exact integer quality key —
+   * stopword-density ppm, then token count, then lowest doc_id — not
+   * merely the lowest id (q69's policy). This is the survivor policy a
+   * production dedup stage actually wants: near-dups often differ by
+   * boilerplate/truncation, and the keep decision should prefer the
+   * cleanest copy.
+   *
+   * Scale shape: reads the STORED cluster-label artifact
+   * ([[nearDupClusters]], memoized — no re-propagation) and joins it
+   * with a row-local quality projection; the ranking window partitions
+   * by cluster over the LABELED docs only — a near-dup-sized sliver of
+   * the corpus, not the corpus itself (the few-key window ban targets
+   * corpus-scale inputs; this input is bounded by duplicate volume).
+   * Quality is log-free integer arithmetic so the oracle replays it
+   * bit-exactly.
+   */
+  def qualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+    val stop = Seq("the", "a", "of", "and")
+    val quality = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("w"), t => stop.map(s => t === lit(s)).reduce(_ || _)))
+          .cast("long"))
+      .withColumn("q_ppm", expr("(1000000 * n_stop) div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("q_ppm"))
+    val ranked = labels.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("q_ppm").desc, col("n_tokens").desc, col("doc_id"))))
+    ranked
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rk") === 1, col("q_ppm"))).as("survivor_q_ppm"))
+      .withColumn("n_displaced", col("n_members") - 1L)
+      .select(col("cluster"), col("n_members"), col("survivor_id"),
+        col("survivor_q_ppm"), col("n_displaced"))
+      .orderBy(col("cluster"))
+  }
+
+  /**
    * Deterministic hash sampling: keep a document iff the hex prefix of
    * md5(doc_id) falls under a per-language threshold — reproducible
    * data mixing with no RNG, identical in any engine, stable under

@@ -506,6 +506,59 @@ object TextAnalysis {
    * the countDistincts there expand contamination-sized rows, never
    * the corpus.
    */
+  /**
+   * Cross-document DUPLICATED-SPAN coverage (the Lee et al. 2022
+   * "Deduplicating Training Data Makes Language Models Better" exact-
+   * substring measure): per document, how many of its K-token grams
+   * also appear in ANOTHER document, and how many of its token
+   * positions those shared grams cover — the fraction of the doc that
+   * an exact-substring dedup pass would trim. Span-level (not
+   * doc-level) duplication is what winnowing (q155) samples; this is
+   * the exhaustive account at gram granularity.
+   *
+   * Scale shape: grams are md5-hashed ROW-LOCALLY (one explode, no
+   * string shuffle wider than 32 hex chars per gram); the cross-doc
+   * test is a single gram aggregate keeping only `min(doc) ≠
+   * max(doc)` grams — the duplicated sliver; the join back and the
+   * position expansion (×K) run over that sliver only, never the
+   * corpus gram table. Three shuffles: gram agg, sliver join-back,
+   * doc agg. All outputs exact integers.
+   */
+  def dupSpanCoverage(spark: SparkSession, dir: String, k: Int = 7): DataFrame =
+    dupSpanCoverageOf(Tables.documents(spark, dir), k)
+
+  /** [[dupSpanCoverage]] over an explicit documents frame (the spec
+    * plants a shared span across two docs and asserts exact gram and
+    * coverage counts). */
+  def dupSpanCoverageOf(docs: DataFrame, k: Int = 7): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = t.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+      explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS g))")).as("p"))
+      .select(col("doc_id"), col("n_tokens"), col("p.pos"), col("p.g"))
+    // grams seen in more than one document — the duplicated sliver
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("g"))
+    val dupPos = grams.join(crossDoc, "g")
+    val nDup = dupPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"), max(col("n_tokens")).as("n_tokens"))
+    val covered = dupPos
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_covered_tokens"))
+    nDup.join(covered, "doc_id")
+      .withColumn("covered_ppm", expr("(1000000 * n_covered_tokens) div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        col("n_covered_tokens"), col("covered_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
       w: Int = 4, evalMod: Int = 50): DataFrame =
     decontaminateOf(Tables.documents(spark, dir), k, w, evalMod)

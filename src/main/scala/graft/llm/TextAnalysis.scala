@@ -545,14 +545,18 @@ object TextAnalysis {
       .filter(col("lo") =!= col("hi"))
       .select(col("g"))
     val dupPos = grams.join(crossDoc, "g")
-    val nDup = dupPos.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_grams"), max(col("n_tokens")).as("n_tokens"))
-    val covered = dupPos
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_covered_tokens"))
-    nDup.join(covered, "doc_id")
+    // Coverage via a row-local sorted-gap fold: spans at sorted start
+    // positions p₁<p₂<… cover Σ min(K, pᵢ₊₁ − pᵢ) (+K for the first)
+    // tokens — ONE aggregate over the dup sliver instead of exploding
+    // K position rows per gram and paying a distinct shuffle on them.
+    dupPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        max(col("n_tokens")).as("n_tokens"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("n_covered_tokens", expr(
+        s"aggregate(ps, named_struct('last', -$k, 'tot', CAST(0 AS BIGINT)), " +
+          s"(a, p) -> named_struct('last', p, 'tot', a.tot + least($k, p - a.last)), " +
+          "a -> a.tot)"))
       .withColumn("covered_ppm", expr("(1000000 * n_covered_tokens) div n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
         col("n_covered_tokens"), col("covered_ppm"))

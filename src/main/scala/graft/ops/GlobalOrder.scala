@@ -633,4 +633,49 @@ object GlobalOrder {
     when(rank <= cut, idiv(rank - 1L, size + 1L) + 1L)
       .otherwise(rem + idiv(rank - cut - 1L, size) + 1L)
   }
+
+  /**
+   * Exact linear-interpolation quantiles per key via grouped global
+   * ranks — the scale-safe replacement for `percentile()`, whose
+   * TypedImperativeAggregate ships EVERY group value into
+   * key-cardinality reducer tasks and sorts there (the few-key
+   * parallelism ceiling). Here [[groupedRankAndPrefix]]
+   * range-partitions (key, value) so every core ranks a slice, and
+   * only the ≤2 boundary rows per (group, quantile) reach the final
+   * aggregate.
+   *
+   * Interpolation is `v_lo·(1−frac) + v_hi·frac` — DuckDB
+   * quantile_cont's IEEE shape exactly; the algebraically-equal
+   * `v_lo + (v_hi−v_lo)·frac` differs in the last ulp on
+   * non-representable doubles and breaks oracle hash-matching
+   * (measured on q45).
+   *
+   * @param ps (output column name, fraction in [0,1]) per quantile
+   * @return one row per key: key columns ++ one double per quantile
+   */
+  def groupedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val ranked = groupedRankAndPrefix(
+      df.select((keyCols :+ valueCol).map(col): _*),
+      keys = keyCols.map(col),
+      order = Seq(col(valueCol)))
+    def lo(p: Double) = floor(lit(1.0) +
+      lit(p) * (col("g_total_rows") - 1L).cast("double")).cast("long")
+    val aggs = count(lit(1)).as("__n") +: ps.flatMap { case (nm, p) =>
+      Seq(
+        max(when(col("g_rank") === lo(p), col(valueCol))).as(s"__lo_$nm"),
+        max(when(col("g_rank") === lo(p) + 1L, col(valueCol))).as(s"__hi_$nm"))
+    }
+    ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(keyCols.map(col) ++ ps.map { case (nm, p) =>
+        val pos = lit(1.0) + lit(p) * (col("__n") - 1L).cast("double")
+        val frac = pos - floor(pos)
+        val vlo = col(s"__lo_$nm").cast("double")
+        val vhi = coalesce(col(s"__hi_$nm"), col(s"__lo_$nm")).cast("double")
+        (vlo * (lit(1.0) - frac) + vhi * frac).as(nm)
+      }: _*)
+  }
 }

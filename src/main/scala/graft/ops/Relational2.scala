@@ -120,14 +120,24 @@ object Relational2 {
     * separate calls buffered (and shuffled) the column four times —
     * the array form sorts one buffer and reads four interpolation
     * points from it (measured 6.8 s → ~1.7 s at sf0.1). */
+  /** Exact linear-interpolation percentiles per return flag — via
+    * grouped global ranks, NOT `percentile()`: the builtin is a
+    * TypedImperativeAggregate that ships EVERY group value into
+    * key-cardinality reducers (3 here) and sorts there — the few-key
+    * parallelism ceiling this repo bans. The grouped-rank form
+    * (q146's pattern) range-partitions (flag, price) so every core
+    * ranks a slice, then only the ≤2 boundary rows per (group,
+    * quantile) reach the final aggregate. Interpolation is
+    * `v_lo·(1−frac) + v_hi·frac` — DuckDB's quantile_cont IEEE shape
+    * exactly (the algebraically-equal `v_lo + (v_hi−v_lo)·frac`
+    * differs in the last ulp on non-representable inputs and breaks
+    * the hash-match; verified against the oracle both ways). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
-      .select(col("l_returnflag"),
-        col("ps")(0).as("p25"), col("ps")(1).as("p50"),
-        col("ps")(2).as("p75"), col("ps")(3).as("p95"))
+    graft.ops.GlobalOrder.groupedQuantiles(
+      Tables.lineitem(spark, dir),
+      keyCols = Seq("l_returnflag"),
+      valueCol = "l_extendedprice",
+      ps = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)))
       .orderBy("l_returnflag")
 
   /** String-function sampler #2: edit distance, padding, search,

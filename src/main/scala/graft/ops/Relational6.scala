@@ -55,12 +55,17 @@ object Relational6 {
    */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
+    // both medians via grouped global ranks — `percentile()` would
+    // sort each event_type's full value set inside ONE reducer task
+    // (key-cardinality parallelism); the grouped form ranks on all
+    // cores and only boundary rows reach the median aggregate
+    val med = graft.ops.GlobalOrder.groupedQuantiles(
+      ev, Seq("event_type"), "value", Seq(("med", 0.5)))
     val withDev = ev.join(med, "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = withDev.groupBy(col("event_type"))
-      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    val mad = graft.ops.GlobalOrder.groupedQuantiles(
+      withDev.select(col("event_type"), col("adev")),
+      Seq("event_type"), "adev", Seq(("mad", 0.5)))
     withDev.join(mad, "event_type")
       .groupBy(col("event_type"))
       .agg(count(col("value")).as("n"),

@@ -267,7 +267,11 @@ class PlanAuditSpec extends SparkSpec {
       "q140_order_concurrency",
       // built grouped-first (round 7): exact interpolated quantiles
       // and the nucleus vocabulary cut
-      "q146_source_quantiles", "q147_nucleus_vocab").foreach { q =>
+      "q146_source_quantiles", "q147_nucleus_vocab",
+      // round 9: exact percentiles/medians left the builtin
+      // percentile() (a key-cardinality-reducer sort) for the same
+      // grouped-rank form (GlobalOrder.groupedQuantiles)
+      "q45_percentiles", "q135_mad_outliers").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val a = PlanChecks.audit(df)
       assert(a.windows == 0, s"$q still plans a window: $a")

@@ -185,6 +185,7 @@ object SparkEntry {
     "q168_bigram_novelty"  -> ((s: SparkSession, d: String) => graft.llm.MixPlan.bigramNovelty(s, d)),
     "q169_quality_survivors" -> (Pipeline.qualitySurvivors _),
     "q170_dup_span_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.dupSpanCoverage(s, d)),
+    "q171_source_keywords"  -> ((s: SparkSession, d: String) => graft.llm.Curation.sourceKeywords(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1146,6 +1147,23 @@ object SparkEntry {
         |       (1000000 * cov.n_covered_tokens) // nd.n_tokens AS covered_ppm
         |FROM nd JOIN cov USING (doc_id)
         |ORDER BY 1""".stripMargin,
+    // q171: source-characteristic keywords — top-5 tokens per source
+    // by lift (n_st·N)/(n_t·n_s), one double ratio of exact integer
+    // products (q105's cross-engine discipline)
+    "q171_source_keywords" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st FROM toks GROUP BY 1, 2),
+        |t AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        |s AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM t),
+        |sc AS (SELECT st.source, st.tok, st.n_st,
+        |         CAST(st.n_st AS DOUBLE) * n.n / (CAST(t.n_t AS DOUBLE) * s.n_s) AS lift
+        |       FROM st JOIN t USING (tok) JOIN s USING (source) CROSS JOIN n
+        |       WHERE st.n_st >= 10),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY lift DESC, n_st DESC, tok) AS BIGINT) AS rk FROM sc)
+        |SELECT source, rk, tok, n_st, lift FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -151,6 +151,53 @@ object Curation {
   }
 
   /**
+   * SOURCE-CHARACTERISTIC keywords (the c-TF-IDF / class-based lift
+   * shape a BERTopic-style corpus inspection runs per slice): for each
+   * source, the top-`k` tokens by lift — how over-represented the
+   * token is in that source versus the whole corpus,
+   * `(n_st · N) / (n_t · n_s)` as ONE double expression (the q105 PMI
+   * discipline: a single ratio of exact integer products is
+   * bit-reproducible cross-engine; no logs). The curation use: a
+   * source whose top lifts are boilerplate tokens is template spam; a
+   * mislabeled crawl surfaces immediately.
+   *
+   * Scale shape: ONE (source, token) aggregate over corpus tokens is
+   * the only fact-scale shuffle; token totals and source totals derive
+   * from it (vocab- and catalog-sized). The per-source top-k is the
+   * `row_number = 1..k` idiom, planned by
+   * [[graft.plans.InferTopKPerKey]] as the bounded-heap operator — no
+   * per-source sort of the vocab table, the heap keeps ≤k rows per
+   * source per partition before the exchange.
+   */
+  def sourceKeywords(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      minCount: Long = 10L): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+    val byTok = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+    val bySrc = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val total = byTok.agg(sum(col("n_t")).as("n")) // single-row scalar
+    val scored = st.filter(col("n_st") >= minCount)
+      .join(byTok, "tok")
+      .join(bySrc, "source")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        col("n_st").cast("double") * col("n") /
+          (col("n_t").cast("double") * col("n_s")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("n_st").desc, col("tok"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("tok"), col("n_st"), col("lift"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /**
    * Cross-source quantile normalization: a document's raw size is
    * meaningless across heterogeneous sources (one crawl's median is
    * another's p99), so each doc gets its PERCENT RANK within its own

@@ -170,7 +170,10 @@ class PlanAuditSpec extends SparkSpec {
     // comes from the bounded-heap operator; the only surviving sort is
     // the k·queries-row output presentation.
     Seq("q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann", "q158_pq_ann",
-        "q160_ivfpq_ann").foreach { q =>
+        "q160_ivfpq_ann",
+        // round 9: per-source keyword lift ranks through the same
+        // bounded heap — the vocab table never sorts per source
+        "q171_source_keywords").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.sparkPlan.toString
       assert(plan.contains("TopKPerKey"), s"$q plan lacks TopKPerKey:\n$plan")

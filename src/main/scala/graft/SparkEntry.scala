@@ -186,6 +186,7 @@ object SparkEntry {
     "q169_quality_survivors" -> (Pipeline.qualitySurvivors _),
     "q170_dup_span_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.dupSpanCoverage(s, d)),
     "q171_source_keywords"  -> ((s: SparkSession, d: String) => graft.llm.Curation.sourceKeywords(s, d)),
+    "q172_snowflake_bucketed" -> (graft.ops.Bucketing.snowflakeRevenueBucketed _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1164,6 +1165,19 @@ object SparkEntry {
         |         ORDER BY lift DESC, n_st DESC, tok) AS BIGINT) AS rk FROM sc)
         |SELECT source, rk, tok, n_st, lift FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+    // q172: the co-bucketed-layout twin of q26 — same rows, same
+    // oracle; only the physical plan differs (exchange-free fact join)
+    "q172_snowflake_bucketed" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

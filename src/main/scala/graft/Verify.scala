@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (the bucketed-layout queries) land in a temp
+      // warehouse, never the checkout
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       // engine-wide extensions, exactly as a deployed session would run:
       // custom functions + TopKPerKey strategy + the InferTopKPerKey
       // rewrite apply to EVERY query, not just per-query opt-ins

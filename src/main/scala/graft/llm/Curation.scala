@@ -174,10 +174,14 @@ object Curation {
       dir: String,
       k: Int = 5,
       minCount: Long = 10L): DataFrame = {
-    val st = Tables.documents(spark, dir)
+    // pinned: st feeds three consumers (byTok, bySrc, scored) — without
+    // the pin the corpus-scale tokenize+explode+aggregate could execute
+    // up to three times unless AQE exchange reuse happens to catch it
+    // (same discipline as basketPairs' li pin)
+    val st = graft.ops.GlobalOrder.pin(Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("n_st"))
+      .agg(count(lit(1)).as("n_st")))
     val byTok = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
     val bySrc = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val total = byTok.agg(sum(col("n_t")).as("n")) // single-row scalar

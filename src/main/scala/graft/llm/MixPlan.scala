@@ -188,23 +188,32 @@ object MixPlan {
    * (log-free: see [[Selection]] on why logs can't hash-match).
    *
    * Scale shape: the corpus bigram-count table is the stored LM
-   * artifact — one (w1,w2) aggregate; scoring re-joins doc bigrams
-   * against it on the same key (co-partitioned with the agg output),
-   * then one doc_id aggregate. Three shuffles total, each over bigram
-   * or doc rows, never a cross product.
+   * artifact — and it is stored: built once per corpus via
+   * [[ModelCache.memoIndex]] (tag `bigram-lm`, one (w1,w2) aggregate,
+   * pinned), exactly like the LSH band tables and PQ codebooks. The
+   * serve path then scans the corpus bigrams ONCE: the scoring join
+   * hashes doc bigrams against the pinned count table on the same
+   * key, then one doc_id aggregate. Without the memo the bigram
+   * explode ran twice per serve (count build + scoring join). Never
+   * a cross product.
    */
   def bigramNovelty(
       spark: SparkSession,
       dir: String,
       rareMax: Long = 2L): DataFrame = {
-    val bi = Tables.documents(spark, dir)
+    val corpus = Tables.documents(spark, dir)
+    val bi = corpus
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // the stored LM artifact: one count aggregate per corpus, pinned
+    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+      graft.ops.GlobalOrder.pin(
+        bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    }
     bi.join(counts, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(

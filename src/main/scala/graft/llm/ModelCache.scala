@@ -72,21 +72,47 @@ object ModelCache {
   /** Drop every cached model/pin (tests; corpus retirement). */
   def invalidate(): Unit = cache.clear()
 
+  /** Meter a build that manages its OWN storage (e.g. the bucketed
+    * table land, which lives in the session catalog, not this map):
+    * the cost accrues in [[buildSeconds]] under `tag`, but existence
+    * checks stay with the caller — caching a value here while the
+    * real artifact can be dropped independently (DROP TABLE) would
+    * let the two diverge. */
+  def meter[T](tag: String)(build: => T): T = timed(tag)(build)
+
   /** get-or-build WITHOUT holding the map's bin lock during the build:
     * builds nest (the lsh-pairs build calls the lsh-bands memo on this
     * same map), and a nested `computeIfAbsent` whose key collides with
     * the in-flight bin throws `IllegalStateException: Recursive
     * update`. Racing threads may build twice; both values are
     * bit-identical by construction (see class doc), `putIfAbsent`
-    * keeps the first. */
+    * keeps the first — and the loser's value, if it is a pinned
+    * DataFrame, has already `localCheckpoint`'ed blocks that nothing
+    * will ever read: release them immediately instead of leaking them
+    * for the session lifetime (eviction can't free them later — class
+    * doc). */
   private def getOrBuild(key: String, tag: String)(build: => AnyRef): AnyRef = {
     val existing = cache.get(key)
     if (existing != null) existing
     else {
       val v = timed(tag)(build)
       val prev = cache.putIfAbsent(key, v)
-      if (prev != null) prev else v
+      if (prev != null) { releasePin(v); prev } else v
     }
+  }
+
+  /** Best-effort release of a discarded pinned DataFrame's checkpoint
+    * blocks: a pin's plan bottoms out in `LogicalRDD` leaves over the
+    * checkpointed RDDs — unpersist them. The two racing builds never
+    * share blocks (each checkpoints its own RDD), so this cannot
+    * touch the winner's data. Non-DataFrame models (codebook arrays)
+    * hold no executor state; nothing to free. */
+  private def releasePin(v: AnyRef): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      ds.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+    case _ => ()
   }
 
   def memo[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T =

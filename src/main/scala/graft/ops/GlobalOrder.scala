@@ -650,6 +650,14 @@ object GlobalOrder {
    * non-representable doubles and breaks oracle hash-matching
    * (measured on q45).
    *
+   * NULL values of `valueCol` are excluded up front: quantile_cont
+   * (and Spark `percentile`) interpolate over the NON-NULL multiset,
+   * while the rank machinery would otherwise count nulls in
+   * `g_total_rows` and sort them first, shifting every boundary row.
+   * (Keys whose values are all null disappear from the output — same
+   * as quantile_cont returning NULL for an empty multiset modulo the
+   * row's presence; no current caller feeds all-null groups.)
+   *
    * @param ps (output column name, fraction in [0,1]) per quantile
    * @return one row per key: key columns ++ one double per quantile
    */
@@ -659,7 +667,8 @@ object GlobalOrder {
       valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val ranked = groupedRankAndPrefix(
-      df.select((keyCols :+ valueCol).map(col): _*),
+      df.select((keyCols :+ valueCol).map(col): _*)
+        .filter(col(valueCol).isNotNull),
       keys = keyCols.map(col),
       order = Seq(col(valueCol)))
     def lo(p: Double) = floor(lit(1.0) +

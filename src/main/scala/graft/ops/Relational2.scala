@@ -113,13 +113,6 @@ object Relational2 {
       .orderBy("c_custkey")
   }
 
-  /** Exact percentiles (linear interpolation) of extended price per
-    * return flag — Spark `percentile` ≡ DuckDB `quantile_cont`. ONE
-    * array-argument aggregate, not four scalar ones: each exact
-    * `percentile` buffers the full value multiset per group, so four
-    * separate calls buffered (and shuffled) the column four times —
-    * the array form sorts one buffer and reads four interpolation
-    * points from it (measured 6.8 s → ~1.7 s at sf0.1). */
   /** Exact linear-interpolation percentiles per return flag — via
     * grouped global ranks, NOT `percentile()`: the builtin is a
     * TypedImperativeAggregate that ships EVERY group value into
@@ -131,7 +124,10 @@ object Relational2 {
     * `v_lo·(1−frac) + v_hi·frac` — DuckDB's quantile_cont IEEE shape
     * exactly (the algebraically-equal `v_lo + (v_hi−v_lo)·frac`
     * differs in the last ulp on non-representable inputs and breaks
-    * the hash-match; verified against the oracle both ways). */
+    * the hash-match; verified against the oracle both ways). History:
+    * four scalar `percentile` calls → one array-arg call (6.8 s →
+    * ~1.7 s at sf0.1) → grouped ranks (removes the per-key buffer
+    * entirely). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GlobalOrder.groupedQuantiles(
       Tables.lineitem(spark, dir),

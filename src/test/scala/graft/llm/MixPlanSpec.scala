@@ -43,15 +43,22 @@ class MixPlanSpec extends SparkSpec {
     }
   }
 
-  test("interleave schedule round-robins sources over consecutive positions") {
+  test("interleave schedule round-robins sources over increasing positions") {
+    // NOT gap-free-1..N: the schedule formula legitimately leaves gaps
+    // once the smallest source exhausts, and fixtures regenerate
+    // between rounds — assert the invariants that hold for ANY source
+    // distribution instead
     val rows = MixPlan.interleaveSchedule(spark, sf).collect()
     val pos = rows.map(_.getLong(0))
-    assert(pos.toSeq == (1L to rows.length).toSeq,
-      "positions must be consecutive from 1")
-    val nSrc = rows.map(_.getString(2)).distinct.length
-    // each full cycle of n_src consecutive slots touches n_src sources
-    rows.grouped(nSrc).filter(_.length == nSrc).foreach { cycle =>
-      assert(cycle.map(_.getString(2)).distinct.length == nSrc,
+    assert(pos.head >= 1L && pos.toSeq == pos.toSeq.sorted &&
+      pos.distinct.length == pos.length,
+      "positions must be strictly increasing from >= 1")
+    val nSrc = graft.model.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    // a schedule cycle is (pos-1) div n_src; within any cycle each
+    // slot belongs to a distinct source by construction
+    rows.groupBy(r => (r.getLong(0) - 1L) / nSrc).values.foreach { cycle =>
+      assert(cycle.map(_.getString(2)).distinct.length == cycle.length,
         "a round-robin cycle repeated a source")
     }
   }

@@ -10,7 +10,8 @@ class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
   // the session catalog is shared across suites: drop the managed
   // tables so later suites never see this one's leftovers
   override def afterAll(): Unit = {
-    Seq("bkt_orders", "bkt_lineitem")
+    val (oT, lT) = Bucketing.snowflakeTableNames(sf)
+    (Seq("bkt_orders", "bkt_lineitem") ++ Seq(oT, lT))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     super.afterAll()
   }
@@ -83,6 +84,27 @@ class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
       .orderBy("o_orderkey").collect()
     assert(bucketed.length == plain.length)
     assert(bucketed.sameElements(plain))
+  }
+
+  test("q26 bucketed twin: identical rows, fewer exchanges than the general path") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize the adaptive plan
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    withNoBroadcast {
+      val bucketed = Bucketing.snowflakeRevenueBucketed(spark, sf)
+      val plain = Relational.snowflakeRevenue(spark, sf)
+      // the fact⋈fact edge reads co-located buckets: at least the two
+      // orderkey exchanges of the general path disappear
+      val (nb, np) = (exchanges(bucketed), exchanges(plain))
+      assert(nb <= np - 2, s"bucketed=$nb plain=$np:\n" +
+        bucketed.queryExecution.executedPlan.toString)
+      assert(bucketed.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"), "facts must read as bucket scans")
+      // same rows as q26 (and so the same DuckDB oracle)
+      assert(bucketed.collect().toSeq == plain.collect().toSeq)
+    }
   }
 
   test("the same join without bucketing DOES shuffle (the cost bucketing removes)") {

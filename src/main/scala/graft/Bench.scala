@@ -45,8 +45,10 @@ object Bench {
     // model/index at the bench SF: without this, a bench run whose SF
     // dir equals the warmup dir (the scaling sweep runs sf0.001) would
     // serve warmup-cached artifacts — build cost silently attributed
-    // to warmup, serve times artificially build-free.
+    // to warmup, serve times artificially build-free. Catalog-landed
+    // artifacts (the bucketed-layout tables) need their own drop.
     graft.llm.ModelCache.invalidate()
+    graft.ops.Bucketing.dropLandedTables(spark)
     // Snapshot one-time artifact build cost (IVF/PQ training, LSH band
     // tables, pinned stored indexes) accumulated during warmup, so the
     // build figures reported at the end cover ONLY the bench SF dir.

@@ -334,15 +334,19 @@ object Dedup {
    * [[bucketPairs]]' chain cap.
    */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    simhashPairsFrom(simhash(spark, dir), maxHamming)
+    simhashPairsFrom(simhashSigs(spark, dir), maxHamming)
 
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame (spec
     * entry point for degenerate-corpus behavior). */
   private[llm] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // one (doc_id, simhash) row per doc — narrow; checkpointed so the
+    // one (doc_id, simhash) row per doc — narrow; pinned so the
     // 20-band explode and the three downstream joins don't each embed
-    // the 32-bit-weight aggregation plan in their task binaries
-    val sh = sigs.localCheckpoint()
+    // the 32-bit-weight aggregation plan in their task binaries. The
+    // production path arrives already pinned (the memoized signature
+    // artifact) — don't re-materialize a second copy of its blocks.
+    val alreadyPinned = sigs.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val sh = if (alreadyPinned) sigs else sigs.localCheckpoint()
     def blockVal(off: Int, len: Int): Column =
       expr(s"(simhash div cast(${1L << off} as bigint)) % cast(${1L << len} as bigint)")
     val sigCols = SimhashBlocks.indices.combinations(3).toSeq.map { c =>
@@ -370,8 +374,19 @@ object Dedup {
    * oracle-checkable: bits come from the first 8 hex chars of
    * md5(token).
    */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
+
+  /** The (doc_id, simhash) signature table as a STORED ARTIFACT —
+    * one signing pass per corpus (ModelCache, tag `simhash-sigs`),
+    * served by both the signature query (q33) and the pair search
+    * (q62), exactly as a deployed simhash store would be. */
+  private[llm] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    ModelCache.memoIndex(Tables.documents(spark, dir), "simhash-sigs") {
+      graft.ops.GlobalOrder.pin(simhashAgg(Tables.documents(spark, dir)))
+    }
+
+  private def simhashAgg(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       // 32-bit token hash from the md5 hex prefix (exact in both engines)
@@ -385,7 +400,6 @@ object Dedup {
     toks.groupBy(col("doc_id"))
       .agg(weightSums.head, weightSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** Semantic-dedup cosine threshold — DYADIC (11/32 = 0.34375), so the

@@ -519,10 +519,14 @@ object TextAnalysis {
    * Scale shape: grams are md5-hashed ROW-LOCALLY (one explode, no
    * string shuffle wider than 32 hex chars per gram); the cross-doc
    * test is a single gram aggregate keeping only `min(doc) ≠
-   * max(doc)` grams — the duplicated sliver; the join back and the
-   * position expansion (×K) run over that sliver only, never the
-   * corpus gram table. Three shuffles: gram agg, sliver join-back,
-   * doc agg. All outputs exact integers.
+   * max(doc)` grams — the duplicated sliver. That sliver is a STORED
+   * ARTIFACT ([[ModelCache.memoIndex]], tag `dup-grams`) like the LSH
+   * band tables: built once per corpus, so a serve makes ONE pass
+   * over the corpus grams (the sliver join-back) instead of two
+   * (aggregate + join both re-running the explode). The join back
+   * and the coverage fold run over the sliver only, never the corpus
+   * gram table. Serve shuffles: sliver join-back + doc agg. All
+   * outputs exact integers.
    */
   def dupSpanCoverage(spark: SparkSession, dir: String, k: Int = 7): DataFrame =
     dupSpanCoverageOf(Tables.documents(spark, dir), k)
@@ -539,11 +543,15 @@ object TextAnalysis {
         s"transform(sequence(1, size(w) - ${k - 1}), " +
           s"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS g))")).as("p"))
       .select(col("doc_id"), col("n_tokens"), col("p.pos"), col("p.g"))
-    // grams seen in more than one document — the duplicated sliver
-    val crossDoc = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .select(col("g"))
+    // grams seen in more than one document — the duplicated sliver,
+    // built once per corpus (planted in-memory test frames are not
+    // file-backed and train fresh by ModelCache's key discipline)
+    val crossDoc = ModelCache.memoIndex(docs, s"dup-grams|$k") {
+      graft.ops.GlobalOrder.pin(grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .select(col("g")))
+    }
     val dupPos = grams.join(crossDoc, "g")
     // Coverage via a row-local sorted-gap fold: spans at sorted start
     // positions p₁<p₂<… cover Σ min(K, pᵢ₊₁ − pᵢ) (+K for the first)

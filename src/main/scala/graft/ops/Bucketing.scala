@@ -77,6 +77,16 @@ object Bucketing {
     (s"bkt26_orders_$suf", s"bkt26_lineitem_$suf")
   }
 
+  /** Drop every landed bkt26 table. The bench calls this next to
+    * `ModelCache.invalidate()` after its warmup pass: the lands live
+    * in the session CATALOG, so invalidate() alone would let a bench
+    * whose SF dir equals the warmup dir serve warmup-landed tables —
+    * their land cost escaping that SF's build ledger. */
+  def dropLandedTables(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("bkt26_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
   def ensureSnowflakeTables(
       spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
     val (oT, lT) = snowflakeTableNames(dir)

@@ -107,6 +107,18 @@ class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("dropLandedTables releases the land; the next ensure re-lands") {
+    val (oT, lT) = Bucketing.ensureSnowflakeTables(spark, sf)
+    assert(spark.catalog.tableExists(oT) && spark.catalog.tableExists(lT))
+    Bucketing.dropLandedTables(spark)
+    assert(!spark.catalog.tableExists(oT) && !spark.catalog.tableExists(lT))
+    // the catalog (not a memo flag) gates the rebuild — a dangling
+    // name can never be served after a drop
+    val (oT2, lT2) = Bucketing.ensureSnowflakeTables(spark, sf)
+    assert(oT2 == oT && lT2 == lT)
+    assert(spark.catalog.tableExists(oT) && spark.catalog.tableExists(lT))
+  }
+
   test("the same join without bucketing DOES shuffle (the cost bucketing removes)") {
     withNoBroadcast {
       val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")

@@ -13,6 +13,14 @@ object Bench {
       // warehouse, never the checkout
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // Per-serve pins (GlobalOrder.pin) die with their query, but
+      // their checkpoint blocks are only released when the driver GCs
+      // the RDD objects (ContextCleaner weak refs) — and the default
+      // periodic GC (30 min) never fires inside a bench run, so dead
+      // blocks from 172 queries x N reps pile into storage memory and
+      // bleed into later queries' times. A short interval keeps the
+      // measurement of query k independent of queries 1..k-1.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // engine-wide extensions, exactly as a deployed session would run
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

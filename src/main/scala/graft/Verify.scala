@@ -19,6 +19,9 @@ object Verify {
       // warehouse, never the checkout
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft-warehouse").toString)
+      // release dead per-serve checkpoint pins during the run (see
+      // Bench: the 30 min default never fires inside one invocation)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // engine-wide extensions, exactly as a deployed session would run:
       // custom functions + TopKPerKey strategy + the InferTopKPerKey
       // rewrite apply to EVERY query, not just per-query opt-ins

@@ -187,6 +187,9 @@ object SparkEntry {
     "q170_dup_span_coverage" -> ((s: SparkSession, d: String) => TextAnalysis.dupSpanCoverage(s, d)),
     "q171_source_keywords"  -> ((s: SparkSession, d: String) => graft.llm.Curation.sourceKeywords(s, d)),
     "q172_snowflake_bucketed" -> (graft.ops.Bucketing.snowflakeRevenueBucketed _),
+    "q173_dup_spectrum"    -> (Dedup.dupSpectrum _),
+    "q174_simpson_diversity" -> (graft.llm.Curation.simpsonDiversity _),
+    "q175_cross_source_exact" -> (Dedup.crossSourceExact _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1178,6 +1181,36 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+    // q173: exact-duplicate cluster-size spectrum — md5-keyed cluster
+    // sizes, then a histogram over cluster size
+    "q173_dup_spectrum" ->
+      """WITH c AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |           FROM documents GROUP BY 1)
+        |SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       n_copies * CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       (n_copies - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
+        |FROM c GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    // q174: Gini–Simpson token diversity per source, exact integer ppm
+    "q174_simpson_diversity" ->
+      """WITH tf AS (SELECT source, md5(tok) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS vocab,
+        |        CAST(SUM(n * (n - 1)) AS BIGINT) AS coll2
+        |      FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |       1000000 - (1000000 * coll2) // (n_tokens * (n_tokens - 1))
+        |         AS simpson_ppm
+        |FROM s ORDER BY source""".stripMargin,
+    // q175: cross-source exact-duplicate leakage matrix — distinct
+    // (source, hash) pairs sharing a hash, counted per source pair
+    "q175_cross_source_exact" ->
+      """WITH hs AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

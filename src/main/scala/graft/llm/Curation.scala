@@ -511,6 +511,40 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"))
       .orderBy(col("source"), col("freq"))
 
+  /**
+   * Gini–Simpson token DIVERSITY per source, as an exact parts-per-
+   * million integer: `1e6 · (1 − Σᵢ nᵢ(nᵢ−1) / (N(N−1)))` — the
+   * probability two tokens drawn without replacement differ. The
+   * log-free diversity index (Shannon entropy needs `ln`, which is
+   * not bit-portable across libm implementations — the q105 lesson):
+   * a source dominated by boilerplate scores low, a source of varied
+   * prose scores near 1e6, and the mix planner reads it next to token
+   * counts when weighting sources.
+   *
+   * Scale shape: one md5-keyed token aggregate (the [[freqSpectrum]]
+   * shuffle), then a per-source aggregate over vocabulary-sized input.
+   * All-integer arithmetic end to end — the collision sum
+   * `Σ nᵢ(nᵢ−1)` and the ppm ratio use BIGINT `div`, bit-exact in any
+   * engine. Headroom note for 100 TB: a source of T tokens bounds the
+   * collision sum by T², so past ~3e9 tokens per source the two sum
+   * columns should widen to DECIMAL(38,0) — same semantics, wider
+   * lanes; at fixture scale BIGINT is exact with 6 orders of margin.
+   */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), md5(col("tok")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("n") * (col("n") - lit(1L))).as("coll2"))
+      .withColumn("simpson_ppm",
+        expr("1000000 - (1000000 * coll2) div (n_tokens * (n_tokens - 1))"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("simpson_ppm"))
+      .orderBy(col("source"))
+
   def pathTrigrams(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))

@@ -62,6 +62,60 @@ object Dedup {
       .orderBy("keep_id")
 
   /**
+   * Duplication SPECTRUM: for every exact-duplicate cluster size, how
+   * many clusters exist, how many documents they hold, and how many
+   * are removable (cluster size − 1 each) — the corpus-health summary
+   * reported alongside dedup runs (cf. Lee et al.'s duplicate-cluster
+   * histograms) that tells you, before deduping 100 TB, how much
+   * you'll actually delete.
+   *
+   * Scale shape: the first aggregate groups on `md5(text)` — a fixed
+   * 32-hex key — so the corpus-scale shuffle carries hashes, not
+   * document bytes (unlike [[exactDedup]], which must keep the text to
+   * report `text_len`). The second aggregate's key is cluster SIZE —
+   * a handful of distinct values — and its input is one row per
+   * cluster, already far smaller than the corpus; its few-key shuffle
+   * moves cluster-count rows, not documents.
+   */
+  def dupSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("n_copies") * col("n_clusters"))
+      .withColumn("n_removable", (col("n_copies") - lit(1L)) * col("n_clusters"))
+      .orderBy(col("n_copies"))
+
+  /**
+   * Cross-source exact-duplicate LEAKAGE matrix: for every unordered
+   * source pair, the number of distinct texts present in both — the
+   * exact-hash twin of the near-dup matrix (q133), and the first thing
+   * a mix-planner checks before weighting sources (double-counted text
+   * inflates a source's apparent token budget).
+   *
+   * Scale shape: q136's row-local pair idiom, not a self-join — one
+   * corpus-scale aggregate groups `(md5(text))` and collects the
+   * DISTINCT source set per hash (bounded by the source count, a small
+   * constant, so `collect_set` is safe), then pairs are generated
+   * row-locally from each sorted set and counted over a key space of
+   * at most |sources|² rows. A self-join of (source, hash) on hash
+   * would re-shuffle the corpus a second time for the same answer.
+   */
+  def crossSourceExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(srcs) - 1), i -> " +
+          "transform(sequence(i + 1, size(srcs)), j -> " +
+          "struct(element_at(srcs, i) AS src_a, element_at(srcs, j) AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+
+  /**
    * Exact n-gram (3-word shingle) Jaccard near-dup pairs, restricted to
    * doc_id < 200 so the all-pairs verify stays bounded (the ground-truth
    * query; the LSH variant below is the scale path).

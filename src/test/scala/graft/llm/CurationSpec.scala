@@ -150,4 +150,35 @@ class CurationSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("simpson diversity: ppm in range, token sums match, uniform toy corpus maxes out") {
+    val rows = Curation.simpsonDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, nTok, vocab, ppm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok == bySource(src), s"token count mismatch for $src")
+      assert(vocab >= 1 && vocab <= nTok)
+      assert(ppm >= 0 && ppm <= 1000000L, s"ppm out of range: $ppm")
+    }
+    // degenerate check on a toy frame: all-distinct tokens → ppm = 1e6
+    // exactly (collision sum is 0); all-same token → ppm = 0
+    import spark.implicits._
+    val toy = Seq(("s1", 1L, "a b c d"), ("s2", 2L, "x x x x"))
+      .toDF("source", "doc_id", "text")
+    val t = toy.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), md5(col("tok")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("n") * (col("n") - lit(1L))).as("coll2"))
+      .withColumn("simpson_ppm",
+        expr("1000000 - (1000000 * coll2) div (n_tokens * (n_tokens - 1))"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(t("s1") == 1000000L && t("s2") == 0L)
+  }
 }

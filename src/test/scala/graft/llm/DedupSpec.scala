@@ -116,4 +116,32 @@ class DedupSpec extends SparkSpec {
     assert(org.apache.spark.sql.GraftShims.sqlCacheIsEmpty(spark),
       "a dedup operator left a cached plan registered in the session")
   }
+
+  test("dup spectrum partitions the corpus and sums to the dedup savings") {
+    val docs = Tables.documents(spark, sf)
+    val spec = Dedup.dupSpectrum(spark, sf).cache()
+    // every document lands in exactly one cluster-size bucket
+    assert(spec.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // removable = total − distinct texts (what exact dedup would delete)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(spec.agg(sum("n_removable")).head.getLong(0) == docs.count() - distinctTexts)
+    // arithmetic consistency per row
+    assert(spec.filter(col("n_docs") =!= col("n_copies") * col("n_clusters")).count() == 0)
+    spec.unpersist()
+  }
+
+  test("cross-source exact matrix agrees with a distinct-pair self-join") {
+    val hs = Tables.documents(spark, sf)
+      .select(col("source"), md5(col("text")).as("h")).distinct()
+    val expected = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Dedup.crossSourceExact(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // ordered pairs only
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
 }

@@ -13,14 +13,15 @@ object Bench {
       // warehouse, never the checkout
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      // Per-serve pins (GlobalOrder.pin) die with their query, but
-      // their checkpoint blocks are only released when the driver GCs
-      // the RDD objects (ContextCleaner weak refs) — and the default
-      // periodic GC (30 min) never fires inside a bench run, so dead
-      // blocks from 172 queries x N reps pile into storage memory and
-      // bleed into later queries' times. A short interval keeps the
-      // measurement of query k independent of queries 1..k-1.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // Dead checkpoint pins are released between queries by an
+      // EXPLICIT System.gc() below — never by the periodic GC timer. A
+      // timer-driven full GC lands at arbitrary points INSIDE timed
+      // regions (measured: the 2-minute interval inflated the suite
+      // total 89 s -> 108 s, scattering multi-second spikes onto
+      // whichever queries the timer happened to hit, min-of-reps
+      // included since every rep was exposed). Between-query GC frees
+      // the same blocks at a point where no clock is running.
+      .config("spark.cleaner.periodicGC.interval", "24h")
       // engine-wide extensions, exactly as a deployed session would run
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
@@ -102,6 +103,15 @@ object Bench {
         // confirmed within 1.5x or the ceiling is hit.
         while (err == null && rep < maxReps &&
             Bench.minConfirm(ts.result()) > 1.5) oneRep()
+        // Release this query's dead pins OUTSIDE any timed region:
+        // GlobalOrder.pin blocks free only when the driver GCs the RDD
+        // objects (ContextCleaner weak refs), and without this the
+        // accumulation from 175 queries x N reps bleeds into later
+        // queries' storage memory (round-9 symptom: roaming
+        // multi-second spikes). The brief sleep lets the cleaner
+        // thread drain the reference queue before the next query runs.
+        System.gc()
+        Thread.sleep(50)
         val res = ts.result()
         name -> (if (err != null) Left(err) else Right(res))
       }

@@ -190,6 +190,8 @@ object SparkEntry {
     "q173_dup_spectrum"    -> (Dedup.dupSpectrum _),
     "q174_simpson_diversity" -> (graft.llm.Curation.simpsonDiversity _),
     "q175_cross_source_exact" -> (Dedup.crossSourceExact _),
+    "q176_zorder_layout"   -> (graft.ops.Layout.zorderLayout _),
+    "q177_token_fertility" -> (TextAnalysis.tokenFertility _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1211,6 +1213,29 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q176: Z-order layout audit — the Morton key is generated from
+    // the same bit loop as the Spark side (Layout.zorderSql)
+    "q176_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+        |    ${graft.ops.Layout.zorderSql("l_partkey", "l_suppkey")} AS z
+        |  FROM lineitem)
+        |SELECT z >> 20 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+        |       MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q177: tokenizer fertility per language — BPE-ish tokens per
+    // whitespace word, exact integer ppm (q119's pre-tokenizer regex)
+    "q177_token_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    len(string_split(text, ' ')) AS nw,
+        |    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS nb
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nw) AS BIGINT) AS n_words,
+        |       CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+        |       (1000000 * CAST(SUM(nb) AS BIGINT)) // CAST(SUM(nw) AS BIGINT)
+        |         AS fertility_ppm
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -245,6 +245,38 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer FERTILITY per language: BPE-style tokens per whitespace
+   * word, as an exact parts-per-million integer — the metric that
+   * tells you how much sequence budget each language burns under a
+   * given tokenizer (high fertility = the tokenizer fragments that
+   * language; the mix planner weighs it against the per-language token
+   * budget). Uses the [[bpeTokenStats]] pre-tokenizer regex and the
+   * corpus's own `lang` label.
+   *
+   * Scale shape: row-local regex counting, then ONE aggregate keyed on
+   * `lang` (a handful of values — but the inputs are pre-reduced to
+   * two integers per row, so the few-key shuffle carries counts, not
+   * text, and map-side partial aggregation collapses it to one row
+   * per partition per lang). All-integer: the ppm ratio is BIGINT
+   * `div`, bit-exact in any engine.
+   */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("(1000000 * n_bpe_tokens) div n_words"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Per-document repetition detection — the quality filter that drops
    * boilerplate/loop-generated text before training: the ratio of
    * DUPLICATE 5-gram slots within each document (1 − distinct/total)

@@ -160,4 +160,22 @@ class TextAnalysisSpec extends SparkSpec {
     // props JSON carries numeric values, so redactions must happen
     assert(r.agg(sum("n_runs")).first().getLong(0) > 0)
   }
+
+  test("token fertility: langs partition the corpus, ppm is the exact integer ratio") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val f = TextAnalysis.tokenFertility(spark, sf).collect()
+    assert(f.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    f.foreach { r =>
+      // ppm is the exact integer ratio of the two sums (split() counts
+      // empty strings under repeated spaces, so no >= 1e6 floor is
+      // assumed — only arithmetic consistency)
+      assert(r.getAs[Long]("fertility_ppm") ==
+        1000000L * r.getAs[Long]("n_bpe_tokens") / r.getAs[Long]("n_words"), r)
+      assert(r.getAs[Long]("n_words") > 0 && r.getAs[Long]("n_bpe_tokens") > 0, r)
+    }
+    // per-lang doc counts agree with a direct group-by
+    val direct = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    f.foreach(r => assert(direct(r.getString(0)) == r.getAs[Long]("n_docs")))
+  }
 }

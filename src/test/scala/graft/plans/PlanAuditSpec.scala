@@ -197,6 +197,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("memoized serve paths read their stored artifact and scan the corpus at most once") {
+    // round-9 verdict #1/#2 (plus the follow-up simhash/dup-gram
+    // artifacts): the serve plan must read the per-corpus artifact as
+    // a checkpoint scan and make at most ONE pass over documents —
+    // a regression that drops the memo re-derives the artifact from a
+    // second corpus scan, exactly the double-pass shape this closed
+    val maxDocScans = Map(
+      "q164_dsir_select"      -> 1, // scoring pass; weight table pinned
+      "q168_bigram_novelty"   -> 1, // scoring pass; LM counts pinned
+      "q33_simhash"           -> 0, // pure artifact read
+      "q62_simhash_pairs"     -> 0, // banding over the pinned signatures
+      "q170_dup_span_coverage" -> 1) // join-back pass; gram sliver pinned
+    maxDocScans.foreach { case (q, maxScans) =>
+      spark.catalog.clearCache()
+      graft.llm.ModelCache.invalidate()
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q must serve from its pinned per-corpus artifact:\n$plan")
+      val docScans = "documents\\.parquet".r.findAllIn(plan).size
+      assert(docScans <= maxScans,
+        s"$q scans documents $docScans times (max $maxScans) — artifact memo lost?")
+    }
+  }
+
   test("plan snapshots: exchange and join counts pinned for headline queries") {
     // golden counts (shuffle exchanges, broadcast exchanges, joins,
     // windows) so a code or Catalyst change that adds an exchange fails

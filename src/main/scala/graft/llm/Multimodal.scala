@@ -105,6 +105,31 @@ object Multimodal {
       .toDF("media_id", "payload", "resized")
   }
 
+  /**
+   * REAL format metadata, no codec needed: parse a PNG's IHDR chunk —
+   * width, height, bit depth, color type — straight out of the binary
+   * column with built-in byte arithmetic. The PNG container puts IHDR
+   * at a FIXED offset (8-byte signature, 4-byte length, "IHDR", then
+   * big-endian fields), so extraction is `substring` on the binary +
+   * `hex` + base-16 `conv` — fully codegen'd Catalyst built-ins, no
+   * UDF, no library, and only the first 26 bytes of each payload are
+   * touched. This is the metadata-first discipline at 100 TB: filter
+   * and group on parsed dimensions BEFORE any decode ships the full
+   * payload anywhere. (JPEG needs a marker walk — variable offsets —
+   * so its header parse belongs in the batched decoder, not here.)
+   */
+  def pngMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
+    def be(pos: Int, len: Int) =
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
+    struct(
+      isPng.as("is_png"),
+      when(isPng, be(17, 4)).as("width"),
+      when(isPng, be(21, 4)).as("height"),
+      when(isPng, be(25, 1)).as("bit_depth"),
+      when(isPng, be(26, 1)).as("color_type"))
+  }
+
   /** Frame-sampling stub: pick every `stride`-th byte offset as a fake
     * "frame" index — demonstrates the explode-to-frames shape
     * (one row per sampled frame) without a codec. */

@@ -110,4 +110,27 @@ class MultimodalSpec extends SparkSpec {
     assert(r.agg(sum("total_bytes")).head.getLong(0) ==
       textBytes + 9L * docs.count())
   }
+
+  test("pngMeta parses real PNG IHDR bytes with builtin byte arithmetic") {
+    import spark.implicits._
+    // a real PNG header: signature + IHDR length/tag + 800x600, 8-bit RGBA
+    def be4(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = be4(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be4(800) ++ be4(600) ++ Array[Byte](8, 6)
+    val png = sig ++ ihdr
+    val notPng = "GRFT-not-a-png-payload".getBytes("US-ASCII")
+    val rows = Seq((1L, png), (2L, notPng)).toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.pngMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_png"), col("m.width"),
+        col("m.height"), col("m.bit_depth"), col("m.color_type"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = rows(1L)
+    assert(p.getBoolean(1) && p.getLong(2) == 800L && p.getLong(3) == 600L &&
+      p.getLong(4) == 8L && p.getLong(5) == 6L, p)
+    val n = rows(2L)
+    assert(!n.getBoolean(1) && n.isNullAt(2) && n.isNullAt(3), n)
+  }
 }

@@ -241,4 +241,28 @@ class PropertySpec extends SparkSpec {
       assert(seen == ids.length, s"pageSize=$pageSize")
     }
   }
+
+  test("morton key is a bijection on 16-bit pairs (random sample round-trips)") {
+    import spark.implicits._
+    // reference de-interleave computed driver-side; the Spark column
+    // expression must agree and be injective on the sampled pairs
+    def deinterleave(z: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val pairs = samples(
+      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)), 64).distinct
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", graft.ops.Layout.zorderKey(col("x"), col("y")))
+      .collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z")))
+    got.foreach { case (x, y, z) =>
+      assert(deinterleave(z) == ((x, y)), s"morton($x,$y)=$z fails round-trip")
+    }
+    assert(got.map(_._3).distinct.length == pairs.length, "z collision")
+  }
 }

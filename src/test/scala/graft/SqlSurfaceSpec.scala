@@ -43,4 +43,33 @@ class SqlSurfaceSpec extends SparkSpec {
       .orderBy("vec_id").limit(5).collect()
     assert(viaSql.sameElements(viaApi))
   }
+
+  test("operator views: SQL over a registered view matches the DataFrame form") {
+    Views.register(spark, sf, Seq("q173_dup_spectrum", "q30_exact_dedup"))
+    val viaView = spark.sql(
+      "SELECT n_copies, n_clusters FROM q173_dup_spectrum WHERE n_copies >= 1").collect()
+    val viaApi = graft.llm.Dedup.dupSpectrum(spark, sf)
+      .select(col("n_copies"), col("n_clusters")).collect()
+    assert(viaView.sameElements(viaApi))
+    // views COMPOSE into one plan: an aggregate over the view is legal SQL
+    val n = spark.sql(
+      "SELECT CAST(SUM(n_copies) AS BIGINT) FROM q30_exact_dedup").head.getLong(0)
+    assert(n == Tables.documents(spark, sf).count())
+  }
+
+  test("oracle SQL dialect aside, base-table views serve spark.sql directly") {
+    Views.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head.getLong(0)
+    assert(viaSql == Tables.lineitem(spark, sf).join(
+      Tables.orders(spark, sf),
+      col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("unknown operator names fail loudly at registration") {
+    intercept[IllegalArgumentException] {
+      Views.register(spark, sf, Seq("q999_nope"))
+    }
+  }
 }

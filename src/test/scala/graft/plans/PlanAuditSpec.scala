@@ -273,7 +273,15 @@ class PlanAuditSpec extends SparkSpec {
       // q157 balanced sample: centroid assignment is literal arithmetic
       // (no shuffle); heap cap + totals agg + output sort, cells-row
       // totals broadcast back
-      "q157_cluster_sample"     -> (3, 1, 1, 0))
+      "q157_cluster_sample"     -> (3, 1, 1, 0),
+      // round-10 additions — all pure aggregate pipelines: corpus-keyed
+      // hash agg, then a tiny-key agg and/or the output sort; no joins,
+      // no windows anywhere
+      "q173_dup_spectrum"       -> (3, 0, 0, 0),
+      "q174_simpson_diversity"  -> (3, 0, 0, 0),
+      "q175_cross_source_exact" -> (3, 0, 0, 0),
+      "q176_zorder_layout"      -> (2, 0, 0, 0),
+      "q177_token_fertility"    -> (2, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

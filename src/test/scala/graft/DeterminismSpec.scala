@@ -48,7 +48,10 @@ class DeterminismSpec extends SparkSpec {
     // recall audits: heap cuts + md5 planes + k-means, all tie-broken
     "q149_ann_recall",
     "q150_multiprobe_recall",
-    "q151_ivf_recall")
+    "q151_ivf_recall",
+    // collect_set order varies with partition layout; the result is
+    // deterministic ONLY through the sort_array normalization — pin it
+    "q175_cross_source_exact")
 
   test("results are identical under a different shuffle-partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -10,9 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // managed tables (the bucketed-layout queries) land in a temp
-      // warehouse, never the checkout
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // warehouse, never the checkout; deleted after spark.stop() — a
+      // run otherwise leaves a full bucketed fact copy in /tmp
+      .config("spark.sql.warehouse.dir", Bench.tempWarehouse())
       // Dead checkpoint pins are released between queries by an
       // EXPLICIT System.gc() below — never by the periodic GC timer. A
       // timer-driven full GC lands at arbitrary points INSIDE timed
@@ -158,9 +158,31 @@ object Bench {
     val failedJson = failed.map { case (k, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"queries":$qs,"reps":$reps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    // "reps" alone would misstate adaptive floors — list every query
+    // whose min came from MORE than the baseline rep count
+    val extraReps = ok.collect { case (k, ts) if ts.size != reps =>
+      "\"" + k + "\":" + ts.size }.mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
+    Bench.deleteTempWarehouse()
   }
+
+  private var warehouseDir: java.nio.file.Path = _
+
+  private[graft] def tempWarehouse(): String = {
+    warehouseDir = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    warehouseDir.toString
+  }
+
+  private[graft] def deleteTempWarehouse(): Unit =
+    if (warehouseDir != null && java.nio.file.Files.exists(warehouseDir)) {
+      val walk = java.nio.file.Files.walk(warehouseDir)
+      val files = try {
+        val it = walk.iterator(); val b = List.newBuilder[java.nio.file.Path]
+        while (it.hasNext) b += it.next(); b.result()
+      } finally walk.close()
+      files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** Reliability of a min-of-reps estimate: second-smallest over
     * smallest rep. 1.0 = perfectly reproduced; NaN for degenerate

@@ -1192,17 +1192,21 @@ object SparkEntry {
         |       n_copies * CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       (n_copies - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
         |FROM c GROUP BY n_copies ORDER BY n_copies""".stripMargin,
-    // q174: Gini–Simpson token diversity per source, exact integer ppm
+    // q174: Gini–Simpson token diversity per source, exact integer
+    // ppm. coll2 and the ppm arithmetic stay HUGEINT (the Spark twin
+    // runs DECIMAL(38,0)) — a BIGINT cast there overflows at ~3e6
+    // fully-duplicated tokens per source; only the ≤1e6 ppm narrows.
     "q174_simpson_diversity" ->
       """WITH tf AS (SELECT source, md5(tok) AS h, CAST(COUNT(*) AS BIGINT) AS n
         |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
         |                  FROM documents) GROUP BY 1, 2),
         |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
         |        CAST(COUNT(*) AS BIGINT) AS vocab,
-        |        CAST(SUM(n * (n - 1)) AS BIGINT) AS coll2
+        |        SUM(n * (n - 1)) AS coll2
         |      FROM tf GROUP BY 1)
         |SELECT source, n_tokens, vocab,
-        |       1000000 - (1000000 * coll2) // (n_tokens * (n_tokens - 1))
+        |       CAST(1000000 - (1000000 * coll2)
+        |         // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
         |         AS simpson_ppm
         |FROM s ORDER BY source""".stripMargin,
     // q175: cross-source exact-duplicate leakage matrix — distinct

@@ -16,9 +16,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // managed tables (the bucketed-layout queries) land in a temp
-      // warehouse, never the checkout
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse").toString)
+      // warehouse, never the checkout; deleted after spark.stop()
+      .config("spark.sql.warehouse.dir", Bench.tempWarehouse())
       // release dead per-serve checkpoint pins during the run (see
       // Bench: the 30 min default never fires inside one invocation)
       .config("spark.cleaner.periodicGC.interval", "2min")
@@ -70,5 +69,6 @@ object Verify {
     // compare over the queries that DID produce output; failed.json +
     // the stdout count are the loud signal.
     spark.stop()
+    Bench.deleteTempWarehouse()
   }
 }

@@ -523,12 +523,13 @@ object Curation {
    *
    * Scale shape: one md5-keyed token aggregate (the [[freqSpectrum]]
    * shuffle), then a per-source aggregate over vocabulary-sized input.
-   * All-integer arithmetic end to end — the collision sum
-   * `Σ nᵢ(nᵢ−1)` and the ppm ratio use BIGINT `div`, bit-exact in any
-   * engine. Headroom note for 100 TB: a source of T tokens bounds the
-   * collision sum by T², so past ~3e9 tokens per source the two sum
-   * columns should widen to DECIMAL(38,0) — same semantics, wider
-   * lanes; at fixture scale BIGINT is exact with 6 orders of margin.
+   * All-integer arithmetic end to end, bit-exact in any engine — and
+   * the wide intermediates (collision sum `Σ nᵢ(nᵢ−1)`, the ×1e6 ppm
+   * numerator, the pair denominator) run in DECIMAL(38,0) because
+   * BIGINT overflows them at ~3e6 fully-duplicated tokens per source
+   * (coll2 ≈ T² for boilerplate, ×1e6 on top) — far inside 100 TB
+   * territory. Only the final ppm (≤ 1e6 by construction) narrows
+   * back to BIGINT.
    */
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -539,9 +540,11 @@ object Curation {
       .agg(
         sum(col("n")).as("n_tokens"),
         count(lit(1)).as("vocab"),
-        sum(col("n") * (col("n") - lit(1L))).as("coll2"))
-      .withColumn("simpson_ppm",
-        expr("1000000 - (1000000 * coll2) div (n_tokens * (n_tokens - 1))"))
+        sum(col("n").cast("decimal(38,0)") * (col("n") - lit(1L)))
+          .cast("decimal(38,0)").as("coll2"))
+      .withColumn("simpson_ppm", expr(
+        "CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * coll2) div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("simpson_ppm"))
       .orderBy(col("source"))
 

@@ -197,18 +197,27 @@ object MixPlan {
    * explode ran twice per serve (count build + scoring join). Never
    * a cross product.
    */
-  def bigramNovelty(
-      spark: SparkSession,
-      dir: String,
-      rareMax: Long = 2L): DataFrame = {
-    val corpus = Tables.documents(spark, dir)
-    val bi = corpus
+  /** The ONE bigram extraction every LM-count consumer shares —
+    * [[bigramNovelty]]'s stored artifact and the streaming maintenance
+    * path ([[graft.streaming.ArtifactMaintenance]]) must aggregate the
+    * exact same (w1, w2) projection or their counts silently diverge.
+    * Input needs (doc_id, text); output (doc_id, w1, w2), one row per
+    * adjacent token pair. */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+
+  def bigramNovelty(
+      spark: SparkSession,
+      dir: String,
+      rareMax: Long = 2L): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    val bi = docBigrams(corpus)
     // the stored LM artifact: one count aggregate per corpus, pinned
     val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
       graft.ops.GlobalOrder.pin(

@@ -70,10 +70,15 @@ object Bucketing {
    * landed (pinned projection). Table names carry the corpus dir hash
    * so different scales in one session never collide.
    */
-  /** The per-corpus q26 table names (dir-hash suffixed so different
-    * scales in one session never collide). */
+  /** The per-corpus q26 table names, suffixed with an md5 prefix of
+    * the corpus dir so different corpora in one session never collide
+    * — 32-bit String.hashCode has realistic collisions (two colliding
+    * dirs would silently serve each other's fact tables); 64 bits of
+    * md5 does not. */
   def snowflakeTableNames(dir: String): (String, String) = {
-    val suf = (dir.hashCode.toLong & 0xffffffffL).toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val suf = md.take(8).map("%02x".format(_)).mkString
     (s"bkt26_orders_$suf", s"bkt26_lineitem_$suf")
   }
 

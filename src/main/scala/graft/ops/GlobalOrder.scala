@@ -654,9 +654,13 @@ object GlobalOrder {
    * (and Spark `percentile`) interpolate over the NON-NULL multiset,
    * while the rank machinery would otherwise count nulls in
    * `g_total_rows` and sort them first, shifting every boundary row.
-   * (Keys whose values are all null disappear from the output — same
-   * as quantile_cont returning NULL for an empty multiset modulo the
-   * row's presence; no current caller feeds all-null groups.)
+   * Keys whose values are ALL null still appear in the output with
+   * NULL quantiles — a GROUP BY keeps the key and quantile_cont
+   * returns NULL over an empty multiset, so dropping the row would
+   * break oracle row counts on a fixture regeneration that emits such
+   * a group. That guarantee costs one extra key-distinct aggregate
+   * over the input (cheap next to the range sort) joined back against
+   * the boundary rows (both sides are key-cardinality by then).
    *
    * @param ps (output column name, fraction in [0,1]) per quantile
    * @return one row per key: key columns ++ one double per quantile
@@ -678,7 +682,8 @@ object GlobalOrder {
         max(when(col("g_rank") === lo(p), col(valueCol))).as(s"__lo_$nm"),
         max(when(col("g_rank") === lo(p) + 1L, col(valueCol))).as(s"__hi_$nm"))
     }
-    ranked.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val quantiles = ranked
+      .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(keyCols.map(col) ++ ps.map { case (nm, p) =>
         val pos = lit(1.0) + lit(p) * (col("__n") - 1L).cast("double")
         val frac = pos - floor(pos)
@@ -686,5 +691,7 @@ object GlobalOrder {
         val vhi = coalesce(col(s"__hi_$nm"), col(s"__lo_$nm")).cast("double")
         (vlo * (lit(1.0) - frac) + vhi * frac).as(nm)
       }: _*)
+    val allKeys = df.select(keyCols.map(col): _*).distinct()
+    allKeys.join(quantiles, keyCols, "left")
   }
 }

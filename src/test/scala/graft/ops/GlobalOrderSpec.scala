@@ -133,6 +133,24 @@ class GlobalOrderSpec extends SparkSpec {
       (3L, 1L, 2L, 0L), (4L, 2L, 2L, 5L)))
   }
 
+  test("grouped quantiles: all-null groups keep their row with NULL quantiles") {
+    // quantile_cont semantics: nulls are excluded from the multiset,
+    // but a GROUP BY key whose values are ALL null still yields a row
+    // (with NULL quantiles) — dropping it would break oracle row
+    // counts on a fixture regeneration emitting such a group
+    import spark.implicits._
+    val src = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None: Option[Double]), ("b", None))
+      .toDF("k", "v")
+    val got = GlobalOrder.groupedQuantiles(src, Seq("k"), "v",
+        ps = Seq(("p50", 0.5)))
+      .orderBy("k").collect()
+    assert(got.length == 2, got.toSeq)
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 2.0, got(0))
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(1), got(1))
+  }
+
   test("grouped: double value columns are rejected (order-dependent sums)") {
     intercept[IllegalArgumentException] {
       GlobalOrder.groupedRankAndPrefix(li, Seq(col("l_orderkey")),

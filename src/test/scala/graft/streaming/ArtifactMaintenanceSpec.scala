@@ -2,12 +2,16 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class ArtifactMaintenanceSpec extends SparkSpec {
 
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def counts(artifact: String): Map[(String, String), Long] =
+    ArtifactMaintenance.lmCounts(spark, artifact)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
   test("streamed partials fold to the same LM counts as a batch aggregate") {
     import spark.implicits._
@@ -29,30 +33,64 @@ class ArtifactMaintenanceSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val direct = ArtifactMaintenance.batchBigramCounts(docs)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val streamed = ArtifactMaintenance.lmCounts(spark, artifact)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(streamed == direct)
+    assert(counts(artifact) == direct)
     // ("b","c") seen in three docs across two batches
-    assert(streamed(("b", "c")) == 3L)
+    assert(direct(("b", "c")) == 3L)
 
-    // a REPLAYED batch (crash between partition write and checkpoint
-    // commit) overwrites its own partition — counts must not change
-    ArtifactMaintenance.batchBigramCounts(
-        Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"))
-      .write.mode("overwrite").parquet(s"$artifact/batch_id=0")
-    val replayed = ArtifactMaintenance.lmCounts(spark, artifact)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(replayed == direct, "batch replay double-counted")
+    // a REPLAYED committed batch (crash between manifest commit and
+    // checkpoint offset commit) is skipped — counts must not change
+    ArtifactMaintenance.applyBatch(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 0L, artifact)
+    assert(counts(artifact) == direct, "committed-batch replay double-counted")
 
     // compaction folds partials into one baseline with identical counts
     ArtifactMaintenance.compactLm(spark, artifact)
-    val compacted = ArtifactMaintenance.lmCounts(spark, artifact)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(compacted == direct)
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(artifact))
-      .iterator()
-    val dirs = new scala.collection.mutable.ListBuffer[String]
-    while (parts.hasNext) dirs += parts.next().getFileName.toString
-    assert(dirs.count(_.startsWith("batch_id=")) == 1, dirs)
+    assert(counts(artifact) == direct)
+    val m = ArtifactMaintenance.readManifest(artifact)
+    assert(m.dirs == Seq("baseline-g1") && m.covered == 1L, m)
+
+    // a batch replayed AFTER its partial was folded into the baseline
+    // must be skipped via the covered watermark (the double-count bug
+    // a partition-overwrite-only scheme has)
+    ArtifactMaintenance.applyBatch(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 1L, artifact)
+    assert(counts(artifact) == direct, "post-compaction replay double-counted")
+
+    // a NEW batch after compaction lands beside the baseline
+    ArtifactMaintenance.applyBatch(
+      Seq((5L, "b c")).toDF("doc_id", "text"), 2L, artifact)
+    assert(counts(artifact)(("b", "c")) == 4L)
+  }
+
+  test("crash-stranded directories are invisible to readers and swept by compaction") {
+    import spark.implicits._
+    val artifact = freshDir("lm-crash")
+    ArtifactMaintenance.applyBatch(Seq((1L, "a b")).toDF("doc_id", "text"), 0L, artifact)
+    ArtifactMaintenance.applyBatch(Seq((2L, "a b")).toDF("doc_id", "text"), 1L, artifact)
+    val before = counts(artifact)
+    // strand an UNCOMMITTED partial write (crash before manifest
+    // commit): written bytes, no manifest line
+    ArtifactMaintenance.batchBigramCounts(
+        Seq((9L, "z z z")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$artifact/part-b7")
+    assert(counts(artifact) == before, "uncommitted partial was readable")
+    // strand an orphan baseline (crash between fold write and commit)
+    ArtifactMaintenance.batchBigramCounts(
+        Seq((9L, "q q")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$artifact/baseline-g99")
+    assert(counts(artifact) == before, "orphan baseline was readable")
+
+    ArtifactMaintenance.compactLm(spark, artifact)
+    assert(counts(artifact) == before)
+    // swept: the orphan baseline; kept: part-b7 (above the covered
+    // watermark — it may be an in-flight batch whose commit is coming)
+    val names = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(artifact))
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(!names.contains("baseline-g99"), names)
+    assert(names.contains("part-b7"), names)
+    assert(names.count(_.startsWith("baseline-")) == 1, names)
   }
 }

@@ -34,6 +34,10 @@ def load(path):
 
 
 def main(paths):
+    if len(paths) < 2:
+        raise SystemExit(
+            "need at least two bench files (one per scale) to compute "
+            "slopes — see the usage line in the module docstring")
     benches = [load(p) for p in paths]
     sfs = [b.get("sf", p) for b, p in zip(benches, paths)]
     qs = [b["queries"] for b in benches]

@@ -392,7 +392,7 @@ object Dedup {
 
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame (spec
     * entry point for degenerate-corpus behavior). */
-  private[llm] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private[graft] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // one (doc_id, simhash) row per doc — narrow; pinned so the
     // 20-band explode and the three downstream joins don't each embed
     // the 32-bit-weight aggregation plan in their task binaries. The
@@ -440,7 +440,11 @@ object Dedup {
       graft.ops.GlobalOrder.pin(simhashAgg(Tables.documents(spark, dir)))
     }
 
-  private def simhashAgg(docs: DataFrame): DataFrame = {
+  /** Row-local per-doc signing — also the per-batch partial transform
+    * of the streaming signature artifact
+    * ([[graft.streaming.ArtifactMaintenance.simhashArtifact]]): batch
+    * and streamed signatures MUST come from this one function. */
+  private[graft] def simhashAgg(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       // 32-bit token hash from the md5 hex prefix (exact in both engines)

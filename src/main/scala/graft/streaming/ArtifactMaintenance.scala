@@ -11,12 +11,14 @@ import scala.jdk.CollectionConverters._
 /**
  * Streaming maintenance for STORED per-corpus artifacts: the batch
  * engine serves dedup/selection/novelty from pinned artifacts (LSH
- * band tables, the bigram LM — see `ModelCache`); in a live corpus
- * those artifacts must track document arrivals without a full rebuild.
+ * band tables, simhash signatures, the bigram LM — see `ModelCache`);
+ * in a live corpus those artifacts must track document arrivals
+ * without a full rebuild.
  *
- * Design — APPEND PARTIALS, COMPACT BEHIND A MANIFEST:
- *  - each micro-batch writes its partial (w1, w2) → n aggregate to its
- *    own `part-b<batchId>` directory, then COMMITS it by atomically
+ * Design — APPEND PARTIALS, COMPACT BEHIND A MANIFEST
+ * ([[ManifestArtifact]]):
+ *  - each micro-batch writes its partial transform to its own
+ *    `part-b<batchId>` directory, then COMMITS it by atomically
  *    rewriting the `manifest` file (temp-write + atomic move). Readers
  *    load exactly the directories the manifest lists — an uncommitted
  *    or half-written directory is invisible. Maintenance cost scales
@@ -29,14 +31,21 @@ import scala.jdk.CollectionConverters._
  *    `covered=<max folded batch id>` and stream batch ids are
  *    monotonic — the two rules together make double-counting
  *    impossible at any crash point.
- *  - [[compactLm]] folds the listed partials into one
+ *  - [[ManifestArtifact.compact]] folds the listed partials into one
  *    `baseline-g<covered>` directory and commits a one-line manifest.
  *    The fold is written BEFORE the commit and partials are deleted
  *    AFTER it, so a crash anywhere leaves either the old manifest
  *    (all partials intact) or the new one (baseline intact) — never a
- *    half-applied state. Orphan directories a crash strands are
- *    swept on the next compaction (they are unreadable either way:
- *    readers never touch unlisted directories).
+ *    half-applied state. Orphan directories a crash strands are swept
+ *    on the next compaction (they are unreadable either way: readers
+ *    never touch unlisted directories).
+ *
+ * Two artifact shapes, one mechanism:
+ *  - MERGEABLE AGGREGATES (the bigram LM): partials are per-batch
+ *    count tables; serve re-aggregates the union (sum is associative).
+ *  - ROW-PARTITIONED tables (simhash signatures): each doc's row is
+ *    computed row-locally, so partials just concatenate; serve is the
+ *    bare union.
  *
  * Single-writer contract (documented, not enforced): one stream
  * maintains one artifact dir, and compaction runs on the same driver
@@ -44,6 +53,123 @@ import scala.jdk.CollectionConverters._
  * contract every checkpoint-based Structured Streaming sink has.
  */
 object ArtifactMaintenance {
+
+  private[streaming] case class Manifest(covered: Long, dirs: Seq[String])
+
+  /**
+   * One manifest-committed artifact directory.
+   *
+   * @param artifactDir root directory (manifest + partial/baseline dirs)
+   * @param partialOf   per-batch transform: (doc_id, text) micro-batch
+   *                    → this batch's partial rows
+   * @param emptySchema served schema before any batch commits
+   * @param reduceOf    fold applied over the UNION of partials at serve
+   *                    time — identity for row-partitioned artifacts,
+   *                    a re-aggregation for mergeable-count artifacts
+   */
+  final class ManifestArtifact(
+      val artifactDir: String,
+      partialOf: DataFrame => DataFrame,
+      emptySchema: StructType,
+      reduceOf: DataFrame => DataFrame = identity) {
+
+    private def manifestPath: Path = Paths.get(artifactDir, "manifest")
+
+    private[streaming] def readManifest(): Manifest = {
+      val p = manifestPath
+      if (!Files.exists(p)) Manifest(-1L, Nil)
+      else {
+        val lines = Files.readAllLines(p).asScala.toSeq
+        val covered = lines.headOption
+          .flatMap(l => l.stripPrefix("covered=").toLongOption).getOrElse(-1L)
+        Manifest(covered, lines.drop(1).filter(_.nonEmpty))
+      }
+    }
+
+    private def commitManifest(m: Manifest): Unit = {
+      val tmp = Paths.get(artifactDir, "manifest.tmp")
+      Files.createDirectories(Paths.get(artifactDir))
+      Files.write(tmp, (s"covered=${m.covered}" +: m.dirs).asJava)
+      Files.move(tmp, manifestPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** One micro-batch application — the foreachBatch body, directly
+      * callable so specs can replay arbitrary (batch, id) sequences. */
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val m = readManifest()
+      val dir = s"part-b$batchId"
+      // replay after compaction (id already folded) or after a
+      // completed commit: nothing to do — this is the idempotence
+      if (batchId > m.covered && !m.dirs.contains(dir)) {
+        partialOf(batch)
+          .write.mode("overwrite").parquet(s"$artifactDir/$dir")
+        commitManifest(m.copy(dirs = m.dirs :+ dir))
+      }
+    }
+
+    /** Wire a streaming document feed (doc_id, text) to maintain this
+      * artifact. Caller starts/stops the returned writer and owns the
+      * checkpoint location, as all MicroBatch jobs here do. */
+    def maintain(docs: DataFrame): DataStreamWriter[Row] =
+      docs.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0L))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatch(batch, batchId)
+        }
+
+    /** The serve view over the manifest-listed directories — what
+      * `ModelCache` would pin for the batch engine. */
+    def serve(spark: SparkSession): DataFrame = {
+      val m = readManifest()
+      if (m.dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
+      else
+        reduceOf(spark.read.parquet(m.dirs.map(d => s"$artifactDir/$d"): _*))
+    }
+
+    /** Compact the listed partials into a single baseline directory
+      * and commit it. See class doc for the crash story; also sweeps
+      * orphan directories no manifest references (strandings from
+      * earlier crashes), EXCEPT `part-b<id>` dirs above the covered
+      * watermark — those may be an in-flight uncommitted batch. */
+    def compact(spark: SparkSession): Unit = {
+      val m = readManifest()
+      if (m.dirs.size > 1) {
+        val covered = (m.covered +: m.dirs.flatMap(d =>
+          "part-b(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong))).max
+        val baseline = s"baseline-g$covered"
+        serve(spark)
+          .write.mode("overwrite").parquet(s"$artifactDir/$baseline")
+        commitManifest(Manifest(covered, Seq(baseline)))
+      }
+      sweepOrphans()
+    }
+
+    private def sweepOrphans(): Unit = {
+      val live = readManifest()
+      val listing = Files.list(Paths.get(artifactDir))
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries
+        .filter(p => Files.isDirectory(p))
+        .filter { p =>
+          val name = p.getFileName.toString
+          !live.dirs.contains(name) && (name match {
+            case s if s.startsWith("baseline-") => true
+            case s => "part-b(\\d+)".r.findFirstMatchIn(s)
+              .exists(_.group(1).toLong <= live.covered)
+          })
+        }
+        .foreach { p =>
+          val walk = Files.walk(p)
+          val files = try walk.iterator().asScala.toList finally walk.close()
+          files.reverse.foreach(Files.delete)
+        }
+    }
+  }
+
+  // ---- the bigram LM (mergeable counts) ---------------------------
 
   private val CountsSchema = StructType(Seq(
     StructField("w1", StringType), StructField("w2", StringType),
@@ -57,111 +183,30 @@ object ArtifactMaintenance {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
 
-  // ---- manifest: the artifact's atomic commit point ----------------
+  def lmArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir, batchBigramCounts, CountsSchema,
+      reduceOf = _.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n")))
 
-  private[streaming] case class Manifest(covered: Long, dirs: Seq[String])
-
-  private def manifestPath(root: String): Path = Paths.get(root, "manifest")
-
-  private[streaming] def readManifest(root: String): Manifest = {
-    val p = manifestPath(root)
-    if (!Files.exists(p)) Manifest(-1L, Nil)
-    else {
-      val lines = Files.readAllLines(p).asScala.toSeq
-      val covered = lines.headOption
-        .flatMap(l => l.stripPrefix("covered=").toLongOption).getOrElse(-1L)
-      Manifest(covered, lines.drop(1).filter(_.nonEmpty))
-    }
-  }
-
-  private[streaming] def commitManifest(root: String, m: Manifest): Unit = {
-    val tmp = Paths.get(root, "manifest.tmp")
-    Files.write(tmp, (s"covered=${m.covered}" +: m.dirs).asJava)
-    Files.move(tmp, manifestPath(root),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  // ---- maintenance ------------------------------------------------
-
-  /** Wire a streaming document feed (doc_id, text) to maintain the LM
-    * artifact at `artifactDir`. Caller starts/stops the returned
-    * writer and owns the checkpoint location, as all MicroBatch jobs
-    * here do. */
   def maintainLm(docs: DataFrame, artifactDir: String): DataStreamWriter[Row] =
-    docs.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(0L))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, artifactDir)
-      }
+    lmArtifact(artifactDir).maintain(docs)
 
-  /** One micro-batch application — the foreachBatch body, directly
-    * callable so specs can replay arbitrary (batch, id) sequences. */
-  private[streaming] def applyBatch(
-      batch: DataFrame, batchId: Long, artifactDir: String): Unit = {
-    val m = readManifest(artifactDir)
-    val dir = s"part-b$batchId"
-    // replay after compaction (id already folded) or after a
-    // completed commit: nothing to do — this is the idempotence
-    if (batchId > m.covered && !m.dirs.contains(dir)) {
-      batchBigramCounts(batch)
-        .write.mode("overwrite").parquet(s"$artifactDir/$dir")
-      commitManifest(artifactDir, m.copy(dirs = m.dirs :+ dir))
-    }
-  }
+  def lmCounts(spark: SparkSession, artifactDir: String): DataFrame =
+    lmArtifact(artifactDir).serve(spark)
 
-  /** The serve view: fold the manifest-listed partials into corpus
-    * bigram counts — what `ModelCache` would pin as the `bigram-lm`
-    * artifact. Empty-schema result before any batch commits. */
-  def lmCounts(spark: SparkSession, artifactDir: String): DataFrame = {
-    val m = readManifest(artifactDir)
-    if (m.dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], CountsSchema)
-    else
-      spark.read.parquet(m.dirs.map(d => s"$artifactDir/$d"): _*)
-        .groupBy(col("w1"), col("w2"))
-        .agg(sum(col("n")).as("n"))
-  }
+  def compactLm(spark: SparkSession, artifactDir: String): Unit =
+    lmArtifact(artifactDir).compact(spark)
 
-  /**
-   * Compact the listed partials into a single baseline directory and
-   * commit it as the new manifest. See class doc for the crash story;
-   * also sweeps orphan directories no manifest references (strandings
-   * from earlier crashes — unreadable, safe to delete, EXCEPT
-   * `part-b<id>` dirs with id above the covered watermark, which may
-   * be an in-flight uncommitted batch write).
-   */
-  def compactLm(spark: SparkSession, artifactDir: String): Unit = {
-    val m = readManifest(artifactDir)
-    if (m.dirs.size > 1) {
-      val covered = (m.covered +: m.dirs.flatMap(d =>
-        "part-b(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong))).max
-      val baseline = s"baseline-g$covered"
-      lmCounts(spark, artifactDir)
-        .write.mode("overwrite").parquet(s"$artifactDir/$baseline")
-      commitManifest(artifactDir, Manifest(covered, Seq(baseline)))
-    }
-    sweepOrphans(artifactDir)
-  }
+  // ---- simhash signatures (row-partitioned) -----------------------
 
-  private def sweepOrphans(artifactDir: String): Unit = {
-    val live = readManifest(artifactDir)
-    val listing = Files.list(Paths.get(artifactDir))
-    val entries = try listing.iterator().asScala.toList finally listing.close()
-    entries
-      .filter(p => Files.isDirectory(p))
-      .filter { p =>
-        val name = p.getFileName.toString
-        !live.dirs.contains(name) && (name match {
-          case s if s.startsWith("baseline-") => true
-          case s => "part-b(\\d+)".r.findFirstMatchIn(s)
-            .exists(_.group(1).toLong <= live.covered)
-        })
-      }
-      .foreach { p =>
-        val walk = Files.walk(p)
-        val files = try walk.iterator().asScala.toList finally walk.close()
-        files.reverse.foreach(Files.delete)
-      }
-  }
+  private val SigSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("simhash", LongType)))
+
+  /** The (doc_id, simhash) signature store maintained from a stream —
+    * the live twin of the memoized `simhash-sigs` artifact (q33/q62):
+    * signing is row-local per doc, so partials concatenate and serve
+    * is the bare union. Banding/pairing (`Dedup.simhashPairsFrom`)
+    * runs over the served table exactly as over the batch artifact. */
+  def simhashArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Dedup.simhashAgg(batch), SigSchema)
 }

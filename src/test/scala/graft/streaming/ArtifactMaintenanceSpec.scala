@@ -18,6 +18,7 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val artifact = freshDir("lm-artifact")
+    val art = ArtifactMaintenance.lmArtifact(artifact)
     val q = ArtifactMaintenance
       .maintainLm(input.toDF().toDF("doc_id", "text"), artifact)
       .option("checkpointLocation", freshDir("lm-ckpt"))
@@ -39,34 +40,34 @@ class ArtifactMaintenanceSpec extends SparkSpec {
 
     // a REPLAYED committed batch (crash between manifest commit and
     // checkpoint offset commit) is skipped — counts must not change
-    ArtifactMaintenance.applyBatch(
-      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 0L, artifact)
+    art.applyBatch(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 0L)
     assert(counts(artifact) == direct, "committed-batch replay double-counted")
 
     // compaction folds partials into one baseline with identical counts
     ArtifactMaintenance.compactLm(spark, artifact)
     assert(counts(artifact) == direct)
-    val m = ArtifactMaintenance.readManifest(artifact)
+    val m = art.readManifest()
     assert(m.dirs == Seq("baseline-g1") && m.covered == 1L, m)
 
     // a batch replayed AFTER its partial was folded into the baseline
     // must be skipped via the covered watermark (the double-count bug
     // a partition-overwrite-only scheme has)
-    ArtifactMaintenance.applyBatch(
-      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 1L, artifact)
+    art.applyBatch(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), 1L)
     assert(counts(artifact) == direct, "post-compaction replay double-counted")
 
     // a NEW batch after compaction lands beside the baseline
-    ArtifactMaintenance.applyBatch(
-      Seq((5L, "b c")).toDF("doc_id", "text"), 2L, artifact)
+    art.applyBatch(Seq((5L, "b c")).toDF("doc_id", "text"), 2L)
     assert(counts(artifact)(("b", "c")) == 4L)
   }
 
   test("crash-stranded directories are invisible to readers and swept by compaction") {
     import spark.implicits._
     val artifact = freshDir("lm-crash")
-    ArtifactMaintenance.applyBatch(Seq((1L, "a b")).toDF("doc_id", "text"), 0L, artifact)
-    ArtifactMaintenance.applyBatch(Seq((2L, "a b")).toDF("doc_id", "text"), 1L, artifact)
+    val art = ArtifactMaintenance.lmArtifact(artifact)
+    art.applyBatch(Seq((1L, "a b")).toDF("doc_id", "text"), 0L)
+    art.applyBatch(Seq((2L, "a b")).toDF("doc_id", "text"), 1L)
     val before = counts(artifact)
     // strand an UNCOMMITTED partial write (crash before manifest
     // commit): written bytes, no manifest line
@@ -80,7 +81,7 @@ class ArtifactMaintenanceSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$artifact/baseline-g99")
     assert(counts(artifact) == before, "orphan baseline was readable")
 
-    ArtifactMaintenance.compactLm(spark, artifact)
+    art.compact(spark)
     assert(counts(artifact) == before)
     // swept: the orphan baseline; kept: part-b7 (above the covered
     // watermark — it may be an in-flight batch whose commit is coming)
@@ -92,5 +93,33 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(!names.contains("baseline-g99"), names)
     assert(names.contains("part-b7"), names)
     assert(names.count(_.startsWith("baseline-")) == 1, names)
+  }
+
+  test("streamed simhash signatures match the batch artifact and feed pair search") {
+    import spark.implicits._
+    val artifact = freshDir("sig-artifact")
+    val art = ArtifactMaintenance.simhashArtifact(artifact)
+    // two batches, including a pair of identical docs across batches
+    val b0 = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val served = art.serve(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.llm.Dedup.simhashAgg(b0.unionByName(b1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == direct)
+    // identical docs sign identically; pair search over the SERVED
+    // table finds them, exactly as over the batch artifact
+    assert(served(1L) == served(3L))
+    val pairs = graft.llm.Dedup.simhashPairsFrom(art.serve(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), pairs)
+    // compaction preserves the row-partitioned table bit-exactly
+    art.compact(spark)
+    val compacted = art.serve(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted == direct)
   }
 }

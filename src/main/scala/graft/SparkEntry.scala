@@ -192,6 +192,12 @@ object SparkEntry {
     "q175_cross_source_exact" -> (Dedup.crossSourceExact _),
     "q176_zorder_layout"   -> (graft.ops.Layout.zorderLayout _),
     "q177_token_fertility" -> (TextAnalysis.tokenFertility _),
+    "q178_gopher_rules"    -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "q179_domain_reweight" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.domainReweight(s, d)),
+    "q180_bm25"            -> ((s: SparkSession, d: String) => graft.llm.Curation.bm25(s, d)),
+    "q181_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q182_source_divergence" -> (graft.llm.Curation.sourceDivergence _),
+    "q183_source_overlap"  -> (Dedup.sourceOverlap _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1240,6 +1246,119 @@ object SparkEntry {
         |       (1000000 * CAST(SUM(nb) AS BIGINT)) // CAST(SUM(nw) AS BIGINT)
         |         AS fertility_ppm
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q178_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM t),
+        |c AS (SELECT doc_id, n_words, (100 * sum_wlen) // n_words AS mean_wlen_centi,
+        |    n_stop FROM m),
+        |f AS (SELECT *,
+        |    (n_words >= 30 AND n_words <= 1000) AS ok_nwords,
+        |    (mean_wlen_centi >= 200 AND mean_wlen_centi <= 800) AS ok_wlen,
+        |    (n_stop >= 2) AS ok_stop FROM c)
+        |SELECT doc_id, n_words, mean_wlen_centi, n_stop,
+        |       ok_nwords, ok_wlen, ok_stop,
+        |       (ok_nwords AND ok_wlen AND ok_stop) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q179_domain_reweight" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |cnt AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |       FROM b JOIN cnt USING (w1, w2) GROUP BY 1),
+        |p2 AS (SELECT *, (1000000 * n_rare) // n_bigrams AS rare_ppm FROM ps),
+        |cr AS (SELECT (1000000 * CAST(SUM(n_rare) AS BIGINT))
+        |         // CAST(SUM(n_bigrams) AS BIGINT) AS corpus_ppm FROM p2),
+        |ex AS (SELECT p2.*, corpus_ppm,
+        |         GREATEST(CAST(0 AS BIGINT), rare_ppm - corpus_ppm) AS excess_ppm
+        |       FROM p2, cr),
+        |te AS (SELECT CAST(SUM(excess_ppm) AS BIGINT) AS tot_excess,
+        |         CAST(COUNT(*) AS BIGINT) AS n_sources FROM ex)
+        |SELECT source, n_bigrams, n_rare, rare_ppm, corpus_ppm, excess_ppm,
+        |       CASE WHEN tot_excess > 0 THEN (1000000 * excess_ppm) // tot_excess
+        |            ELSE 1000000 // n_sources END AS weight_ppm
+        |FROM ex, te ORDER BY source""".stripMargin,
+    "q180_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'window')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'dup')) AS BIGINT) AS tf2
+        |  FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM m),
+        |s AS (SELECT doc_id, dl, tf0, tf1, tf2,
+        |    ((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+        |      / (tf0 + (1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        |    + ((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+        |      / (tf1 + (1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        |    + ((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+        |      / (tf2 + (1.2 * (0.25 + (0.75 * (dl / avgdl))))) AS score
+        |  FROM m, st)
+        |SELECT doc_id, dl, tf0, tf1, tf2, score FROM s WHERE score > 0.0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q181_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding, label,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2,
+        |        label AS q_label
+        |      FROM e WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |s AS (SELECT q_id, q_label, vec_id AS neighbor_id,
+        |    label AS neighbor_label,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(n2)) AS sim
+        |  FROM q, e WHERE vec_id <> q_id AND label <> q_label),
+        |r AS (SELECT q_id, q_label, neighbor_id, neighbor_label, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT q_id, q_label, rnk, neighbor_id, neighbor_label, sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q182_source_divergence" ->
+      """WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) u GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+        |tot AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cw),
+        |agg AS (SELECT source, MAX(n_s) AS n_s, MAX(n_tot) AS n_tot,
+        |    CAST(SUM(n_w) AS BIGINT) AS cov,
+        |    CAST(SUM(ABS(n_sw * n_tot - n_w * n_s)) AS BIGINT) AS present_num
+        |  FROM sw JOIN cw USING (w) JOIN tot USING (source), g GROUP BY source)
+        |SELECT source, n_s AS n_tokens,
+        |       (1000000 * (present_num + n_s * (n_tot - cov)))
+        |         // (2 * n_s * n_tot) AS tv_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+    "q183_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |       FROM sh GROUP BY 1),
+        |px AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_inter,
+        |       (1000000 * n_inter) // (sa.n_grams + sb.n_grams - n_inter)
+        |         AS jaccard_ppm
+        |FROM px JOIN sz sa ON px.src_a = sa.source
+        |        JOIN sz sb ON px.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

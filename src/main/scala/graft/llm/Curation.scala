@@ -562,4 +562,101 @@ object Curation {
       .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
       .limit(topN)
   }
+
+  /**
+   * BM25 retrieval (Robertson & Walker 1994) with a RATIO idf — the
+   * classic `ln((N-df+0.5)/(df+0.5)+1)` replaced by the bare odds ratio
+   * `(N-df+0.5)/(df+0.5)`, because ln is a libm transcendental whose
+   * last-ulp rounding differs across engines (the repo's log-free
+   * discipline; ranking is order-isomorphic per term since ln is
+   * monotone). Term frequencies are row-local array `filter` counts on
+   * the doc's own token vector — NO posting-list explode, no shuffle on
+   * the corpus — and the three per-term scores land in fixed columns
+   * summed in one fixed-order expression, so the float result is a
+   * deterministic composition of IEEE-exact +,*,/ that DuckDB
+   * reproduces bit-for-bit.
+   *
+   * Scale shape: one corpus scan computes (tf_t, dl) per doc; the
+   * (N, df_t, avgdl) statistics are ONE group-less aggregate broadcast
+   * back as a single row; the final global top-k is Spark's
+   * TakeOrderedAndProject (per-partition bounded heaps, k rows per
+   * partition cross the exchange — never a full sort).
+   */
+  def bm25(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String] = Seq("spark", "window", "dup"),
+      topN: Int = 50): DataFrame = {
+    require(terms.size == 3, "fixed-arity score expression expects 3 terms")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            expr(s"size(filter(ws, w -> w = '$t'))").cast("long").as(s"tf$i")
+          }: _*)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      sum(when(col("tf0") > 0L, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0L, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0L, 1L).otherwise(0L)).as("df2"))
+    def termScore(i: Int) =
+      // parenthesization mirrors the oracle SQL verbatim: every op is
+      // IEEE-exact, so identical trees give identical bits
+      expr(s"((cast(n_docs as double) - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"(tf$i * 2.2) / (tf$i + (1.2 * (0.25 + (0.75 * (dl / avgdl)))))")
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", termScore(0) + termScore(1) + termScore(2))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /**
+   * Per-source distribution drift: total-variation distance between
+   * each source's unigram distribution and the corpus distribution —
+   * the mixture-health check run before reweighting (a source whose
+   * token distribution has drifted far from the pool is a candidate
+   * for exclusion or its own mixture slot). TV is the log-free
+   * divergence: `TV = ½ Σ_w |p_s(w) − p(w)|`, computed here entirely
+   * in integers via the cross-multiplied form
+   * `Σ|n_sw·N − n_w·N_s| / (2·N_s·N)`, emitted fixed-point ppm.
+   *
+   * Scale shape: one token explode feeds BOTH aggregates ((source,word)
+   * and per-word corpus counts, the latter derived from the former —
+   * word-cardinality input, never the corpus). Words a source never
+   * uses are folded ANALYTICALLY: their contribution is
+   * `N_s · (N − Σ_{w∈S} n_w)`, so no source×vocab grid is ever
+   * materialized — the plan scales with observed (source,word) pairs,
+   * not their cross product. BIGINT headroom: `n_sw·N` at 100 TB
+   * (N≈10^13) can exceed 2^63; the scale path promotes the two products
+   * to DECIMAL(38,0) — same expression, wider lanes.
+   */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sw = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_sw")))
+    val cw = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
+    val tot = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+    val grand = cw.agg(sum(col("n_w")).as("n_tot"))
+    sw.join(cw, Seq("w"))
+      .join(tot, Seq("source"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_s"),
+        max(col("n_tot")).as("n_tot"),
+        sum(col("n_w")).as("cov"),
+        sum(abs(col("n_sw") * col("n_tot") - col("n_w") * col("n_s")))
+          .as("present_num"))
+      .withColumn("tv_ppm", expr(
+        "(1000000 * (present_num + n_s * (n_tot - cov))) div (2 * n_s * n_tot)"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("tv_ppm"))
+      .orderBy("source")
+  }
 }

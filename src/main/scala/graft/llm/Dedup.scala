@@ -524,4 +524,51 @@ object Dedup {
         coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"))
       .orderBy(col("vec_id"))
   }
+
+  /**
+   * Source-pair overlap matrix: exact 3-gram Jaccard between every
+   * pair of SOURCES (not documents) — the corpus-composition audit
+   * that catches two feeds scraping the same upstream before their
+   * near-identical documents pollute the mixture (source-level twin of
+   * the doc-level q31/q133 checks). Output one row per unordered
+   * source pair with set sizes, intersection, and fixed-point Jaccard.
+   *
+   * Scale shape: the corpus collapses FIRST to distinct
+   * (source, md5(gram)) pairs — bounded by sources × gram-vocabulary,
+   * orders of magnitude under corpus row count — and the pair join
+   * keys on the 32-hex digest, never gram text (the q143/q144
+   * discipline). Per-gram fanout in the self-join is capped at
+   * C(sources, 2) — sources are a bounded dimension (dozens, not
+   * corpus-scale), so no hot key can go quadratic in the corpus. The
+   * distinct table is pinned: it feeds the size aggregate and both
+   * sides of the pair join.
+   */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sg = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(array_distinct(expr(
+          "transform(sequence(1, size(w)-2), i -> " +
+            "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+          .as("s"))
+        .select(col("source"), md5(col("s")).as("h"))
+        .distinct())
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val a = sg.select(col("source").as("src_a"), col("h"))
+    val b = sg.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))),
+        Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * n_inter) div (n_a + n_b - n_inter)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
 }

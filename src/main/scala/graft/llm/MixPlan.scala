@@ -234,4 +234,70 @@ object MixPlan {
         col("min_count"), col("rare_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * DoReMi-style domain reweighting (Xie et al. 2023), count-based: the
+   * mixture step that UPWEIGHTS the domains the reference model finds
+   * hardest. Here "hardness" is each source's excess rare-bigram rate
+   * over the corpus rate — the same log-free LM-surprise proxy
+   * [[bigramNovelty]] scores docs with — and the new mixture weight is
+   * each source's share of the total excess (sources at or below the
+   * corpus rate get weight 0, exactly DoReMi's clamp at the reference
+   * loss). Degenerate case — no source exceeds the corpus rate — falls
+   * back to uniform `1e6 div n_sources`.
+   *
+   * Scale shape: ONE corpus bigram pass (the source-tagged extraction),
+   * hashed against the pinned `bigram-lm` stored artifact — the same
+   * artifact [[bigramNovelty]] and the streaming maintenance path
+   * share, built once per corpus. Everything after the per-source
+   * aggregate is source-cardinality rows (a handful), combined via
+   * broadcast of two scalar totals. All-integer fixed-point (ppm), so
+   * the DuckDB oracle hash-matches.
+   */
+  def domainReweight(
+      spark: SparkSession,
+      dir: String,
+      rareMax: Long = 2L): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    val biSrc = corpus
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+    // the stored LM artifact — shared tag with bigramNovelty, so a
+    // pipeline running both queries builds the count table exactly once
+    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+      graft.ops.GlobalOrder.pin(
+        docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    }
+    // pinned: source-cardinality rows, but read twice (corpus-rate
+    // aggregate + final projection) — without the pin the corpus-scale
+    // scoring join would execute twice per serve
+    val perSrc = graft.ops.GlobalOrder.pin(
+      biSrc.join(counts, Seq("w1", "w2"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_bigrams")))
+    val corpusRate = perSrc.agg(
+      expr("(1000000 * sum(n_rare)) div sum(n_bigrams)").as("corpus_ppm"))
+    val withExcess = perSrc.crossJoin(broadcast(corpusRate))
+      .withColumn("excess_ppm",
+        greatest(lit(0L), col("rare_ppm") - col("corpus_ppm")))
+    val totals = withExcess.agg(
+      sum(col("excess_ppm")).as("tot_excess"),
+      count(lit(1)).as("n_sources"))
+    withExcess.crossJoin(broadcast(totals))
+      .withColumn("weight_ppm",
+        when(col("tot_excess") > 0L,
+          expr("(1000000 * excess_ppm) div tot_excess"))
+          .otherwise(expr("1000000 div n_sources")))
+      .select(col("source"), col("n_bigrams"), col("n_rare"),
+        col("rare_ppm"), col("corpus_ppm"), col("excess_ppm"),
+        col("weight_ppm"))
+      .orderBy("source")
+  }
 }

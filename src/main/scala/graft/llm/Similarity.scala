@@ -433,4 +433,40 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("neighbor_id"), col("sim"), col("bucket"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /**
+   * Hard-negative mining for contrastive training: per probe vector,
+   * the top-k most-similar corpus vectors whose LABEL differs from the
+   * probe's — the near-misses a contrastive or reranker objective
+   * learns the most from (cf. DPR, Karpukhin et al. 2020). Same probe
+   * set, tiebreaks and bit-exact double cosine as the q34 brute-force
+   * baseline (proven hash-exact against DuckDB), with the label
+   * inequality applied BEFORE the bounded-heap top-k, so the heaps
+   * only ever hold eligible candidates.
+   *
+   * Scale shape: identical to [[cosineTopK]] — one corpus scan against
+   * a constant-size broadcast probe set, survivors bounded by
+   * k·probes·partitions. At deployment scale the shortlist would come
+   * from the stored IVF/PQ index instead of the scan; this is the
+   * oracle-checkable exact twin.
+   */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val queries = emb
+      .filter(pmod(col("vec_id"), lit(20)) === 0 &&
+        col("vec_id") < lit(20L * MaxBruteQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("label").as("q_label"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .transform(j => graft.plans.TopK.perKeyWithRank(j,
+        Seq("q_id"), Seq(("sim", true), ("vec_id", false)), k, "rnk"))
+      .select(col("q_id"), col("q_label"), col("rnk"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
 }

@@ -848,4 +848,48 @@ object TextAnalysis {
         (countChar(col("scrubbed"), "#") - countChar(col("props"), "#")).cast("long"))
       .orderBy("event_id")
   }
+
+  /**
+   * Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1) —
+   * the hand-tuned pre-filter every large corpus passes through before
+   * the learned filters: per document, the rule measurements (word
+   * count, mean word length, stopword hits) and the individual
+   * pass/fail flags plus their conjunction. Emitting the per-rule
+   * flags — not just the verdict — is what makes the filter auditable:
+   * ablation (q165) consumes exactly this shape.
+   *
+   * Everything is row-local array arithmetic on the doc's own token
+   * vector (no explode, no shuffle — embarrassingly parallel at
+   * 100 TB), and all-integer: mean word length is fixed-point centi
+   * (`(100*Σlen) div n`), the house log-free/float-free discipline, so
+   * the DuckDB oracle hash-matches bit-for-bit.
+   */
+  def gopherRules(
+      spark: SparkSession,
+      dir: String,
+      minWords: Int = 30,
+      maxWords: Int = 1000,
+      minWlenCenti: Long = 200L,
+      maxWlenCenti: Long = 800L,
+      minStop: Long = 2L): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_wlen"),
+        expr("size(filter(ws, w -> w = 'the' OR w = 'a'))")
+          .cast("long").as("n_stop"))
+      .withColumn("mean_wlen_centi", expr("(100 * sum_wlen) div n_words"))
+      .withColumn("ok_nwords",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_wlen",
+        col("mean_wlen_centi") >= minWlenCenti &&
+          col("mean_wlen_centi") <= maxWlenCenti)
+      .withColumn("ok_stop", col("n_stop") >= minStop)
+      .withColumn("pass", col("ok_nwords") && col("ok_wlen") && col("ok_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_centi"),
+        col("n_stop"), col("ok_nwords"), col("ok_wlen"), col("ok_stop"),
+        col("pass"))
+      .orderBy("doc_id")
 }

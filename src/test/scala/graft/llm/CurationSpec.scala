@@ -181,4 +181,37 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(t("s1") == 1000000L && t("s2") == 0L)
   }
+
+  test("bm25: bounded result, monotone scores, positive-score filter holds") {
+    val rows = Curation.bm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    // non-increasing with doc_id tiebreak: the cut is deterministic
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getAs[Double]("score") == b.getAs[Double]("score") =>
+        assert(a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+      case _ =>
+    }
+    // a scored doc must actually contain at least one query term
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf0") + r.getAs[Long]("tf1") + r.getAs[Long]("tf2") > 0L)
+    }
+  }
+
+  test("source divergence: tv_ppm is a valid fixed-point TV distance") {
+    val rows = Curation.sourceDivergence(spark, sf).collect()
+    val nSrc = graft.model.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSrc)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_ppm")
+      assert(tv >= 0L && tv <= 1000000L, s"${r.getString(0)}: tv=$tv")
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // TV to the pooled distribution can't be maximal for every source:
+    // the pool contains each source, so at least one sits well inside
+    assert(rows.map(_.getAs[Long]("tv_ppm")).min < 500000L)
+  }
 }

@@ -144,4 +144,26 @@ class DedupSpec extends SparkSpec {
     // ordered pairs only
     got.keys.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("source overlap: jaccard bounds, set arithmetic, unordered pairs") {
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    val nSrc = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source")).distinct().count()
+    assert(rows.length <= nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      val (na, nb, inter) =
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_inter"))
+      assert(inter >= 1L && inter <= math.min(na, nb))
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j == 1000000L * inter / (na + nb - inter))
+      assert(j >= 0L && j <= 1000000L)
+    }
+    // a source's gram-set size is consistent wherever it appears
+    val sizes = rows.flatMap(r => Seq(
+      r.getAs[String]("src_a") -> r.getAs[Long]("n_a"),
+      r.getAs[String]("src_b") -> r.getAs[Long]("n_b")))
+    sizes.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.length == 1))
+  }
 }

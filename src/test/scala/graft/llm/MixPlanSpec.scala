@@ -80,4 +80,30 @@ class MixPlanSpec extends SparkSpec {
     val row0 = rows.find(_.getLong(0) == 0L)
     if (doc >= 2) assert(row0.exists(_.getLong(1) == doc - 1L))
   }
+
+  test("domain reweight: weights are a clamped-excess share summing to ~1e6") {
+    val rows = MixPlan.domainReweight(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSrc = rows.length
+    val totExcess = rows.map(_.getAs[Long]("excess_ppm")).sum
+    val weights = rows.map(_.getAs[Long]("weight_ppm"))
+    rows.foreach { r =>
+      val (nBi, nRare) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_rare"))
+      assert(r.getAs[Long]("rare_ppm") == 1000000L * nRare / nBi)
+      assert(r.getAs[Long]("excess_ppm") ==
+        math.max(0L, r.getAs[Long]("rare_ppm") - r.getAs[Long]("corpus_ppm")))
+    }
+    if (totExcess > 0L) {
+      // integer-div shares: each source's floor share, so the sum can
+      // undershoot 1e6 by at most one ulp per source
+      rows.foreach { r =>
+        assert(r.getAs[Long]("weight_ppm") ==
+          1000000L * r.getAs[Long]("excess_ppm") / totExcess)
+      }
+      assert(weights.sum <= 1000000L && weights.sum > 1000000L - nSrc)
+      // DoReMi clamp: sources at or below the corpus rate get zero
+      rows.filter(_.getAs[Long]("excess_ppm") == 0L)
+        .foreach(r => assert(r.getAs[Long]("weight_ppm") == 0L))
+    } else weights.foreach(w => assert(w == 1000000L / nSrc))
+  }
 }

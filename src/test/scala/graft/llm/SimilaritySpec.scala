@@ -78,4 +78,37 @@ class SimilaritySpec extends SparkSpec {
         s"n=$n bits=$b width=${n.toDouble / (1L << b)}")
     }
   }
+
+  test("hard negatives: every mined neighbor crosses the label boundary") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("neighbor_label"))
+      val s = r.getAs[Double]("sim")
+      assert(s >= -1.0000001 && s <= 1.0000001)
+    }
+    // ranks are contiguous 1..k per query, descending sim
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to g.size).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      sims.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    }
+    // the mined top-1 is exactly the brute-force argmax restricted to
+    // other-label candidates (spot-check one probe against q34's scan)
+    val q0 = rows.filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("rnk") == 1L)
+    q0.foreach { top =>
+      val all = Similarity.cosineTopK(spark, sf, k = 400).collect()
+        .filter(_.getAs[Long]("q_id") == 0L)
+      val eligible = all.filter(_.getAs[Long]("neighbor_id") != top.getAs[Long]("neighbor_id"))
+      // no eligible other-label candidate in the exhaustive list may
+      // beat the mined top-1's similarity
+      val labels = graft.model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val qLab = top.getAs[Int]("q_label")
+      eligible.filter(r => labels(r.getAs[Long]("neighbor_id")) != qLab)
+        .foreach(r => assert(r.getAs[Double]("sim") <= top.getAs[Double]("sim")))
+    }
+  }
 }

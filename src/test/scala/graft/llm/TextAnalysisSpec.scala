@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("gopher rules: flags recompute from raw text; pass is the conjunction") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass") ==
+        (r.getAs[Boolean]("ok_nwords") && r.getAs[Boolean]("ok_wlen") &&
+          r.getAs[Boolean]("ok_stop")))
+      assert(r.getAs[Long]("n_words") >= 1L)
+      assert(r.getAs[Long]("mean_wlen_centi") >= 100L,
+        "every non-empty word is at least one char")
+    }
+    // recompute one doc by hand
+    val doc0 = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select(col("text")).head.getString(0)
+    val ws = doc0.split(" ")
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_words") == ws.length.toLong)
+    assert(r0.getAs[Long]("mean_wlen_centi") ==
+      100L * ws.map(_.length.toLong).sum / ws.length)
+    assert(r0.getAs[Long]("n_stop") == ws.count(w => w == "the" || w == "a").toLong)
+  }
+
+  test("gopher rules plan is row-local: no joins, no corpus shuffle before the sort") {
+    val a = graft.plans.PlanChecks.audit(TextAnalysis.gopherRules(spark, sf))
+    assert(a.joins == 0, a)
+    // the only exchange is the final presentation sort's range partition
+    assert(a.shuffleExchanges <= 1, a)
+  }
+
   test("winnowing detects every planted >=w+k-1-token repeat, never sub-gram overlap") {
     import spark.implicits._
     // 7 tokens = w + k - 1 at (k=4, w=4): the winnowing guarantee's

@@ -259,6 +259,26 @@ object MixPlan {
       dir: String,
       rareMax: Long = 2L): DataFrame = {
     val corpus = Tables.documents(spark, dir)
+    // the stored LM artifact — shared tag with bigramNovelty, so a
+    // pipeline running both queries builds the count table exactly once
+    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+      graft.ops.GlobalOrder.pin(
+        docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    }
+    domainReweightFrom(corpus, counts, rareMax)
+  }
+
+  /** [[domainReweight]] against an EXPLICIT count table — the batch
+    * memo above and the stream-maintained LM artifact
+    * ([[graft.streaming.ArtifactMaintenance.lmCounts]]) are
+    * interchangeable here because both aggregate the same
+    * [[docBigrams]] projection; ArtifactMaintenanceSpec pins that the
+    * weights computed from the streamed artifact equal the batch
+    * ones. Expects `counts(w1, w2, n)`. */
+  private[graft] def domainReweightFrom(
+      corpus: DataFrame,
+      counts: DataFrame,
+      rareMax: Long): DataFrame = {
     val biSrc = corpus
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -266,12 +286,6 @@ object MixPlan {
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
       .select(col("source"), col("b.w1"), col("b.w2"))
-    // the stored LM artifact — shared tag with bigramNovelty, so a
-    // pipeline running both queries builds the count table exactly once
-    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
-      graft.ops.GlobalOrder.pin(
-        docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
-    }
     // pinned: source-cardinality rows, but read twice (corpus-rate
     // aggregate + final projection) — without the pin the corpus-scale
     // scoring join would execute twice per serve

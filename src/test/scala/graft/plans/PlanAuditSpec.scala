@@ -281,7 +281,27 @@ class PlanAuditSpec extends SparkSpec {
       "q174_simpson_diversity"  -> (3, 0, 0, 0),
       "q175_cross_source_exact" -> (3, 0, 0, 0),
       "q176_zorder_layout"      -> (2, 0, 0, 0),
-      "q177_token_fertility"    -> (2, 0, 0, 0))
+      "q177_token_fertility"    -> (2, 0, 0, 0),
+      // round-10 curation additions: q178 is pure row-local arithmetic
+      // (the one exchange is the presentation sort); q180's only join
+      // is the broadcast of the one-row corpus statistics; q181 is
+      // exactly q34's scan-vs-broadcast shape with the label filter
+      // folded before the heap
+      "q178_gopher_rules"       -> (1, 0, 0, 0),
+      // q179 audits the SERVE plan: the corpus bigram join runs at
+      // pin-build (perSrc is a stored source-cardinality checkpoint);
+      // what remains is the output sort plus three scalar broadcasts
+      "q179_domain_reweight"    -> (1, 3, 0, 0),
+      // q180: ZERO data shuffles — the one-row stats agg broadcasts
+      // (BNLJ, not in `joins`), tf counts are row-local, and the global
+      // top-k is TakeOrderedAndProject
+      "q180_bm25"               -> (0, 1, 0, 0),
+      "q181_hard_negatives"     -> (2, 1, 0, 0),
+      // q182 serves from the pinned (source, word) aggregate: the five
+      // exchanges are the word/source/grand re-aggregations of that
+      // vocab-sized table plus the output sort — none corpus-scale
+      "q182_source_divergence"  -> (5, 3, 2, 0),
+      "q183_source_overlap"     -> (4, 3, 3, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -122,4 +122,44 @@ class ArtifactMaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compacted == direct)
   }
+
+  test("domain weights from the streamed LM artifact equal the batch weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a corpus whose sources have genuinely different rare-bigram rates:
+    // s1 repeats one phrase (no rare bigrams at rareMax=1), s2/s3 carry
+    // singleton bigrams
+    val docs = Seq(
+      (1L, "s1", "a b c a b c a b c"),
+      (2L, "s1", "a b c a b c"),
+      (3L, "s2", "x y z w v u"),
+      (4L, "s2", "p q r s t"),
+      (5L, "s3", "a b c x q"))
+      .toDF("doc_id", "source", "text")
+    val input = MemoryStream[(Long, String)]
+    val artifact = freshDir("lm-reweight")
+    val q = ArtifactMaintenance
+      .maintainLm(input.toDF().toDF("doc_id", "text"), artifact)
+      .option("checkpointLocation", freshDir("lm-reweight-ckpt"))
+      .start()
+    try {
+      input.addData((1L, "a b c a b c a b c"), (2L, "a b c a b c"),
+        (3L, "x y z w v u"))
+      q.processAllAvailable()
+      input.addData((4L, "p q r s t"), (5L, "a b c x q"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def weights(counts: org.apache.spark.sql.DataFrame) =
+      graft.llm.MixPlan.domainReweightFrom(docs, counts, rareMax = 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val fromStream = weights(ArtifactMaintenance.lmCounts(spark, artifact))
+    val fromBatch = weights(ArtifactMaintenance.batchBigramCounts(docs))
+    assert(fromStream == fromBatch,
+      s"streamed artifact diverged from batch:\n$fromStream\n$fromBatch")
+    // the mixture actually discriminates: the repeated-phrase source
+    // gets zero weight, a singleton-heavy source gets positive weight
+    val bySrc = fromStream.map(t => t._1 -> t._7).toMap
+    assert(bySrc("s1") == 0L && bySrc("s2") > 0L, bySrc)
+  }
 }

@@ -198,6 +198,9 @@ object SparkEntry {
     "q181_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q182_source_divergence" -> (graft.llm.Curation.sourceDivergence _),
     "q183_source_overlap"  -> (Dedup.sourceOverlap _),
+    "q184_fim_transform"   -> ((s: SparkSession, d: String) => Pipeline.fimTransform(s, d)),
+    "q185_repeat_epochs"   -> ((s: SparkSession, d: String) => graft.llm.MixPlan.repeatEpochs(s, d)),
+    "q186_pack_boundaries" -> ((s: SparkSession, d: String) => Pipeline.packBoundaries(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1359,6 +1362,62 @@ object SparkEntry {
         |FROM px JOIN sz sa ON px.src_a = sa.source
         |        JOIN sz sb ON px.src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    // hex2int of the first 6 md5 chars via the list_reduce fold (the
+    // q103 idiom — DuckDB has no conv()); salt prefixes fim1:/fim2:
+    // match Pipeline.fimTransform exactly
+    "q184_fim_transform" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words
+        |      FROM t WHERE len(ws) >= 4),
+        |h AS (SELECT doc_id, ws, n_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('fim1:' || doc_id), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('fim2:' || doc_id), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM m),
+        |c1 AS (SELECT doc_id, ws, n_words, h2,
+        |         h1 % (n_words - 2) + 1 AS cut1 FROM h),
+        |c2 AS (SELECT doc_id, ws, n_words, cut1,
+        |         h2 % (n_words - 1 - cut1) + cut1 + 1 AS cut2 FROM c1)
+        |SELECT doc_id, n_words, cut1, cut2,
+        |       '<PRE> ' || array_to_string(ws[1:cut1], ' ') ||
+        |       ' <SUF> ' || array_to_string(ws[cut2 + 1:n_words], ' ') ||
+        |       ' <MID> ' || array_to_string(ws[cut1 + 1:cut2], ' ') AS fim_text
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+    "q185_repeat_epochs" ->
+      """WITH toks AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM toks),
+        |s AS (SELECT toks.*, (2 * corpus_tokens) // n_sources AS share
+        |      FROM toks, tot),
+        |e AS (SELECT *, LEAST(CAST(4000000 AS BIGINT),
+        |        (1000000 * share) // tokens) AS epochs_ppm FROM s)
+        |SELECT source, n_docs, tokens, share, epochs_ppm,
+        |       (tokens * epochs_ppm) // 1000000 AS allocated_tokens
+        |FROM e ORDER BY source""".stripMargin,
+    "q186_pack_boundaries" ->
+      """WITH d AS (SELECT source, doc_id, doc_id // 1000000 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, shard, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+        |  FROM d),
+        |p AS (SELECT source, shard, n_tokens,
+        |    CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+        |    CAST((cum - n_tokens) - ((cum - n_tokens) // 256) * 256 AS BIGINT) AS off
+        |  FROM c)
+        |SELECT source, shard, pack_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |       array_to_string(list(off ORDER BY off), ',') AS boundaries
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

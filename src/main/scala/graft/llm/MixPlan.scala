@@ -314,4 +314,46 @@ object MixPlan {
         col("weight_ppm"))
       .orderBy("source")
   }
+
+  /**
+   * Data-constrained repeat-epoch allocation (Muennighoff et al. 2023,
+   * "Scaling Data-Constrained Language Models"): given a token budget
+   * of `budgetFactor ×` the corpus and a uniform compute share per
+   * source, each source trains for `share / tokens` epochs — CAPPED at
+   * 4 epochs (the paper's result: up to ~4 repeats are worth nearly as
+   * much as fresh data; beyond that, returns decay to zero). Sources
+   * too small to absorb their share repeat up to the cap; large
+   * sources train under one epoch. Epochs are fixed-point ppm (the
+   * log-free house discipline), so allocation arithmetic is exact
+   * BIGINT.
+   *
+   * Scale shape: ONE corpus scan (row-local token count, partial-agg
+   * to a source-cardinality table); every downstream step is
+   * arithmetic on source-count rows against one broadcast scalar pair.
+   */
+  def repeatEpochs(
+      spark: SparkSession,
+      dir: String,
+      budgetFactor: Long = 2L,
+      maxEpochsPpm: Long = 4000000L): DataFrame = {
+    // pinned: source-cardinality rows read twice (totals + the main
+    // projection) — unpinned, the corpus scan+aggregate would run twice
+    val toks = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
+    val totals = toks.agg(
+      sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    toks.crossJoin(broadcast(totals))
+      .withColumn("share",
+        expr(s"($budgetFactor * corpus_tokens) div n_sources"))
+      .withColumn("epochs_ppm",
+        least(lit(maxEpochsPpm), expr("(1000000 * share) div tokens")))
+      .withColumn("allocated_tokens", expr("(tokens * epochs_ppm) div 1000000"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+        col("epochs_ppm"), col("allocated_tokens"))
+      .orderBy("source")
+  }
 }

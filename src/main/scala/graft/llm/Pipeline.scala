@@ -316,6 +316,71 @@ object Pipeline {
   }
 
   /**
+   * Per-pack DOCUMENT BOUNDARY offsets — the attention-mask input a
+   * trainer needs beside [[sequencePacking]]'s pack summary: packed
+   * sequences must not attend across document boundaries, so each pack
+   * row carries the sorted intra-pack token offsets where its documents
+   * start (offset 0 is always present; the trainer turns these into the
+   * block-diagonal mask). Same shard-parallel cumulative sum as
+   * [[sequencePacking]]; boundaries are emitted as a comma-joined
+   * STRING, not an array — the repo's oracle surface avoids list
+   * columns (engine renderings differ; a joined string is bit-stable).
+   * Start offsets within a pack are distinct by construction (documents
+   * are non-empty), so the sort is total without a tiebreak.
+   */
+  def packBoundaries(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .withColumn("off", expr(s"(cum - n_tokens) - pack_id * $budget"))
+      .groupBy(col("source"), col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(array_sort(collect_list(col("off"))), ",").as("boundaries"))
+      .orderBy(col("source"), col("shard"), col("pack_id"))
+  }
+
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022): the
+   * pretraining-example generator that moves a pseudo-random middle
+   * span to the end in PSM (prefix–suffix–middle) sentinel format, so
+   * a causal LM learns infilling. Cut points derive from md5 over a
+   * salted doc_id — the repo's cross-engine hash — so the "random"
+   * spans are deterministic and the DuckDB oracle replays them
+   * bit-for-bit. cut1 ∈ [1, n−2], cut2 ∈ [cut1+1, n−1]: prefix,
+   * middle and suffix are all non-empty. Everything is row-local
+   * array arithmetic (no shuffle but the presentation sort) — the
+   * transform streams at input bandwidth at 100 TB.
+   */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .filter(col("n_words") >= 4L)
+      .withColumn("h1", conv(substring(md5(
+        concat(lit("fim1:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"))
+      .withColumn("h2", conv(substring(md5(
+        concat(lit("fim2:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"))
+      .withColumn("cut1", expr("h1 % (n_words - 2) + 1"))
+      .withColumn("cut2", expr("h2 % (n_words - 1 - cut1) + cut1 + 1"))
+      .withColumn("fim_text", expr(
+        "concat('<PRE> ', array_join(slice(ws, 1, cast(cut1 as int)), ' '), " +
+          "' <SUF> ', array_join(slice(ws, cast(cut2 + 1 as int), " +
+          "cast(n_words - cut2 as int)), ' '), " +
+          "' <MID> ', array_join(slice(ws, cast(cut1 + 1 as int), " +
+          "cast(cut2 - cut1 as int)), ' '))"))
+      .select(col("doc_id"), col("n_words"), col("cut1"), col("cut2"),
+        col("fim_text"))
+      .orderBy("doc_id")
+
+  /**
    * Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
    * 3-word shingles with a held-out evaluation set must be dropped
    * before training. The eval set (doc_id < 5 stands in for the real

@@ -110,4 +110,72 @@ class PipelineSpec extends SparkSpec {
       f"IVF recall $recall%.3f does not beat coverage baseline $coverage%.3f")
     assert(recall >= 0.45, f"IVF recall regressed: $recall%.3f")
   }
+
+  test("FIM transform: spans partition the doc and reassemble to the original") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Pipeline.fimTransform(spark, sf).collect()
+    val eligible = docs.count(_._2.split(" ").length >= 4)
+    assert(rows.length == eligible)
+    rows.foreach { r =>
+      val (id, n, c1, c2) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("cut1"), r.getAs[Long]("cut2"))
+      assert(1L <= c1 && c1 < c2 && c2 <= n - 1,
+        s"doc $id: cuts ($c1,$c2) out of range for n=$n")
+      // parse the PSM format back and check the three spans reassemble
+      // to the original token sequence
+      val fim = r.getAs[String]("fim_text")
+      val m = "<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+      fim match {
+        case m(pre, suf, mid) =>
+          val ws = docs(id).split(" ")
+          assert(pre == ws.slice(0, c1.toInt).mkString(" "))
+          assert(mid == ws.slice(c1.toInt, c2.toInt).mkString(" "))
+          assert(suf == ws.slice(c2.toInt, n.toInt).mkString(" "))
+        case _ => fail(s"doc $id: unparseable FIM format: $fim")
+      }
+    }
+  }
+
+  test("repeat epochs: cap honored, small sources repeat, allocation arithmetic exact") {
+    val rows = MixPlan.repeatEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpusTokens = rows.map(_.getAs[Long]("tokens")).sum
+    val share = 2L * corpusTokens / rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share") == share)
+      val e = r.getAs[Long]("epochs_ppm")
+      assert(e >= 0L && e <= 4000000L)
+      assert(e == math.min(4000000L, 1000000L * share / r.getAs[Long]("tokens")))
+      assert(r.getAs[Long]("allocated_tokens") ==
+        r.getAs[Long]("tokens") * e / 1000000L)
+      // a source that can't absorb its share repeats (epochs > 1)
+      if (r.getAs[Long]("tokens") < share) assert(e > 1000000L)
+    }
+    // budget feasibility: total allocation never exceeds the budget
+    assert(rows.map(_.getAs[Long]("allocated_tokens")).sum <= 2L * corpusTokens)
+  }
+
+  test("pack boundaries agree with the pack summary and start at offset 0") {
+    import org.apache.spark.sql.functions._
+    val packs = Pipeline.sequencePacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"))).toMap
+    val rows = Pipeline.packBoundaries(spark, sf).collect()
+    assert(rows.length == packs.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (nDocs, pTok) = packs(key)
+      assert(r.getAs[Long]("n_docs") == nDocs && r.getAs[Long]("pack_tokens") == pTok)
+      val offs = r.getAs[String]("boundaries").split(",").map(_.toLong)
+      assert(offs.length.toLong == nDocs, s"$key: ${offs.length} offsets != $nDocs docs")
+      // strictly increasing within the budget; a pack's first doc
+      // starts exactly at its pack boundary
+      assert(offs.head == 0L || key._3 > 0L)
+      assert(offs.forall(o => o >= 0L && o < 256L))
+      offs.sliding(2).foreach { case Array(a, b) => assert(a < b); case _ => }
+    }
+  }
 }

@@ -301,7 +301,17 @@ class PlanAuditSpec extends SparkSpec {
       // exchanges are the word/source/grand re-aggregations of that
       // vocab-sized table plus the output sort — none corpus-scale
       "q182_source_divergence"  -> (5, 3, 2, 0),
-      "q183_source_overlap"     -> (4, 3, 3, 0))
+      "q183_source_overlap"     -> (4, 3, 3, 0),
+      // q184: the FIM cut/slice surgery is pure row-local array
+      // arithmetic — only the presentation sort exchanges
+      "q184_fim_transform"      -> (1, 0, 0, 0),
+      // q185 serves from the pinned source-token table: one output
+      // sort plus the broadcast scalar pair — the corpus scan ran once
+      // at pin-build
+      "q185_repeat_epochs"      -> (1, 1, 0, 0),
+      // q186: the boundary aggregate reuses the packing window's
+      // (source, shard) partitioning — no third exchange
+      "q186_pack_boundaries"    -> (2, 0, 0, 1))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

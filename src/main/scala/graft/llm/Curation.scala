@@ -636,11 +636,18 @@ object Curation {
    * to DECIMAL(38,0) — same expression, wider lanes.
    */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val sw = graft.ops.GlobalOrder.pin(
-      Tables.documents(spark, dir)
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("n_sw")))
+    val corpus = Tables.documents(spark, dir)
+    // stored artifact: the (source, word) count table is a corpus
+    // statistic with the same train-once lifecycle as the LM count
+    // table — memoized, so a serve re-aggregates word-cardinality
+    // rows instead of re-exploding the corpus
+    val sw = ModelCache.memoIndex(corpus, "source-unigrams") {
+      graft.ops.GlobalOrder.pin(
+        corpus
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("n_sw")))
+    }
     val cw = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
     val tot = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
     val grand = cw.agg(sum(col("n_w")).as("n_tot"))

@@ -544,16 +544,23 @@ object Dedup {
    * sides of the pair join.
    */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sg = graft.ops.GlobalOrder.pin(
-      Tables.documents(spark, dir)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("source"), explode(array_distinct(expr(
-          "transform(sequence(1, size(w)-2), i -> " +
-            "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
-          .as("s"))
-        .select(col("source"), md5(col("s")).as("h"))
-        .distinct())
+    val corpus = Tables.documents(spark, dir)
+    // stored artifact: the distinct (source, gram-digest) table has
+    // the same train-once lifecycle as the LSH band tables — memoized,
+    // so a serve runs the bounded pair join over the stored set
+    // instead of re-sharding the corpus
+    val sg = ModelCache.memoIndex(corpus, "source-grams") {
+      graft.ops.GlobalOrder.pin(
+        corpus
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .select(col("source"), explode(array_distinct(expr(
+            "transform(sequence(1, size(w)-2), i -> " +
+              "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+            .as("s"))
+          .select(col("source"), md5(col("s")).as("h"))
+          .distinct())
+    }
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val a = sg.select(col("source").as("src_a"), col("h"))
     val b = sg.select(col("source").as("src_b"), col("h"))

@@ -265,7 +265,15 @@ object MixPlan {
       graft.ops.GlobalOrder.pin(
         docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
     }
-    domainReweightFrom(corpus, counts, rareMax)
+    // stored artifact #2: the per-source rare-bigram statistics are a
+    // trained corpus property (same lifecycle as the count table they
+    // derive from) — memoized, so a serve is pure source-cardinality
+    // arithmetic and the corpus bigram pass runs once per corpus, not
+    // once per serve
+    val stats = ModelCache.memoIndex(corpus, s"src-rare-stats-$rareMax") {
+      graft.ops.GlobalOrder.pin(sourceRareStats(corpus, counts, rareMax))
+    }
+    weightsFromStats(stats)
   }
 
   /** [[domainReweight]] against an EXPLICIT count table — the batch
@@ -278,6 +286,21 @@ object MixPlan {
   private[graft] def domainReweightFrom(
       corpus: DataFrame,
       counts: DataFrame,
+      rareMax: Long): DataFrame =
+    // pinned (not memoized): this entry point exists so callers can
+    // supply a DIFFERENT count artifact (e.g. the stream-maintained
+    // one) over the same corpus — a corpus-keyed memo here would
+    // conflate them. The pin still keeps the source-cardinality stats
+    // from recomputing inside one serve.
+    weightsFromStats(graft.ops.GlobalOrder.pin(
+      sourceRareStats(corpus, counts, rareMax)))
+
+  /** ONE source-tagged corpus bigram pass hashed against the count
+    * artifact, reduced to per-source totals — the build body of the
+    * `src-rare-stats` stored artifact. */
+  private def sourceRareStats(
+      corpus: DataFrame,
+      counts: DataFrame,
       rareMax: Long): DataFrame = {
     val biSrc = corpus
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
@@ -286,16 +309,19 @@ object MixPlan {
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
       .select(col("source"), col("b.w1"), col("b.w2"))
-    // pinned: source-cardinality rows, but read twice (corpus-rate
-    // aggregate + final projection) — without the pin the corpus-scale
-    // scoring join would execute twice per serve
-    val perSrc = graft.ops.GlobalOrder.pin(
-      biSrc.join(counts, Seq("w1", "w2"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
-        .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_bigrams")))
+    biSrc.join(counts, Seq("w1", "w2"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_bigrams"))
+  }
+
+  /** The clamped-excess weight arithmetic over a (source, n_bigrams,
+    * n_rare, rare_ppm) stats table — source-cardinality rows plus two
+    * broadcast scalars; shared by the memoized and explicit-artifact
+    * entry points. */
+  private def weightsFromStats(perSrc: DataFrame): DataFrame = {
     val corpusRate = perSrc.agg(
       expr("(1000000 * sum(n_rare)) div sum(n_bigrams)").as("corpus_ppm"))
     val withExcess = perSrc.crossJoin(broadcast(corpusRate))
@@ -336,13 +362,17 @@ object MixPlan {
       dir: String,
       budgetFactor: Long = 2L,
       maxEpochsPpm: Long = 4000000L): DataFrame = {
-    // pinned: source-cardinality rows read twice (totals + the main
-    // projection) — unpinned, the corpus scan+aggregate would run twice
-    val toks = graft.ops.GlobalOrder.pin(
-      Tables.documents(spark, dir)
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
+    // stored artifact: per-source token totals are a corpus statistic
+    // (and are read twice below: totals + the main projection) —
+    // memoized, so a serve is pure arithmetic on source-count rows
+    val corpus = Tables.documents(spark, dir)
+    val toks = ModelCache.memoIndex(corpus, "source-tokens") {
+      graft.ops.GlobalOrder.pin(
+        corpus
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
+    }
     val totals = toks.agg(
       sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))

@@ -648,6 +648,17 @@ object Curation {
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("n_sw")))
     }
+    sourceDivergenceFrom(sw)
+  }
+
+  /** [[sourceDivergence]] against an EXPLICIT (source, w, n_sw) count
+    * table — the batch memo above and the stream-maintained artifact
+    * ([[graft.streaming.ArtifactMaintenance.sourceUnigramArtifact]])
+    * are interchangeable because both aggregate the same projection;
+    * ArtifactMaintenanceSpec pins the equality. Callers pass something
+    * cheap to rescan (a checkpoint pin or a committed parquet store) —
+    * the plan reads it three ways. */
+  private[graft] def sourceDivergenceFrom(sw: DataFrame): DataFrame = {
     val cw = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
     val tot = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
     val grand = cw.agg(sum(col("n_w")).as("n_tot"))

@@ -196,6 +196,31 @@ object ArtifactMaintenance {
   def compactLm(spark: SparkSession, artifactDir: String): Unit =
     lmArtifact(artifactDir).compact(spark)
 
+  // ---- source unigram counts (mergeable) --------------------------
+
+  private val SrcUnigramSchema = StructType(Seq(
+    StructField("source", StringType), StructField("w", StringType),
+    StructField("n_sw", LongType)))
+
+  /** Per-batch (source, word) partial counts — the SAME projection the
+    * memoized `source-unigrams` artifact aggregates
+    * (Curation.sourceDivergence), so streamed partials are
+    * bit-compatible with the batch artifact. */
+  private[streaming] def batchSourceUnigrams(batch: DataFrame): DataFrame =
+    batch
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_sw"))
+
+  /** The (source, word) count store maintained from a document stream —
+    * the live twin of the memoized `source-unigrams` artifact behind
+    * the TV-drift query (q182): counts merge by summation, so serve
+    * re-aggregates the committed partials. */
+  def sourceUnigramArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir, batchSourceUnigrams, SrcUnigramSchema,
+      reduceOf = _.groupBy(col("source"), col("w"))
+        .agg(sum(col("n_sw")).as("n_sw")))
+
   // ---- simhash signatures (row-partitioned) -----------------------
 
   private val SigSchema = StructType(Seq(

@@ -162,4 +162,35 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     val bySrc = fromStream.map(t => t._1 -> t._7).toMap
     assert(bySrc("s1") == 0L && bySrc("s2") > 0L, bySrc)
   }
+
+  test("TV drift from the streamed unigram artifact equals the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val artifact = freshDir("unigram-artifact")
+    val art = ArtifactMaintenance.sourceUnigramArtifact(artifact)
+    val q = art.maintain(input.toDF().toDF("doc_id", "source", "text"))
+      .option("checkpointLocation", freshDir("unigram-ckpt"))
+      .start()
+    try {
+      input.addData((1L, "s1", "a b a b c"), (2L, "s2", "x x y"))
+      q.processAllAvailable()
+      input.addData((3L, "s1", "a c"), (4L, "s3", "a x z z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = Seq((1L, "s1", "a b a b c"), (2L, "s2", "x x y"),
+      (3L, "s1", "a c"), (4L, "s3", "a x z z"))
+      .toDF("doc_id", "source", "text")
+    val batchSw = ArtifactMaintenance.batchSourceUnigrams(docs)
+    def tv(sw: org.apache.spark.sql.DataFrame) =
+      graft.llm.Curation.sourceDivergenceFrom(sw)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val fromStream = tv(art.serve(spark))
+    val fromBatch = tv(batchSw)
+    assert(fromStream == fromBatch,
+      s"streamed unigram artifact diverged:\n$fromStream\n$fromBatch")
+    // compaction preserves the served counts, and so the drift numbers
+    ArtifactMaintenance.sourceUnigramArtifact(artifact).compact(spark)
+    assert(tv(art.serve(spark)) == fromBatch)
+  }
 }

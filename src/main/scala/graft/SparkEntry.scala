@@ -201,6 +201,7 @@ object SparkEntry {
     "q184_fim_transform"   -> ((s: SparkSession, d: String) => Pipeline.fimTransform(s, d)),
     "q185_repeat_epochs"   -> ((s: SparkSession, d: String) => graft.llm.MixPlan.repeatEpochs(s, d)),
     "q186_pack_boundaries" -> ((s: SparkSession, d: String) => Pipeline.packBoundaries(s, d)),
+    "q187_source_pagerank" -> ((s: SparkSession, d: String) => graft.llm.Curation.sourcePagerank(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1418,6 +1419,44 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
         |       array_to_string(list(off ORDER BY off), ',') AS boundaries
         |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the recursive CTE unrolls the same 8 all-integer PageRank steps
+    // the driver-side loop computes; unit self-loops guarantee every
+    // node carries through each iteration
+    "q187_source_pagerank" ->
+      """WITH RECURSIVE
+        |d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+        |px AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT source FROM documents),
+        |e AS (SELECT src_a AS src, src_b AS dst, n_inter AS w FROM px
+        |      UNION ALL SELECT src_b AS src, src_a AS dst, n_inter AS w FROM px
+        |      UNION ALL SELECT source AS src, source AS dst,
+        |                  CAST(1 AS BIGINT) AS w FROM nodes),
+        |wv AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_total FROM e GROUP BY 1),
+        |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, source, 1000000000 // n AS r FROM nodes, sc
+        |  UNION ALL
+        |  SELECT p.iter + 1 AS iter, e.dst AS source,
+        |    (150 * (1000000000 // MAX(s2.n))) // 1000
+        |      + CAST(SUM((850 * ((p.r * e.w) // wv.w_total)) // 1000)
+        |             AS BIGINT) AS r
+        |  FROM pr p
+        |  JOIN e ON e.src = p.source
+        |  JOIN wv ON wv.src = p.source
+        |  CROSS JOIN sc s2
+        |  WHERE p.iter < 8
+        |  GROUP BY p.iter, e.dst
+        |)
+        |SELECT pr.source, wv.w_total, pr.r AS pagerank_ppb
+        |FROM pr JOIN wv ON wv.src = pr.source
+        |WHERE iter = 8 ORDER BY pr.source""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

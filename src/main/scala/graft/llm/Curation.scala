@@ -677,4 +677,55 @@ object Curation {
       .select(col("source"), col("n_s").as("n_tokens"), col("tv_ppm"))
       .orderBy("source")
   }
+
+  /**
+   * Duplication-graph centrality: PageRank over the SOURCE-overlap
+   * graph (nodes = sources, edge weight = shared distinct 3-grams from
+   * q183's stored artifact, plus a unit self-loop per node so every
+   * node has out-weight ≥ 1) — the "which feeds sit at the center of
+   * the duplication web" ranking a curation team reads before deciding
+   * which source to cut first. ALL-INTEGER fixed-point ppb: rank
+   * updates are `base + Σ (850·((r·w) div W_v)) div 1000` — BIGINT
+   * div/mul only, so the iteration is order-independent and the DuckDB
+   * oracle (a recursive CTE unrolling the same 8 steps) hash-matches
+   * bit-for-bit. The usual float PageRank can't cross-engine-match
+   * (sum order); truncation here loses ≤1 ppb per edge per step —
+   * irrelevant for a ranking.
+   *
+   * Scale shape: sources are a BOUNDED dimension (dozens at any corpus
+   * size), so the edge list (≤ S² rows, from the memoized
+   * `source-grams` artifact via [[Dedup.sourceOverlap]]) is a k-row
+   * model read — the same driver-side exemption as the k-means
+   * centroid and PQ codebook reads. The corpus-scale work (distinct
+   * gram sets) happened once at artifact build; the iteration itself
+   * is S-row arithmetic.
+   */
+  def sourcePagerank(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val nodes = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val s = nodes.length.toLong
+    require(s > 0, "empty corpus")
+    val pairs = Dedup.sourceOverlap(spark, dir)
+      .select(col("src_a"), col("src_b"), col("n_inter"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) } ++
+      nodes.map(n => (n, n, 1L))
+    val wTot: Map[String, Long] =
+      edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val base = (150L * (1000000000L / s)) / 1000L
+    var r: Map[String, Long] = nodes.map(n => n -> (1000000000L / s)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (v, u, w) =>
+        contrib(u) += (850L * ((r(v) * w) / wTot(v))) / 1000L
+      }
+      r = nodes.map(n => n -> (base + contrib(n))).toMap
+    }
+    import spark.implicits._
+    nodes.toSeq.map(n => (n, wTot(n), r(n)))
+      .toDF("source", "w_total", "pagerank_ppb")
+      .orderBy("source")
+  }
 }

@@ -214,4 +214,30 @@ class CurationSpec extends SparkSpec {
     // the pool contains each source, so at least one sits well inside
     assert(rows.map(_.getAs[Long]("tv_ppm")).min < 500000L)
   }
+
+  test("source pagerank: mass conserved within truncation, weights recount") {
+    val rows = Curation.sourcePagerank(spark, sf).collect()
+    val nSrc = graft.model.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSrc)
+    val s = nSrc
+    val base = 150L * (1000000000L / s) / 1000L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pagerank_ppb") >= base)
+      assert(r.getAs[Long]("w_total") >= 1L, "self-loop guarantees out-weight")
+    }
+    // integer truncation only ever LOSES mass: the total stays within
+    // a generous slack under 1e9 but never exceeds it
+    val total = rows.map(_.getAs[Long]("pagerank_ppb")).sum
+    assert(total <= 1000000000L && total > 900000000L, s"total=$total")
+    // w_total recounts from the overlap matrix (+1 self-loop)
+    val inter = Dedup.sourceOverlap(spark, sf).collect()
+      .flatMap(r => Seq(r.getString(0) -> r.getAs[Long]("n_inter"),
+        r.getString(1) -> r.getAs[Long]("n_inter")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w_total") ==
+        inter.getOrElse(r.getString(0), 0L) + 1L)
+    }
+  }
 }

@@ -1339,11 +1339,12 @@ object SparkEntry {
         |g AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cw),
         |agg AS (SELECT source, MAX(n_s) AS n_s, MAX(n_tot) AS n_tot,
         |    CAST(SUM(n_w) AS BIGINT) AS cov,
-        |    CAST(SUM(ABS(n_sw * n_tot - n_w * n_s)) AS BIGINT) AS present_num
+        |    SUM(ABS(CAST(n_sw AS HUGEINT) * n_tot
+        |            - CAST(n_w AS HUGEINT) * n_s)) AS present_num
         |  FROM sw JOIN cw USING (w) JOIN tot USING (source), g GROUP BY source)
         |SELECT source, n_s AS n_tokens,
-        |       (1000000 * (present_num + n_s * (n_tot - cov)))
-        |         // (2 * n_s * n_tot) AS tv_ppm
+        |       CAST((1000000 * (present_num + CAST(n_s AS HUGEINT) * (n_tot - cov)))
+        |         // (2 * CAST(n_s AS HUGEINT) * n_tot) AS BIGINT) AS tv_ppm
         |FROM agg ORDER BY source""".stripMargin,
     "q183_source_overlap" ->
       """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
@@ -1439,20 +1440,21 @@ object SparkEntry {
         |      UNION ALL SELECT source AS src, source AS dst,
         |                  CAST(1 AS BIGINT) AS w FROM nodes),
         |wv AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_total FROM e GROUP BY 1),
+        |e2 AS (SELECT e.src, e.dst, (1000000 * e.w) // wv.w_total AS wsh
+        |       FROM e JOIN wv ON wv.src = e.src),
         |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
         |pr AS (
         |  SELECT 0 AS iter, source, 1000000000 // n AS r FROM nodes, sc
         |  UNION ALL
-        |  SELECT p.iter + 1 AS iter, e.dst AS source,
+        |  SELECT p.iter + 1 AS iter, e2.dst AS source,
         |    (150 * (1000000000 // MAX(s2.n))) // 1000
-        |      + CAST(SUM((850 * ((p.r * e.w) // wv.w_total)) // 1000)
+        |      + CAST(SUM((850 * ((p.r * e2.wsh) // 1000000)) // 1000)
         |             AS BIGINT) AS r
         |  FROM pr p
-        |  JOIN e ON e.src = p.source
-        |  JOIN wv ON wv.src = p.source
+        |  JOIN e2 ON e2.src = p.source
         |  CROSS JOIN sc s2
         |  WHERE p.iter < 8
-        |  GROUP BY p.iter, e.dst
+        |  GROUP BY p.iter, e2.dst
         |)
         |SELECT pr.source, wv.w_total, pr.r AS pagerank_ppb
         |FROM pr JOIN wv ON wv.src = pr.source

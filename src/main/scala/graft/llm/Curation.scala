@@ -593,7 +593,10 @@ object Curation {
       .select(
         col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
-            expr(s"size(filter(ws, w -> w = '$t'))").cast("long").as(s"tf$i")
+            // Column-API predicate, not an interpolated expr string: a
+            // term containing a quote must stay a literal, never
+            // splice into the plan text
+            size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf$i")
           }: _*)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -631,10 +634,21 @@ object Curation {
    * uses are folded ANALYTICALLY: their contribution is
    * `N_s · (N − Σ_{w∈S} n_w)`, so no source×vocab grid is ever
    * materialized — the plan scales with observed (source,word) pairs,
-   * not their cross product. BIGINT headroom: `n_sw·N` at 100 TB
-   * (N≈10^13) can exceed 2^63; the scale path promotes the two products
-   * to DECIMAL(38,0) — same expression, wider lanes.
+   * not their cross product. Overflow headroom: `n_sw·N` at 100 TB
+   * (N≈10^13) exceeds 2^63, so the cross-multiplied products run in
+   * exact DECIMAL(38,0) lanes (DuckDB: HUGEINT) — the q174 pattern,
+   * bit-portable to ~10^38.
    */
+  /** The ONE (source, word) count projection — the batch memo below and
+    * the stream-maintained artifact
+    * ([[graft.streaming.ArtifactMaintenance.batchSourceUnigrams]]) both
+    * call this, so their counts cannot drift apart. */
+  private[graft] def sourceUnigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_sw"))
+
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(spark, dir)
     // stored artifact: the (source, word) count table is a corpus
@@ -642,11 +656,7 @@ object Curation {
     // table — memoized, so a serve re-aggregates word-cardinality
     // rows instead of re-exploding the corpus
     val sw = ModelCache.memoIndex(corpus, "source-unigrams") {
-      graft.ops.GlobalOrder.pin(
-        corpus
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).as("n_sw")))
+      graft.ops.GlobalOrder.pin(sourceUnigramCounts(corpus))
     }
     sourceDivergenceFrom(sw)
   }
@@ -670,10 +680,16 @@ object Curation {
         max(col("n_s")).as("n_s"),
         max(col("n_tot")).as("n_tot"),
         sum(col("n_w")).as("cov"),
-        sum(abs(col("n_sw") * col("n_tot") - col("n_w") * col("n_s")))
+        // DECIMAL(38,0) lanes (the q174 discipline): n_sw·N at corpus
+        // scale (N ≈ 1e13) overflows BIGINT; exact integer decimal
+        // keeps the cross-multiplied TV form bit-portable (DuckDB
+        // computes the same values in HUGEINT)
+        sum(abs(col("n_sw").cast("decimal(38,0)") * col("n_tot") -
+          col("n_w").cast("decimal(38,0)") * col("n_s")))
           .as("present_num"))
       .withColumn("tv_ppm", expr(
-        "(1000000 * (present_num + n_s * (n_tot - cov))) div (2 * n_s * n_tot)"))
+        "cast((1000000 * (present_num + cast(n_s as decimal(38,0)) * (n_tot - cov)))" +
+          " div (2 * cast(n_s as decimal(38,0)) * n_tot) as bigint)"))
       .select(col("source"), col("n_s").as("n_tokens"), col("tv_ppm"))
       .orderBy("source")
   }
@@ -684,13 +700,18 @@ object Curation {
    * q183's stored artifact, plus a unit self-loop per node so every
    * node has out-weight ≥ 1) — the "which feeds sit at the center of
    * the duplication web" ranking a curation team reads before deciding
-   * which source to cut first. ALL-INTEGER fixed-point ppb: rank
-   * updates are `base + Σ (850·((r·w) div W_v)) div 1000` — BIGINT
-   * div/mul only, so the iteration is order-independent and the DuckDB
-   * oracle (a recursive CTE unrolling the same 8 steps) hash-matches
-   * bit-for-bit. The usual float PageRank can't cross-engine-match
-   * (sum order); truncation here loses ≤1 ppb per edge per step —
-   * irrelevant for a ranking.
+   * which source to cut first. ALL-INTEGER fixed-point ppb: each edge
+   * first folds to a BOUNDED ppm weight share `(1e6·w) div W_v ≤ 1e6`,
+   * then rank updates are `base + Σ (850·((r·wshare) div 1e6)) div
+   * 1000` — the r·wshare product is capped at 1e9·1e6 = 1e15, so the
+   * arithmetic can NEVER overflow BIGINT no matter how large the raw
+   * gram-intersection weights grow (raw `r·w` would wrap past
+   * w ≈ 9.2e9; headroom on the share fold itself holds to w < 9.2e12).
+   * BIGINT div/mul only, so the iteration is order-independent and the
+   * DuckDB oracle (a recursive CTE unrolling the same 8 steps)
+   * hash-matches bit-for-bit. The usual float PageRank can't
+   * cross-engine-match (sum order); truncation here loses ≤1 ppb per
+   * edge per step — irrelevant for a ranking.
    *
    * Scale shape: sources are a BOUNDED dimension (dozens at any corpus
    * size), so the edge list (≤ S² rows, from the memoized
@@ -701,25 +722,29 @@ object Curation {
    * is S-row arithmetic.
    */
   def sourcePagerank(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val nodes = Tables.documents(spark, dir)
-      .select(col("source")).distinct()
+    // node list from the memoized source-tokens artifact (every source
+    // in the corpus, no re-scan) — shared with the epoch allocator
+    val nodes = MixPlan.sourceTokens(spark, dir)
+      .select(col("source"))
       .collect().map(_.getString(0)).sorted
     val s = nodes.length.toLong
     require(s > 0, "empty corpus")
-    val pairs = Dedup.sourceOverlap(spark, dir)
-      .select(col("src_a"), col("src_b"), col("n_inter"))
+    val pairs = Dedup.sourceOverlapPairs(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) } ++
       nodes.map(n => (n, n, 1L))
     val wTot: Map[String, Long] =
       edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    // bounded ppm weight shares: folded ONCE, so the per-step products
+    // stay under 1e15 regardless of raw intersection sizes
+    val shared = edges.map { case (v, u, w) => (v, u, (1000000L * w) / wTot(v)) }
     val base = (150L * (1000000000L / s)) / 1000L
     var r: Map[String, Long] = nodes.map(n => n -> (1000000000L / s)).toMap
     for (_ <- 1 to iters) {
       val contrib = scala.collection.mutable.HashMap.empty[String, Long]
         .withDefaultValue(0L)
-      edges.foreach { case (v, u, w) =>
-        contrib(u) += (850L * ((r(v) * w) / wTot(v))) / 1000L
+      shared.foreach { case (v, u, wsh) =>
+        contrib(u) += (850L * ((r(v) * wsh) / 1000000L)) / 1000L
       }
       r = nodes.map(n => n -> (base + contrib(n))).toMap
     }

@@ -543,13 +543,12 @@ object Dedup {
    * distinct table is pinned: it feeds the size aggregate and both
    * sides of the pair join.
    */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** The memoized distinct (source, gram-digest) table behind the
+    * overlap matrix and the duplication-graph centrality — same
+    * train-once lifecycle as the LSH band tables. */
+  private def sourceGrams(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(spark, dir)
-    // stored artifact: the distinct (source, gram-digest) table has
-    // the same train-once lifecycle as the LSH band tables — memoized,
-    // so a serve runs the bounded pair join over the stored set
-    // instead of re-sharding the corpus
-    val sg = ModelCache.memoIndex(corpus, "source-grams") {
+    ModelCache.memoIndex(corpus, "source-grams") {
       graft.ops.GlobalOrder.pin(
         corpus
           .withColumn("w", split(col("text"), " "))
@@ -561,13 +560,25 @@ object Dedup {
           .select(col("source"), md5(col("s")).as("h"))
           .distinct())
     }
-    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+  }
+
+  /** Intersection counts per unordered source pair — the overlap
+    * matrix WITHOUT the size joins and the Jaccard projection, for
+    * consumers (q187's centrality) that only need edge weights. */
+  private[llm] def sourceOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sg = sourceGrams(spark, dir)
     val a = sg.select(col("source").as("src_a"), col("h"))
     val b = sg.select(col("source").as("src_b"), col("h"))
     a.join(b, Seq("h"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_inter"))
+  }
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sg = sourceGrams(spark, dir)
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    sourceOverlapPairs(spark, dir)
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))),
         Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))),

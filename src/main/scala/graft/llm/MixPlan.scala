@@ -204,13 +204,19 @@ object MixPlan {
     * Input needs (doc_id, text); output (doc_id, w1, w2), one row per
     * adjacent token pair. */
   private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    bigramsKeyed(docs, "doc_id")
+
+  /** The same extraction keyed by an arbitrary carried column — ONE
+    * definition, so the doc-keyed artifact path and the source-keyed
+    * stats path cannot drift apart. */
+  private[graft] def bigramsKeyed(docs: DataFrame, key: String): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col(key), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col(key), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .select(col(key), col("b.w1"), col("b.w2"))
 
   def bigramNovelty(
       spark: SparkSession,
@@ -301,21 +307,13 @@ object MixPlan {
   private def sourceRareStats(
       corpus: DataFrame,
       counts: DataFrame,
-      rareMax: Long): DataFrame = {
-    val biSrc = corpus
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
-      .select(col("source"), col("b.w1"), col("b.w2"))
-    biSrc.join(counts, Seq("w1", "w2"))
+      rareMax: Long): DataFrame =
+    bigramsKeyed(corpus, "source").join(counts, Seq("w1", "w2"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("n") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_bigrams"))
-  }
 
   /** The clamped-excess weight arithmetic over a (source, n_bigrams,
     * n_rare, rare_ppm) stats table — source-cardinality rows plus two
@@ -357,6 +355,20 @@ object MixPlan {
    * to a source-cardinality table); every downstream step is
    * arithmetic on source-count rows against one broadcast scalar pair.
    */
+  /** Memoized per-source (n_docs, tokens) totals — the `source-tokens`
+    * stored artifact shared by the epoch allocator and the
+    * duplication-graph centrality's node list (q187). */
+  private[graft] def sourceTokens(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    ModelCache.memoIndex(corpus, "source-tokens") {
+      graft.ops.GlobalOrder.pin(
+        corpus
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
+    }
+  }
+
   def repeatEpochs(
       spark: SparkSession,
       dir: String,
@@ -365,14 +377,7 @@ object MixPlan {
     // stored artifact: per-source token totals are a corpus statistic
     // (and are read twice below: totals + the main projection) —
     // memoized, so a serve is pure arithmetic on source-count rows
-    val corpus = Tables.documents(spark, dir)
-    val toks = ModelCache.memoIndex(corpus, "source-tokens") {
-      graft.ops.GlobalOrder.pin(
-        corpus
-          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
-    }
+    val toks = sourceTokens(spark, dir)
     val totals = toks.agg(
       sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))

@@ -299,7 +299,11 @@ object Pipeline {
    * per-task unit at any scale). Integer window sums are exact, so the
    * bin layout is deterministic and bit-replayable.
    */
-  def sequencePacking(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
+  /** The ONE pack layout (source, shard, doc_id, n_tokens, cum,
+    * pack_id) — [[sequencePacking]] and [[packBoundaries]] are two
+    * aggregations of the SAME layout; sharing the computation makes
+    * their consistency structural, not spec-enforced. */
+  private def packedDocs(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
@@ -307,13 +311,16 @@ object Pipeline {
       .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+  }
+
+  def sequencePacking(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame =
+    packedDocs(spark, dir, budget)
       .groupBy(col("source"), col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("shard"), col("pack_id"))
-  }
 
   /**
    * Per-pack DOCUMENT BOUNDARY offsets — the attention-mask input a
@@ -328,14 +335,8 @@ object Pipeline {
    * Start offsets within a pack are distinct by construction (documents
    * are non-empty), so the sort is total without a tiebreak.
    */
-  def packBoundaries(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame = {
-    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+  def packBoundaries(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame =
+    packedDocs(spark, dir, budget)
       .withColumn("off", expr(s"(cum - n_tokens) - pack_id * $budget"))
       .groupBy(col("source"), col("shard"), col("pack_id"))
       .agg(
@@ -343,7 +344,6 @@ object Pipeline {
         sum(col("n_tokens")).as("pack_tokens"),
         array_join(array_sort(collect_list(col("off"))), ",").as("boundaries"))
       .orderBy(col("source"), col("shard"), col("pack_id"))
-  }
 
   /**
    * Fill-in-the-middle transform (Bavarian et al. 2022): the

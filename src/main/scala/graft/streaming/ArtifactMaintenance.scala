@@ -202,15 +202,12 @@ object ArtifactMaintenance {
     StructField("source", StringType), StructField("w", StringType),
     StructField("n_sw", LongType)))
 
-  /** Per-batch (source, word) partial counts — the SAME projection the
-    * memoized `source-unigrams` artifact aggregates
-    * (Curation.sourceDivergence), so streamed partials are
-    * bit-compatible with the batch artifact. */
+  /** Per-batch (source, word) partial counts — delegates to the ONE
+    * shared projection (Curation.sourceUnigramCounts), so streamed
+    * partials are structurally bit-compatible with the memoized
+    * `source-unigrams` batch artifact. */
   private[streaming] def batchSourceUnigrams(batch: DataFrame): DataFrame =
-    batch
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("n_sw"))
+    graft.llm.Curation.sourceUnigramCounts(batch)
 
   /** The (source, word) count store maintained from a document stream —
     * the live twin of the memoized `source-unigrams` artifact behind

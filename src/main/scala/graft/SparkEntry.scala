@@ -202,6 +202,8 @@ object SparkEntry {
     "q185_repeat_epochs"   -> ((s: SparkSession, d: String) => graft.llm.MixPlan.repeatEpochs(s, d)),
     "q186_pack_boundaries" -> ((s: SparkSession, d: String) => Pipeline.packBoundaries(s, d)),
     "q187_source_pagerank" -> ((s: SparkSession, d: String) => graft.llm.Curation.sourcePagerank(s, d)),
+    "q188_curriculum"      -> ((s: SparkSession, d: String) => graft.llm.MixPlan.curriculumPhases(s, d)),
+    "q189_chunk_pairs"     -> (TextAnalysis.chunkPairs _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1459,6 +1461,40 @@ object SparkEntry {
         |SELECT pr.source, wv.w_total, pr.r AS pagerank_ppb
         |FROM pr JOIN wv ON wv.src = pr.source
         |WHERE iter = 8 ORDER BY pr.source""".stripMargin,
+    "q188_curriculum" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |nov AS (SELECT b.doc_id,
+        |    (1000000 * CAST(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT))
+        |      // COUNT(*) AS rare_ppm
+        |  FROM b JOIN c USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, rare_ppm,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY rare_ppm, doc_id) AS BIGINT)
+        |         AS rank,
+        |       CAST(NTILE(4) OVER (ORDER BY rare_ppm, doc_id) AS BIGINT)
+        |         AS phase
+        |FROM nov ORDER BY doc_id""".stripMargin,
+    "q189_chunk_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, ci, ci * 24 + 1 AS start, w FROM t, LATERAL (
+        |        SELECT unnest(range(0, (len(w) - 1) // 24 + 1)) AS ci) u),
+        |ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        |    array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text,
+        |    CAST(least(len(w) - start + 1, 32) AS BIGINT) AS chunk_tokens
+        |  FROM c),
+        |p AS (SELECT doc_id, chunk_id AS pair_id, chunk_text AS text_a,
+        |    chunk_tokens AS tokens_a,
+        |    LEAD(chunk_text) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+        |      AS text_b,
+        |    LEAD(chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+        |      AS tokens_b
+        |  FROM ch)
+        |SELECT doc_id, pair_id, text_a, tokens_a, text_b, tokens_b
+        |FROM p WHERE text_b IS NOT NULL
+        |ORDER BY doc_id, pair_id""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -391,4 +391,31 @@ object MixPlan {
         col("epochs_ppm"), col("allocated_tokens"))
       .orderBy("source")
   }
+
+  /**
+   * Curriculum phase assignment: order the corpus easy→hard by the
+   * stored LM's rare-bigram rate (the [[bigramNovelty]] difficulty
+   * proxy — low rare_ppm = conventional text, high = novel/noisy) and
+   * split it into `k` contiguous training phases, the schedule a
+   * curriculum-learning run feeds batches from (Bengio et al. 2009).
+   * The global ordering uses [[graft.ops.GlobalOrder.withRankAndPrefix]]
+   * — range-partitioned two-phase ranks, NEVER a one-task global
+   * window — and the bucket math is
+   * [[graft.ops.GlobalOrder.ntileFromRank]], bit-equal to ANSI
+   * `ntile(k)`, so the oracle can say `NTILE(4) OVER (ORDER BY ...)`
+   * while the engine pays no parallelism ceiling. Scoring rides the
+   * pinned `bigram-lm` artifact; ties break on doc_id for a total
+   * order.
+   */
+  def curriculumPhases(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val nov = bigramNovelty(spark, dir)
+      .select(col("doc_id"), col("rare_ppm"))
+    graft.ops.GlobalOrder.withRankAndPrefix(
+        nov, order = Seq(col("rare_ppm"), col("doc_id")))
+      .select(col("doc_id"), col("rare_ppm"),
+        col("g_rank").as("rank"),
+        graft.ops.GlobalOrder.ntileFromRank(
+          col("g_rank"), col("g_total_rows"), k).as("phase"))
+      .orderBy("doc_id")
+  }
 }

@@ -121,7 +121,10 @@ object TextAnalysis {
    * the chunk index, slice the token array. One narrow shuffle-free
    * projection at any scale.
    */
-  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+  /** The unordered chunk slots — [[chunkDocuments]] presents them
+    * sorted; derived consumers (the q143 dedup hashes, the q189
+    * adjacent-pair generator) read this form and skip the range sort. */
+  private[llm] def chunkSlots(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("w", tokens)
       .withColumn("ci", explode(expr("sequence(0, (size(w)-1) div 24)")))
@@ -131,7 +134,31 @@ object TextAnalysis {
         col("ci").cast("long").as("chunk_id"),
         concat_ws(" ", slice(col("w"), col("start"), lit(32))).as("chunk_text"),
         least(size(col("w")) - col("start") + 1, lit(32)).cast("long").as("chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkSlots(spark, dir).orderBy(col("doc_id"), col("chunk_id"))
+
+  /**
+   * Adjacent-chunk pair generation: (chunk_i, chunk_{i+1}) positives
+   * for next-segment-prediction / contrastive objectives (the BERT NSP
+   * shape) — every consecutive chunk pair within a document, with both
+   * texts and their token counts. The window partitions by doc_id — a
+   * corpus-cardinality key, so parallelism scales with documents (the
+   * few-key window ban does not apply); docs with one chunk emit
+   * nothing.
+   */
+  def chunkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    chunkSlots(spark, dir)
+      .withColumn("text_b", lead(col("chunk_text"), 1).over(byDoc))
+      .withColumn("tokens_b", lead(col("chunk_tokens"), 1).over(byDoc))
+      .filter(col("text_b").isNotNull)
+      .select(col("doc_id"), col("chunk_id").as("pair_id"),
+        col("chunk_text").as("text_a"), col("chunk_tokens").as("tokens_a"),
+        col("text_b"), col("tokens_b"))
+      .orderBy("doc_id", "pair_id")
+  }
 
   /** [[chunkDocuments]]'s chunk slots reduced to (doc_id, source,
     * md5(chunk_text)) — no presentation sort, no chunk text past the

@@ -106,4 +106,26 @@ class MixPlanSpec extends SparkSpec {
         .foreach(r => assert(r.getAs[Long]("weight_ppm") == 0L))
     } else weights.foreach(w => assert(w == 1000000L / nSrc))
   }
+
+  test("curriculum phases: ntile buckets are contiguous in rank and balanced") {
+    val rows = MixPlan.curriculumPhases(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // ranks are a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to n).toSeq)
+    // phase is monotone in rank and difficulty is monotone in rank
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("phase") <= b.getAs[Long]("phase"))
+        assert(a.getAs[Long]("rare_ppm") <= b.getAs[Long]("rare_ppm"))
+      case _ =>
+    }
+    // ANSI ntile balance: bucket sizes differ by at most one, larger first
+    val sizes = rows.groupBy(_.getAs[Long]("phase")).toSeq.sortBy(_._1)
+      .map { case (p, g) => (p, g.length.toLong) }
+    assert(sizes.map(_._1) == (1L to sizes.length).toSeq)
+    assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1L)
+    assert(sizes.map(_._2).sorted.reverse.toSeq == sizes.map(_._2).toSeq)
+  }
 }

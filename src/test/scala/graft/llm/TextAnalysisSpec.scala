@@ -29,6 +29,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_stop") == ws.count(w => w == "the" || w == "a").toLong)
   }
 
+  test("chunk pairs: adjacency reconstructs from the doc's own tokens") {
+    val rows = TextAnalysis.chunkPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // pair count per doc is exactly chunks - 1
+    val chunksPerDoc = TextAnalysis.chunkDocuments(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id")).map { case (k, v) => k -> v.length }
+    val pairsPerDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.length }
+    chunksPerDoc.foreach { case (d, c) =>
+      assert(pairsPerDoc.getOrElse(d, 0) == c - 1, s"doc $d: $c chunks")
+    }
+    // spot-check: doc 0's first pair is words [0,32) and [24,56)
+    val doc0 = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select(col("text")).head.getString(0)
+      .split(" ")
+    rows.filter(r => r.getAs[Long]("doc_id") == 0L &&
+        r.getAs[Long]("pair_id") == 0L).foreach { r =>
+      assert(r.getAs[String]("text_a") == doc0.slice(0, 32).mkString(" "))
+      assert(r.getAs[String]("text_b") == doc0.slice(24, 56).mkString(" "))
+    }
+  }
+
   test("gopher rules plan is row-local: no joins, no corpus shuffle before the sort") {
     val a = graft.plans.PlanChecks.audit(TextAnalysis.gopherRules(spark, sf))
     assert(a.joins == 0, a)

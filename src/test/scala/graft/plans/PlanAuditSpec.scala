@@ -311,7 +311,14 @@ class PlanAuditSpec extends SparkSpec {
       "q185_repeat_epochs"      -> (1, 1, 0, 0),
       // q186: the boundary aggregate reuses the packing window's
       // (source, shard) partitioning — no third exchange
-      "q186_pack_boundaries"    -> (2, 0, 0, 1))
+      "q186_pack_boundaries"    -> (2, 0, 0, 1),
+      // q188: two-phase GlobalOrder ranks — the one Window in the plan
+      // is the exclusive-offset fold over ≤ shuffle-partitions rows
+      // (bounded by construction, not by data), broadcast back; the
+      // corpus itself sees only the range partition and the output sort
+      "q188_curriculum"         -> (2, 1, 1, 1),
+      // q189: one per-doc window (corpus-cardinality key) + output sort
+      "q189_chunk_pairs"        -> (2, 0, 0, 1))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

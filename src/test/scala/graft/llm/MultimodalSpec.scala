@@ -133,4 +133,28 @@ class MultimodalSpec extends SparkSpec {
     val n = rows(2L)
     assert(!n.getBoolean(1) && n.isNullAt(2) && n.isNullAt(3), n)
   }
+
+  test("wavMeta parses a real RIFF/fmt header, little-endian fields") {
+    import spark.implicits._
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // canonical 44-byte PCM header: stereo, 44100 Hz, 16-bit
+    val wav = "RIFF".getBytes("US-ASCII") ++ le4(36) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le4(16) ++
+      le2(1) ++ le2(2) ++ le4(44100) ++ le4(44100 * 4) ++ le2(4) ++ le2(16) ++
+      "data".getBytes("US-ASCII") ++ le4(0)
+    val notWav = "RIFFnot-actually-wave-data".getBytes("US-ASCII")
+    val rows = Seq((1L, wav), (2L, notWav)).toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_wav"), col("m.audio_format"),
+        col("m.channels"), col("m.sample_rate"), col("m.bits_per_sample"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val w = rows(1L)
+    assert(w.getBoolean(1) && w.getLong(2) == 1L && w.getLong(3) == 2L &&
+      w.getLong(4) == 44100L && w.getLong(5) == 16L, w)
+    val n2 = rows(2L)
+    assert(!n2.getBoolean(1) && n2.isNullAt(3) && n2.isNullAt(4), n2)
+  }
 }

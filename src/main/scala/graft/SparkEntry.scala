@@ -204,6 +204,7 @@ object SparkEntry {
     "q187_source_pagerank" -> ((s: SparkSession, d: String) => graft.llm.Curation.sourcePagerank(s, d)),
     "q188_curriculum"      -> ((s: SparkSession, d: String) => graft.llm.MixPlan.curriculumPhases(s, d)),
     "q189_chunk_pairs"     -> (TextAnalysis.chunkPairs _),
+    "q190_split_leakage"   -> (Pipeline.splitLeakage _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1495,6 +1496,22 @@ object SparkEntry {
         |SELECT doc_id, pair_id, text_a, tokens_a, text_b, tokens_b
         |FROM p WHERE text_b IS NOT NULL
         |ORDER BY doc_id, pair_id""".stripMargin,
+    // composes the q32 near-dup CTEs with the q92 md5 split assignment:
+    // pairs whose members land in different splits are leakage
+    "q190_split_leakage" ->
+      s"""WITH $minhashPairsCtes,
+        |sp AS (SELECT id_a, id_b, jaccard,
+        |    CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |         WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val' ELSE 'test' END AS split_a,
+        |    CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |         WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val' ELSE 'test' END AS split_b
+        |  FROM neardup)
+        |SELECT id_a, id_b, jaccard, split_a, split_b FROM sp
+        |WHERE split_a <> split_b ORDER BY id_a, id_b""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -224,15 +224,18 @@ object Pipeline {
   }
 
   /** The deterministic train/val/test assignment of a doc_id — ONE
-    * definition shared by the split report and the shard writer, so the
-    * ratio can never drift between what is reported and what is
-    * written (the val/train leak the md5 discipline exists to stop). */
-  private[llm] def splitColumn: Column = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    * definition shared by the split report, the shard writer and the
+    * leakage audit, so the ratio can never drift between what is
+    * reported and what is written (the val/train leak the md5
+    * discipline exists to stop). */
+  private[llm] def splitOf(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 4)
     when(h < "e666", "train")        // [0, 0.9) of the hex space
       .when(h < "f333", "val")       // [0.9, 0.95)
       .otherwise("test")             // [0.95, 1)
   }
+
+  private[llm] def splitColumn: Column = splitOf(col("doc_id"))
 
   /**
    * Deterministic train/val/test split: the md5 hex prefix of the
@@ -250,6 +253,31 @@ object Pipeline {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
+
+  /**
+   * Cross-split LEAKAGE audit: near-duplicate pairs (the q32 MinHash
+   * candidates) whose two members land in DIFFERENT splits of the
+   * deterministic train/val/test assignment — each such pair is a test
+   * or validation document whose near-copy the model trains on, the
+   * contamination a random-split pipeline ships silently (cf. Lee et
+   * al. 2022 §5 on split leakage through duplicates). Run after
+   * dedup-before-split this returns empty; the fixture corpus keeps
+   * its duplicates, so the audit has material to flag.
+   *
+   * Scale shape: the pair list is the memoized `lsh-pairs` stored
+   * artifact (duplicate-volume-sized, NOT corpus-sized), and the split
+   * of each member is the PURE md5 function of its id ([[splitOf]]) —
+   * computed row-locally on the pair rows, zero joins, so the audit
+   * costs O(pairs) regardless of corpus size.
+   */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(spark, dir)
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy("id_a", "id_b")
 
   /**
    * Materialize a corpus as training shards: parquet partitioned by the

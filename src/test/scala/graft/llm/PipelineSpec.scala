@@ -158,6 +158,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("allocated_tokens")).sum <= 2L * corpusTokens)
   }
 
+  test("split leakage flags exactly the near-dup pairs crossing split boundaries") {
+    import org.apache.spark.sql.functions._
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (h < "e666") "train" else if (h < "f333") "val" else "test"
+    }
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val expected = pairs.filter { case (a, b) => splitOf(a) != splitOf(b) }.toSet
+    val got = Pipeline.splitLeakage(spark, sf).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(r.getAs[String]("split_a") == splitOf(r.getAs[Long]("id_a")))
+      assert(r.getAs[String]("split_b") == splitOf(r.getAs[Long]("id_b")))
+    }
+    assert(got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      == expected)
+  }
+
   test("pack boundaries agree with the pack summary and start at offset 0") {
     import org.apache.spark.sql.functions._
     val packs = Pipeline.sequencePacking(spark, sf).collect()

@@ -318,7 +318,11 @@ class PlanAuditSpec extends SparkSpec {
       // corpus itself sees only the range partition and the output sort
       "q188_curriculum"         -> (2, 1, 1, 1),
       // q189: one per-doc window (corpus-cardinality key) + output sort
-      "q189_chunk_pairs"        -> (2, 0, 0, 1))
+      "q189_chunk_pairs"        -> (2, 0, 0, 1),
+      // q190: exactly q32's serve shape — the pair pipeline — with the
+      // split assignment as row-local md5 expressions on the pair rows:
+      // the leakage audit adds ZERO exchanges/joins over the pair list
+      "q190_split_leakage"      -> (4, 4, 4, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

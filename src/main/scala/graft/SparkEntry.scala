@@ -205,6 +205,8 @@ object SparkEntry {
     "q188_curriculum"      -> ((s: SparkSession, d: String) => graft.llm.MixPlan.curriculumPhases(s, d)),
     "q189_chunk_pairs"     -> (TextAnalysis.chunkPairs _),
     "q190_split_leakage"   -> (Pipeline.splitLeakage _),
+    "q191_readability"     -> (TextAnalysis.readability _),
+    "q192_temperature_mix" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.temperatureMix(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1512,6 +1514,42 @@ object SparkEntry {
         |  FROM neardup)
         |SELECT id_a, id_b, jaccard, split_a, split_b FROM sp
         |WHERE split_a <> split_b ORDER BY id_a, id_b""".stripMargin,
+    // Flesch-Kincaid as an exact integer fraction (x100·S·W) plus the
+    // banded threshold a curation filter uses; syllables = vowel runs
+    "q191_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    greatest(1, CAST(length(text) AS BIGINT)
+        |      - CAST(length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)) AS sentences,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    greatest(1, CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g')) AS BIGINT)
+        |      - CAST(length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, source, sentences, words, syllables,
+        |  (1000000 * words) // sentences AS wps_ppm,
+        |  (1000000 * syllables) // words AS spw_ppm,
+        |  39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words AS fk_num,
+        |  100 * sentences * words AS fk_den,
+        |  CASE WHEN 39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words < 600 * sentences * words THEN 'easy'
+        |       WHEN 39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words < 1000 * sentences * words THEN 'medium'
+        |       WHEN 39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words < 1400 * sentences * words THEN 'hard'
+        |       ELSE 'very_hard' END AS band
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // α=0.5 temperature sampling: sqrt is the one IEEE-exact exponent;
+    // integer ppm shares of exact BIGINT weight sums
+    "q192_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_tokens FROM s),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |    CAST(SUM(sqrt_tokens) AS BIGINT) AS rtot FROM q)
+        |SELECT source, n_tokens, sqrt_tokens,
+        |  CAST((1000000 * n_tokens) // tot AS BIGINT) AS raw_ppm,
+        |  CAST((1000000 * sqrt_tokens) // rtot AS BIGINT) AS temp_ppm,
+        |  CAST((1000000 * sqrt_tokens) // rtot - (1000000 * n_tokens) // tot AS BIGINT) AS boost_ppm
+        |FROM q CROSS JOIN t ORDER BY source""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

@@ -418,4 +418,41 @@ object MixPlan {
           col("g_rank"), col("g_total_rows"), k).as("phase"))
       .orderBy("doc_id")
   }
+
+  /**
+   * Temperature-scaled source sampling (α = 0.5): the multilingual /
+   * multi-source rebalancing of Conneau & Lample — sampling
+   * probability ∝ (token share)^α — at the one exponent the exact
+   * lanes can honor, because x^0.5 is IEEE `sqrt` (correctly rounded
+   * by both engines, unlike `pow`/`exp`). Each source's weight is
+   * `floor(sqrt(n_tokens))` as a BIGINT, shares are integer ppm of the
+   * exact integer weight sum, and `boost_ppm` (temperature share −
+   * raw share) shows the flattening: positive for small sources,
+   * negative for the dominant ones.
+   *
+   * Scale shape: ONE per-source token aggregate is the only
+   * corpus-scale work (map-side partial sums); everything after runs
+   * on source-cardinality rows with the two totals broadcast. The
+   * aggregate is pinned — it feeds both the share rows and the totals,
+   * and without the pin the corpus scan would run twice.
+   */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).as("n_tokens"))
+        .withColumn("sqrt_tokens",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long")))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot"), sum(col("sqrt_tokens")).as("rtot"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("raw_ppm", expr("(1000000 * n_tokens) div tot"))
+      .withColumn("temp_ppm", expr("(1000000 * sqrt_tokens) div rtot"))
+      .withColumn("boost_ppm", col("temp_ppm") - col("raw_ppm"))
+      .select(col("source"), col("n_tokens"), col("sqrt_tokens"),
+        col("raw_ppm"), col("temp_ppm"), col("boost_ppm"))
+      .orderBy("source")
+  }
 }

@@ -107,6 +107,31 @@ class MixPlanSpec extends SparkSpec {
     } else weights.foreach(w => assert(w == 1000000L / nSrc))
   }
 
+  test("temperature mix flattens the distribution: isqrt weights, exact ppm shares") {
+    val rows = MixPlan.temperatureMix(spark, sf).collect()
+    assert(rows.length > 1)
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val rtot = rows.map(_.getAs[Long]("sqrt_tokens")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val sq = r.getAs[Long]("sqrt_tokens")
+      // floor(sqrt): sq^2 <= n < (sq+1)^2
+      assert(sq * sq <= n && n < (sq + 1L) * (sq + 1L), r)
+      assert(r.getAs[Long]("raw_ppm") == 1000000L * n / tot)
+      assert(r.getAs[Long]("temp_ppm") == 1000000L * sq / rtot)
+      assert(r.getAs[Long]("boost_ppm") ==
+        r.getAs[Long]("temp_ppm") - r.getAs[Long]("raw_ppm"))
+    }
+    // α<1 flattens: the smallest source never loses share to the
+    // largest — its boost is >= the largest source's boost
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Long]("boost_ppm") >=
+      bySize.last.getAs[Long]("boost_ppm"))
+    // floor-division shares undershoot 1e6 by < 1 ulp per source
+    val shares = rows.map(_.getAs[Long]("temp_ppm")).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length)
+  }
+
   test("curriculum phases: ntile buckets are contiguous in rank and balanced") {
     val rows = MixPlan.curriculumPhases(spark, sf).collect()
     val n = rows.length

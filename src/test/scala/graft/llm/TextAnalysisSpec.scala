@@ -230,4 +230,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     f.foreach(r => assert(direct(r.getString(0)) == r.getAs[Long]("n_docs")))
   }
+
+  test("readability: counts recompute row-locally and the band matches the fraction") {
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val s = math.max(1L, text.count(".!?".contains(_)).toLong)
+      val w = text.split(" ", -1).length.toLong
+      val syl = math.max(1L,
+        "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong)
+      assert(r.getAs[Long]("sentences") == s, r)
+      assert(r.getAs[Long]("words") == w, r)
+      assert(r.getAs[Long]("syllables") == syl, r)
+      assert(r.getAs[Long]("wps_ppm") == 1000000L * w / s)
+      assert(r.getAs[Long]("spw_ppm") == 1000000L * syl / w)
+      val num = 39L * w * w + 1180L * syl * s - 1559L * s * w
+      assert(r.getAs[Long]("fk_num") == num)
+      assert(r.getAs[Long]("fk_den") == 100L * s * w)
+      val band =
+        if (num < 600L * s * w) "easy"
+        else if (num < 1000L * s * w) "medium"
+        else if (num < 1400L * s * w) "hard"
+        else "very_hard"
+      assert(r.getAs[String]("band") == band, r)
+    }
+  }
 }

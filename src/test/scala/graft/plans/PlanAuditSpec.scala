@@ -322,7 +322,15 @@ class PlanAuditSpec extends SparkSpec {
       // q190: exactly q32's serve shape — the pair pipeline — with the
       // split assignment as row-local md5 expressions on the pair rows:
       // the leakage audit adds ZERO exchanges/joins over the pair list
-      "q190_split_leakage"      -> (4, 4, 4, 0))
+      "q190_split_leakage"      -> (4, 4, 4, 0),
+      // q191: pure row-local projection — the only exchange is the
+      // output sort's range partitioning
+      "q191_readability"        -> (1, 0, 0, 0),
+      // q192: the corpus aggregate hides behind the pin (serve reads
+      // the checkpointed source table); the single-row totals cross in
+      // as a broadcast (nested-loop, so joins=0 here), plus the output
+      // sort's range exchange
+      "q192_temperature_mix"    -> (1, 1, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

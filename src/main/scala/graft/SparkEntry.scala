@@ -207,6 +207,8 @@ object SparkEntry {
     "q190_split_leakage"   -> (Pipeline.splitLeakage _),
     "q191_readability"     -> (TextAnalysis.readability _),
     "q192_temperature_mix" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.temperatureMix(s, d)),
+    "q193_boilerplate"     -> ((s: SparkSession, d: String) => graft.llm.Curation.boilerplatePrefixes(s, d)),
+    "q194_matryoshka_recall" -> ((s: SparkSession, d: String) => Similarity.matryoshkaRecall(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1550,6 +1552,64 @@ object SparkEntry {
         |  CAST((1000000 * sqrt_tokens) // rtot AS BIGINT) AS temp_ppm,
         |  CAST((1000000 * sqrt_tokens) // rtot - (1000000 * n_tokens) // tot AS BIGINT) AS boost_ppm
         |FROM q CROSS JOIN t ORDER BY source""".stripMargin,
+    // CCNet-style boilerplate: 8-token prefixes repeated across >= 2
+    // docs of one source; share_ppm = exact integer removal budget
+    "q193_boilerplate" ->
+      """WITH p AS (SELECT source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+        |  FROM documents),
+        |c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY source, prefix),
+        |s AS (SELECT source AS src2, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        |  FROM c GROUP BY source)
+        |SELECT source, prefix, n_docs, src_docs,
+        |  CAST((1000000 * n_docs) // src_docs AS BIGINT) AS share_ppm
+        |FROM c JOIN s ON c.source = s.src2
+        |WHERE n_docs >= 2 ORDER BY source, prefix""".stripMargin,
+    // Matryoshka audit: exact top-5 on the first 32 dims vs the
+    // full-dim exact baseline — both the q34 brute-force shape
+    "q194_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM e
+        |      WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |s_ex AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(e.n2)) AS sim
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |r_ex AS (SELECT q_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex),
+        |e2 AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM (SELECT vec_id, list_slice(embedding, 1, 32) AS embedding
+        |        FROM embeddings) te),
+        |q2 AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM e2
+        |      WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |s_tr AS (SELECT q_id, e2.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e2.embedding) + 1),
+        |      i -> q_emb[i]::DOUBLE * e2.embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(e2.n2)) AS sim
+        |  FROM q2, e2 WHERE e2.vec_id <> q_id),
+        |r_tr AS (SELECT q_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_tr)
+        |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+        |         AS recall
+        |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+        |      WHERE rnk <= 5 GROUP BY 1) t
+        |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+        |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= 5) x
+        |           JOIN (SELECT q_id, neighbor_id FROM r_tr WHERE rnk <= 5) a
+        |             USING (q_id, neighbor_id)
+        |           GROUP BY 1) h
+        |  ON t.q_id = h.q_id
+        |ORDER BY t.q_id""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)

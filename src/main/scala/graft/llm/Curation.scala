@@ -753,4 +753,46 @@ object Curation {
       .toDF("source", "w_total", "pagerank_ppb")
       .orderBy("source")
   }
+
+  /**
+   * Boilerplate-prefix detection (the CCNet/RefinedWeb cleanup step):
+   * within each source, document PREFIXES (first `prefixTokens`
+   * tokens) that repeat across `minDocs`+ documents are template
+   * boilerplate — navigation headers, licence banners, scraper
+   * artifacts — and their share of the source's documents
+   * (`share_ppm`, exact integer ppm) is the removal budget a curation
+   * pass would reclaim.
+   *
+   * Scale shape: the prefix is a row-local projection (slice of the
+   * token split — no explode), so the only corpus-scale work is ONE
+   * (source, prefix) aggregate with map-side partial counts; the
+   * per-source doc totals aggregate over source-cardinality groups and
+   * broadcast back. Flagged groups are a tiny sliver by construction
+   * (boilerplate is repetition), so the join output never approaches
+   * corpus size.
+   */
+  def boilerplatePrefixes(
+      spark: SparkSession,
+      dir: String,
+      prefixTokens: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    // ONE corpus aggregate, pinned: both the flagged sliver and the
+    // per-source totals read it (sum of prefix counts = doc count), so
+    // the corpus scans once per serve
+    val counts = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, prefixTokens))
+            .as("prefix"))
+        .groupBy(col("source"), col("prefix"))
+        .agg(count(lit(1)).as("n_docs")))
+    val grouped = counts.filter(col("n_docs") >= minDocs)
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    grouped.join(broadcast(totals), Seq("source"))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div src_docs"))
+      .select(col("source"), col("prefix"), col("n_docs"),
+        col("src_docs"), col("share_ppm"))
+      .orderBy(col("source"), col("prefix"))
+  }
 }

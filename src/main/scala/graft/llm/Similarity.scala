@@ -130,6 +130,29 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /**
+   * Matryoshka truncation audit (Kusupati et al. 2022): recall@k of
+   * cosine top-k computed on the FIRST `dims` dimensions against the
+   * full-dimension exact baseline, over the same bounded query set as
+   * the other recall audits. This is the measurement behind the
+   * "store half the vector" storage play — at 100 TB an embedding
+   * column is the widest thing in the lake, and truncating it halves
+   * scan bytes and doubles ANN fanout IF the recall holds; this query
+   * is the go/no-go number for that decision.
+   *
+   * Both rankings run the same bounded brute-force pipeline
+   * ([[cosineTopKOf]]): the truncated corpus is a row-local
+   * `slice(embedding, 1, dims)` projection — no second storage copy —
+   * and the recall join moves only k·queries rows.
+   */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      k: Int = 5, dims: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    recallVsExactOf(emb, k, cosineTopKOf(trunc, k))
+  }
+
   /** Recall@k of the IVF route ([[graft.llm.Pipeline.ivfAnn]], q52)
     * against the exact baseline — the third audit in the family
     * (q149 single-probe LSH, q150 multi-probe LSH, q151 IVF), so the

@@ -240,4 +240,24 @@ class CurationSpec extends SparkSpec {
         inter.getOrElse(r.getString(0), 0L) + 1L)
     }
   }
+
+  test("boilerplate prefixes flag exactly the repeated 8-token prefixes per source") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ", -1).take(8).mkString(" ")))
+    val counts = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val srcDocs = docs.groupBy(_._1).map { case (s, v) => s -> v.length.toLong }
+    val expected = counts.filter(_._2 >= 2L)
+    val rows = Curation.boilerplatePrefixes(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      expected.keySet)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_docs") == expected(key))
+      assert(r.getAs[Long]("src_docs") == srcDocs(r.getString(0)))
+      assert(r.getAs[Long]("share_ppm") ==
+        1000000L * expected(key) / srcDocs(r.getString(0)))
+    }
+  }
 }

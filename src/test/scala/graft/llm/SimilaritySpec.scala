@@ -111,4 +111,41 @@ class SimilaritySpec extends SparkSpec {
         .foreach(r => assert(r.getAs[Double]("sim") <= top.getAs[Double]("sim")))
     }
   }
+
+  test("matryoshka recall counts the exact overlap of full vs truncated top-k") {
+    val k = 5
+    val dims = 32
+    val all = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topK(qId: Long, q: Array[Float], d: Int): Set[Long] =
+      all.filter(_._1 != qId)
+        .map { case (id, v) => (id, cos(q, v, d)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).map(_._1).toSet
+    val queries = all.filter { case (id, _) => id % 20 == 0 && id < 5120 }
+    val got = Similarity.matryoshkaRecall(spark, sf, k, dims).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall"))).toMap
+    assert(got.size == queries.length && queries.nonEmpty)
+    queries.foreach { case (qId, q) =>
+      val full = topK(qId, q, q.length)
+      val trunc = topK(qId, q, dims)
+      val (nExact, nHit, recall) = got(qId)
+      assert(nExact == full.size)
+      assert(nHit == (full intersect trunc).size, s"q=$qId")
+      assert(recall == nHit.toDouble / nExact.toDouble)
+    }
+  }
 }

@@ -330,7 +330,13 @@ class PlanAuditSpec extends SparkSpec {
       // the checkpointed source table); the single-row totals cross in
       // as a broadcast (nested-loop, so joins=0 here), plus the output
       // sort's range exchange
-      "q192_temperature_mix"    -> (1, 1, 0, 0))
+      "q192_temperature_mix"    -> (1, 1, 0, 0),
+      // q193: serve reads the pinned (source, prefix) aggregate; one
+      // re-aggregate to source totals, broadcast back, output sort
+      "q193_boilerplate"        -> (2, 1, 1, 0),
+      // q194: two bounded brute-force rankings (each the q34 shape:
+      // broadcast query set + heap top-k exchange) + the recall joins
+      "q194_matryoshka_recall"  -> (7, 3, 2, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -209,6 +209,8 @@ object SparkEntry {
     "q192_temperature_mix" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.temperatureMix(s, d)),
     "q193_boilerplate"     -> ((s: SparkSession, d: String) => graft.llm.Curation.boilerplatePrefixes(s, d)),
     "q194_matryoshka_recall" -> ((s: SparkSession, d: String) => Similarity.matryoshkaRecall(s, d)),
+    "q195_pack_efficiency" -> ((s: SparkSession, d: String) => Pipeline.packEfficiency(s, d)),
+    "q196_cluster_terms"   -> ((s: SparkSession, d: String) => graft.llm.Curation.clusterTerms(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -889,6 +891,9 @@ object SparkEntry {
     "q157_cluster_sample" -> clusterSampleOracleSql(
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       cap = 32),
+    "q196_cluster_terms" -> clusterTermsOracleSql(
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      k = 5, minCount = 10L),
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
@@ -1610,6 +1615,30 @@ object SparkEntry {
         |           GROUP BY 1) h
         |  ON t.q_id = h.q_id
         |ORDER BY t.q_id""".stripMargin,
+    // context-length sweep: ONE running sum, pack ids per budget are
+    // row-local divs; fill_ppm = exact integer capacity utilization
+    "q195_pack_efficiency" ->
+      """WITH base AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id // 1000000 AS shard
+        |  FROM documents),
+        |c AS (SELECT source, shard, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM base),
+        |lanes AS (SELECT b.budget, source, shard, n_tokens,
+        |    (cum - n_tokens) // b.budget AS pack_id
+        |  FROM c CROSS JOIN (SELECT unnest([128, 256, 512]) AS budget) b),
+        |per_shard AS (SELECT budget, source, shard,
+        |    CAST(MAX(pack_id) + 1 AS BIGINT) AS packs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS toks
+        |  FROM lanes GROUP BY budget, source, shard)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        |  CAST(SUM(packs) AS BIGINT) AS n_packs,
+        |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(packs) * budget AS BIGINT) AS capacity,
+        |  CAST((1000000 * SUM(toks)) // (SUM(packs) * budget) AS BIGINT) AS fill_ppm
+        |FROM per_shard GROUP BY budget ORDER BY budget""".stripMargin,
     "q152_vocab_growth" ->
       """WITH r AS (SELECT doc_id, source,
         |    CAST(NTILE(10) OVER (PARTITION BY source ORDER BY doc_id)
@@ -3058,6 +3087,38 @@ object SparkEntry {
        |FROM keep k JOIN tot t ON k.cell = t.cell
        |WHERE k.rnk <= $cap
        |ORDER BY cell, rnk""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Curation.clusterTerms]] (q196): the
+    * [[kmeansCtes]] Lloyd's chain assigns cells, then the c-TF-IDF
+    * lift ranking — the one-division double of exact integer counts. */
+  private[graft] def clusterTermsOracleSql(
+      cells: Int, iters: Int, k: Int, minCount: Long): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |ranked AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $kmeansDist, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |),
+       |asg AS (SELECT vec_id AS doc_id, CAST(cid AS BIGINT) AS cell
+       |        FROM ranked WHERE rn = 1),
+       |toks AS (SELECT a.cell, unnest(string_split(d.text, ' ')) AS tok
+       |  FROM documents d JOIN asg a ON d.doc_id = a.doc_id),
+       |ct AS (SELECT cell, tok, CAST(COUNT(*) AS BIGINT) AS n_ct
+       |  FROM toks GROUP BY 1, 2),
+       |bt AS (SELECT tok, CAST(SUM(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY 1),
+       |bc AS (SELECT cell, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM bt),
+       |scored AS (SELECT ct.cell, ct.tok, n_ct,
+       |    CAST(n_ct AS DOUBLE) * n / (CAST(n_t AS DOUBLE) * n_c) AS lift
+       |  FROM ct JOIN bt ON ct.tok = bt.tok JOIN bc ON ct.cell = bc.cell
+       |  CROSS JOIN tt WHERE n_ct >= $minCount),
+       |topk AS (SELECT cell, tok, n_ct, lift,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+       |         ORDER BY lift DESC, n_ct DESC, tok) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT cell, rk, tok, n_ct, lift FROM topk
+       |WHERE rk <= $k ORDER BY cell, rk""".stripMargin
 
   /** The per-subspace Lloyd's distance for the PQ replay — the
     * [[kmeansDist]] formula over the sliced sub-vector column `v`. */

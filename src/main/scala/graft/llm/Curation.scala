@@ -755,6 +755,63 @@ object Curation {
   }
 
   /**
+   * Per-cluster distinctive terms (the BERTopic/c-TF-IDF labeling
+   * step): after the coarse quantizer assigns every document's
+   * embedding to a semantic cell (the q52/q157/q162 k-means — same
+   * deterministic Lloyd's replay), rank each cell's tokens by LIFT —
+   * in-cell rate over corpus rate — and keep the top `k`. This is how
+   * a pipeline names its semantic clusters ("what IS cell 3?") before
+   * deciding per-cluster sampling rates.
+   *
+   * Scale shape: the cell label joins onto documents BEFORE the token
+   * explode (doc-cardinality equi-join, then row-local explode), so
+   * the exploded stream never shuffles twice; the (cell, token)
+   * aggregate is pinned and feeds the three marginals exactly like
+   * [[sourceKeywords]]'s `st`. The `row_number <= k` idiom rewrites
+   * into the bounded-heap TopKPerKey operator (plan-asserted for
+   * q171; same shape here). Lift is the one-division double of exact
+   * integer products — bit-identical cross-engine.
+   */
+  def clusterTerms(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      minCount: Long = 10L,
+      cells: Int = Pipeline.IvfCells,
+      iters: Int = Pipeline.IvfIters): DataFrame = {
+    val model = KMeans.fit(spark, dir, cells, iters)
+    val distArr = array(model.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val asg = Tables.embeddings(spark, dir)
+      .withColumn("cell", sort_array(distArr)(0)("cid"))
+      .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("cell"))
+    val ct = graft.ops.GlobalOrder.pin(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .join(asg, Seq("doc_id"))
+        .select(col("cell"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("cell"), col("tok"))
+        .agg(count(lit(1)).as("n_ct")))
+    val byTok = ct.groupBy(col("tok")).agg(sum(col("n_ct")).as("n_t"))
+    val byCell = ct.groupBy(col("cell")).agg(sum(col("n_ct")).as("n_c"))
+    val total = byTok.agg(sum(col("n_t")).as("n"))
+    val scored = ct.filter(col("n_ct") >= minCount)
+      .join(byTok, "tok")
+      .join(byCell, "cell")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        col("n_ct").cast("double") * col("n") /
+          (col("n_t").cast("double") * col("n_c")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("lift").desc, col("n_ct").desc, col("tok"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("cell"), col("rk"), col("tok"), col("n_ct"), col("lift"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  /**
    * Boilerplate-prefix detection (the CCNet/RefinedWeb cleanup step):
    * within each source, document PREFIXES (first `prefixTokens`
    * tokens) that repeat across `minDocs`+ documents are template

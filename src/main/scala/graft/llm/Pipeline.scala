@@ -331,15 +331,52 @@ object Pipeline {
     * pack_id) — [[sequencePacking]] and [[packBoundaries]] are two
     * aggregations of the SAME layout; sharing the computation makes
     * their consistency structural, not spec-enforced. */
-  private def packedDocs(spark: SparkSession, dir: String, budget: Long): DataFrame = {
+  /** The budget-INDEPENDENT part of the pack layout: per-(source,
+    * shard) running token sums in doc_id order. [[packedDocs]] and
+    * [[packEfficiency]] both derive pack ids from this one layout —
+    * the cumulative sum is the only shuffle either needs. */
+  private def cumLayout(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $PackShardDocs"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
   }
+
+  private def packedDocs(spark: SparkSession, dir: String, budget: Long): DataFrame =
+    cumLayout(spark, dir)
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+
+  /**
+   * Context-length SWEEP of packing efficiency: for each candidate
+   * training context length, how many packed sequences the corpus
+   * yields and what fraction of their capacity is real tokens
+   * (`fill_ppm`, exact integer ppm) — the number a pipeline owner
+   * reads before choosing a context length, since tail waste grows
+   * with the budget while per-sequence overhead shrinks.
+   *
+   * Scale shape: the running sum ([[cumLayout]]) is computed ONCE —
+   * pack ids for every budget are row-local `div`s of the same `cum`,
+   * so the sweep costs one shard-parallel window plus a 3×-row
+   * explode that immediately collapses into per-(budget, shard)
+   * partial aggregates. Adding a budget lane adds zero shuffles.
+   */
+  def packEfficiency(spark: SparkSession, dir: String,
+      budgets: Seq[Long] = Seq(128L, 256L, 512L)): DataFrame =
+    cumLayout(spark, dir)
+      .withColumn("budget", explode(array(budgets.map(lit): _*)))
+      .withColumn("pack_id", expr("(cum - n_tokens) div budget"))
+      .groupBy(col("budget"), col("source"), col("shard"))
+      .agg((max(col("pack_id")) + lit(1L)).as("packs"),
+        sum(col("n_tokens")).as("toks"))
+      .groupBy(col("budget"))
+      .agg(sum(col("packs")).as("n_packs"), sum(col("toks")).as("total_tokens"))
+      .withColumn("capacity", col("n_packs") * col("budget"))
+      .withColumn("fill_ppm", expr("(1000000 * total_tokens) div capacity"))
+      .select(col("budget"), col("n_packs"), col("total_tokens"),
+        col("capacity"), col("fill_ppm"))
+      .orderBy("budget")
 
   def sequencePacking(spark: SparkSession, dir: String, budget: Long = 256L): DataFrame =
     packedDocs(spark, dir, budget)

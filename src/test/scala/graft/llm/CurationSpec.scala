@@ -241,6 +241,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster terms rank tokens by the exact lift over the semantic cells") {
+    // independent cell assignment: the SemDeDup quantizer (q162) runs
+    // the same deterministic Lloyd's + nearest-cell rule
+    val cellOf = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1)))
+    val ct = scala.collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (id, text) =>
+      text.split(" ", -1).foreach(t => ct((cellOf(id), t)) += 1L)
+    }
+    val byTok = ct.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val byCell = ct.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val n = byTok.values.sum
+    val rows = Curation.clusterTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // expected top-5 per cell by (lift desc, n_ct desc, tok asc)
+    val expected = ct.toSeq.filter(_._2 >= 10L)
+      .map { case ((c, t), nct) =>
+        (c, t, nct, nct.toDouble * n / (byTok(t).toDouble * byCell(c))) }
+      .groupBy(_._1)
+      .flatMap { case (c, g) =>
+        g.sortBy { case (_, t, nct, lift) => (-lift, -nct, t) }
+          .take(5).zipWithIndex
+          .map { case ((_, t, nct, lift), i) => (c, i + 1L, t, nct, lift) }
+      }.toSet
+    assert(rows.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("rk"),
+      r.getAs[String]("tok"), r.getAs[Long]("n_ct"),
+      r.getAs[Double]("lift"))).toSet == expected)
+  }
+
   test("boilerplate prefixes flag exactly the repeated 8-token prefixes per source") {
     val docs = graft.model.Tables.documents(spark, sf)
       .select("source", "text").collect()

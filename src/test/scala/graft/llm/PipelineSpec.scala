@@ -179,6 +179,39 @@ class PipelineSpec extends SparkSpec {
       == expected)
   }
 
+  test("pack efficiency sweep agrees with a local greedy replay per budget") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Pipeline.packEfficiency(spark, sf).collect()
+      .map(r => r.getAs[Long]("budget") -> r).toMap
+    assert(rows.keySet == Set(128L, 256L, 512L))
+    for (budget <- rows.keySet) {
+      // local replay: per (source, shard) running sum, pack by start div
+      val packs = docs.groupBy { case (s, id, _) => (s, id / 1000000L) }
+        .map { case (_, g) =>
+          val sorted = g.sortBy(_._2)
+          var cum = 0L
+          var maxPack = 0L
+          sorted.foreach { case (_, _, n) =>
+            maxPack = math.max(maxPack, cum / budget); cum += n
+          }
+          maxPack + 1L
+        }.sum
+      val toks = docs.map(_._3).sum
+      val r = rows(budget)
+      assert(r.getAs[Long]("n_packs") == packs, s"budget=$budget")
+      assert(r.getAs[Long]("total_tokens") == toks)
+      assert(r.getAs[Long]("capacity") == packs * budget)
+      assert(r.getAs[Long]("fill_ppm") == 1000000L * toks / (packs * budget))
+    }
+    // consistency: the 256 lane counts the same packs as sequencePacking
+    assert(rows(256L).getAs[Long]("n_packs") ==
+      Pipeline.sequencePacking(spark, sf).count())
+  }
+
   test("pack boundaries agree with the pack summary and start at offset 0") {
     import org.apache.spark.sql.functions._
     val packs = Pipeline.sequencePacking(spark, sf).collect()

@@ -336,7 +336,14 @@ class PlanAuditSpec extends SparkSpec {
       "q193_boilerplate"        -> (2, 1, 1, 0),
       // q194: two bounded brute-force rankings (each the q34 shape:
       // broadcast query set + heap top-k exchange) + the recall joins
-      "q194_matryoshka_recall"  -> (7, 3, 2, 0))
+      "q194_matryoshka_recall"  -> (7, 3, 2, 0),
+      // q195: ONE running-sum window over (source, shard); the budget
+      // lanes are a row-local explode feeding two-phase aggregates
+      "q195_pack_efficiency"    -> (3, 0, 0, 1),
+      // q196: doc-cardinality label join before the explode; pinned
+      // (cell, tok) aggregate feeds three marginals; TopKPerKey rank
+      // (q171's shape over the learned cells)
+      "q196_cluster_terms"      -> (6, 1, 2, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -828,6 +828,19 @@ object Curation {
    * (boilerplate is repetition), so the join output never approaches
    * corpus size.
    */
+  /** ONE (source, prefix) count projection — shared by the batch query
+    * ([[boilerplatePrefixes]]) and the streamed prefix store
+    * ([[graft.streaming.ArtifactMaintenance.prefixArtifact]]), so
+    * streamed partials are structurally bit-compatible with the batch
+    * aggregate (the sourceUnigramCounts discipline). */
+  private[graft] def prefixCounts(docs: DataFrame,
+      prefixTokens: Int = 8): DataFrame =
+    docs.select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, prefixTokens))
+          .as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+
   def boilerplatePrefixes(
       spark: SparkSession,
       dir: String,
@@ -837,12 +850,7 @@ object Curation {
     // per-source totals read it (sum of prefix counts = doc count), so
     // the corpus scans once per serve
     val counts = graft.ops.GlobalOrder.pin(
-      Tables.documents(spark, dir)
-        .select(col("source"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, prefixTokens))
-            .as("prefix"))
-        .groupBy(col("source"), col("prefix"))
-        .agg(count(lit(1)).as("n_docs")))
+      prefixCounts(Tables.documents(spark, dir), prefixTokens))
     val grouped = counts.filter(col("n_docs") >= minDocs)
     val totals = counts.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("src_docs"))

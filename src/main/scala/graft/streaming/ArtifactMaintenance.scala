@@ -218,6 +218,25 @@ object ArtifactMaintenance {
       reduceOf = _.groupBy(col("source"), col("w"))
         .agg(sum(col("n_sw")).as("n_sw")))
 
+  // ---- boilerplate prefix counts (mergeable) ----------------------
+
+  private val PrefixSchema = StructType(Seq(
+    StructField("source", StringType), StructField("prefix", StringType),
+    StructField("n_docs", LongType)))
+
+  /** The (source, prefix) count store maintained from a document
+    * stream — the live twin of the pinned aggregate behind the
+    * boilerplate audit (q193). Counts merge by summation; the flagged
+    * sliver (`n_docs >= minDocs`) is re-derived from the served table,
+    * so a prefix crossing the threshold as documents arrive surfaces
+    * on the next serve without any rebuild. Delegates to the ONE
+    * shared projection (Curation.prefixCounts). */
+  def prefixArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Curation.prefixCounts(batch), PrefixSchema,
+      reduceOf = _.groupBy(col("source"), col("prefix"))
+        .agg(sum(col("n_docs")).as("n_docs")))
+
   // ---- simhash signatures (row-partitioned) -----------------------
 
   private val SigSchema = StructType(Seq(

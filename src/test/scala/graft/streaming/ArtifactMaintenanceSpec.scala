@@ -62,6 +62,39 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(counts(artifact)(("b", "c")) == 4L)
   }
 
+  test("streamed prefix counts match the batch aggregate and surface new boilerplate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val artifact = freshDir("prefix-artifact")
+    val art = ArtifactMaintenance.prefixArtifact(artifact)
+    val q = art.maintain(input.toDF().toDF("source", "text"))
+      .option("checkpointLocation", freshDir("prefix-ckpt"))
+      .start()
+    val b1 = Seq(("s1", "terms of service apply to all"), ("s1", "fresh unique words here"))
+    // the repeat of s1's boilerplate prefix arrives in a LATER batch —
+    // the threshold crossing must surface without any rebuild
+    val b2 = Seq(("s1", "terms of service apply to all"), ("s2", "another doc entirely"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def served: Map[(String, String), Long] =
+      art.serve(spark).groupBy($"source", $"prefix")
+        .agg(org.apache.spark.sql.functions.sum($"n_docs").as("n_docs"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = graft.llm.Curation.prefixCounts((b1 ++ b2).toDF("source", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(served == direct)
+    // the cross-batch repeat is now a flagged (n_docs >= 2) boilerplate row
+    assert(served(("s1", "terms of service apply to all")) == 2L)
+    // compaction preserves the counts
+    art.compact(spark)
+    assert(served == direct)
+  }
+
   test("crash-stranded directories are invisible to readers and swept by compaction") {
     import spark.implicits._
     val artifact = freshDir("lm-crash")

@@ -211,6 +211,7 @@ object SparkEntry {
     "q194_matryoshka_recall" -> ((s: SparkSession, d: String) => Similarity.matryoshkaRecall(s, d)),
     "q195_pack_efficiency" -> ((s: SparkSession, d: String) => Pipeline.packEfficiency(s, d)),
     "q196_cluster_terms"   -> ((s: SparkSession, d: String) => graft.llm.Curation.clusterTerms(s, d)),
+    "q197_quant_recall"    -> ((s: SparkSession, d: String) => Similarity.quantRecall(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1598,6 +1599,58 @@ object SparkEntry {
         |s_tr AS (SELECT q_id, e2.vec_id AS neighbor_id,
         |    list_sum(list_transform(range(1, len(e2.embedding) + 1),
         |      i -> q_emb[i]::DOUBLE * e2.embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(e2.n2)) AS sim
+        |  FROM q2, e2 WHERE e2.vec_id <> q_id),
+        |r_tr AS (SELECT q_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_tr)
+        |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+        |         AS recall
+        |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+        |      WHERE rnk <= 5 GROUP BY 1) t
+        |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+        |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= 5) x
+        |           JOIN (SELECT q_id, neighbor_id FROM r_tr WHERE rnk <= 5) a
+        |             USING (q_id, neighbor_id)
+        |           GROUP BY 1) h
+        |  ON t.q_id = h.q_id
+        |ORDER BY t.q_id""".stripMargin,
+    // uint8-codec recall: the q93 quantizer re-emitted as vectors,
+    // then the q194 two-pipeline recall join
+    "q197_quant_recall" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM e
+        |      WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |s_ex AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |      / (sqrt(q_n2) * sqrt(e.n2)) AS sim
+        |  FROM q, e WHERE e.vec_id <> q_id),
+        |r_ex AS (SELECT q_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex),
+        |x AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+        |st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+        |qvals AS (SELECT x.vec_id, x.dim,
+        |    floor((CASE WHEN st.mx = st.mn THEN 0.0
+        |                ELSE (x.v - st.mn) / (st.mx - st.mn) END)
+        |          * 255.0 + 0.5) AS qv
+        |  FROM x JOIN st USING (dim)),
+        |e2 AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i] * embedding[i])) AS n2
+        |  FROM (SELECT vec_id, list(qv ORDER BY dim) AS embedding
+        |        FROM qvals GROUP BY vec_id) qe),
+        |q2 AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM e2
+        |      WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |s_tr AS (SELECT q_id, e2.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(e2.embedding) + 1),
+        |      i -> q_emb[i] * e2.embedding[i]))
         |      / (sqrt(q_n2) * sqrt(e2.n2)) AS sim
         |  FROM q2, e2 WHERE e2.vec_id <> q_id),
         |r_tr AS (SELECT q_id, neighbor_id,

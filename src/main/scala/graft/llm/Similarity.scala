@@ -153,6 +153,53 @@ object Similarity {
     recallVsExactOf(emb, k, cosineTopKOf(trunc, k))
   }
 
+  /**
+   * Uint8-quantization recall audit — the q194 measurement for the
+   * OTHER storage play: recall@k of cosine top-k over the q93
+   * per-dimension min/max uint8 codec against the full-precision
+   * exact baseline. Together with [[matryoshkaRecall]] this prices
+   * the two standard embedding-compression axes (fewer dims vs fewer
+   * bits) on one comparable number.
+   *
+   * The quantized corpus is a row-local `transform` against the
+   * 64-entry min/max literals (a bounded model read, the KMeans
+   * pattern) — no explode, no join, so at scale quantization is a
+   * pure map over the embedding shards. Quantized values are small
+   * exact integers, so their dots and norms are exact and the cosine
+   * is the same single division both engines compute.
+   */
+  def quantRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    recallVsExactOf(emb, k, cosineTopKOf(quantizedVectors(emb), k))
+  }
+
+  /** The q93 codec as full vectors: per-dim global min/max (computed
+    * once, folded into literals), then `floor(ratio·255 + 0.5)` per
+    * element — [[graft.llm.Pipeline.quantizeEmbeddings]]'s exact
+    * arithmetic, re-emitted as arrays for similarity search. */
+  private[llm] def quantizedVectors(emb: DataFrame): DataFrame = {
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .sortBy(_._1)
+    val mnArr = array(stats.map(s => lit(s._2)): _*)
+    val mxArr = array(stats.map(s => lit(s._3)): _*)
+    emb.select(col("vec_id"), col("embedding"),
+        mnArr.as("mn"), mxArr.as("mx"))
+      .select(col("vec_id"), expr(
+        """transform(embedding, (v, i) ->
+          |  CAST(floor((CASE WHEN element_at(mx, i + 1) = element_at(mn, i + 1)
+          |                   THEN 0.0D
+          |                   ELSE (CAST(v AS DOUBLE) - element_at(mn, i + 1))
+          |                        / (element_at(mx, i + 1) - element_at(mn, i + 1))
+          |              END) * 255.0D + 0.5D) AS FLOAT))""".stripMargin)
+        .as("embedding"))
+  }
+
   /** Recall@k of the IVF route ([[graft.llm.Pipeline.ivfAnn]], q52)
     * against the exact baseline — the third audit in the family
     * (q149 single-probe LSH, q150 multi-probe LSH, q151 IVF), so the

@@ -112,6 +112,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized vectors replay the q93 codec exactly; quant recall is well-formed") {
+    val emb = Tables.embeddings(spark, sf)
+    val qv = Similarity.quantizedVectors(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    // every element is an integer in [0, 255]
+    qv.values.foreach(_.foreach { v =>
+      assert(v >= 0f && v <= 255f && v == math.floor(v).toFloat)
+    })
+    // per-vector stats agree with the q93 aggregate bit for bit
+    Pipeline.quantizeEmbeddings(spark, sf).collect().foreach { r =>
+      val v = qv(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("q_sum") == v.map(_.toLong).sum)
+      assert(r.getAs[Long]("q_min") == v.min.toLong)
+      assert(r.getAs[Long]("q_max") == v.max.toLong)
+    }
+    val rows = Similarity.quantRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nExact = r.getAs[Long]("n_exact")
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nExact == 5L && nHit >= 0L && nHit <= nExact)
+      assert(r.getAs[Double]("recall") == nHit.toDouble / nExact.toDouble)
+    }
+  }
+
   test("matryoshka recall counts the exact overlap of full vs truncated top-k") {
     val k = 5
     val dims = 32

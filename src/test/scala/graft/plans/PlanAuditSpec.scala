@@ -343,7 +343,10 @@ class PlanAuditSpec extends SparkSpec {
       // q196: doc-cardinality label join before the explode; pinned
       // (cell, tok) aggregate feeds three marginals; TopKPerKey rank
       // (q171's shape over the learned cells)
-      "q196_cluster_terms"      -> (6, 1, 2, 0))
+      "q196_cluster_terms"      -> (6, 1, 2, 0),
+      // q197: q194's two-ranking recall shape — the quantized side is
+      // a row-local transform against the min/max literals
+      "q197_quant_recall"       -> (7, 3, 2, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

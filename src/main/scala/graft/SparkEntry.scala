@@ -212,6 +212,8 @@ object SparkEntry {
     "q195_pack_efficiency" -> ((s: SparkSession, d: String) => Pipeline.packEfficiency(s, d)),
     "q196_cluster_terms"   -> ((s: SparkSession, d: String) => graft.llm.Curation.clusterTerms(s, d)),
     "q197_quant_recall"    -> ((s: SparkSession, d: String) => Similarity.quantRecall(s, d)),
+    "q198_zipf_deviation"  -> ((s: SparkSession, d: String) => graft.llm.Curation.zipfDeviation(s, d)),
+    "q199_dup_trend"       -> ((s: SparkSession, d: String) => Dedup.dupTrend(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1616,6 +1618,41 @@ object SparkEntry {
         |           GROUP BY 1) h
         |  ON t.q_id = h.q_id
         |ORDER BY t.q_id""".stripMargin,
+    // duplication trend: q32 pairs' higher members bucketed by id-range
+    // decile; dup_ppm = flagged share of each decile's docs
+    "q199_dup_trend" ->
+      s"""WITH $minhashPairsCtes,
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |fl AS (SELECT (id_b * 10) // (mx + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_flagged
+        |  FROM neardup CROSS JOIN mx GROUP BY 1),
+        |tot AS (SELECT (doc_id * 10) // (mx + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents CROSS JOIN mx GROUP BY 1)
+        |SELECT CAST(tot.bin AS BIGINT) AS bin, n_docs,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_flagged, 0) AS n_flagged,
+        |  CAST((1000000 * COALESCE(n_flagged, 0)) // n_docs AS BIGINT) AS dup_ppm
+        |FROM tot LEFT JOIN fl ON tot.bin = fl.bin
+        |ORDER BY bin""".stripMargin,
+    // log-free Zipf diagnostic: r·f(r)/f(1) in integer ppm over the
+    // per-source top-10 tokens
+    "q198_zipf_deviation" ->
+      """WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  GROUP BY 1, 2),
+        |top AS (SELECT source, w, n_sw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |         ORDER BY n_sw DESC, w) AS BIGINT) AS rnk
+        |  FROM sw),
+        |t10 AS (SELECT * FROM top WHERE rnk <= 10),
+        |f1 AS (SELECT source AS s2, n_sw AS f1 FROM t10 WHERE rnk = 1)
+        |SELECT source, rnk, w, n_sw, rnk * n_sw AS rf,
+        |  CAST((1000000 * rnk * n_sw) // f1 AS BIGINT) AS zipf_ppm
+        |FROM t10 JOIN f1 ON t10.source = f1.s2
+        |ORDER BY source, rnk""".stripMargin,
     // uint8-codec recall: the q93 quantizer re-emitted as vectors,
     // then the q194 two-pipeline recall join
     "q197_quant_recall" ->

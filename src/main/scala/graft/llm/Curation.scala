@@ -828,6 +828,38 @@ object Curation {
    * (boilerplate is repetition), so the join output never approaches
    * corpus size.
    */
+  /**
+   * Zipf-law deviation per source — the LOG-FREE corpus-health
+   * diagnostic: Zipf predicts the r-th most frequent token satisfies
+   * r·f(r) ≈ f(1), so `zipf_ppm = 1e6·r·f(r) / f(1)` sits near 1e6
+   * for natural text and drifts far off for templated or synthetic
+   * sources (boilerplate flattens the head; generated text thins the
+   * tail). All integer arithmetic — rank×count products against the
+   * rank-1 count — so no logarithm ever forms and both engines emit
+   * identical BIGINTs.
+   *
+   * Serves from the memoized `source-unigrams` artifact (the q182
+   * store); the per-source top-k ranks through the bounded-heap
+   * operator, so nothing here rescans or re-shuffles the corpus.
+   */
+  def zipfDeviation(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    val sw = ModelCache.memoIndex(corpus, "source-unigrams") {
+      graft.ops.GlobalOrder.pin(sourceUnigramCounts(corpus))
+    }
+    val top = graft.plans.TopK.perKeyWithRank(
+      sw, Seq("source"), Seq(("n_sw", true), ("w", false)), k, "rnk")
+    val f1 = top.filter(col("rnk") === 1)
+      .select(col("source"), col("n_sw").as("f1"))
+    top.join(broadcast(f1), Seq("source"))
+      .withColumn("rnk", col("rnk").cast("long"))
+      .withColumn("rf", col("rnk") * col("n_sw"))
+      .withColumn("zipf_ppm", expr("(1000000 * rf) div f1"))
+      .select(col("source"), col("rnk"), col("w"), col("n_sw"),
+        col("rf"), col("zipf_ppm"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** ONE (source, prefix) count projection — shared by the batch query
     * ([[boilerplatePrefixes]]) and the streamed prefix store
     * ([[graft.streaming.ArtifactMaintenance.prefixArtifact]]), so

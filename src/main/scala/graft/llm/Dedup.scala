@@ -589,4 +589,42 @@ object Dedup {
         col("n_inter"), col("jaccard_ppm"))
       .orderBy("src_a", "src_b")
   }
+
+  /**
+   * Duplication TREND over ingestion order: near-dup rate per doc_id
+   * decile — is duplication getting worse as the corpus grows? Each
+   * q32 pair flags its HIGHER-id member (the one keep-lowest dedup
+   * removes), bucketed by id range; `dup_ppm` is the flagged share of
+   * each decile's documents. A rising curve means the crawl is
+   * re-fetching what it already has — the signal that triggers the
+   * q101/q137 incremental-dedup ingestion path.
+   *
+   * Scale shape: the pair list is the memoized `lsh-pairs` artifact
+   * (duplicate-volume-sized); the bin is a row-local value-range div
+   * against the broadcast max id — no global ranking pass. The two
+   * corpus touches are single-column count/max aggregates with
+   * map-side partials (doc_id-only pruned scans).
+   */
+  def dupTrend(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // pinned: the single-row max feeds BOTH crossJoins — unpinned, the
+    // doc_id scan behind it would run twice
+    val mx = graft.ops.GlobalOrder.pin(docs.agg(max(col("doc_id")).as("mx")))
+    val flagged = minhashLsh(spark, dir)
+      .crossJoin(broadcast(mx))
+      .withColumn("bin", expr(s"(id_b * $bins) div (mx + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_flagged"))
+    docs.crossJoin(broadcast(mx))
+      .withColumn("bin", expr(s"(doc_id * $bins) div (mx + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("bin"), "left")
+      .select(col("bin"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("dup_ppm", expr("(1000000 * n_flagged) div n_docs"))
+      .orderBy(col("bin"))
+  }
 }

@@ -241,6 +241,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("zipf deviation: exact r*f(r)/f(1) ppm over the per-source top-10") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (s, text) =>
+      text.split(" ", -1).foreach(w => counts((s, w)) += 1L)
+    }
+    val expected = counts.toSeq.groupBy(_._1._1).flatMap { case (s, g) =>
+      val top = g.map { case ((_, w), n) => (w, n) }
+        .sortBy { case (w, n) => (-n, w) }.take(10)
+      val f1 = top.head._2
+      top.zipWithIndex.map { case ((w, n), i) =>
+        val r = i + 1L
+        (s, r, w, n, r * n, 1000000L * r * n / f1)
+      }
+    }.toSet
+    val rows = Curation.zipfDeviation(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("rnk"),
+      r.getAs[String]("w"), r.getAs[Long]("n_sw"), r.getAs[Long]("rf"),
+      r.getAs[Long]("zipf_ppm"))).toSet == expected)
+    // rank 1 is the Zipf anchor by construction
+    rows.filter(_.getAs[Long]("rnk") == 1L)
+      .foreach(r => assert(r.getAs[Long]("zipf_ppm") == 1000000L))
+  }
+
   test("cluster terms rank tokens by the exact lift over the semantic cells") {
     // independent cell assignment: the SemDeDup quantizer (q162) runs
     // the same deterministic Lloyd's + nearest-cell rule

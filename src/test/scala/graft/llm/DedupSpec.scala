@@ -166,4 +166,27 @@ class DedupSpec extends SparkSpec {
       r.getAs[String]("src_b") -> r.getAs[Long]("n_b")))
     sizes.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.length == 1))
   }
+
+  test("dup trend bins every doc and recounts the pair list per id decile") {
+    val ids = graft.model.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val mx = ids.max
+    def binOf(id: Long): Long = id * 10L / (mx + 1L)
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val expPairs = pairs.groupBy(p => binOf(p._2))
+      .map { case (b, g) => b -> (g.length.toLong, g.map(_._2).distinct.length.toLong) }
+    val expDocs = ids.groupBy(binOf).map { case (b, g) => b -> g.length.toLong }
+    val rows = Dedup.dupTrend(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == ids.length.toLong)
+    assert(rows.map(_.getAs[Long]("bin")).toSet == expDocs.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val (nPairs, nFlagged) = expPairs.getOrElse(b, (0L, 0L))
+      assert(r.getAs[Long]("n_docs") == expDocs(b))
+      assert(r.getAs[Long]("n_pairs") == nPairs, s"bin=$b")
+      assert(r.getAs[Long]("n_flagged") == nFlagged)
+      assert(r.getAs[Long]("dup_ppm") == 1000000L * nFlagged / expDocs(b))
+    }
+  }
 }

@@ -346,7 +346,14 @@ class PlanAuditSpec extends SparkSpec {
       "q196_cluster_terms"      -> (6, 1, 2, 0),
       // q197: q194's two-ranking recall shape — the quantized side is
       // a row-local transform against the min/max literals
-      "q197_quant_recall"       -> (7, 3, 2, 0))
+      "q197_quant_recall"       -> (7, 3, 2, 0),
+      // q198: serve reads the pinned source-unigram artifact; heap
+      // top-k + the rank-1 anchor broadcast join + output sort
+      "q198_zipf_deviation"     -> (3, 1, 1, 0),
+      // q199: q32's pair-pipeline shape (4,4,4 — see q190) plus the
+      // two decile aggregates, the pinned max-id scalar broadcast into
+      // both, the decile left join and the output sort
+      "q199_dup_trend"          -> (7, 6, 5, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

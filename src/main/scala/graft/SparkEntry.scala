@@ -214,6 +214,7 @@ object SparkEntry {
     "q197_quant_recall"    -> ((s: SparkSession, d: String) => Similarity.quantRecall(s, d)),
     "q198_zipf_deviation"  -> ((s: SparkSession, d: String) => graft.llm.Curation.zipfDeviation(s, d)),
     "q199_dup_trend"       -> ((s: SparkSession, d: String) => Dedup.dupTrend(s, d)),
+    "q200_curation_funnel" -> ((s: SparkSession, d: String) => Pipeline.curationFunnel(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1618,6 +1619,54 @@ object SparkEntry {
         |           GROUP BY 1) h
         |  ON t.q_id = h.q_id
         |ORDER BY t.q_id""".stripMargin,
+    // the curation funnel: raw -> lang -> gopher -> exact -> near-dup
+    // survivors, each stage's predicate copied from its standalone query
+    "q200_curation_funnel" ->
+      s"""WITH $minhashPairsCtes,
+        |gt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gm AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM gt),
+        |gf AS (SELECT doc_id,
+        |    (n_words >= 30 AND n_words <= 1000
+        |     AND (100 * sum_wlen) // n_words >= 200
+        |     AND (100 * sum_wlen) // n_words <= 800
+        |     AND n_stop >= 2) AS gopher_ok
+        |  FROM gm),
+        |bd AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS th FROM documents),
+        |kp AS (SELECT th, MIN(doc_id) AS keep_id FROM bd GROUP BY 1),
+        |ndc AS (SELECT DISTINCT id_b AS doc_id FROM neardup),
+        |fl AS (SELECT bd.doc_id, n_tokens,
+        |    (lang IN ('en', 'es', 'fr')) AS lang_ok, gopher_ok,
+        |    (bd.doc_id = kp.keep_id) AS not_exact,
+        |    (ndc.doc_id IS NULL) AS not_near
+        |  FROM bd JOIN kp ON bd.th = kp.th
+        |  JOIN gf ON bd.doc_id = gf.doc_id
+        |  LEFT JOIN ndc ON bd.doc_id = ndc.doc_id),
+        |ss AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+        |    CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN lang_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok AND not_exact THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok AND not_exact THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok AND not_exact AND not_near THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |    CAST(SUM(CASE WHEN lang_ok AND gopher_ok AND not_exact AND not_near THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+        |  FROM fl)
+        |SELECT stage, stage_name, n_docs, n_tokens,
+        |  CAST((1000000 * n_docs) // (SELECT d0 FROM ss) AS BIGINT) AS kept_ppm
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, d0 AS n_docs, t0 AS n_tokens FROM ss
+        |  UNION ALL SELECT 1, 'lang_filter', d1, t1 FROM ss
+        |  UNION ALL SELECT 2, 'gopher_rules', d2, t2 FROM ss
+        |  UNION ALL SELECT 3, 'exact_dedup', d3, t3 FROM ss
+        |  UNION ALL SELECT 4, 'neardup_dedup', d4, t4 FROM ss) u
+        |ORDER BY stage""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -223,6 +223,66 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * The curation FUNNEL (q200): documents and tokens surviving each
+   * successive pipeline stage — raw → language allow-list → Gopher
+   * quality rules → exact dedup → near-dup dedup — the headline
+   * attrition table every training-data paper publishes (Gopher
+   * table A1, RefinedWeb fig. 2, FineWeb's funnel). Each stage's
+   * predicate is the SAME definition the standalone query uses:
+   * Gopher flags from [[TextAnalysis.gopherRules]] (q178), near-dup
+   * casualties from the memoized `lsh-pairs` artifact (q32),
+   * exact-dup survivors by keep-lowest-id per text digest (q30's
+   * rule), so the funnel can never drift from the stages it reports.
+   *
+   * Scale shape: three doc-cardinality equi-joins (flags onto the
+   * base projection), then ONE group-less aggregate computing every
+   * stage's conditional sums map-side — the output is five literal
+   * rows exploded from that single aggregate row. No stage
+   * re-filters and re-scans the corpus.
+   */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("th"))
+    val gop = TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"), col("pass").as("gopher_ok"))
+    val nd = Dedup.minhashLsh(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_neardup", lit(true))
+    // keep-lowest per digest as a window min — th is a
+    // corpus-cardinality key (the q189 exemption), and the window
+    // replaces a digest self-join that would scan the corpus twice
+    val flags = base
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("th"))))
+      .join(gop, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("c1", col("lang").isin("en", "es", "fr"))
+      .withColumn("c2", col("c1") && col("gopher_ok"))
+      .withColumn("c3", col("c2") && col("doc_id") === col("keep_id"))
+      .withColumn("c4", col("c3") && col("is_neardup").isNull)
+    def d(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def t(c: Column): Column = sum(when(c, col("n_tokens")).otherwise(0L))
+    val a = flags.agg(
+      count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+      d(col("c1")).as("d1"), t(col("c1")).as("t1"),
+      d(col("c2")).as("d2"), t(col("c2")).as("t2"),
+      d(col("c3")).as("d3"), t(col("c3")).as("t3"),
+      d(col("c4")).as("d4"), t(col("c4")).as("t4"))
+    def row(i: Int, name: String): Column = struct(
+      lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+      col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    a.select(explode(array(
+        row(0, "raw"), row(1, "lang_filter"), row(2, "gopher_rules"),
+        row(3, "exact_dedup"), row(4, "neardup_dedup"))).as("s"), col("d0"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
+        expr("(1000000 * s.n_docs) div d0").as("kept_ppm"))
+      .orderBy("stage")
+  }
+
   /** The deterministic train/val/test assignment of a doc_id — ONE
     * definition shared by the split report, the shard writer and the
     * leakage audit, so the ratio can never drift between what is

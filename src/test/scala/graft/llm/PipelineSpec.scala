@@ -179,6 +179,41 @@ class PipelineSpec extends SparkSpec {
       == expected)
   }
 
+  test("curation funnel replays each stage's own predicate cumulatively") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1), r.getString(2)))
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keepId = docs.groupBy(d => md5Of(d._3))
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    val gopherOk = TextAnalysis.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    val nearDup = Dedup.minhashLsh(spark, sf).collect()
+      .map(_.getAs[Long]("id_b")).toSet
+    val langs = Set("en", "es", "fr")
+    val toks = docs.map(d => d._1 -> d._3.split(" ", -1).length.toLong).toMap
+    val conds: Seq[((Long, String, String)) => Boolean] = Seq(
+      _ => true,
+      d => langs(d._2),
+      d => langs(d._2) && gopherOk(d._1),
+      d => langs(d._2) && gopherOk(d._1) && keepId(d._1),
+      d => langs(d._2) && gopherOk(d._1) && keepId(d._1) && !nearDup(d._1))
+    val rows = Pipeline.curationFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "lang_filter", "gopher_rules", "exact_dedup", "neardup_dedup"))
+    val d0 = docs.length.toLong
+    rows.zip(conds).foreach { case (r, c) =>
+      val kept = docs.filter(c)
+      assert(r.getAs[Long]("n_docs") == kept.length.toLong, r)
+      assert(r.getAs[Long]("n_tokens") == kept.map(d => toks(d._1)).sum, r)
+      assert(r.getAs[Long]("kept_ppm") == 1000000L * kept.length / d0)
+    }
+  }
+
   test("pack efficiency sweep agrees with a local greedy replay per budget") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf)

@@ -353,7 +353,14 @@ class PlanAuditSpec extends SparkSpec {
       // q199: q32's pair-pipeline shape (4,4,4 — see q190) plus the
       // two decile aggregates, the pinned max-id scalar broadcast into
       // both, the decile left join and the output sort
-      "q199_dup_trend"          -> (7, 6, 5, 0))
+      "q199_dup_trend"          -> (7, 6, 5, 0),
+      // q200: q32's pair shape feeding the near-dup flag, the
+      // keep-lowest window on the digest (corpus-cardinality key —
+      // replaces a digest self-join that would scan the corpus twice),
+      // the gopher flag join, and ONE group-less aggregate exploded
+      // into the five stage rows; two corpus scans total (base + the
+      // gopher rule projection)
+      "q200_curation_funnel"    -> (6, 5, 6, 1))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -215,6 +215,24 @@ object SparkEntry {
     "q198_zipf_deviation"  -> ((s: SparkSession, d: String) => graft.llm.Curation.zipfDeviation(s, d)),
     "q199_dup_trend"       -> ((s: SparkSession, d: String) => Dedup.dupTrend(s, d)),
     "q200_curation_funnel" -> ((s: SparkSession, d: String) => Pipeline.curationFunnel(s, d)),
+    // — TPC-H analog completion (Relational7) —
+    "q201_shipping_priority"  -> (graft.ops.Relational7.shippingPriority _),
+    "q202_order_priority"     -> (graft.ops.Relational7.orderPriorityCheck _),
+    "q203_nation_volume"      -> (graft.ops.Relational7.nationVolume _),
+    "q204_market_share"       -> (graft.ops.Relational7.marketShare _),
+    "q205_product_profit"     -> (graft.ops.Relational7.productProfit _),
+    "q206_returned_items"     -> (graft.ops.Relational7.returnedItems _),
+    "q207_important_parts"    -> (graft.ops.Relational7.importantParts _),
+    "q208_ship_delay_bands"   -> (graft.ops.Relational7.shipDelayBands _),
+    "q209_customer_distribution" -> (graft.ops.Relational7.customerDistribution _),
+    "q210_discounted_revenue" -> (graft.ops.Relational7.discountedRevenue _),
+    "q211_waiting_suppliers"  -> (graft.ops.Relational7.waitingSuppliers _),
+    "q212_part_supplier_counts" -> (graft.ops.Relational7.partSupplierCounts _),
+    "q213_dup_span_trim"   -> ((s: SparkSession, d: String) => TextAnalysis.dupSpanTrim(s, d)),
+    "q214_bpe_merges"      -> ((s: SparkSession, d: String) => graft.llm.Bpe.bpeMerges(s, d)),
+    "q215_kn_continuation" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.knContinuation(s, d)),
+    "q216_k_anonymity"     -> (graft.ops.Audits.kAnonymity _),
+    "q217_quality_auc"     -> ((s: SparkSession, d: String) => graft.llm.Eval.qualityAuc(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1667,6 +1685,313 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'exact_dedup', d3, t3 FROM ss
         |  UNION ALL SELECT 4, 'neardup_dedup', d4, t4 FROM ss) u
         |ORDER BY stage""".stripMargin,
+    // — TPC-H analog completion (Relational7) —
+    "q201_shipping_priority" ->
+      """SELECT l.l_orderkey AS o_orderkey,
+        |  epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q202_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + 5184000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q204_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l.l_discount AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  JOIN region r ON n2.n_regionkey = r.r_regionkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q205_product_profit" ->
+      """SELECT n.n_name AS supp_nation, year(o.o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2)))
+        |     - SUM(CAST(l.l_quantity * 0.5 AS DECIMAL(18,2)) *
+        |           CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q206_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS lost_revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q207_important_parts" ->
+      """WITH eu AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE'),
+        |v AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT SUM(val_dec) AS total_dec, COUNT(*) AS n_parts FROM v)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS stock_value
+        |FROM v, t WHERE val_dec * n_parts > total_dec * 2
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+    "q208_ship_delay_bands" ->
+      """SELECT CASE
+        |    WHEN epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)
+        |      <= 2592000000 THEN 'fast'
+        |    WHEN epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)
+        |      <= 7776000000 THEN 'normal'
+        |    ELSE 'slow' END AS band,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q209_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c
+        |  LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM pc GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q210_discounted_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q211_waiting_suppliers" ->
+      """WITH base AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + 5184000000 AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |pos AS (SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN late THEN 1 ELSE 0 END) AS supp_late
+        |  FROM base GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey FROM pos GROUP BY 1
+        |  HAVING COUNT(*) > 1 AND SUM(supp_late) = 1)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM pos JOIN po USING (l_orderkey)
+        |JOIN supplier s ON pos.l_suppkey = s.s_suppkey
+        |WHERE pos.supp_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q212_part_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND ps.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // q213: exact-substring trim APPLIED — tokens covered by cross-doc
+    // duplicated 7-grams removed everywhere except the gram's
+    // lowest-id holder; trimmed text reassembled in token order
+    "q213_dup_span_trim" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, u.i AS pos,
+        |        md5(array_to_string(list_slice(w, u.i, u.i + 6), ' ')) AS g
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 5)) AS i) u
+        |      WHERE len(w) >= 7),
+        |s AS (SELECT g, MIN(doc_id) AS lo FROM g GROUP BY 1
+        |      HAVING MIN(doc_id) <> MAX(doc_id)),
+        |rem AS (SELECT doc_id, pos FROM g JOIN s USING (g) WHERE doc_id <> lo),
+        |cov AS (SELECT DISTINCT doc_id, pos + o.o AS cp
+        |        FROM rem, LATERAL (SELECT unnest(range(0, 7)) AS o) o),
+        |tok AS (SELECT t.doc_id, u.i, w[u.i] AS tk
+        |        FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.tk
+        |         FROM tok LEFT JOIN cov
+        |           ON tok.doc_id = cov.doc_id AND tok.i = cov.cp
+        |         WHERE cov.cp IS NULL),
+        |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+        |         string_agg(tk, ' ' ORDER BY i) AS txt
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) AS BIGINT) - COALESCE(nk, 0) AS n_removed,
+        |  COALESCE(txt, '') AS trimmed_text
+        |FROM t LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q214: first-3 BPE merges (self-pairs excluded → order-free
+    // apply); each iteration = pair argmax (count desc, pair asc) +
+    // per-position merge rewrite, unrolled as chained CTEs
+    "q214_bpe_merges" ->
+      """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1),
+        |s0 AS (SELECT wc, string_split(word, '') AS s FROM w0),
+        |p1 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
+        |  FROM s0, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
+        |m1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+        |s1 AS (SELECT wc, list_transform(
+        |    list_filter(range(1, len(s) + 1), i ->
+        |      NOT (i > 1 AND s[i - 1] = m1.pa AND s[i] = m1.pb)),
+        |    i -> CASE WHEN s[i] = m1.pa AND i < len(s) AND s[i + 1] = m1.pb
+        |         THEN m1.pa || m1.pb ELSE s[i] END) AS s
+        |  FROM s0 CROSS JOIN m1),
+        |p2 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
+        |  FROM s1, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
+        |m2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
+        |s2 AS (SELECT wc, list_transform(
+        |    list_filter(range(1, len(s) + 1), i ->
+        |      NOT (i > 1 AND s[i - 1] = m2.pa AND s[i] = m2.pb)),
+        |    i -> CASE WHEN s[i] = m2.pa AND i < len(s) AND s[i + 1] = m2.pb
+        |         THEN m2.pa || m2.pb ELSE s[i] END) AS s
+        |  FROM s1 CROSS JOIN m2),
+        |p3 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
+        |  FROM s2, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
+        |m3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1),
+        |s3 AS (SELECT wc, list_transform(
+        |    list_filter(range(1, len(s) + 1), i ->
+        |      NOT (i > 1 AND s[i - 1] = m3.pa AND s[i] = m3.pb)),
+        |    i -> CASE WHEN s[i] = m3.pa AND i < len(s) AND s[i + 1] = m3.pb
+        |         THEN m3.pa || m3.pb ELSE s[i] END) AS s
+        |  FROM s2 CROSS JOIN m3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_rank, pa AS pair_a, pb AS pair_b,
+        |    pa || pb AS merged, CAST(n AS BIGINT) AS pair_count,
+        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s1)
+        |      AS n_symbols_after FROM m1
+        |  UNION ALL
+        |  SELECT 2, pa, pb, pa || pb, CAST(n AS BIGINT),
+        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s2) FROM m2
+        |  UNION ALL
+        |  SELECT 3, pa, pb, pa || pb, CAST(n AS BIGINT),
+        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s3) FROM m3)
+        |ORDER BY merge_rank""".stripMargin,
+    // q215: Kneser–Ney continuation statistics from the bigram type
+    // table; cont_ppm = N1+(.w) / |types| in integer ppm
+    "q215_kn_continuation" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+        |lf AS (SELECT w2 AS word, CAST(COUNT(*) AS BIGINT) AS n_left_contexts,
+        |         CAST(SUM(n) AS BIGINT) AS n_as_continuation
+        |       FROM c GROUP BY 1),
+        |rt AS (SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS n_right_types
+        |       FROM c GROUP BY 1)
+        |SELECT lf.word, n_left_contexts,
+        |  COALESCE(n_right_types, 0) AS n_right_types, n_as_continuation,
+        |  (1000000 * n_left_contexts) // n_types AS cont_ppm
+        |FROM lf LEFT JOIN rt USING (word) CROSS JOIN t
+        |ORDER BY n_left_contexts DESC, word LIMIT 50""".stripMargin,
+    // q216: k-anonymity audit — QI = (event_type, day, value band);
+    // rows in classes smaller than k are the re-identifiable sliver
+    "q216_k_anonymity" ->
+      """WITH cls AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |    CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS r5,
+        |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+        |    CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS r10
+        |  FROM cls)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS k, n_classes, n_rows,
+        |    g2 AS n_violating_classes, r2 AS n_violating_rows,
+        |    (1000000 * r2) // n_rows AS risk_ppm FROM s
+        |  UNION ALL SELECT 5, n_classes, n_rows, g5, r5,
+        |    (1000000 * r5) // n_rows FROM s
+        |  UNION ALL SELECT 10, n_classes, n_rows, g10, r10,
+        |    (1000000 * r10) // n_rows FROM s)
+        |ORDER BY k""".stripMargin,
+    // q217: exact Mann–Whitney AUC of the stopword-rate score as an
+    // English detector; ties get half credit, all-integer arithmetic
+    "q217_quality_auc" ->
+      """WITH sc AS (SELECT (lang = 'en') AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |ps AS (SELECT (1000000 * n_stop) // n_tokens AS score,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1),
+        |pr AS (SELECT np, nn,
+        |    CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nn_below
+        |  FROM ps)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * nn_below) AS BIGINT) AS n_concordant,
+        |  CAST(SUM(np * nn) AS BIGINT) AS n_tied,
+        |  CASE WHEN SUM(np) * SUM(nn) = 0 THEN NULL
+        |    ELSE (1000000 * (2 * CAST(SUM(np * nn_below) AS BIGINT)
+        |                     + CAST(SUM(np * nn) AS BIGINT)))
+        |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+        |  END AS auc_ppm
+        |FROM pr""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

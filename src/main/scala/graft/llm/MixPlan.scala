@@ -242,6 +242,48 @@ object MixPlan {
   }
 
   /**
+   * Kneser–Ney CONTINUATION statistics (q215): per word, the counts
+   * the KN-smoothed LM backoff actually interpolates with — how many
+   * DISTINCT left contexts the word continues (N₁₊(•w), the famous
+   * "Francisco" correction: frequent-but-predictable words get LOW
+   * continuation mass), how many distinct words follow it (N₁₊(w•),
+   * the discount-normalizer), and its occurrence count as a
+   * continuation. `cont_ppm` is the KN unigram backoff
+   * P_cont(w) = N₁₊(•w) / |bigram types| in exact integer ppm — the
+   * log-free fixed-point discipline (q164/q168): a float division per
+   * row can't hash-match cross-engine, one integer div can.
+   *
+   * Scale shape: EVERYTHING here derives from the pinned `bigram-lm`
+   * stored artifact (shared tag with q168/q179 — a pipeline running
+   * any of them builds it once): two vocab-scale aggregates over the
+   * (w1, w2, n) type table — which is itself Heaps-sublinear in the
+   * corpus — one broadcast scalar (the type count), and a top-k via
+   * TakeOrderedAndProject. The corpus is not rescanned at serve.
+   */
+  def knContinuation(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+      graft.ops.GlobalOrder.pin(
+        docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    }
+    val types = counts.agg(count(lit(1)).as("n_types"))
+    val left = counts.groupBy(col("w2").as("word"))
+      .agg(count(lit(1)).as("n_left_contexts"),
+        sum(col("n")).as("n_as_continuation"))
+    val right = counts.groupBy(col("w1").as("word"))
+      .agg(count(lit(1)).as("n_right_types"))
+    left.join(right, Seq("word"), "left")
+      .withColumn("n_right_types", coalesce(col("n_right_types"), lit(0L)))
+      .crossJoin(broadcast(types)) // single-row scalar, q59 pattern
+      .withColumn("cont_ppm",
+        expr("(1000000 * n_left_contexts) div n_types"))
+      .select(col("word"), col("n_left_contexts"), col("n_right_types"),
+        col("n_as_continuation"), col("cont_ppm"))
+      .orderBy(col("n_left_contexts").desc, col("word"))
+      .limit(topK)
+  }
+
+  /**
    * DoReMi-style domain reweighting (Xie et al. 2023), count-based: the
    * mixture step that UPWEIGHTS the domains the reference model finds
    * hardest. Here "hardness" is each source's excess rare-bigram rate

@@ -630,6 +630,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Exact-substring dedup APPLIED (q213): where [[dupSpanCoverage]]
+   * measures what a Lee et al. 2022 trim would remove, this emits the
+   * trimmed corpus — per document the text with every token covered by
+   * a cross-document duplicated K-gram removed, EXCEPT in the gram's
+   * lowest-id holder (keep-one-copy: the canonical occurrence
+   * survives, every echo is cut). Output: (doc_id, n_tokens,
+   * n_removed, trimmed_text) — the transform stage a curation pipeline
+   * actually ships, not just the report.
+   *
+   * Scale shape: gram keys are md5-hashed row-locally; the
+   * (gram → lowest holder) table is the duplicated SLIVER ONLY
+   * (min≠max filter inside the aggregate) and is a stored artifact
+   * ([[ModelCache.memoIndex]] tag `dup-gram-keepers`) like the q170
+   * sliver. Serve = one corpus gram pass joined against the pinned
+   * sliver, a per-doc position aggregate over REMOVABLE occurrences
+   * only (duplicate-volume-sized), and a row-local rebuild: covered
+   * positions expand K-fold from that sliver in-row, and the kept-token
+   * filter walks each doc's own array. Documents with no removable
+   * grams ride the left join untouched — the common case at scale,
+   * paying only the probe.
+   */
+  def dupSpanTrim(spark: SparkSession, dir: String, k: Int = 7): DataFrame =
+    dupSpanTrimOf(Tables.documents(spark, dir), k)
+
+  /** [[dupSpanTrim]] over an explicit frame (the spec plants a shared
+    * span and asserts the echo is cut while the canonical survives). */
+  private[llm] def dupSpanTrimOf(docs: DataFrame, k: Int = 7): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = t
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS g))")).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.g"))
+    // gram → its lowest-id (canonical) holder, duplicated grams only
+    val keepers = ModelCache.memoIndex(docs, s"dup-gram-keepers|$k") {
+      graft.ops.GlobalOrder.pin(grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .select(col("g"), col("lo")))
+    }
+    val removable = grams.join(keepers, "g")
+      .filter(col("doc_id") =!= col("lo"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    t.join(removable, Seq("doc_id"), "left")
+      .withColumn("cov",
+        when(col("ps").isNull, expr("CAST(array() AS array<int>)"))
+          .otherwise(expr(
+            s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))")))
+      .withColumn("kept",
+        expr("filter(w, (tok, i) -> NOT array_contains(cov, i + 1))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("trimmed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
       w: Int = 4, evalMod: Int = 50): DataFrame =
     decontaminateOf(Tables.documents(spark, dir), k, w, evalMod)

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy / release-risk audits (q216): the pre-publication checks a
+ * dataset release pipeline runs beside the quality audits (q124).
+ */
+object Audits {
+
+  /** Re-identification thresholds reported by [[kAnonymity]]. */
+  val KThresholds: Seq[Int] = Seq(2, 5, 10)
+
+  /**
+   * k-anonymity audit over the event stream: treat
+   * (event_type, activity day, value band) as the quasi-identifier a
+   * release would expose, and report — for k ∈ {2, 5, 10} — how many
+   * QI equivalence classes have fewer than k members and what share of
+   * ROWS sits in them (the re-identifiable sliver). A class of size 1
+   * is a unique fingerprint; size < k means an attacker knowing the QI
+   * narrows a subject to < k candidates.
+   *
+   * Scale shape: ONE hash aggregate builds the class-size table
+   * (QI-cardinality, bounded by the band/day grid × event types, far
+   * below row count), then a single group-less conditional-sum pass
+   * computes every threshold at once, exploded into |K| literal rows
+   * (the q165 ablation shape) — zero joins, nothing but the scan grows
+   * with the data. All counts exact integers; the band is
+   * floor(value/100) — same IEEE floor in both engines, no
+   * truncation-vs-rounding cast trap.
+   */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val classes = ev.select(
+        col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"),
+        floor(col("value") / 100.0).cast("long").as("band"))
+      .withColumn("day", expr("ts_ms div 86400000")) // integer div, q126 idiom
+      .groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("n")).as("n_rows")) ++
+      KThresholds.flatMap(k => Seq(
+        sum(when(col("n") < k, 1L).otherwise(0L)).as(s"g$k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as(s"r$k")))
+    val sums = classes.agg(aggs.head, aggs.tail: _*)
+    sums.select(expr(
+        "explode(array(" + KThresholds.map(k =>
+          s"struct(CAST($k AS BIGINT) AS k, g$k AS n_violating_classes, " +
+            s"r$k AS n_violating_rows, " +
+            s"(1000000 * r$k) div n_rows AS risk_ppm, " +
+            "n_classes, n_rows)").mkString(", ") + "))").as("s"))
+      .select(col("s.k"), col("s.n_classes"), col("s.n_rows"),
+        col("s.n_violating_classes"), col("s.n_violating_rows"),
+        col("s.risk_ppm"))
+      .orderBy(col("k"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exact AUC: hand-computable toy cases, ties half-credited") {
+    // perfect separation: positives score above every negative
+    val perfect = Seq(
+      (1L, "the the the the", "en"), (2L, "the a the a", "en"),
+      (3L, "x y z w", "es"), (4L, "u v w q", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val p = Eval.qualityAucOf(perfect).collect().head
+    assert((p.getLong(0), p.getLong(1)) == (2L, 2L))
+    assert(p.getLong(2) == 4L && p.getLong(3) == 0L)
+    assert(p.getLong(4) == 1000000L)
+    // all tied on one score: AUC must be exactly 1/2
+    val tied = Seq(
+      (1L, "the x", "en"), (2L, "the y", "es")
+    ).toDF("doc_id", "text", "lang")
+    val t = Eval.qualityAucOf(tied).collect().head
+    assert(t.getLong(2) == 0L && t.getLong(3) == 1L)
+    assert(t.getLong(4) == 500000L)
+    // inverted: positive below negative => AUC 0
+    val inv = Seq(
+      (1L, "x y z", "en"), (2L, "the the the", "es")
+    ).toDF("doc_id", "text", "lang")
+    val i = Eval.qualityAucOf(inv).collect().head
+    assert(i.getLong(2) == 0L && i.getLong(3) == 0L && i.getLong(4) == 0L)
+  }
+
+  test("exact AUC on the fixture matches the brute-force pair count") {
+    // NOTE the fixture's stopword usage is near-uniform across langs,
+    // so the measured AUC sits close to (even below) chance — which is
+    // precisely what this evaluation harness exists to expose (the
+    // q149 recall-audit stance). The spec therefore pins EXACTNESS,
+    // not signal strength: the distributed prefix-sum computation must
+    // equal the O(N²) definition.
+    val r = Eval.qualityAuc(spark, sf).collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) + r.getLong(3) <= r.getLong(0) * r.getLong(1))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect()
+      .map { row =>
+        val ws = row.getString(0).split(" ").filter(_.nonEmpty)
+        val stop = ws.count(w => w == "the" || w == "a")
+        (1000000L * stop / ws.length, row.getString(1) == "en")
+      }
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    var conc = 0L; var tied = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) conc += 1 else if (p == n) tied += 1
+    }
+    assert(r.getLong(2) == conc, s"concordant drift: ${r.getLong(2)} vs $conc")
+    assert(r.getLong(3) == tied, s"tie drift: ${r.getLong(3)} vs $tied")
+    assert(r.getLong(4) ==
+      1000000L * (2 * conc + tied) / (2 * pos.length.toLong * neg.length))
+  }
+}

@@ -233,6 +233,8 @@ object SparkEntry {
     "q215_kn_continuation" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.knContinuation(s, d)),
     "q216_k_anonymity"     -> (graft.ops.Audits.kAnonymity _),
     "q217_quality_auc"     -> ((s: SparkSession, d: String) => graft.llm.Eval.qualityAuc(s, d)),
+    "q218_bpe_apply"       -> ((s: SparkSession, d: String) => graft.llm.Bpe.bpeApply(s, d)),
+    "q219_ann_mrr"         -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -919,6 +921,7 @@ object SparkEntry {
     "q36_ann_lsh" -> annLshOracleSql(k = 5),
     "q149_ann_recall" -> annRecallOracleSql(k = 5),
     "q150_multiprobe_recall" -> multiProbeRecallOracleSql(k = 5, probes = 3),
+    "q219_ann_mrr" -> annMrrOracleSql(k = 5, probes = 3),
     "q154_planted_recall" -> plantedRecallOracleSql(k = 5, probes = 3),
     // q156: corpus-relative token rarity — integer thresholds + exact
     // frequency-mass sum; md5 token keys in both engines
@@ -1874,53 +1877,10 @@ object SparkEntry {
     // q214: first-3 BPE merges (self-pairs excluded → order-free
     // apply); each iteration = pair argmax (count desc, pair asc) +
     // per-position merge rewrite, unrolled as chained CTEs
-    "q214_bpe_merges" ->
-      """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE len(word) > 0 GROUP BY 1),
-        |s0 AS (SELECT wc, string_split(word, '') AS s FROM w0),
-        |p1 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
-        |  FROM s0, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
-        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
-        |m1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
-        |s1 AS (SELECT wc, list_transform(
-        |    list_filter(range(1, len(s) + 1), i ->
-        |      NOT (i > 1 AND s[i - 1] = m1.pa AND s[i] = m1.pb)),
-        |    i -> CASE WHEN s[i] = m1.pa AND i < len(s) AND s[i + 1] = m1.pb
-        |         THEN m1.pa || m1.pb ELSE s[i] END) AS s
-        |  FROM s0 CROSS JOIN m1),
-        |p2 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
-        |  FROM s1, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
-        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
-        |m2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
-        |s2 AS (SELECT wc, list_transform(
-        |    list_filter(range(1, len(s) + 1), i ->
-        |      NOT (i > 1 AND s[i - 1] = m2.pa AND s[i] = m2.pb)),
-        |    i -> CASE WHEN s[i] = m2.pa AND i < len(s) AND s[i + 1] = m2.pb
-        |         THEN m2.pa || m2.pb ELSE s[i] END) AS s
-        |  FROM s1 CROSS JOIN m2),
-        |p3 AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
-        |  FROM s2, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
-        |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2),
-        |m3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1),
-        |s3 AS (SELECT wc, list_transform(
-        |    list_filter(range(1, len(s) + 1), i ->
-        |      NOT (i > 1 AND s[i - 1] = m3.pa AND s[i] = m3.pb)),
-        |    i -> CASE WHEN s[i] = m3.pa AND i < len(s) AND s[i + 1] = m3.pb
-        |         THEN m3.pa || m3.pb ELSE s[i] END) AS s
-        |  FROM s2 CROSS JOIN m3)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS merge_rank, pa AS pair_a, pb AS pair_b,
-        |    pa || pb AS merged, CAST(n AS BIGINT) AS pair_count,
-        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s1)
-        |      AS n_symbols_after FROM m1
-        |  UNION ALL
-        |  SELECT 2, pa, pb, pa || pb, CAST(n AS BIGINT),
-        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s2) FROM m2
-        |  UNION ALL
-        |  SELECT 3, pa, pb, pa || pb, CAST(n AS BIGINT),
-        |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s3) FROM m3)
-        |ORDER BY merge_rank""".stripMargin,
+    "q214_bpe_merges" -> bpeMergesOracleSql,
+    // q218: the learned merges APPLIED per source — exact weighted
+    // symbol totals before/after, compression in integer ppm
+    "q218_bpe_apply" -> bpeApplyOracleSql,
     // q215: Kneser–Ney continuation statistics from the bigram type
     // table; cont_ppm = N1+(.w) / |types| in integer ppm
     "q215_kn_continuation" ->
@@ -3220,7 +3180,45 @@ object SparkEntry {
     * bits are build-time metadata derived from the base footer on the
     * Spark side in both callers. */
   private def multiProbeRecallSqlOver(corpusCtes: String, corpusRel: String,
-      k: Int, probes: Int): String = {
+      k: Int, probes: Int): String =
+    multiProbeRankCtes(corpusCtes, corpusRel, probes) + s"""
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
+       |      WHERE rnk <= $k GROUP BY 1) t
+       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
+       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |           JOIN (SELECT q_id, neighbor_id FROM r_ann WHERE rnk <= $k) a
+       |             USING (q_id, neighbor_id)
+       |           GROUP BY 1) h
+       |  ON t.q_id = h.q_id
+       |ORDER BY t.q_id""".stripMargin
+
+  /** q219 — MRR of the multi-probe route: first-hit rank per query,
+    * fixed-point micro reciprocal ranks, one integer-division mean. */
+  private[graft] def annMrrOracleSql(k: Int, probes: Int): String =
+    multiProbeRankCtes("", "embeddings", probes) + s""",
+       |fh AS (SELECT a.q_id, MIN(a.rnk) AS first_hit_rank
+       |  FROM (SELECT q_id, neighbor_id, rnk FROM r_ann WHERE rnk <= $k) a
+       |  JOIN (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
+       |    USING (q_id, neighbor_id)
+       |  GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM r_ex WHERE rnk <= $k)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN first_hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN first_hit_rank = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit_at_1,
+       |  CAST(SUM(COALESCE(1000000 // first_hit_rank, 0)) AS BIGINT)
+       |    // CAST(COUNT(*) AS BIGINT) AS mrr_micro
+       |FROM qs LEFT JOIN fh USING (q_id)""".stripMargin
+
+  /** The shared multi-probe ranking pipeline: ANN ranking `r_ann` and
+    * exact ranking `r_ex` over the bounded query set — common prefix
+    * of the recall (q150/q154) and MRR (q219) oracles. */
+  private def multiProbeRankCtes(corpusCtes: String, corpusRel: String,
+      probes: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth
     val maxBits = graft.llm.Similarity.MaxLshBits
     val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
@@ -3279,20 +3277,82 @@ object SparkEntry {
        |  FROM q, e WHERE vec_id <> q_id),
        |r_ex AS (SELECT q_id, neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)
-       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
-       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE)
-       |         AS recall
-       |FROM (SELECT q_id, COUNT(*) AS n_exact FROM r_ex
-       |      WHERE rnk <= $k GROUP BY 1) t
-       |LEFT JOIN (SELECT x.q_id, COUNT(*) AS n_hit
-       |           FROM (SELECT q_id, neighbor_id FROM r_ex WHERE rnk <= $k) x
-       |           JOIN (SELECT q_id, neighbor_id FROM r_ann WHERE rnk <= $k) a
-       |             USING (q_id, neighbor_id)
-       |           GROUP BY 1) h
-       |  ON t.q_id = h.q_id
-       |ORDER BY t.q_id""".stripMargin
+       |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s_ex)""".stripMargin
   }
+
+  /** The order-free BPE merge rewrite of symbol list `s` under the
+    * 1-row merge CTE `m` (q214's apply semantics — self-pairs are
+    * excluded at selection, so every occurrence merges). */
+  private def bpeRewriteSql(m: String): String =
+    s"""list_transform(
+       |    list_filter(range(1, len(s) + 1), i ->
+       |      NOT (i > 1 AND s[i - 1] = $m.pa AND s[i] = $m.pb)),
+       |    i -> CASE WHEN s[i] = $m.pa AND i < len(s) AND s[i + 1] = $m.pb
+       |         THEN $m.pa || $m.pb ELSE s[i] END) AS s""".stripMargin
+
+  /** The shared BPE learning chain: word counts w0, symbol tables
+    * s0..s3, pair counts p1..p3, argmax merges m1..m3 — the common
+    * prefix of the q214 (merge table) and q218 (application) oracles. */
+  private def bpeLearnCtes: String = {
+    def pair(p: String, from: String) =
+      s"""$p AS (SELECT s[u.i] AS pa, s[u.i + 1] AS pb, SUM(wc) AS n
+         |  FROM $from, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+         |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2)""".stripMargin
+    def rewrite(sN: String, from: String, m: String) =
+      s"""$sN AS (SELECT wc, ${bpeRewriteSql(m)}
+         |  FROM $from CROSS JOIN $m)""".stripMargin
+    s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |s0 AS (SELECT wc, string_split(word, '') AS s FROM w0),
+       |${pair("p1", "s0")},
+       |m1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+       |${rewrite("s1", "s0", "m1")},
+       |${pair("p2", "s1")},
+       |m2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
+       |${rewrite("s2", "s1", "m2")},
+       |${pair("p3", "s2")},
+       |m3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1),
+       |${rewrite("s3", "s2", "m3")}""".stripMargin
+  }
+
+  private[graft] def bpeMergesOracleSql: String =
+    bpeLearnCtes + """
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS merge_rank, pa AS pair_a, pb AS pair_b,
+       |    pa || pb AS merged, CAST(n AS BIGINT) AS pair_count,
+       |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s1)
+       |      AS n_symbols_after FROM m1
+       |  UNION ALL
+       |  SELECT 2, pa, pb, pa || pb, CAST(n AS BIGINT),
+       |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s2) FROM m2
+       |  UNION ALL
+       |  SELECT 3, pa, pb, pa || pb, CAST(n AS BIGINT),
+       |    (SELECT CAST(SUM(wc * len(s)) AS BIGINT) FROM s3) FROM m3)
+       |ORDER BY merge_rank""".stripMargin
+
+  private[graft] def bpeApplyOracleSql: String =
+    bpeLearnCtes + s""",
+       |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1, 2),
+       |lex0 AS (SELECT word, string_split(word, '') AS s
+       |         FROM (SELECT DISTINCT word FROM sw)),
+       |lex1 AS (SELECT word, ${bpeRewriteSql("m1")}
+       |  FROM lex0 CROSS JOIN m1),
+       |lex2 AS (SELECT word, ${bpeRewriteSql("m2")}
+       |  FROM lex1 CROSS JOIN m2),
+       |lex3 AS (SELECT word, ${bpeRewriteSql("m3")}
+       |  FROM lex2 CROSS JOIN m3)
+       |SELECT sw.source,
+       |  CAST(SUM(sw.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(sw.n * len(sw.word)) AS BIGINT) AS n_symbols_before,
+       |  CAST(SUM(sw.n * len(lex3.s)) AS BIGINT) AS n_symbols_after,
+       |  (1000000 * CAST(SUM(sw.n * len(lex3.s)) AS BIGINT))
+       |    // CAST(SUM(sw.n * len(sw.word)) AS BIGINT) AS compression_ppm
+       |FROM sw JOIN lex3 USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private[graft] def annLshOracleSql(k: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth

@@ -1,13 +1,14 @@
 package graft.llm
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Byte-pair-encoding merge learning (Sennrich et al. 2016) — the first
  * `M` merges of the tokenizer-training loop, learned over the corpus
- * word-frequency table (q214).
+ * word-frequency table (q214), and their application back to the
+ * corpus (q218).
  *
  * One deliberate restriction: SELF-PAIRS (x, x) are excluded from the
  * merge candidates. With distinct halves a merge can never overlap
@@ -27,16 +28,77 @@ import org.apache.spark.sql.functions._
  * tiebreak: count desc, then pair lexicographic) read driver-side — a
  * bounded model read, the k-means/PageRank exemption — and a row-local
  * rewrite. `M` is a small constant; the driver loop is unrolled
- * identically by the oracle's chained CTEs.
+ * identically by the oracle's chained CTEs. The learned merge list is
+ * a stored artifact ([[ModelCache.memo]], tag `bpe-merges`): the q218
+ * apply pass serves from it without re-running the learning jobs.
  */
 object Bpe {
 
-  final case class Merge(rank: Int, pa: String, pb: String, n: Long)
+  /** One learned merge: halves, selection-time weighted pair count,
+    * and the exact count-weighted total symbol count after applying
+    * it. */
+  final case class Merge(pa: String, pb: String, n: Long, symbolsAfter: Long)
+
+  /** The order-free merge-application projection for one learned pair
+    * (see class doc), over a column literally named `s`: positions
+    * whose LEFT neighbor starts a merge are dropped; positions that
+    * start one widen to the merged symbol. */
+  private def applyMerge(paRaw: String, pbRaw: String): Column = {
+    val (pa, pb) = (paRaw.replace("'", "''"), pbRaw.replace("'", "''"))
+    expr(
+      s"""transform(
+         |  filter(sequence(1, size(s)), i ->
+         |    NOT (i > 1 AND element_at(s, i - 1) = '$pa'
+         |         AND element_at(s, i) = '$pb')),
+         |  i -> IF(element_at(s, i) = '$pa' AND i < size(s)
+         |          AND element_at(s, i + 1) = '$pb',
+         |          concat('$pa', '$pb'), element_at(s, i)))""".stripMargin)
+  }
+
+  /** Count-weighted word-frequency table: (word, wc). */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** Learn the first `m` merges; memoized per file-backed corpus. */
+  private[llm] def learnMerges(docs: DataFrame, m: Int): Seq[Merge] =
+    ModelCache.memo(docs, s"bpe-merges|$m") {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      var syms = wordCounts(docs).select(col("wc"), split(col("word"), "").as("s"))
+      val out = Seq.newBuilder[Merge]
+      for (_ <- 1 to m) {
+        // vocab-scale pair aggregate; self-pairs excluded (class doc).
+        // Single-symbol words are filtered BEFORE the explode: Spark's
+        // sequence(1, 0) DESCENDS rather than being empty, so an
+        // unguarded size-1 array would probe element_at(s, 2)
+        val best = syms
+          .filter(size(col("s")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) AS pa, element_at(s, i + 1) AS pb))")).as("p"))
+          .filter(col("p.pa") =!= col("p.pb"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("pa"), col("pb"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect() // 1-row model read — the bounded-argmax exemption
+        best.foreach { case (pa, pb, n) =>
+          syms = syms.select(col("wc"), applyMerge(pa, pb).as("s"))
+          val nSymbols = syms
+            .agg(sum(col("wc") * size(col("s"))).as("t"))
+            .as[Long].collect().head
+          out += Merge(pa, pb, n, nSymbols)
+        }
+      }
+      out.result()
+    }
 
   /** Learned first-`m` merges with post-merge corpus size: one row per
     * merge — (merge_rank, pair_a, pair_b, merged, pair_count,
-    * n_symbols_after), where n_symbols_after is the exact
-    * count-weighted total symbol count once that merge is applied. */
+    * n_symbols_after) (q214). */
   def bpeMerges(spark: SparkSession, dir: String, m: Int = 3): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir), m)
 
@@ -44,56 +106,50 @@ object Bpe {
     require(m >= 1, s"need at least one merge, got $m")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-    var syms = words.select(col("wc"), split(col("word"), "").as("s"))
-    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (rank <- 1 to m) {
-      // vocab-scale pair aggregate; self-pairs excluded (see scaladoc).
-      // Single-symbol words are filtered BEFORE the explode: Spark's
-      // sequence(1, 0) DESCENDS rather than being empty, so an
-      // unguarded size-1 array would probe element_at(s, 2)
-      val best = syms
-        .filter(size(col("s")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) AS pa, element_at(s, i + 1) AS pb))")).as("p"))
-        .filter(col("p.pa") =!= col("p.pb"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("pa"), col("pb"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect() // 1-row model read — the bounded-argmax exemption
-      if (best.nonEmpty) {
-        val (paRaw, pbRaw, n) = best.head
-        // symbols come from corpus text; escape for the SQL literal
-        val (pa, pb) = (paRaw.replace("'", "''"), pbRaw.replace("'", "''"))
-        // order-free apply: drop the b of every (pa, pb) adjacency,
-        // widen the a — a pure per-position projection
-        syms = syms.select(col("wc"), expr(
-          s"""transform(
-             |  filter(sequence(1, size(s)), i ->
-             |    NOT (i > 1 AND element_at(s, i - 1) = '$pa'
-             |         AND element_at(s, i) = '$pb')),
-             |  i -> IF(element_at(s, i) = '$pa' AND i < size(s)
-             |          AND element_at(s, i + 1) = '$pb',
-             |          concat('$pa', '$pb'), element_at(s, i)))""".stripMargin)
-          .as("s"))
-        val nSymbols = syms
-          .agg(sum(col("wc") * size(col("s"))).as("t"))
-          .as[Long].collect().head
-        out += ((rank, paRaw, pbRaw, n, nSymbols))
-      }
-    }
-    out.result()
+    learnMerges(docs, m).zipWithIndex
+      .map { case (mg, i) => (i + 1L, mg.pa, mg.pb, mg.n, mg.symbolsAfter) }
       .toDF("merge_rank", "pair_a", "pair_b", "pair_count", "n_symbols_after")
-      .withColumn("merge_rank", col("merge_rank").cast("long"))
       .select(col("merge_rank"), col("pair_a"), col("pair_b"),
         concat(col("pair_a"), col("pair_b")).as("merged"),
         col("pair_count"), col("n_symbols_after"))
       .orderBy(col("merge_rank"))
+  }
+
+  /**
+   * The learned tokenizer APPLIED (q218): per source, the exact
+   * count-weighted symbol totals before and after the first-`m` merges
+   * and the resulting compression in integer ppm — the per-slice
+   * sequence-budget impact of the tokenizer (q177's fertility metric,
+   * now under a LEARNED vocabulary instead of the fixed regex).
+   *
+   * Scale shape: merges serve from the stored `bpe-merges` artifact
+   * (no learning jobs at serve); application is the order-free
+   * row-local projection chained `m` times over the (source, word)
+   * frequency table — vocabulary-sized per source, never the corpus —
+   * and the output is one source-cardinality aggregate of exact Long
+   * products.
+   */
+  def bpeApply(spark: SparkSession, dir: String, m: Int = 3): DataFrame =
+    bpeApplyOf(Tables.documents(spark, dir), m)
+
+  private[llm] def bpeApplyOf(docs: DataFrame, m: Int): DataFrame = {
+    val merges = learnMerges(docs, m)
+    val sw = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("s", split(col("word"), ""))
+    val rewritten = merges.foldLeft(sw) { (df, mg) =>
+      df.withColumn("s", applyMerge(mg.pa, mg.pb))
+    }
+    rewritten
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * length(col("word"))).as("n_symbols_before"),
+        sum(col("n") * size(col("s"))).as("n_symbols_after"))
+      .withColumn("compression_ppm",
+        expr("(1000000 * n_symbols_after) div n_symbols_before"))
+      .orderBy(col("source"))
   }
 }

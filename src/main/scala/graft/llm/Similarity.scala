@@ -539,4 +539,50 @@ object Similarity {
         col("sim"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /**
+   * ANN MRR audit (q219): mean reciprocal rank of the multi-probe LSH
+   * route against the exact baseline — the rank-POSITION companion to
+   * the recall family (q149–q151/q159/q161): recall says whether true
+   * neighbors appear anywhere in the top-k, MRR says how HIGH the
+   * first one lands, which is what a retrieve-then-rerank budget
+   * actually depends on (a hit at rank 1 needs no rerank depth; a hit
+   * at rank k needs all of it).
+   *
+   * Reciprocal ranks are fixed-point MICRO-units — `10⁶ div rank` per
+   * hit query, 0 for misses, mean = one integer division — because a
+   * float 1/rank sum is order-sensitive and can't hash-match
+   * cross-engine (q164 discipline). Single-row output:
+   * (n_queries, n_hit, n_hit_at_1, mrr_micro).
+   *
+   * Plan: both rankings are the existing bounded-query pipelines; the
+   * hit test is a k·queries-row semi-join, the first-hit rank one tiny
+   * aggregate. Nothing here grows with the corpus beyond the two
+   * ranking passes themselves.
+   */
+  def annMrr(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 3): DataFrame = {
+    val exact = cosineTopKOf(Tables.embeddings(spark, dir), k)
+      .select(col("q_id"), col("neighbor_id"))
+    val ann = annLshMultiProbe(spark, dir, k, probes)
+      .filter(pmod(col("q_id"), lit(20)) === 0 &&
+        col("q_id") < lit(20L * MaxBruteQueries))
+      .select(col("q_id"), col("neighbor_id"), col("rnk"))
+    val firstHit = ann
+      .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(min(col("rnk")).as("first_hit_rank"))
+    exact.select(col("q_id")).distinct()
+      .join(firstHit, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("first_hit_rank").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"),
+        sum(when(col("first_hit_rank") === 1L, 1L).otherwise(0L))
+          .as("n_hit_at_1"),
+        sum(coalesce(expr("1000000 div first_hit_rank"), lit(0L)))
+          .as("rr_micro_sum"))
+      .withColumn("mrr_micro", expr("rr_micro_sum div n_queries"))
+      .select(col("n_queries"), col("n_hit"), col("n_hit_at_1"),
+        col("mrr_micro"))
+  }
 }

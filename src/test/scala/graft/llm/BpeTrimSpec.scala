@@ -79,6 +79,32 @@ class BpeTrimSpec extends SparkSpec {
     assert(m.map(_.getLong(5)).toSeq == m.map(_.getLong(5)).toSeq.sorted.reverse)
   }
 
+  test("bpe apply: compression consistent with the merge ledger") {
+    val rows = Bpe.bpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (before, after, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(after <= before, s"merges can only shrink: $r")
+      assert(ppm == 1000000L * after / before)
+    }
+    // per-source afters sum to the ledger's final corpus total
+    val ledger = Bpe.bpeMerges(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == ledger.last.getLong(5),
+      "per-source symbol totals must sum to the last merge's corpus total")
+  }
+
+  test("ann mrr: bounded by hits, consistent with the recall family") {
+    val r = Similarity.annMrr(spark, sf).collect().head
+    val (nq, nHit, nHit1, mrr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nq > 0 && nHit <= nq && nHit1 <= nHit)
+    assert(mrr >= 0L && mrr <= 1000000L)
+    // every rank-1 hit contributes a full micro-unit, so the mean is
+    // at least the rank-1 mass and at most the any-hit mass
+    assert(mrr <= 1000000L * nHit / nq)
+    assert(mrr >= 1000000L * nHit1 / nq - 1)
+  }
+
   test("kn continuation: ppm exact, bounds hold, the artifact serves it") {
     val rows = MixPlan.knContinuation(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)

@@ -235,6 +235,7 @@ object SparkEntry {
     "q217_quality_auc"     -> ((s: SparkSession, d: String) => graft.llm.Eval.qualityAuc(s, d)),
     "q218_bpe_apply"       -> ((s: SparkSession, d: String) => graft.llm.Bpe.bpeApply(s, d)),
     "q219_ann_mrr"         -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
+    "q220_score_calibration" -> ((s: SparkSession, d: String) => graft.llm.Eval.scoreCalibration(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1952,6 +1953,27 @@ object SparkEntry {
         |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
         |  END AS auc_ppm
         |FROM pr""".stripMargin,
+    // q220: calibration reliability deciles of the same score — the
+    // deciles are ANSI ntile under (score, doc_id); Spark plans them
+    // via the distributed GlobalOrder rank, the oracle says NTILE
+    "q220_score_calibration" ->
+      """WITH sc AS (SELECT doc_id, (lang = 'en') AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |s2 AS (SELECT doc_id, pos,
+        |    (1000000 * n_stop) // n_tokens AS score FROM sc),
+        |d AS (SELECT pos, score,
+        |    CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+        |  FROM s2)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS pos_ppm,
+        |  MIN(score) AS score_lo, MAX(score) AS score_hi,
+        |  CAST(SUM(score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_score
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -35,16 +35,22 @@ object Eval {
   def qualityAuc(spark: SparkSession, dir: String): DataFrame =
     qualityAucOf(Tables.documents(spark, dir))
 
-  private[llm] def qualityAucOf(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
+  /** The shared (doc_id, pos, score) projection both metrics grade:
+    * stopword-rate in integer ppm vs the `lang = 'en'` label. */
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
         split(col("text"), " ").as("ws"),
         (col("lang") === "en").as("pos"))
-      .select(col("pos"),
+      .select(col("doc_id"), col("pos"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(expr("filter(ws, w -> w = 'the' OR w = 'a')"))
           .cast("long").as("n_stop"))
       .filter(col("n_tokens") > 0)
       .withColumn("score", expr("(1000000 * n_stop) div n_tokens"))
+
+  private[llm] def qualityAucOf(docs: DataFrame): DataFrame = {
+    val scored = scoredDocs(docs)
     val perScore = scored.groupBy(col("score"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
@@ -63,5 +69,44 @@ object Eval {
             "(1000000 * (2 * n_concordant + n_tied)) div (2 * n_pos * n_neg)")))
       .select(col("n_pos"), col("n_neg"), col("n_concordant"),
         col("n_tied"), col("auc_ppm"))
+  }
+
+  /**
+   * Calibration reliability table (q220) — the companion report to
+   * [[qualityAuc]]: documents ranked by the score and cut into
+   * equal-count deciles (ANSI-ntile semantics under the total order
+   * (score, doc_id)), each reporting its exact positive rate and mean
+   * score in integer ppm. AUC grades the RANKING; this table shows
+   * WHERE the ranking is (mis)calibrated — a well-behaved score has
+   * pos_ppm rising monotonically across deciles, and a threshold
+   * picked from it is an exact operating point.
+   *
+   * Scale: the decile comes from
+   * [[graft.ops.GlobalOrder.withRankAndPrefix]]'s distributed rank +
+   * [[graft.ops.GlobalOrder.ntileFromRank]] (bit-equal to `NTILE(n)
+   * OVER (ORDER BY …)`, the q134/q188 discipline) — a literal ntile
+   * window would move every row into ONE task. One 10-row aggregate
+   * follows; all ppm values are single integer divisions.
+   */
+  def scoreCalibration(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
+      scoredDocs(Tables.documents(spark, dir)),
+      Seq(col("score"), col("doc_id")))
+    ranked
+      .withColumn("decile", graft.ops.GlobalOrder.ntileFromRank(
+        col("g_rank"), col("g_total_rows"), buckets))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score")).as("score_sum"),
+        min(col("score")).as("score_lo"),
+        max(col("score")).as("score_hi"))
+      .withColumn("pos_ppm", expr("(1000000 * n_pos) div n_docs"))
+      .withColumn("mean_score", expr("score_sum div n_docs"))
+      .select(col("decile"), col("n_docs"), col("n_pos"), col("pos_ppm"),
+        col("score_lo"), col("score_hi"), col("mean_score"))
+      .orderBy(col("decile"))
   }
 }

@@ -61,4 +61,21 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(4) ==
       1000000L * (2 * conc + tied) / (2 * pos.length.toLong * neg.length))
   }
+
+  test("calibration: deciles near-equal, totals partition the corpus") {
+    val rows = Eval.scoreCalibration(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "ANSI ntile deciles differ by at most 1")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == 1000000L * r.getLong(2) / r.getLong(1))
+      assert(r.getLong(4) <= r.getLong(6) && r.getLong(6) <= r.getLong(5),
+        s"mean outside [lo, hi]: $r")
+    }
+    // score ranges are non-decreasing across deciles
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) <= b.getLong(4) || a.getLong(5) <= b.getLong(5))
+    }
+  }
 }

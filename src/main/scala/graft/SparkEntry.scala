@@ -236,6 +236,7 @@ object SparkEntry {
     "q218_bpe_apply"       -> ((s: SparkSession, d: String) => graft.llm.Bpe.bpeApply(s, d)),
     "q219_ann_mrr"         -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
     "q220_score_calibration" -> ((s: SparkSession, d: String) => graft.llm.Eval.scoreCalibration(s, d)),
+    "q221_span_corruption" -> ((s: SparkSession, d: String) => Pipeline.spanCorruption(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1974,6 +1975,34 @@ object SparkEntry {
         |  MIN(score) AS score_lo, MAX(score) AS score_hi,
         |  CAST(SUM(score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_score
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q221: T5 span corruption — two md5-placed fixed-length spans
+    // (one per document half, non-overlap by construction) masked with
+    // sentinels; input/target assembled by one array_to_string each
+    "q221_span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+        |      FROM t WHERE len(ws) >= 6),
+        |h AS (SELECT doc_id, ws, n, n // 2 AS half,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('span1:' || doc_id), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('span2:' || doc_id), i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM m),
+        |c AS (SELECT doc_id, ws, n, half,
+        |    h1 % (half - 2) + 1 AS s1,
+        |    half + 1 + h2 % (n - half - 2) AS s2 FROM h)
+        |SELECT doc_id, n AS n_tokens, s1, s2,
+        |  array_to_string(ws[1:s1 - 1] || ['<X>'] || ws[s1 + 3:s2 - 1]
+        |    || ['<Y>'] || ws[s2 + 3:n], ' ') AS input_text,
+        |  array_to_string(['<X>'] || ws[s1:s1 + 2] || ['<Y>'] || ws[s2:s2 + 2],
+        |    ' ') AS target_text
+        |FROM c ORDER BY doc_id""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

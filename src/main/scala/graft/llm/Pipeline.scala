@@ -506,6 +506,56 @@ object Pipeline {
       .orderBy("doc_id")
 
   /**
+   * T5-style SPAN-CORRUPTION example generator (q221, Raffel et al.
+   * 2020): mask two fixed-length spans per document with sentinel
+   * tokens and emit the (input, target) pair the denoising objective
+   * trains on — the encoder-decoder counterpart of q184's FIM
+   * transform (one mechanism per objective family, both RNG-free).
+   *
+   * Span starts are salted-md5 draws (the q184/q73 "randomness" the
+   * oracle replays bit-for-bit): span 1 inside the first half of the
+   * document, span 2 inside the second half — non-overlap by range
+   * construction, never by rejection sampling (a retry loop would not
+   * be expressible as one oracle pass). Both texts assemble through
+   * ONE array_join over a concatenated token array, so empty prefixes
+   * or gaps cannot produce the double-space drift a string-concat
+   * formulation invites. Pure row-local slicing; the presentation sort
+   * is the only exchange.
+   */
+  def spanCorruption(spark: SparkSession, dir: String,
+      spanLen: Int = 3): DataFrame = {
+    val L = spanLen
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") >= 2L * L) // each half must fit one span
+      .withColumn("half", expr("n div 2"))
+      .withColumn("h1", conv(substring(md5(
+        concat(lit("span1:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"))
+      .withColumn("h2", conv(substring(md5(
+        concat(lit("span2:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"))
+      .withColumn("s1", expr(s"h1 % (half - $L + 1) + 1"))
+      .withColumn("s2", expr(s"half + 1 + h2 % (n - half - $L + 1)"))
+      .withColumn("input_text", expr(
+        s"""array_join(concat(
+           |  slice(ws, 1, cast(s1 - 1 as int)), array('<X>'),
+           |  slice(ws, cast(s1 + $L as int), cast(s2 - s1 - $L as int)),
+           |  array('<Y>'),
+           |  slice(ws, cast(s2 + $L as int), cast(n - s2 - ${L - 1} as int))),
+           |' ')""".stripMargin))
+      .withColumn("target_text", expr(
+        s"""array_join(concat(
+           |  array('<X>'), slice(ws, cast(s1 as int), $L),
+           |  array('<Y>'), slice(ws, cast(s2 as int), $L)),
+           |' ')""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("s1"), col("s2"),
+        col("input_text"), col("target_text"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing ≥ `minOverlap`
    * 3-word shingles with a held-out evaluation set must be dropped
    * before training. The eval set (doc_id < 5 stands in for the real

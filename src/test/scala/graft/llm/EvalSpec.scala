@@ -78,4 +78,33 @@ class EvalSpec extends SparkSpec {
       assert(a.getLong(5) <= b.getLong(4) || a.getLong(5) <= b.getLong(5))
     }
   }
+
+  test("span corruption: every example reassembles to the original") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Pipeline.spanCorruption(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, s1, s2) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      val ws = docs(id).split(" ")
+      assert(n == ws.length)
+      // spans sit in their halves and never overlap
+      assert(s1 >= 1 && s1 + 2 <= n / 2)
+      assert(s2 >= n / 2 + 1 && s2 + 2 <= n)
+      // target carries exactly the two masked spans
+      val span1 = ws.slice(s1.toInt - 1, s1.toInt + 2).mkString(" ")
+      val span2 = ws.slice(s2.toInt - 1, s2.toInt + 2).mkString(" ")
+      assert(target == s"<X> $span1 <Y> $span2")
+      // substituting targets back into the input restores the doc
+      val restored = input
+        .replace("<X>", span1)
+        .replace("<Y>", span2)
+        .split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(restored == ws.mkString(" "), s"doc $id did not reassemble")
+    }
+  }
 }

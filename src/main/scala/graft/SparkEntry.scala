@@ -237,6 +237,7 @@ object SparkEntry {
     "q219_ann_mrr"         -> ((s: SparkSession, d: String) => Similarity.annMrr(s, d)),
     "q220_score_calibration" -> ((s: SparkSession, d: String) => graft.llm.Eval.scoreCalibration(s, d)),
     "q221_span_corruption" -> ((s: SparkSession, d: String) => Pipeline.spanCorruption(s, d)),
+    "q222_forecast_revenue" -> (graft.ops.Relational7.forecastRevenue _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2003,6 +2004,17 @@ object SparkEntry {
         |  array_to_string(['<X>'] || ws[s1:s1 + 2] || ['<Y>'] || ws[s2:s2 + 2],
         |    ' ') AS target_text
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q222: TPC-H Q6 analog — zero-join scan-filter-aggregate
+    "q222_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

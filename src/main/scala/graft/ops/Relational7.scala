@@ -347,6 +347,29 @@ object Relational7 {
   }
 
   /**
+   * Q6 analog — forecasting revenue change: the canonical
+   * scan-filter-aggregate with ZERO joins; revenue that would return
+   * if mid-band discounts on small quantities were dropped for a year.
+   * Every predicate (two timestamp bounds, a double range, a quantity
+   * cap) pushes to the parquet scan — `PushedFilters` carries all of
+   * them, row groups outside the ship-year never decompress — and the
+   * group-less decimal-exact aggregate collapses map-side to one row.
+   * Discount literals compare as doubles in BOTH engines (DuckDB
+   * promotes its decimal literal), so the band edges cannot drift.
+   */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /**
    * Q21 analog — suppliers who kept orders waiting: late lines (>60d
    * ship delay) in finished multi-supplier orders where that supplier
    * was the ONLY late one. Q21's EXISTS/NOT-EXISTS double self-join is

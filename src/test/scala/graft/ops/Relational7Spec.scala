@@ -169,6 +169,21 @@ class Relational7Spec extends SparkSpec {
     }
   }
 
+  test("forecast revenue: filters pushed to the scan, single row") {
+    val df = Relational7.forecastRevenue(spark, sf)
+    val row = df.collect().head
+    assert(row.getLong(1) >= 0L)
+    if (row.getLong(1) > 0) assert(row.getDouble(0) > 0.0)
+    val audit = PlanChecks.audit(df)
+    assert(audit.joins == 0, "Q6 must be join-free")
+    // the 7-entry filter list overflows the plan renderer's width and
+    // never closes its bracket, so PlanChecks' extractor misses it —
+    // check the raw plan string instead
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date bounds must reach the scan:\n$plan")
+  }
+
   test("plan quality: fact joins unhinted, no cartesian products") {
     for (df <- Seq(
         Relational7.shippingPriority(spark, sf),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -178,9 +178,50 @@ object CrmPagesSource {
       case Some((lo, hi)) => envelopes.filterNot(e => e.pMax < lo || e.pMin > hi)
     }
 
+  /** Numeric widening for runtime-filter values (Spark hands boxed
+    * Int/Long depending on the build side's type). */
+  private[sources] def asLong(v: Any): Option[Long] = v match {
+    case l: Long              => Some(l)
+    case l: java.lang.Long    => Some(l.longValue)
+    case i: Int               => Some(i.toLong)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _                    => None
+  }
+
+  /** The `ts_ms` value set carried by runtime (DPP) filters, if any. */
+  private[sources] def runtimeTsValues(filters: Array[Filter]): Option[Set[Long]] = {
+    val sets = filters.collect {
+      case In("ts_ms", vs)     => vs.flatMap(asLong).toSet
+      case EqualTo("ts_ms", v) => asLong(v).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Driver-side observability hook for specs: (kept, total) of the
+    * latest runtime-filter pruning pass. Planning runs on the driver,
+    * so a volatile is safe; never read outside tests. */
+  @volatile private[sources] var lastRuntimePrune: Option[(Int, Int)] = None
+
+  /** Runtime-filter page pruning: with a DPP value set in hand, a page
+    * survives only if SOME value can fall inside its [min, max] stats
+    * (stat-less pages always survive — same containment stance as
+    * [[pruneByBounds]]). */
+  private[sources] def pruneByTsValues(
+      envelopes: Seq[PageEnvelope], runtime: Array[Filter]): Seq[PageEnvelope] =
+    runtimeTsValues(runtime) match {
+      case None => envelopes
+      case Some(vs) =>
+        val kept = envelopes.filter(e =>
+          !e.hasStats || vs.exists(v => v >= e.pMin && v <= e.pMax))
+        lastRuntimePrune = Some((kept.size, envelopes.size))
+        kept
+    }
+
   /** Row-level evaluation of the pushed filters (exact, per record).
     * A null/absent ts_ms fails every comparison — SQL three-valued
-    * logic, matching what the header nTsRows count assumes. */
+    * logic, matching what the header nTsRows count assumes. Runtime
+    * In/EqualTo filters evaluate exactly too: dropping a row the DPP
+    * value set excludes is always safe (the join would drop it). */
   private[sources] def passes(filters: Array[Filter], rec: JsonNode): Boolean = {
     def ts(f: Long => Boolean): Boolean = rec.hasNonNull("ts_ms") && f(rec.get("ts_ms").asLong)
     filters.forall {
@@ -188,6 +229,8 @@ object CrmPagesSource {
       case GreaterThan("ts_ms", v: Long)        => ts(_ > v)
       case LessThanOrEqual("ts_ms", v: Long)    => ts(_ <= v)
       case LessThan("ts_ms", v: Long)           => ts(_ < v)
+      case In("ts_ms", vs)                      => ts(t => vs.exists(v => asLong(v).contains(t)))
+      case EqualTo("ts_ms", v)                  => ts(t => asLong(v).contains(t))
       case IsNotNull(col)                       => rec.hasNonNull(col)
       case _                                    => true
     }
@@ -332,7 +375,8 @@ private[sources] object CrmAgg {
 
 class CrmPagesScan(path: String, required: StructType,
     filters: Array[Filter], limit: Int)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -343,9 +387,30 @@ class CrmPagesScan(path: String, required: StructType,
   private lazy val envelopes: Seq[CrmPagesSource.PageEnvelope] =
     CrmPagesSource.readEnvelopes(path)
 
-  // the surviving pages after S2 page-level min/max pruning
+  /**
+   * Dynamic-partition-pruning INTO the source
+   * (`SupportsRuntimeFiltering`): when this scan joins a filtered
+   * dimension on `ts_ms`, Spark evaluates the build side first (AQE),
+   * collects the join-key values, and hands them here as an
+   * `In("ts_ms", …)` filter BEFORE input partitions are planned — so
+   * whole pages whose [min, max] stats cannot contain any build-side
+   * key are skipped at runtime, the page-file analogue of DPP
+   * skipping parquet partitions. The reference's server did this kind
+   * of pruning for S2's static bounds; runtime filtering extends it
+   * to bounds only known mid-query. Rows are also filtered exactly in
+   * the reader (safe: the join discards them anyway).
+   */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    Array(expressions.Expressions.column("ts_ms"))
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
+    runtime = runtimeFilters
+  }
+
+  // surviving pages: S2 static min/max pruning, then runtime DPP values
   private def prunedEnvelopes: Seq[CrmPagesSource.PageEnvelope] =
-    CrmPagesSource.pruneByBounds(envelopes, filters)
+    CrmPagesSource.pruneByTsValues(
+      CrmPagesSource.pruneByBounds(envelopes, filters), runtime)
 
   /**
    * S1's size knowledge, surfaced to the optimizer: the reference's
@@ -371,7 +436,7 @@ class CrmPagesScan(path: String, required: StructType,
     prunedEnvelopes.map(e => CrmPage(e.file): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CrmPageReaderFactory(required, filters, limit)
+    new CrmPageReaderFactory(required, filters ++ runtime, limit)
 
   /** Streaming mode: the reference's poll loop with durable offsets —
     * the offset IS the page cursor position (replacing the in-memory

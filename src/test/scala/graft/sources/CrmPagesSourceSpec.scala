@@ -305,4 +305,47 @@ class CrmPagesSourceSpec extends SparkSpec {
     val after3 = spark.table("crm_stream").count()
     assert(after3 > after2, s"third page not consumed ($after3)")
   }
+
+  test("runtime filtering: a DPP join prunes pages by build-side ts values") {
+    // disjoint page ts ranges (page p covers [p*1000, p*1000+999]) so a
+    // selective build side can exclude whole pages at runtime
+    val dir = Files.createTempDirectory("crmruntime")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0 until 4).foreach { p =>
+      val root = mapper.createObjectNode()
+      root.put("total", 10)
+      root.put("min_ts_ms", p * 1000L)
+      root.put("max_ts_ms", p * 1000L + 999L)
+      val results = root.putArray("results")
+      (0 until 10).foreach { i =>
+        val rec = results.addObject()
+        rec.put("event_id", (p * 10 + i).toLong)
+        rec.put("ts_ms", p * 1000L + i * 100L)
+        rec.put("event_type", "view")
+        rec.put("value", 1.0)
+      }
+      Files.writeString(dir.resolve(f"page-$p%05d.json"), mapper.writeValueAsString(root))
+    }
+    // build side: 2 surviving keys, both inside page 1 — pages 0/2/3
+    // cannot match. Two traps the rule sets: the filter must be one
+    // PartitionPruning considers LIKELY SELECTIVE (In qualifies,
+    // IsNotNull does not), and the dim must be FILE-BACKED — over a
+    // LocalRelation, ConvertToLocalRelation folds the filter away
+    // before the pruning rule looks for it.
+    import spark.implicits._
+    val dimDir = Files.createTempDirectory("crmdim").toString
+    Seq((1000L, "a"), (1500L, "b"), (9999999L, "z"))
+      .toDF("ts_ms", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag").isin("a", "b"))
+    val scan = spark.read.format("graft.sources.CrmPagesSource").load(dir.toString)
+    CrmPagesSource.lastRuntimePrune = None
+    val joined = scan.join(org.apache.spark.sql.functions.broadcast(dim), Seq("ts_ms"))
+      .select(col("ts_ms"), col("event_id"), col("tag"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1000L, 1500L))
+    // the scan received the runtime In-filter and pruned to page 1 only
+    assert(CrmPagesSource.lastRuntimePrune.contains((1, 4)),
+      s"expected runtime pruning (1 of 4 pages), got ${CrmPagesSource.lastRuntimePrune}\n" +
+        joined.queryExecution.executedPlan.toString)
+  }
 }

@@ -655,6 +655,21 @@ object TextAnalysis {
   def dupSpanTrim(spark: SparkSession, dir: String, k: Int = 7): DataFrame =
     dupSpanTrimOf(Tables.documents(spark, dir), k)
 
+  /** Per-gram document-id bounds — the ONE projection the batch
+    * keeper store ([[dupSpanTrimOf]]'s memo) and the stream-maintained
+    * gram-keeper artifact
+    * ([[graft.streaming.ArtifactMaintenance.gramKeeperArtifact]]) both
+    * aggregate; partials merge by (min lo, max hi), so streamed
+    * bounds are bit-compatible with the batch build. */
+  private[graft] def spanGramBounds(docs: DataFrame, k: Int = 7): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k))))")).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+
   /** [[dupSpanTrim]] over an explicit frame (the spec plants a shared
     * span and asserts the echo is cut while the canonical survives). */
   private[llm] def dupSpanTrimOf(docs: DataFrame, k: Int = 7): DataFrame = {
@@ -667,13 +682,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.pos"), col("p.g"))
     // gram → its lowest-id (canonical) holder, duplicated grams only
     val keepers = ModelCache.memoIndex(docs, s"dup-gram-keepers|$k") {
-      graft.ops.GlobalOrder.pin(grams.groupBy(col("g"))
-        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-        .filter(col("lo") =!= col("hi"))
-        .select(col("g"), col("lo")))
+      graft.ops.GlobalOrder.pin(
+        keepersFromBounds(spanGramBounds(docs, k)))
     }
     val removable = grams.join(keepers, "g")
       .filter(col("doc_id") =!= col("lo"))
+    trimFromRemovable(t, removable, k)
+  }
+
+  /** Cross-doc keeper selection over a (g, lo, hi) bounds table —
+    * shared by the batch memo and any served streaming artifact. */
+  private[graft] def keepersFromBounds(bounds: DataFrame): DataFrame =
+    bounds.filter(col("lo") =!= col("hi")).select(col("g"), col("lo"))
+
+  private def trimFromRemovable(t: DataFrame, removable0: DataFrame,
+      k: Int): DataFrame = {
+    val removable = removable0
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
     t.join(removable, Seq("doc_id"), "left")

@@ -250,4 +250,27 @@ object ArtifactMaintenance {
   def simhashArtifact(artifactDir: String): ManifestArtifact =
     new ManifestArtifact(artifactDir,
       batch => graft.llm.Dedup.simhashAgg(batch), SigSchema)
+
+  // ---- dup-gram doc-id bounds (mergeable min/max) -----------------
+
+  private val GramBoundsSchema = StructType(Seq(
+    StructField("g", StringType), StructField("lo", LongType),
+    StructField("hi", LongType)))
+
+  /** The per-gram document-id bounds store maintained from a document
+    * stream — the live twin of the `dup-gram-keepers` batch artifact
+    * behind the exact-substring trim (q213). A third merge shape on
+    * the same manifest mechanism: bounds merge by (MIN lo, MAX hi) —
+    * min/max are as mergeable as sums, so per-batch partials commit
+    * and serve re-reduces. The keeper selection (cross-doc grams only,
+    * keep the lowest holder) is re-derived from the served table via
+    * the SAME `TextAnalysis.keepersFromBounds`, so a gram becoming
+    * cross-document as new batches arrive flips into the trim set on
+    * the next serve with no rebuild. */
+  def gramBoundsArtifact(artifactDir: String, k: Int = 7): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.TextAnalysis.spanGramBounds(batch, k),
+      GramBoundsSchema,
+      reduceOf = _.groupBy(col("g"))
+        .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi")))
 }

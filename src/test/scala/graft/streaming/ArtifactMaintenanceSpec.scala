@@ -226,4 +226,37 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     ArtifactMaintenance.sourceUnigramArtifact(artifact).compact(spark)
     assert(tv(art.serve(spark)) == fromBatch)
   }
+
+  test("streamed gram bounds match the batch build; keepers flip as docs arrive") {
+    import spark.implicits._
+    val artifact = freshDir("grambounds-artifact")
+    val art = ArtifactMaintenance.gramBoundsArtifact(artifact)
+    // batch 0: doc 1 alone holds its 9-token span (no cross-doc grams);
+    // batch 1: doc 5 repeats it — the grams become cross-document
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    val b0 = Seq((1L, span + " tail1 tail2"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "head1 head2 " + span)).toDF("doc_id", "text")
+    art.applyBatch(b0, 0L)
+    // after one batch nothing is cross-document yet
+    val keepers0 = graft.llm.TextAnalysis
+      .keepersFromBounds(art.serve(spark)).count()
+    assert(keepers0 == 0L, s"no cross-doc grams expected, got $keepers0")
+    art.applyBatch(b1, 1L)
+    // served bounds reduce to exactly the batch build over b0 ∪ b1
+    val served = art.serve(spark)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.llm.TextAnalysis.spanGramBounds(b0.unionByName(b1))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served == direct, "streamed bounds diverged from the batch build")
+    // the keeper set now carries the 3 shared grams, canonical = doc 1
+    val keepers = graft.llm.TextAnalysis.keepersFromBounds(art.serve(spark))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keepers.size == 3 && keepers.values.forall(_ == 1L), keepers)
+    // compaction preserves the bounds bit-exactly
+    art.compact(spark)
+    val compacted = art.serve(spark)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(compacted == direct)
+  }
 }

@@ -238,6 +238,7 @@ object SparkEntry {
     "q220_score_calibration" -> ((s: SparkSession, d: String) => graft.llm.Eval.scoreCalibration(s, d)),
     "q221_span_corruption" -> ((s: SparkSession, d: String) => Pipeline.spanCorruption(s, d)),
     "q222_forecast_revenue" -> (graft.ops.Relational7.forecastRevenue _),
+    "q223_leakage_safe_split" -> (Pipeline.leakageSafeSplit _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2015,6 +2016,32 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    // q223: cluster-level split assignment (rep = min-label connected
+    // component of the q32 pair graph; singletons hash their own id),
+    // plus an independent re-count of pairs still straddling splits
+    "q223_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM neardup
+        |          UNION ALL SELECT id_b, id_a FROM neardup),
+        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1),
+        |sp AS (SELECT d.doc_id, cl.cluster,
+        |    CASE WHEN substr(md5(CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |         WHEN substr(md5(CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val' ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+        |         FROM neardup n
+        |         JOIN sp a ON a.doc_id = n.id_a
+        |         JOIN sp b ON b.doc_id = n.id_b
+        |         WHERE a.split <> b.split)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(cluster) AS BIGINT) AS n_clustered,
+        |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -340,6 +340,51 @@ object Pipeline {
       .orderBy("id_a", "id_b")
 
   /**
+   * LEAKAGE-SAFE train/val/test split — the FIX for what
+   * [[splitLeakage]] measures: the split is assigned at the
+   * near-dup-CLUSTER level by hashing the cluster representative
+   * (the min-label from [[nearDupClusters]]) instead of the member
+   * doc_id, so every near-duplicate of a document lands in the same
+   * split by construction (the dedup-aware-split discipline of Lee et
+   * al. 2022 §5). Docs in no cluster hash their own id — identical to
+   * [[splitOf]] for the non-duplicated bulk, so the ~90/5/5 ratio is
+   * preserved.
+   *
+   * Output: per-split doc counts, how many are cluster members, and
+   * the count of near-dup pairs still straddling splits under this
+   * assignment — zero by construction, but re-measured from the raw
+   * pair list rather than trusted, so the oracle independently proves
+   * the closure of the q190 audit.
+   *
+   * Scale shape: the label table is the memoized duplicate-sliver
+   * artifact (pair-volume-sized, NOT corpus-sized) — the corpus-side
+   * assignment broadcasts it and the corpus never shuffles; the
+   * re-audit joins the pair artifact against the label table twice,
+   * both broadcast, zero corpus scans.
+   */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+    val asg = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("split", splitOf(coalesce(col("cluster"), col("doc_id"))))
+    // every pair member is a cluster node, so inner joins are total;
+    // splits compare equal iff the reps do — counted, not assumed
+    val leaked = Dedup.minhashLsh(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .join(broadcast(labels.select(
+        col("doc_id").as("id_a"), col("cluster").as("rep_a"))), Seq("id_a"))
+      .join(broadcast(labels.select(
+        col("doc_id").as("id_b"), col("cluster").as("rep_b"))), Seq("id_b"))
+      .filter(splitOf(col("rep_a")) =!= splitOf(col("rep_b")))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster")).as("n_clustered"))
+      .crossJoin(leaked)
+      .orderBy(col("split"))
+  }
+
+  /**
    * Materialize a corpus as training shards: parquet partitioned by the
    * deterministic md5 split (train/val/test directories a data loader
    * globs independently), every file capped at `shardRecords` rows.

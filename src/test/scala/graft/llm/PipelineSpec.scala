@@ -179,6 +179,32 @@ class PipelineSpec extends SparkSpec {
       == expected)
   }
 
+  test("leakage-safe split closes the q190 audit: zero straddling pairs, totals conserved") {
+    import org.apache.spark.sql.functions._
+    val r = Pipeline.leakageSafeSplit(spark, sf).collect()
+    // every split row re-measures the same global leak count: zero
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Long]("leaked_pairs") == 0L))
+    // totals conserve the corpus, clustered ⊆ docs per split
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    r.foreach(row =>
+      assert(row.getAs[Long]("n_clustered") <= row.getAs[Long]("n_docs")))
+    // clustered members all exist and each full cluster lands in ONE split
+    val labels = Pipeline.nearDupClusters(spark, sf)
+    val asg = graft.model.Tables.documents(spark, sf).select("doc_id")
+      .join(labels, Seq("doc_id"))
+      .withColumn("split",
+        when(substring(md5(coalesce(col("cluster"), col("doc_id")).cast("string")), 1, 4) < "e666", "train")
+          .when(substring(md5(coalesce(col("cluster"), col("doc_id")).cast("string")), 1, 4) < "f333", "val")
+          .otherwise("test"))
+    val multiSplitClusters = asg.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(multiSplitClusters == 0L)
+    assert(r.map(_.getAs[Long]("n_clustered")).sum == asg.count())
+  }
+
   test("curation funnel replays each stage's own predicate cumulatively") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf)

@@ -239,6 +239,8 @@ object SparkEntry {
     "q221_span_corruption" -> ((s: SparkSession, d: String) => Pipeline.spanCorruption(s, d)),
     "q222_forecast_revenue" -> (graft.ops.Relational7.forecastRevenue _),
     "q223_leakage_safe_split" -> (Pipeline.leakageSafeSplit _),
+    "q224_dup_weighting"   -> (Pipeline.dupWeighting _),
+    "q225_ann_ndcg"        -> ((s: SparkSession, d: String) => Similarity.annNdcg(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2042,6 +2044,31 @@ object SparkEntry {
         |  CAST(COUNT(cluster) AS BIGINT) AS n_clustered,
         |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q224: soft dedup — per-doc weight 1/cluster_size, integer
+    // per-doc floor division, HUGEINT cross-multiplied ppm ratio
+    "q224_dup_weighting" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM neardup
+        |          UNION ALL SELECT id_b, id_a FROM neardup),
+        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+        |          UNION
+        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1),
+        |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM cl GROUP BY 1),
+        |w AS (SELECT cl.doc_id, cs.csize FROM cl JOIN cs USING (cluster)),
+        |d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN COALESCE(csize, 1) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(n_tokens // COALESCE(csize, 1)) AS BIGINT) AS effective_tokens,
+        |  CAST(CAST(1000000 AS HUGEINT) * SUM(n_tokens // COALESCE(csize, 1))
+        |       // SUM(n_tokens) AS BIGINT) AS retained_ppm
+        |FROM d LEFT JOIN w USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q225_ann_ndcg" -> annNdcgOracleSql(k = 5, probes = 3),
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->
@@ -3303,6 +3330,35 @@ object SparkEntry {
        |  CAST(SUM(COALESCE(1000000 // first_hit_rank, 0)) AS BIGINT)
        |    // CAST(COUNT(*) AS BIGINT) AS mrr_micro
        |FROM qs LEFT JOIN fh USING (q_id)""".stripMargin
+
+  /** q225 — NDCG@k of the multi-probe route: gain k+1−exact_rank,
+    * position discounts as the SAME integer micro literals the Spark
+    * side computes ([[graft.llm.Similarity.ndcgWeightsMicro]]) — no
+    * floating-point log runs in either engine. */
+  private[graft] def annNdcgOracleSql(k: Int, probes: Int): String = {
+    val w = graft.llm.Similarity.ndcgWeightsMicro(k)
+    def wCase(rnkCol: String): String =
+      "CASE " + (1 to k).map(i => s"WHEN $rnkCol = $i THEN ${w(i - 1)}")
+        .mkString(" ") + " ELSE 0 END"
+    multiProbeRankCtes("", "embeddings", probes) + s""",
+       |g AS (SELECT q_id, neighbor_id, ${k + 1} - rnk AS gain, rnk AS ex_rnk
+       |      FROM r_ex WHERE rnk <= $k),
+       |dcg AS (SELECT a.q_id,
+       |    SUM(g.gain * ${wCase("a.rnk")}) AS dcg_micro
+       |  FROM (SELECT q_id, neighbor_id, rnk FROM r_ann WHERE rnk <= $k) a
+       |  JOIN g USING (q_id, neighbor_id) GROUP BY 1),
+       |idcg AS (SELECT q_id, SUM(gain * ${wCase("ex_rnk")}) AS idcg_micro
+       |  FROM g GROUP BY 1),
+       |nd AS (SELECT i.q_id,
+       |    (1000000 * COALESCE(d.dcg_micro, 0)) // i.idcg_micro AS ndcg_micro
+       |  FROM idcg i LEFT JOIN dcg d USING (q_id))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN ndcg_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_perfect,
+       |  CAST(SUM(ndcg_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |    AS mean_ndcg_micro
+       |FROM nd""".stripMargin
+  }
 
   /** The shared multi-probe ranking pipeline: ANN ranking `r_ann` and
     * exact ranking `r_ex` over the bounded query set — common prefix

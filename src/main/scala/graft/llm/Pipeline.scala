@@ -385,6 +385,48 @@ object Pipeline {
   }
 
   /**
+   * Duplication-aware LOSS WEIGHTING — the SOFT alternative to hard
+   * dedup: instead of dropping near-duplicates, every member of a
+   * near-dup cluster of size n contributes 1/n of its tokens to the
+   * training mix, so a passage's aggregate influence is independent of
+   * how many times it was crawled while no data is discarded (the
+   * repeated-data downweighting view of Lee et al. 2022 — hard dedup
+   * is the n→keep-1 special case). Per source: raw vs effective
+   * (weighted) token volume and the retained fraction in ppm.
+   *
+   * All-integer arithmetic for oracle-exact parity: per-doc weighted
+   * tokens = `n_tokens div cluster_size` (exact in both engines), and
+   * the ppm ratio cross-multiplies in DECIMAL(38,0) so it cannot
+   * overflow even at single-source token counts past 9e12.
+   *
+   * Scale shape: cluster sizes aggregate on the pair-sliver label
+   * artifact and broadcast back to the corpus scan — one corpus pass,
+   * one source-cardinality aggregate, zero corpus shuffles.
+   */
+  def dupWeighting(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+    val sized = labels.join(
+      broadcast(labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"))),
+      Seq("cluster"))
+      .select(col("doc_id"), col("csize"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(sized), Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("n_tokens div csize")).as("effective_tokens"))
+      .withColumn("retained_ppm",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * effective_tokens div raw_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Materialize a corpus as training shards: parquet partitioned by the
    * deterministic md5 split (train/val/test directories a data loader
    * globs independently), every file capped at `shardRecords` rows.

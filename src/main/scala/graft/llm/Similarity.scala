@@ -585,4 +585,59 @@ object Similarity {
       .select(col("n_queries"), col("n_hit"), col("n_hit_at_1"),
         col("mrr_micro"))
   }
+
+  /** Fixed-point micro discount weights for NDCG positions 1..k:
+    * floor(10⁶ / log₂(i+1)). Computed ONCE here and interpolated as
+    * integer literals into both the Column expression and the DuckDB
+    * oracle SQL, so no cross-engine floating-point log ever runs —
+    * the whole NDCG stays in exact integer arithmetic. */
+  private[graft] def ndcgWeightsMicro(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => (1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /**
+   * ANN ranking-quality audit #3 — NDCG@k of the multi-probe route
+   * against the exact cosine ranking: recall (q150) counts set overlap
+   * and MRR (q219) only sees the first hit; NDCG grades the WHOLE
+   * returned ordering, crediting the index for surfacing the most
+   * similar neighbors early (gain of an exact-rank-r neighbor is
+   * k+1−r, discounted by the standard 1/log₂(pos+1) — in micro
+   * fixed-point, [[ndcgWeightsMicro]]). Per query:
+   * ndcg = DCG/IDCG in ppm; output is the bounded summary (count,
+   * perfect-ordering count, mean).
+   *
+   * Scale shape: identical to q219 — both rankings come from the
+   * bounded-heap top-k over the bounded query set, the join is
+   * (queries·k)-sized, and the summary is one group-less aggregate.
+   */
+  def annNdcg(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 3): DataFrame = {
+    val w = ndcgWeightsMicro(k)
+    def wOf(rnk: Column): Column =
+      (1 to k).foldLeft(lit(0L))((acc, i) =>
+        when(rnk === i, lit(w(i - 1))).otherwise(acc))
+    val exact = cosineTopKOf(Tables.embeddings(spark, dir), k)
+      .select(col("q_id"), col("neighbor_id"),
+        (lit(k + 1L) - col("rnk")).as("gain"), col("rnk").as("ex_rnk"))
+    val ann = annLshMultiProbe(spark, dir, k, probes)
+      .filter(pmod(col("q_id"), lit(20)) === 0 &&
+        col("q_id") < lit(20L * MaxBruteQueries))
+      .select(col("q_id"), col("neighbor_id"), col("rnk"))
+    val dcg = ann
+      .join(exact.select(col("q_id"), col("neighbor_id"), col("gain")),
+        Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("gain") * wOf(col("rnk"))).as("dcg_micro"))
+    val idcg = exact.groupBy(col("q_id"))
+      .agg(sum(col("gain") * wOf(col("ex_rnk"))).as("idcg_micro"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .withColumn("ndcg_micro",
+        expr("(1000000 * coalesce(dcg_micro, 0)) div idcg_micro"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("ndcg_micro") === 1000000L, 1L).otherwise(0L))
+          .as("n_perfect"),
+        sum(col("ndcg_micro")).as("ndcg_micro_sum"))
+      .withColumn("mean_ndcg_micro", expr("ndcg_micro_sum div n_queries"))
+      .select(col("n_queries"), col("n_perfect"), col("mean_ndcg_micro"))
+  }
 }

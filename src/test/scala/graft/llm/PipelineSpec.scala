@@ -205,6 +205,45 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_clustered")).sum == asg.count())
   }
 
+  test("dup weighting: soft-dedup volumes bounded by raw, 1/n within clusters") {
+    import org.apache.spark.sql.functions._
+    val r = Pipeline.dupWeighting(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("effective_tokens") <= row.getAs[Long]("raw_tokens"))
+      assert(row.getAs[Long]("n_dup_docs") <= row.getAs[Long]("n_docs"))
+      val ppm = row.getAs[Long]("retained_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // totals conserve the corpus; dup docs = cluster members of size > 1
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val labels = Pipeline.nearDupClusters(spark, sf)
+    val dupMembers = labels.groupBy("cluster").count()
+      .filter(col("count") > 1).agg(sum("count")).head.getLong(0)
+    assert(r.map(_.getAs[Long]("n_dup_docs")).sum == dupMembers)
+    // full driver-side replay: effective = Σ floor(n_tokens/csize)
+    val csize: Map[Long, Long] = labels.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster")).toSeq
+      .groupBy(_._2)
+      .flatMap { case (_, g) => g.map(p => p._1 -> g.length.toLong) }
+      .toMap
+    val expected = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t")).collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, rows) =>
+        src -> rows.map { x =>
+          val t: Long = x.getAs[Long]("t")
+          t / csize.getOrElse(x.getAs[Long]("doc_id"), 1L)
+        }.sum
+      }
+    r.foreach { row =>
+      assert(row.getAs[Long]("effective_tokens")
+        == expected(row.getAs[String]("source")))
+    }
+  }
+
   test("curation funnel replays each stage's own predicate cumulatively") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf)

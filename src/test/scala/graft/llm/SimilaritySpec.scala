@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"planted recall $mean below the certification bound")
   }
 
+  test("NDCG@k bounds hold and a perfect route would score exactly 10^6") {
+    val r = Similarity.annNdcg(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_queries")
+    val perfect = row.getAs[Long]("n_perfect")
+    val mean = row.getAs[Long]("mean_ndcg_micro")
+    assert(n > 0)
+    assert(perfect <= n)
+    assert(mean >= 0L && mean <= 1000000L,
+      s"mean ndcg_micro $mean outside [0, 10^6]")
+    // the integer weights are the floor of 10^6/log2(i+1), descending
+    val w = Similarity.ndcgWeightsMicro(5)
+    assert(w.head == 1000000L && w == w.sortBy(-_))
+    // consistency with the recall audit: if multiprobe recall is
+    // perfect everywhere, ndcg must be perfect everywhere too
+    val rec = Similarity.multiProbeRecall(spark, sf)
+    if (rec.filter(col("recall") < 1.0).count() == 0)
+      assert(perfect == n && mean == 1000000L)
+  }
+
   test("LSH bit count grows with the corpus, holding bucket width bounded") {
     import Similarity.{lshBitsFor, MaxLshBits, TargetBucketWidth}
     assert(lshBitsFor(500) == 8)      // small corpora keep the floor

@@ -222,6 +222,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("split/weighting serve plans broadcast the label sliver and scan the corpus once") {
+    // q223/q224 join the corpus against the stored near-dup label
+    // artifact: the labels must broadcast (never reshuffle the corpus)
+    // and documents must be scanned exactly once per serve
+    Seq("q223_leakage_safe_split", "q224_dup_weighting").foreach { q =>
+      spark.catalog.clearCache()
+      graft.llm.ModelCache.invalidate()
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q must serve from the pinned label artifact:\n$plan")
+      val docScans = "documents\\.parquet".r.findAllIn(plan).size
+      assert(docScans <= 1,
+        s"$q scans documents $docScans times — label memo lost?")
+      val a = auditOf(q)
+      assert(a.sortMergeJoins == 0, s"$q: corpus-side join degraded to SMJ: $a")
+    }
+  }
+
   test("plan snapshots: exchange and join counts pinned for headline queries") {
     // golden counts (shuffle exchanges, broadcast exchanges, joins,
     // windows) so a code or Catalyst change that adds an exchange fails

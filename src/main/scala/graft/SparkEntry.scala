@@ -241,6 +241,7 @@ object SparkEntry {
     "q223_leakage_safe_split" -> (Pipeline.leakageSafeSplit _),
     "q224_dup_weighting"   -> (Pipeline.dupWeighting _),
     "q225_ann_ndcg"        -> ((s: SparkSession, d: String) => Similarity.annNdcg(s, d)),
+    "q226_kmv_overlap"     -> ((s: SparkSession, d: String) => Dedup.kmvOverlap(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2069,6 +2070,55 @@ object SparkEntry {
         |FROM d LEFT JOIN w USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q225_ann_ndcg" -> annNdcgOracleSql(k = 5, probes = 3),
+    // q226: KMV sketch — k smallest 32-bit gram digests per source
+    // (hex2int via the q103 list_reduce fold), theta-intersection
+    // estimate audited against the exact q183 intersection
+    "q226_kmv_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+        |kx AS (SELECT DISTINCT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS x
+        |  FROM sh),
+        |sk AS (SELECT source, x FROM (
+        |         SELECT source, x,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
+        |         FROM kx) r WHERE rn <= 256),
+        |meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
+        |           MAX(x) AS theta_raw FROM sk GROUP BY 1),
+        |m2 AS (SELECT source,
+        |         CASE WHEN n_sk < 256 THEN 4294967296 ELSE theta_raw END AS theta
+        |       FROM meta),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            least(a.theta, b.theta) AS theta
+        |          FROM m2 a JOIN m2 b ON a.source < b.source),
+        |cm AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM sk a JOIN sk b ON a.x = b.x AND a.source < b.source
+        |       JOIN pairs p ON p.src_a = a.source AND p.src_b = b.source
+        |         AND a.x < p.theta
+        |       GROUP BY 1, 2),
+        |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, CAST(p.theta AS BIGINT) AS theta,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  CAST((COALESCE(n_common, 0) * 4294967296) // p.theta AS BIGINT)
+        |    AS est_inter,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  CASE WHEN COALESCE(n_inter, 0) > 0
+        |       THEN CAST((1000000 * abs((COALESCE(n_common, 0) * 4294967296)
+        |                 // p.theta - n_inter)) // n_inter AS BIGINT)
+        |  END AS err_ppm
+        |FROM pairs p LEFT JOIN cm USING (src_a, src_b)
+        |     LEFT JOIN ex USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

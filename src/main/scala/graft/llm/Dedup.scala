@@ -591,6 +591,68 @@ object Dedup {
   }
 
   /**
+   * KMV (theta-sketch) OVERLAP ESTIMATION between sources — the sketch
+   * path for the q183 exact overlap matrix. The exact matrix's pair
+   * join fans every shared gram digest into up to C(sources,2) rows;
+   * the KMV route caps each source's footprint at k values: the k
+   * SMALLEST 32-bit-truncated gram digests form a uniform sample of
+   * the source's gram set (the k-minimum-values / theta sketch,
+   * Beyer et al. 2007), two sketches intersect under
+   * θ = min(θ_a, θ_b), and est = n_common · 2³² / θ. Sources whose
+   * whole gram set fits in the sketch (n < k) keep θ = 2³², making the
+   * estimate exact — the sketch degrades to nothing gracefully.
+   *
+   * Output one row per source pair: θ, sketch-common count, estimated
+   * vs EXACT intersection and the error in ppm — the same
+   * sketch-vs-exact audit discipline as q53/q103/q129 (the estimate is
+   * never shipped untested).
+   *
+   * Scale shape: the only corpus-scale work is the memoized
+   * `source-grams` artifact (shared with q183/q187); the sketch is the
+   * rank-emitting bounded-heap TopKPerKey (at most k rows per source
+   * cross the exchange, never the gram table); everything after is
+   * sketch-sized (S·k rows) or source-pair-sized. The exact-side
+   * audit join reuses the artifact — at 100 TB one would sample or
+   * drop it; the sketch path itself never touches corpus scale.
+   */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val keyed = sourceGrams(spark, dir)
+      .select(col("source"),
+        expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").as("x"))
+      .distinct()
+    // x is distinct per source, so (x asc) is a total order
+    val sk = graft.ops.GlobalOrder.pin(
+      graft.plans.TopK.perKey(keyed, Seq("source"), Seq(("x", false)), k))
+    val meta = sk.groupBy(col("source"))
+      .agg(max(col("x")).as("theta_raw"), count(lit(1)).as("n_sk"))
+      .withColumn("theta",
+        when(col("n_sk") < k, lit(4294967296L)).otherwise(col("theta_raw")))
+    val pairs = meta.select(col("source").as("src_a"), col("theta").as("th_a"))
+      .crossJoin(meta.select(col("source").as("src_b"), col("theta").as("th_b")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    val commonCnt = sk.select(col("source").as("src_a"), col("x"))
+      .join(sk.select(col("source").as("src_b"), col("x")), Seq("x"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(pairs), Seq("src_a", "src_b"))
+      .filter(col("x") < col("theta"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(commonCnt, Seq("src_a", "src_b"), "left")
+      .join(sourceOverlapPairs(spark, dir), Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_inter", expr("(n_common * 4294967296) div theta"))
+      .withColumn("err_ppm", expr(
+        "CASE WHEN n_inter > 0 THEN (1000000 * abs(est_inter - n_inter)) div n_inter END"))
+      .select(col("src_a"), col("src_b"), col("theta"), col("n_common"),
+        col("est_inter"), col("n_inter"), col("err_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /**
    * Duplication TREND over ingestion order: near-dup rate per doc_id
    * decile — is duplication getting worse as the corpus grows? Each
    * q32 pair flags its HIGHER-id member (the one keep-lowest dedup

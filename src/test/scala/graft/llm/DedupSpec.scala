@@ -189,4 +189,32 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("dup_ppm") == 1000000L * nFlagged / expDocs(b))
     }
   }
+
+  test("KMV overlap: exhaustive sketches estimate exactly, estimates track exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every unordered source pair appears exactly once
+    val srcs = graft.model.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length.toLong == srcs * (srcs - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("theta") > 0L &&
+        r.getAs[Long]("theta") <= 4294967296L)
+      assert(r.getAs[Long]("n_common") <= 256L)
+      assert(r.getAs[Long]("est_inter") >= 0L)
+    }
+    // when BOTH sketches are exhaustive (theta = 2^32), the estimate
+    // must equal the 32-bit-truncated intersection exactly; for the
+    // small fixture gram sets that also matches the exact md5
+    // intersection unless a 32-bit collision occurred (none expected
+    // at fixture vocabulary sizes)
+    rows.filter(_.getAs[Long]("theta") == 4294967296L).foreach { r =>
+      assert(r.getAs[Long]("est_inter") == r.getAs[Long]("n_common"))
+      assert(r.getAs[Long]("est_inter") == r.getAs[Long]("n_inter"),
+        s"${r.getAs[String]("src_a")}-${r.getAs[String]("src_b")}")
+      if (r.getAs[Long]("n_inter") > 0L)
+        assert(r.getAs[Long]("err_ppm") == 0L)
+    }
+  }
 }

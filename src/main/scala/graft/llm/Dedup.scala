@@ -549,18 +549,24 @@ object Dedup {
   private def sourceGrams(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(spark, dir)
     ModelCache.memoIndex(corpus, "source-grams") {
-      graft.ops.GlobalOrder.pin(
-        corpus
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 3)
-          .select(col("source"), explode(array_distinct(expr(
-            "transform(sequence(1, size(w)-2), i -> " +
-              "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
-            .as("s"))
-          .select(col("source"), md5(col("s")).as("h"))
-          .distinct())
+      graft.ops.GlobalOrder.pin(sourceGramProjection(corpus))
     }
   }
+
+  /** The distinct (source, gram-digest) projection itself — the ONE
+    * definition shared by the memoized batch artifact above and the
+    * streamed KMV partials (ArtifactMaintenance.kmvArtifact), so the
+    * two paths cannot drift. */
+  private[graft] def sourceGramProjection(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w)-2), i -> " +
+          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+        .as("s"))
+      .select(col("source"), md5(col("s")).as("h"))
+      .distinct()
 
   /** Intersection counts per unordered source pair — the overlap
     * matrix WITHOUT the size joins and the Jaccard projection, for
@@ -615,14 +621,29 @@ object Dedup {
    * audit join reuses the artifact — at 100 TB one would sample or
    * drop it; the sketch path itself never touches corpus scale.
    */
-  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
-    val keyed = sourceGrams(spark, dir)
-      .select(col("source"),
+  /** The k smallest distinct 32-bit-truncated gram digests per source —
+    * the KMV sketch itself, over any (source, h) gram table (the batch
+    * artifact or a streamed micro-batch partial). x is distinct per
+    * source, so (x asc) is a total order. */
+  private[graft] def kmvSketchOf(grams: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      grams.select(col("source"),
         expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").as("x"))
-      .distinct()
-    // x is distinct per source, so (x asc) is a total order
-    val sk = graft.ops.GlobalOrder.pin(
-      graft.plans.TopK.perKey(keyed, Seq("source"), Seq(("x", false)), k))
+        .distinct(),
+      Seq("source"), Seq(("x", false)), k)
+
+  /** Min-k re-reduction over a UNION of sketch partials: duplicates
+    * (the same gram arriving in two batches) collapse under distinct
+    * before the heap, so min-k(∪ partial min-k's) = min-k(∪ inputs) —
+    * the property that makes the sketch a mergeable stored artifact. */
+  private[graft] def kmvReduce(partials: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(partials.distinct(),
+      Seq("source"), Seq(("x", false)), k)
+
+  /** Theta-intersection estimates over a served sketch table:
+    * (src_a, src_b, theta, n_common, est_inter) for every unordered
+    * source pair — shared by the batch query and the streamed twin. */
+  private[graft] def kmvEstimates(sk: DataFrame, k: Int): DataFrame = {
     val meta = sk.groupBy(col("source"))
       .agg(max(col("x")).as("theta_raw"), count(lit(1)).as("n_sk"))
       .withColumn("theta",
@@ -641,10 +662,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(commonCnt, Seq("src_a", "src_b"), "left")
-      .join(sourceOverlapPairs(spark, dir), Seq("src_a", "src_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("est_inter", expr("(n_common * 4294967296) div theta"))
+  }
+
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val sk = graft.ops.GlobalOrder.pin(
+      kmvSketchOf(sourceGrams(spark, dir), k))
+    kmvEstimates(sk, k)
+      .join(sourceOverlapPairs(spark, dir), Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("err_ppm", expr(
         "CASE WHEN n_inter > 0 THEN (1000000 * abs(est_inter - n_inter)) div n_inter END"))
       .select(col("src_a"), col("src_b"), col("theta"), col("n_common"),

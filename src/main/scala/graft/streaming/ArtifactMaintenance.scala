@@ -273,4 +273,27 @@ object ArtifactMaintenance {
       GramBoundsSchema,
       reduceOf = _.groupBy(col("g"))
         .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi")))
+
+  // ---- per-source KMV sketches (mergeable min-k) ------------------
+
+  private val KmvSchema = StructType(Seq(
+    StructField("source", StringType), StructField("x", LongType)))
+
+  /** The per-source KMV sketch store maintained from a document
+    * stream — the live twin of the sketch behind the theta-overlap
+    * estimates (q226). A FOURTH merge shape on the manifest
+    * mechanism: distinct-then-min-k. Each batch commits its own
+    * k-smallest gram digests (bounded: ≤ k rows per source per batch,
+    * whatever the batch size); serve deduplicates the union (the same
+    * gram arriving in two batches collapses) and re-takes the k
+    * smallest — min-k(∪ partial min-k's) = min-k(∪ inputs), so the
+    * served sketch equals the batch-built one over the same documents.
+    * Estimates (`Dedup.kmvEstimates`) run over the served table
+    * exactly as over the batch artifact. */
+  def kmvArtifact(artifactDir: String, k: Int = 256): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Dedup.kmvSketchOf(
+        graft.llm.Dedup.sourceGramProjection(batch), k),
+      KmvSchema,
+      reduceOf = partials => graft.llm.Dedup.kmvReduce(partials, k))
 }

@@ -227,6 +227,60 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(tv(art.serve(spark)) == fromBatch)
   }
 
+  test("streamed KMV sketches merge by min-k to the batch-built sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val input = MemoryStream[(Long, String, String)]
+    val artifact = freshDir("kmv-artifact")
+    val art = ArtifactMaintenance.kmvArtifact(artifact, k)
+    val q = art.maintain(input.toDF().toDF("doc_id", "source", "text"))
+      .option("checkpointLocation", freshDir("kmv-ckpt"))
+      .start()
+    // enough distinct grams per source that each batch fills its own
+    // k-heap and the merge must RE-SELECT, not concatenate; doc 5
+    // repeats doc 1's text so the cross-batch duplicate must collapse
+    val b1 = Seq(
+      (1L, "s1", "a b c d e f g h"), (2L, "s1", "p q r s t u v w"),
+      (3L, "s2", "a b c d e f g h"))
+    val b2 = Seq(
+      (4L, "s1", "m n o aa bb cc dd ee"), (5L, "s1", "a b c d e f g h"),
+      (6L, "s2", "p q r s t u v w"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("x"))).toSet
+    val allDocs = (b1 ++ b2).toDF("doc_id", "source", "text")
+    val direct = sketchOf(graft.llm.Dedup.kmvSketchOf(
+      graft.llm.Dedup.sourceGramProjection(allDocs), k))
+    assert(sketchOf(art.serve(spark)) == direct)
+    // the merge genuinely re-selected: s1 contributed two full heaps
+    assert(direct.count(_._1 == "s1") == k)
+
+    // replay of a committed batch cannot change the served sketch
+    art.applyBatch(b1.toDF("doc_id", "source", "text"), 0L)
+    assert(sketchOf(art.serve(spark)) == direct, "replay changed the sketch")
+
+    // compaction folds to a baseline with the identical sketch, and the
+    // theta estimates over the served table match the direct ones
+    art.compact(spark)
+    assert(sketchOf(art.serve(spark)) == direct)
+    val est = graft.llm.Dedup.kmvEstimates(art.serve(spark), k).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("theta"), r.getAs[Long]("n_common"), r.getAs[Long]("est_inter")))
+      .toMap
+    val directEst = graft.llm.Dedup.kmvEstimates(
+      graft.llm.Dedup.kmvSketchOf(
+        graft.llm.Dedup.sourceGramProjection(allDocs), k), k).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("theta"), r.getAs[Long]("n_common"), r.getAs[Long]("est_inter")))
+      .toMap
+    assert(est == directEst && est.nonEmpty)
+  }
+
   test("streamed gram bounds match the batch build; keepers flip as docs arrive") {
     import spark.implicits._
     val artifact = freshDir("grambounds-artifact")

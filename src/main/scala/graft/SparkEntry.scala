@@ -242,6 +242,7 @@ object SparkEntry {
     "q224_dup_weighting"   -> (Pipeline.dupWeighting _),
     "q225_ann_ndcg"        -> ((s: SparkSession, d: String) => Similarity.annNdcg(s, d)),
     "q226_kmv_overlap"     -> ((s: SparkSession, d: String) => Dedup.kmvOverlap(s, d)),
+    "q227_kmv_distinct"    -> ((s: SparkSession, d: String) => Dedup.kmvDistinct(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2119,6 +2120,37 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN cm USING (src_a, src_b)
         |     LEFT JOIN ex USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin,
+    // q227: KMV distinct-cardinality estimate per source, audited
+    // against the exact distinct gram count (same sketch as q226)
+    "q227_kmv_distinct" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+        |kx AS (SELECT DISTINCT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS x
+        |  FROM sh),
+        |sk AS (SELECT source, x FROM (
+        |         SELECT source, x,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
+        |         FROM kx) r WHERE rn <= 256),
+        |meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
+        |           MAX(x) AS theta FROM sk GROUP BY 1),
+        |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM sh GROUP BY 1),
+        |est AS (SELECT m.source, m.n_sk, m.theta, e.n_exact,
+        |    CASE WHEN m.n_sk < 256 THEN m.n_sk
+        |         ELSE CAST((255 * 4294967296) // m.theta AS BIGINT) END
+        |      AS est_distinct
+        |  FROM meta m JOIN ex e USING (source))
+        |SELECT source, n_sk, theta, est_distinct, n_exact,
+        |  CAST((1000000 * abs(est_distinct - n_exact)) // n_exact AS BIGINT)
+        |    AS err_ppm
+        |FROM est ORDER BY source""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

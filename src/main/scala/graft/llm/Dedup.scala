@@ -680,6 +680,39 @@ object Dedup {
   }
 
   /**
+   * Per-source DISTINCT-GRAM CARDINALITY from the same KMV sketch as
+   * q226 — the classic k-minimum-values estimator (Beyer et al. 2007):
+   * with the k-th smallest of a uniform 32-bit hash at θ, the set size
+   * is ≈ (k−1)·2³²/θ; a source whose whole gram set fits the sketch
+   * (n < k) reports it exactly. Audited per source against the exact
+   * distinct count (same artifact), error in ppm — this is the
+   * distinct-counting twin of q129's HLL audit, but MERGEABLE ACROSS
+   * SET OPERATIONS (the property HLL lacks for intersections, which
+   * q226 exercises).
+   *
+   * Scale shape: one bounded-heap sketch pass over the memoized
+   * `source-grams` artifact; the estimate is a per-source scalar fold
+   * over ≤ k rows. The exact-count audit is one aggregate over the
+   * same artifact — at 100 TB the audit runs on samples, the sketch
+   * path is the production estimate.
+   */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val sg = sourceGrams(spark, dir)
+    val sk = graft.ops.GlobalOrder.pin(kmvSketchOf(sg, k))
+    val meta = sk.groupBy(col("source"))
+      .agg(max(col("x")).as("theta"), count(lit(1)).as("n_sk"))
+    val exact = sg.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    meta.join(exact, Seq("source"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN n_sk < $k THEN n_sk ELSE (${k - 1} * 4294967296) div theta END"))
+      .withColumn("err_ppm",
+        expr("(1000000 * abs(est_distinct - n_exact)) div n_exact"))
+      .select(col("source"), col("n_sk"), col("theta"),
+        col("est_distinct"), col("n_exact"), col("err_ppm"))
+      .orderBy("source")
+  }
+
+  /**
    * Duplication TREND over ingestion order: near-dup rate per doc_id
    * decile — is duplication getting worse as the corpus grows? Each
    * q32 pair flags its HIGHER-id member (the one keep-lowest dedup

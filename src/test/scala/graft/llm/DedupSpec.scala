@@ -217,4 +217,24 @@ class DedupSpec extends SparkSpec {
         assert(r.getAs[Long]("err_ppm") == 0L)
     }
   }
+
+  test("KMV distinct estimate: exact below k, KMV formula above, error bounded") {
+    val rows = Dedup.kmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSk, est, exact) = (r.getAs[Long]("n_sk"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("n_exact"))
+      assert(nSk <= 256L && nSk <= exact)
+      if (nSk < 256L) {
+        // exhaustive sketch: exact modulo 32-bit collisions (none at
+        // fixture vocabulary sizes)
+        assert(est == exact && r.getAs[Long]("err_ppm") == 0L, r.toString)
+      } else {
+        // the KMV formula with k=256 has relative std error ~1/sqrt(k-2)
+        // ≈ 6.3%; 5 sigma is a safe deterministic bound for fixed fixtures
+        assert(r.getAs[Long]("err_ppm") <= 320000L, r.toString)
+        assert(est == 255L * 4294967296L / r.getAs[Long]("theta"))
+      }
+    }
+  }
 }

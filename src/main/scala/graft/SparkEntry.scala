@@ -773,39 +773,9 @@ object SparkEntry {
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q72_neardup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM t, LATERAL (
-        |         SELECT unnest(list_transform(range(1, len(w) - 1),
-        |                i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s) u),
-        |mh AS (SELECT doc_id, salt,
-        |         MIN(substr(md5(CASE WHEN salt < 4 THEN 'a|' ELSE 'b|' END || s),
-        |                    1 + 8 * (salt % 4), 8)) AS h
-        |       FROM sh, (SELECT unnest(range(0, 8)) AS salt) salts
-        |       GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, salt // 2 AS band,
-        |            concat_ws(',', MIN(CASE WHEN salt % 2 = 0 THEN h END),
-        |                           MIN(CASE WHEN salt % 2 = 1 THEN h END)) AS sig
-        |          FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |cm AS (SELECT id_a, id_b, COUNT(*) AS common
-        |       FROM cand c JOIN sh x ON x.doc_id = c.id_a
-        |       JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-        |    FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
-        |  WHERE jaccard >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
-        |          UNION
-        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
-        |SELECT node AS doc_id, MIN(lab) AS cluster
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes
+        |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->
@@ -2025,12 +1995,7 @@ object SparkEntry {
     // plus an independent re-count of pairs still straddling splits
     "q223_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM neardup
-        |          UNION ALL SELECT id_b, id_a FROM neardup),
-        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
-        |          UNION
-        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
-        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1),
+        |$clusterCtes,
         |sp AS (SELECT d.doc_id, cl.cluster,
         |    CASE WHEN substr(md5(CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'e666'
         |         THEN 'train'
@@ -2050,12 +2015,7 @@ object SparkEntry {
     // per-doc floor division, HUGEINT cross-multiplied ppm ratio
     "q224_dup_weighting" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM neardup
-        |          UNION ALL SELECT id_b, id_a FROM neardup),
-        |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
-        |          UNION
-        |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
-        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1),
+        |$clusterCtes,
         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM cl GROUP BY 1),
         |w AS (SELECT cl.doc_id, cs.csize FROM cl JOIN cs USING (cluster)),
         |d AS (SELECT doc_id, source,
@@ -2075,23 +2035,7 @@ object SparkEntry {
     // (hex2int via the q103 list_reduce fold), theta-intersection
     // estimate audited against the exact q183 intersection
     "q226_kmv_overlap" ->
-      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT source,
-        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
-        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
-        |kx AS (SELECT DISTINCT source,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1, 9),
-        |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
-        |      (a, b) -> a * 16 + b) AS x
-        |  FROM sh),
-        |sk AS (SELECT source, x FROM (
-        |         SELECT source, x,
-        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
-        |         FROM kx) r WHERE rn <= 256),
-        |meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
-        |           MAX(x) AS theta_raw FROM sk GROUP BY 1),
+      s"""WITH $kmvSketchCtes,
         |m2 AS (SELECT source,
         |         CASE WHEN n_sk < 256 THEN 4294967296 ELSE theta_raw END AS theta
         |       FROM meta),
@@ -2123,28 +2067,12 @@ object SparkEntry {
     // q227: KMV distinct-cardinality estimate per source, audited
     // against the exact distinct gram count (same sketch as q226)
     "q227_kmv_distinct" ->
-      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT source,
-        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
-        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
-        |kx AS (SELECT DISTINCT source,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1, 9),
-        |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
-        |      (a, b) -> a * 16 + b) AS x
-        |  FROM sh),
-        |sk AS (SELECT source, x FROM (
-        |         SELECT source, x,
-        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
-        |         FROM kx) r WHERE rn <= 256),
-        |meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
-        |           MAX(x) AS theta FROM sk GROUP BY 1),
+      s"""WITH $kmvSketchCtes,
         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
         |       FROM sh GROUP BY 1),
-        |est AS (SELECT m.source, m.n_sk, m.theta, e.n_exact,
+        |est AS (SELECT m.source, m.n_sk, m.theta_raw AS theta, e.n_exact,
         |    CASE WHEN m.n_sk < 256 THEN m.n_sk
-        |         ELSE CAST((255 * 4294967296) // m.theta AS BIGINT) END
+        |         ELSE CAST((255 * 4294967296) // m.theta_raw AS BIGINT) END
         |      AS est_distinct
         |  FROM meta m JOIN ex e USING (source))
         |SELECT source, n_sk, theta, est_distinct, n_exact,
@@ -3261,6 +3189,42 @@ object SparkEntry {
       |         CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
       |  FROM cm JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) j
       |WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Connected components (min-label) over the `neardup` pair graph as
+    * reusable CTEs ending in `cl` (doc_id, cluster) — the ONE labeling
+    * statement shared by q72 and the split/weighting oracles
+    * (q223/q224), which must agree bit-for-bit on cluster labels.
+    * Requires `WITH RECURSIVE` and [[minhashPairsCtes]] upstream. */
+  private[graft] val clusterCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM neardup
+      |          UNION ALL SELECT id_b, id_a FROM neardup),
+      |reach AS (SELECT DISTINCT src AS node, src AS lab FROM edges
+      |          UNION
+      |          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY 1)""".stripMargin
+
+  /** The per-source KMV sketch as reusable CTEs ending in `sh`
+    * (source, h), `sk` (source, x) and `meta` (source, n_sk,
+    * theta_raw) — the hex2int fold and min-k selection shared verbatim
+    * by the q226/q227 sketch oracles. */
+  private[graft] val kmvSketchCtes: String =
+    """d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT source,
+      |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+      |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+      |kx AS (SELECT DISTINCT source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 9),
+      |        i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) AS x
+      |  FROM sh),
+      |sk AS (SELECT source, x FROM (
+      |         SELECT source, x,
+      |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn
+      |         FROM kx) r WHERE rn <= 256),
+      |meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
+      |           MAX(x) AS theta_raw FROM sk GROUP BY 1)""".stripMargin
 
   /**
    * DuckDB replay of [[graft.llm.Similarity.annRecall]]: the q36 CTE

@@ -596,31 +596,6 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
-  /**
-   * KMV (theta-sketch) OVERLAP ESTIMATION between sources — the sketch
-   * path for the q183 exact overlap matrix. The exact matrix's pair
-   * join fans every shared gram digest into up to C(sources,2) rows;
-   * the KMV route caps each source's footprint at k values: the k
-   * SMALLEST 32-bit-truncated gram digests form a uniform sample of
-   * the source's gram set (the k-minimum-values / theta sketch,
-   * Beyer et al. 2007), two sketches intersect under
-   * θ = min(θ_a, θ_b), and est = n_common · 2³² / θ. Sources whose
-   * whole gram set fits in the sketch (n < k) keep θ = 2³², making the
-   * estimate exact — the sketch degrades to nothing gracefully.
-   *
-   * Output one row per source pair: θ, sketch-common count, estimated
-   * vs EXACT intersection and the error in ppm — the same
-   * sketch-vs-exact audit discipline as q53/q103/q129 (the estimate is
-   * never shipped untested).
-   *
-   * Scale shape: the only corpus-scale work is the memoized
-   * `source-grams` artifact (shared with q183/q187); the sketch is the
-   * rank-emitting bounded-heap TopKPerKey (at most k rows per source
-   * cross the exchange, never the gram table); everything after is
-   * sketch-sized (S·k rows) or source-pair-sized. The exact-side
-   * audit join reuses the artifact — at 100 TB one would sample or
-   * drop it; the sketch path itself never touches corpus scale.
-   */
   /** The k smallest distinct 32-bit-truncated gram digests per source —
     * the KMV sketch itself, over any (source, h) gram table (the batch
     * artifact or a streamed micro-batch partial). x is distinct per
@@ -666,6 +641,31 @@ object Dedup {
       .withColumn("est_inter", expr("(n_common * 4294967296) div theta"))
   }
 
+  /**
+   * KMV (theta-sketch) OVERLAP ESTIMATION between sources — the sketch
+   * path for the q183 exact overlap matrix. The exact matrix's pair
+   * join fans every shared gram digest into up to C(sources,2) rows;
+   * the KMV route caps each source's footprint at k values: the k
+   * SMALLEST 32-bit-truncated gram digests form a uniform sample of
+   * the source's gram set (the k-minimum-values / theta sketch,
+   * Beyer et al. 2007), two sketches intersect under
+   * θ = min(θ_a, θ_b), and est = n_common · 2³² / θ. Sources whose
+   * whole gram set fits in the sketch (n < k) keep θ = 2³², making the
+   * estimate exact — the sketch degrades to nothing gracefully.
+   *
+   * Output one row per source pair: θ, sketch-common count, estimated
+   * vs EXACT intersection and the error in ppm — the same
+   * sketch-vs-exact audit discipline as q53/q103/q129 (the estimate is
+   * never shipped untested).
+   *
+   * Scale shape: the only corpus-scale work is the memoized
+   * `source-grams` artifact (shared with q183/q187); the sketch is the
+   * rank-emitting bounded-heap TopKPerKey (at most k rows per source
+   * cross the exchange, never the gram table); everything after is
+   * sketch-sized (S·k rows) or source-pair-sized. The exact-side
+   * audit join reuses the artifact — at 100 TB one would sample or
+   * drop it; the sketch path itself never touches corpus scale.
+   */
   def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     val sk = graft.ops.GlobalOrder.pin(
       kmvSketchOf(sourceGrams(spark, dir), k))

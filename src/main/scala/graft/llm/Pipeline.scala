@@ -89,9 +89,14 @@ object Pipeline {
     // convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so the sum strictly drops on any change and an
     // unchanged sum == convergence — one scalar aggregate per round
-    // instead of a next-vs-previous join
+    // instead of a next-vs-previous join. The cap is a LOUD backstop,
+    // not a silent exit: q223/q224 build a zero-leakage guarantee on
+    // these labels, so stopping before convergence must fail the job
+    // rather than ship mislabeled components (rounds needed = component
+    // diameter; near-dup components are tiny, 64 covers any real chain)
+    val maxRounds = 64
     var prevSum = Option.empty[Long]
-    while (!converged && rounds < 10) {
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
@@ -103,6 +108,11 @@ object Pipeline {
       prevSum = Some(s)
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"near-dup label propagation did not converge within $maxRounds " +
+          "rounds — component diameter exceeds the backstop; labels would " +
+          "be wrong and the q223 split-leakage guarantee would not hold")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
   }

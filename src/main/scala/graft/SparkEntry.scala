@@ -243,6 +243,7 @@ object SparkEntry {
     "q225_ann_ndcg"        -> ((s: SparkSession, d: String) => Similarity.annNdcg(s, d)),
     "q226_kmv_overlap"     -> ((s: SparkSession, d: String) => Dedup.kmvOverlap(s, d)),
     "q227_kmv_distinct"    -> ((s: SparkSession, d: String) => Dedup.kmvDistinct(s, d)),
+    "q228_source_auc"      -> ((s: SparkSession, d: String) => graft.llm.Eval.sourceAuc(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2079,6 +2080,34 @@ object SparkEntry {
         |  CAST((1000000 * abs(est_distinct - n_exact)) // n_exact AS BIGINT)
         |    AS err_ppm
         |FROM est ORDER BY source""".stripMargin,
+    // q228: per-source Mann–Whitney AUC — the grouped q217 (exclusive
+    // negative prefix now PARTITION BY source; Spark plans it via the
+    // grouped GlobalOrder prefix, never a few-key window)
+    "q228_source_auc" ->
+      """WITH sc AS (SELECT source, (lang = 'en') AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |ps AS (SELECT source, (1000000 * n_stop) // n_tokens AS score,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1, 2),
+        |pr AS (SELECT source, np, nn,
+        |    CAST(COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nn_below
+        |  FROM ps)
+        |SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * nn_below) AS BIGINT) AS n_concordant,
+        |  CAST(SUM(np * nn) AS BIGINT) AS n_tied,
+        |  CASE WHEN SUM(np) * SUM(nn) = 0 THEN NULL
+        |    ELSE (1000000 * (2 * CAST(SUM(np * nn_below) AS BIGINT)
+        |                     + CAST(SUM(np * nn) AS BIGINT)))
+        |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+        |  END AS auc_ppm
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -35,19 +35,23 @@ object Eval {
   def qualityAuc(spark: SparkSession, dir: String): DataFrame =
     qualityAucOf(Tables.documents(spark, dir))
 
-  /** The shared (doc_id, pos, score) projection both metrics grade:
-    * stopword-rate in integer ppm vs the `lang = 'en'` label. */
-  private def scoredDocs(docs: DataFrame): DataFrame =
+  /** The shared (doc_id, pos, score) projection all three metrics
+    * grade: stopword-rate in integer ppm vs the `lang = 'en'` label.
+    * `keep` carries extra grouping columns through (q228's `source`). */
+  private def scoredDocs(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     docs.select(
-        col("doc_id"),
-        split(col("text"), " ").as("ws"),
-        (col("lang") === "en").as("pos"))
-      .select(col("doc_id"), col("pos"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        size(expr("filter(ws, w -> w = 'the' OR w = 'a')"))
-          .cast("long").as("n_stop"))
+        (col("doc_id") +: kept) ++ Seq(
+          split(col("text"), " ").as("ws"),
+          (col("lang") === "en").as("pos")): _*)
+      .select(
+        (col("doc_id") +: kept) ++ Seq(col("pos"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(expr("filter(ws, w -> w = 'the' OR w = 'a')"))
+            .cast("long").as("n_stop")): _*)
       .filter(col("n_tokens") > 0)
       .withColumn("score", expr("(1000000 * n_stop) div n_tokens"))
+  }
 
   private[llm] def qualityAucOf(docs: DataFrame): DataFrame = {
     val scored = scoredDocs(docs)
@@ -69,6 +73,45 @@ object Eval {
             "(1000000 * (2 * n_concordant + n_tied)) div (2 * n_pos * n_neg)")))
       .select(col("n_pos"), col("n_neg"), col("n_concordant"),
         col("n_tied"), col("auc_ppm"))
+  }
+
+  /**
+   * Per-source exact AUC (q228) — the GROUPED twin of [[qualityAuc]]:
+   * does the stopword score separate English within EACH feed, or is
+   * the global AUC carried by a few easy sources? The audit a mix
+   * planner reads before applying one global quality threshold across
+   * heterogeneous feeds (a source where the signal is near-random
+   * needs its own threshold or a different signal).
+   *
+   * Same fixed-point Mann–Whitney discipline as q217, grouped: the
+   * distinct-score table now keys on (source, score) — still bounded
+   * at sources × 10⁶ rows — and the exclusive running negative count
+   * comes from [[graft.ops.GlobalOrder.groupedRankAndPrefix]]'s
+   * range-partitioned prefix (never a `PARTITION BY source` window,
+   * whose parallelism caps at source cardinality). One
+   * source-cardinality fold finishes; ties get half credit; every
+   * division is a single integer op, so the oracle hash-matches.
+   */
+  def sourceAuc(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredDocs(Tables.documents(spark, dir), keep = Seq("source"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      perScore, keys = Seq(col("source")), order = Seq(col("score")),
+      values = Seq((col("nn"), "neg_prefix")))
+    ranked.groupBy(col("source")).agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * col("neg_prefix")).as("n_concordant"),
+        sum(col("np") * col("nn")).as("n_tied"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * (2 * n_concordant + n_tied)) div (2 * n_pos * n_neg)")))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        col("n_concordant"), col("n_tied"), col("auc_ppm"))
+      .orderBy("source")
   }
 
   /**

@@ -62,6 +62,37 @@ class EvalSpec extends SparkSpec {
       1000000L * (2 * conc + tied) / (2 * pos.length.toLong * neg.length))
   }
 
+  test("per-source AUC matches the brute-force pair count within each source") {
+    import org.apache.spark.sql.functions.col
+    val rows = Eval.sourceAuc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("lang")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val stop = ws.count(w => w == "the" || w == "a").toLong
+        (r.getString(0), 1000000L * stop / ws.length,
+          r.getString(2) == "en")
+      }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = docs(src)
+      val pos = g.filter(_._3).map(_._2)
+      val neg = g.filterNot(_._3).map(_._2)
+      assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+      assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+      val conc = (for (p <- pos; n <- neg if n < p) yield 1L).sum
+      val tied = (for (p <- pos; n <- neg if n == p) yield 1L).sum
+      assert(r.getAs[Long]("n_concordant") == conc, src)
+      assert(r.getAs[Long]("n_tied") == tied, src)
+      if (pos.nonEmpty && neg.nonEmpty)
+        assert(r.getAs[Long]("auc_ppm") ==
+          1000000L * (2 * conc + tied) / (2 * pos.length.toLong * neg.length))
+      else assert(r.isNullAt(r.fieldIndex("auc_ppm")))
+    }
+  }
+
   test("calibration: deciles near-equal, totals partition the corpus") {
     val rows = Eval.scoreCalibration(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))

@@ -208,7 +208,9 @@ class PlanAuditSpec extends SparkSpec {
       "q168_bigram_novelty"   -> 1, // scoring pass; LM counts pinned
       "q33_simhash"           -> 0, // pure artifact read
       "q62_simhash_pairs"     -> 0, // banding over the pinned signatures
-      "q170_dup_span_coverage" -> 1) // join-back pass; gram sliver pinned
+      "q170_dup_span_coverage" -> 1, // join-back pass; gram sliver pinned
+      "q226_kmv_overlap"      -> 0, // sketch + audit over the gram artifact
+      "q227_kmv_distinct"     -> 0) // sketch + exact count, same artifact
     maxDocScans.foreach { case (q, maxScans) =>
       spark.catalog.clearCache()
       graft.llm.ModelCache.invalidate()

@@ -244,6 +244,7 @@ object SparkEntry {
     "q226_kmv_overlap"     -> ((s: SparkSession, d: String) => Dedup.kmvOverlap(s, d)),
     "q227_kmv_distinct"    -> ((s: SparkSession, d: String) => Dedup.kmvDistinct(s, d)),
     "q228_source_auc"      -> ((s: SparkSession, d: String) => graft.llm.Eval.sourceAuc(s, d)),
+    "q229_cluster_decontaminate" -> (Pipeline.clusterDecontaminate _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2108,6 +2109,40 @@ object SparkEntry {
         |      // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
         |  END AS auc_ppm
         |FROM pr GROUP BY source ORDER BY source""".stripMargin,
+    // q229: q163's winnowing screen (CTEs renamed d* to avoid the
+    // shared `t`) closed under the q72 near-dup clusters — direct hits
+    // expand to whole clusters, eval docs (id%50=0) never flagged
+    "q229_cluster_decontaminate" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes,
+        |dt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 7),
+        |dh AS (SELECT doc_id, list_transform(range(1, len(ws) - 2), i ->
+        |        substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16)) AS hs
+        |      FROM dt),
+        |dwins AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 2), p ->
+        |      list_min(hs[p:p+3]))) AS fp
+        |  FROM dh),
+        |df AS (SELECT DISTINCT doc_id, fp FROM dwins),
+        |dev AS (SELECT DISTINCT fp FROM df WHERE doc_id % 50 = 0),
+        |direct AS (SELECT DISTINCT df.doc_id FROM df JOIN dev USING (fp)
+        |           WHERE df.doc_id % 50 <> 0),
+        |hitcl AS (SELECT DISTINCT cl.cluster FROM cl JOIN direct USING (doc_id)),
+        |trans AS (SELECT cl.doc_id FROM cl JOIN hitcl USING (cluster)
+        |          WHERE cl.doc_id % 50 <> 0),
+        |fl AS (SELECT d.doc_id, d.source,
+        |         CASE WHEN dir.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_direct,
+        |         CASE WHEN tr2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_cluster
+        |       FROM documents d LEFT JOIN direct dir ON d.doc_id = dir.doc_id
+        |            LEFT JOIN trans tr2 ON d.doc_id = tr2.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(is_direct) AS BIGINT) AS n_direct,
+        |  CAST(SUM(CASE WHEN in_cluster = 1 AND is_direct = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_transitive,
+        |  CAST(SUM(CASE WHEN is_direct = 1 OR in_cluster = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -437,6 +437,44 @@ object Pipeline {
   }
 
   /**
+   * CLUSTER-AWARE decontamination — the q163 winnowing screen closed
+   * under near-duplication: a training document sharing fingerprints
+   * with the eval slice is contaminated, and so is every near-copy of
+   * it, even those whose exact n-grams drifted past the fingerprint
+   * screen (re-crawls, boilerplate edits). Directly-flagged docs
+   * expand to their whole near-dup cluster ([[nearDupClusters]] —
+   * the same transitive reasoning as dedup-drop-whole-groups), and
+   * the per-source report separates direct hits from the
+   * transitively-added members so the expansion's cost is visible.
+   *
+   * Scale shape: the direct set is contamination-sliver-sized and the
+   * label table pair-sliver-sized — both broadcast; the only
+   * corpus-scale work is q163's own fingerprint pass plus ONE
+   * per-source rollup scan. Eval docs themselves are never flagged.
+   */
+  def clusterDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val direct = TextAnalysis.decontaminate(spark, dir).select(col("doc_id"))
+    val labels = nearDupClusters(spark, dir)
+    val hit = labels.join(broadcast(direct), Seq("doc_id"))
+      .select(col("cluster")).distinct()
+    val transitive = labels.join(broadcast(hit), Seq("cluster"))
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id")).withColumn("in_cluster", lit(1L))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(direct.withColumn("is_direct", lit(1L))),
+        Seq("doc_id"), "left")
+      .join(broadcast(transitive), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_direct"), lit(0L))).as("n_direct"),
+        sum(when(col("in_cluster") === 1L && col("is_direct").isNull, 1L)
+          .otherwise(0L)).as("n_transitive"),
+        sum(when(col("in_cluster") === 1L || col("is_direct") === 1L, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  /**
    * Materialize a corpus as training shards: parquet partitioned by the
    * deterministic md5 split (train/val/test directories a data loader
    * globs independently), every file capped at `shardRecords` rows.

@@ -244,6 +244,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cluster decontamination expands direct hits to whole near-dup clusters") {
+    import org.apache.spark.sql.functions._
+    val r = Pipeline.clusterDecontaminate(spark, sf).collect()
+    assert(r.nonEmpty)
+    // driver-side replay of the expansion
+    val direct = TextAnalysis.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val labels = Pipeline.nearDupClusters(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster"))
+    val hitClusters = labels.filter(p => direct(p._1)).map(_._2).toSet
+    val transitive = labels
+      .filter(p => hitClusters(p._2) && p._1 % 50L != 0L).map(_._1).toSet
+    val flagged = direct ++ transitive
+    val bySrc = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .groupBy(_._2)
+    r.foreach { row =>
+      val ids = bySrc(row.getAs[String]("source")).map(_._1)
+      assert(row.getAs[Long]("n_docs") == ids.length.toLong)
+      assert(row.getAs[Long]("n_direct") == ids.count(direct).toLong)
+      assert(row.getAs[Long]("n_transitive")
+        == ids.count(i => transitive(i) && !direct(i)).toLong)
+      assert(row.getAs[Long]("n_flagged") == ids.count(flagged).toLong)
+    }
+    // no eval doc is ever flagged, and the expansion only adds
+    assert(flagged.forall(_ % 50L != 0L))
+    assert(r.map(_.getAs[Long]("n_flagged")).sum
+      >= r.map(_.getAs[Long]("n_direct")).sum)
+  }
+
   test("curation funnel replays each stage's own predicate cumulatively") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf)

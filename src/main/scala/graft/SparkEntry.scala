@@ -245,6 +245,7 @@ object SparkEntry {
     "q227_kmv_distinct"    -> ((s: SparkSession, d: String) => Dedup.kmvDistinct(s, d)),
     "q228_source_auc"      -> ((s: SparkSession, d: String) => graft.llm.Eval.sourceAuc(s, d)),
     "q229_cluster_decontaminate" -> (Pipeline.clusterDecontaminate _),
+    "q230_quality_dup_matrix" -> ((s: SparkSession, d: String) => Pipeline.qualityDupMatrix(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2143,6 +2144,28 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN is_direct = 1 OR in_cluster = 1 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_flagged
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q230: quality deciles (ANSI ntile under (score, doc_id), the
+    // q220 idiom) crossed with near-dup cluster membership
+    "q230_quality_dup_matrix" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes,
+        |sc AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |s2 AS (SELECT doc_id, (1000000 * n_stop) // n_tokens AS score FROM sc),
+        |dd AS (SELECT doc_id, score,
+        |    CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+        |  FROM s2)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  (1000000 * CAST(SUM(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS dup_ppm,
+        |  MIN(dd.score) AS score_lo, MAX(dd.score) AS score_hi
+        |FROM dd LEFT JOIN cl ON dd.doc_id = cl.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -35,10 +35,12 @@ object Eval {
   def qualityAuc(spark: SparkSession, dir: String): DataFrame =
     qualityAucOf(Tables.documents(spark, dir))
 
-  /** The shared (doc_id, pos, score) projection all three metrics
+  /** The shared (doc_id, pos, score) projection all the eval metrics
     * grade: stopword-rate in integer ppm vs the `lang = 'en'` label.
-    * `keep` carries extra grouping columns through (q228's `source`). */
-  private def scoredDocs(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    * `keep` carries extra grouping columns through (q228's `source`).
+    * `private[llm]` so q230's quality×duplication cross-tab scores
+    * documents with the ONE shared definition. */
+  private[llm] def scoredDocs(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
     docs.select(
         (col("doc_id") +: kept) ++ Seq(

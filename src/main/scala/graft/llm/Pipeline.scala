@@ -475,6 +475,41 @@ object Pipeline {
   }
 
   /**
+   * QUALITY × DUPLICATION cross-tab — equal-count deciles of the q217
+   * stopword quality score against near-dup cluster membership: do
+   * duplicates concentrate in low-quality bands (template junk
+   * re-crawled at scale) or are the highest-quality passages the most
+   * duplicated? The answer decides whether dedup and quality filtering
+   * are redundant or complementary on a given corpus — the report a
+   * curation stack reads before ordering the two stages. Scoring is
+   * the ONE shared [[Eval.scoredDocs]] definition; deciles are ANSI
+   * ntile under the total order (score, doc_id) via the distributed
+   * GlobalOrder rank (never a one-task window); the dup flag joins the
+   * broadcast label sliver. One corpus pass beyond the stored labels.
+   */
+  def qualityDupMatrix(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
+      Eval.scoredDocs(Tables.documents(spark, dir)),
+      Seq(col("score"), col("doc_id")))
+    val dup = nearDupClusters(spark, dir)
+      .select(col("doc_id")).withColumn("is_dup", lit(1L))
+    ranked
+      .withColumn("decile", graft.ops.GlobalOrder.ntileFromRank(
+        col("g_rank"), col("g_total_rows"), buckets))
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+        min(col("score")).as("score_lo"),
+        max(col("score")).as("score_hi"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_docs"))
+      .select(col("decile"), col("n_docs"), col("n_dup"), col("dup_ppm"),
+        col("score_lo"), col("score_hi"))
+      .orderBy(col("decile"))
+  }
+
+  /**
    * Materialize a corpus as training shards: parquet partitioned by the
    * deterministic md5 split (train/val/test directories a data loader
    * globs independently), every file capped at `shardRecords` rows.

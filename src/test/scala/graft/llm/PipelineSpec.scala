@@ -275,6 +275,31 @@ class PipelineSpec extends SparkSpec {
       >= r.map(_.getAs[Long]("n_direct")).sum)
   }
 
+  test("quality-dup matrix: deciles partition the corpus, dup totals match labels") {
+    import org.apache.spark.sql.functions._
+    val r = Pipeline.qualityDupMatrix(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // equal-count deciles: sizes differ by at most 1
+    val sizes = r.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1L)
+    // dup totals across deciles equal the label-table membership
+    val nDup = Pipeline.nearDupClusters(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_dup")).sum == nDup)
+    // score bands are non-overlapping and ordered
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("score_hi") <= b.getAs[Long]("score_lo"))
+      case _ =>
+    }
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_dup") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("dup_ppm") ==
+        1000000L * row.getAs[Long]("n_dup") / row.getAs[Long]("n_docs"))
+    }
+  }
+
   test("curation funnel replays each stage's own predicate cumulatively") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf)

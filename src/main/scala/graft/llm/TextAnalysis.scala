@@ -742,22 +742,29 @@ object TextAnalysis {
 
   /**
    * Per-source corpus quality profile: document counts plus exact
-   * length quantiles (Spark exact `percentile` ≡ DuckDB
-   * `quantile_cont`, verified bit-exact on doubles) and an exact-sum
-   * average. The per-source stratification is what a data-mixing
-   * decision consumes; one hash-agg, any scale.
+   * length quantiles and an exact-sum average. The per-source
+   * stratification is what a data-mixing decision consumes.
+   *
+   * Quantiles via [[graft.ops.GlobalOrder.groupedQuantiles]], NOT the
+   * builtin `percentile()`: the builtin is a TypedImperativeAggregate
+   * that ships EVERY group value into key-cardinality reducers —
+   * source cardinality here, over a corpus-scale column, exactly the
+   * few-key parallelism ceiling this repo bans (Relational2.percentiles
+   * scaladoc). Grouped global ranks keep every core ranking a slice;
+   * counts/sums stay a separate one-pass hash-agg, and the final join
+   * moves source-cardinality rows only.
    */
-  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        expr("percentile(n_chars, 0.25)").as("p25_chars"),
-        expr("percentile(n_chars, 0.5)").as("p50_chars"),
-        expr("percentile(n_chars, 0.75)").as("p75_chars"))
+  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val qs = graft.ops.GlobalOrder.groupedQuantiles(
+      docs, keyCols = Seq("source"), valueCol = "n_chars",
+      ps = Seq(("p25_chars", 0.25), ("p50_chars", 0.5), ("p75_chars", 0.75)))
+    counts.join(qs, Seq("source"))
       .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
       .orderBy("source")
+  }
 
   /**
    * Out-of-vocabulary rate per document against the corpus' top-k

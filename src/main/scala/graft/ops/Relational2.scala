@@ -199,24 +199,29 @@ object Relational2 {
     val ev = Tables.events(spark, dir)
     // exact distinct via the two-phase route (pre-deduplicated pairs,
     // counted — no countDistinct Expand doubling the fact rows through
-    // the exchange), and ONE array-argument percentile buffer instead
-    // of three scalar ones; the sketch aggregates stay in a single
-    // pass over the facts. The final join moves event_type-cardinality
-    // rows only.
+    // the exchange); the exact quantile envelope comes from
+    // GlobalOrder.groupedQuantiles (grouped global ranks), not the
+    // builtin percentile() whose TypedImperativeAggregate would ship
+    // every value into event_type-cardinality reducers even in this
+    // audit arm; the sketch aggregates stay in a single pass over the
+    // facts. The final joins move event_type-cardinality rows only.
     val exact = ev.select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+    val envelope = graft.ops.GlobalOrder.groupedQuantiles(
+      ev.select(col("event_type"), col("value")),
+      keyCols = Seq("event_type"), valueCol = "value",
+      ps = Seq(("p45", 0.45), ("exact_median", 0.5), ("p55", 0.55)))
     val sketches = ev.groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        expr("percentile(value, array(0.45D, 0.5D, 0.55D))").as("ps"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_median"))
-    exact.join(sketches, Seq("event_type"))
+    exact.join(sketches, Seq("event_type")).join(envelope, Seq("event_type"))
       .select(
-        col("event_type"), col("exact_users"), col("ps")(1).as("exact_median"),
+        col("event_type"), col("exact_users"), col("exact_median"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * lit(0.05)).as("users_ok"),
-        (col("approx_median") >= col("ps")(0) &&
-          col("approx_median") <= col("ps")(2)).as("median_ok"))
+        (col("approx_median") >= col("p45") &&
+          col("approx_median") <= col("p55")).as("median_ok"))
       .orderBy("event_type")
   }
 

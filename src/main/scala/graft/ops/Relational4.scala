@@ -219,19 +219,23 @@ object Relational4 {
 
   /**
    * Winsorization: per-segment p05/p95 clipping of account balances —
-   * the standard outlier treatment before averaging. Exact
-   * `percentile` (≡ quantile_cont) computes the clip bounds; the
-   * segment-bounds table is categorical-cardinality, so the join back
-   * is an AQE broadcast; clipped values re-enter exact decimal sums
-   * (the interpolated bound is a double both engines produce
-   * bit-identically, so its decimal rounding agrees too).
+   * the standard outlier treatment before averaging. The clip bounds
+   * come from [[graft.ops.GlobalOrder.groupedQuantiles]] (exact
+   * quantile_cont interpolation via grouped global ranks), NOT the
+   * builtin `percentile()` whose TypedImperativeAggregate ships every
+   * balance into segment-cardinality reducers (the few-key ceiling,
+   * Relational2.percentiles scaladoc). The segment-bounds table is
+   * categorical-cardinality, so the join back is an AQE broadcast;
+   * clipped values re-enter exact decimal sums (the interpolated bound
+   * is a double both engines produce bit-identically, so its decimal
+   * rounding agrees too).
    */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    val bounds = c.groupBy(col("c_mktsegment"))
-      .agg(expr("percentile(c_acctbal, 0.05)").as("p05"),
-        expr("percentile(c_acctbal, 0.95)").as("p95"))
+    val bounds = graft.ops.GlobalOrder.groupedQuantiles(
+      c, keyCols = Seq("c_mktsegment"), valueCol = "c_acctbal",
+      ps = Seq(("p05", 0.05), ("p95", 0.95)))
     c.join(bounds, "c_mktsegment")
       .withColumn("clipped", least(greatest(col("c_acctbal"), col("p05")), col("p95")))
       .groupBy(col("c_mktsegment"))

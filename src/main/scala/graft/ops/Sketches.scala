@@ -76,20 +76,21 @@ object Sketches {
 
   /**
    * Mergeable-quantile verification harness: per event_type, exact
-   * p25/p50/p75 (Spark `percentile` ≡ DuckDB `quantile_cont`,
-   * bit-exact) next to [[graft.functions.KllQuantileAgg]]'s sketch,
-   * gated the q102 way. The sketch's estimates are partition-layout-
-   * dependent, so what's emitted is the exact quantiles plus three
-   * booleans asserting the sketch's one-sided rank guarantee —
-   * `count(v ≤ est) ≥ t` and `count(v < est) < t + slack` for target
-   * rank t — which hold under ANY layout, so the oracle pins them
-   * TRUE and a sketch regression fails the hash gate.
+   * p25/p50/p75 (quantile_cont interpolation via
+   * [[graft.ops.GlobalOrder.groupedQuantiles]]) next to
+   * [[graft.functions.KllQuantileAgg]]'s sketch, gated the q102 way.
+   * The sketch's estimates are partition-layout-dependent, so what's
+   * emitted is the exact quantiles plus three booleans asserting the
+   * sketch's one-sided rank guarantee — `count(v ≤ est) ≥ t` and
+   * `count(v < est) < t + slack` for target rank t — which hold under
+   * ANY layout, so the oracle pins them TRUE and a sketch regression
+   * fails the hash gate.
    *
    * Scale pitch: the sketch is the 100 TB path — O(k·log n) bytes per
-   * group, merged map-side; exact `percentile` materializes every
-   * group value in one aggregation buffer and exists here as the
-   * verification twin (same relationship as q34's brute-force cosine
-   * to q36/q52's ANN).
+   * group, merged map-side; the exact arm is the verification twin
+   * (same relationship as q34's brute-force cosine to q36/q52's ANN)
+   * and even IT avoids the builtin `percentile()`'s few-key buffer:
+   * grouped global ranks keep the exact computation core-parallel.
    */
   def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.KllQuantileAgg.kll_quantiles
@@ -109,15 +110,16 @@ object Sketches {
         sum(when(col("value") <  col("est50"), 1L).otherwise(0L)).as("lt50"),
         sum(when(col("value") <= col("est75"), 1L).otherwise(0L)).as("le75"),
         sum(when(col("value") <  col("est75"), 1L).otherwise(0L)).as("lt75"))
+    // count the VALUES, not the rows: the sketch skips NULL inputs,
+    // so an all-rows count would break sketch_n_ok (and skew the
+    // rank targets) on the first NULL value — the booleans must be
+    // null-independent, not just layout-independent (groupedQuantiles
+    // likewise interpolates over the non-null multiset)
     val exact = ev.groupBy(col("event_type"))
-      // count the VALUES, not the rows: the sketch skips NULL inputs,
-      // so an all-rows count would break sketch_n_ok (and skew the
-      // rank targets) on the first NULL value — the booleans must be
-      // null-independent, not just layout-independent
-      .agg(count(col("value")).as("n"),
-        expr("percentile(value, 0.25)").as("p25"),
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.75)").as("p75"))
+      .agg(count(col("value")).as("n"))
+      .join(graft.ops.GlobalOrder.groupedQuantiles(
+        ev, keyCols = Seq("event_type"), valueCol = "value",
+        ps = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))), Seq("event_type"))
     def ok(t: Column, le: Column, lt: Column, slack: Column): Column =
       le >= t && lt < t + slack
     exact.join(sk, "event_type").join(ranks, "event_type")

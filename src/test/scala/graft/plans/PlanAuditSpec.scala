@@ -416,6 +416,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no builtin Percentile aggregate survives in ANY query plan (few-key ban)") {
+    // Relational2.percentiles scaladoc states the ban: builtin
+    // `percentile()` is a TypedImperativeAggregate that ships EVERY
+    // group value into key-cardinality reducers and sorts there. Round
+    // 9 converted q45/q135/q146 to GlobalOrder.groupedQuantiles; round
+    // 11 converted the last four sites (q53/q96/q111/q117). This pins
+    // the whole suite: a future query (or an audit arm) reintroducing
+    // the builtin fails here, not in a verdict. approx_percentile
+    // (ApproximatePercentile, mergeable sketch) is a different class
+    // and stays legal.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[Percentile])))
+    }
+    assert(offenders.isEmpty,
+      s"builtin percentile() found in: ${offenders.mkString(", ")}")
+  }
+
   test("q68/q100 plan the bounded-heap operator; q100 loses its window") {
     Seq("q68_inverted_index", "q100_rank_rewrite", "q157_cluster_sample")
       .foreach { q =>

@@ -3164,7 +3164,7 @@ object SparkEntry {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |     AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 20
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
     "q119_bpe_tokens" ->
       """SELECT doc_id, n_chars,

@@ -121,15 +121,79 @@ class Relational4Spec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
-  test("fuzzy join pairs stay inside their blocking bucket with bounded distance") {
-    val r = Relational4.fuzzyJoin(spark, sf).cache()
-    assert(r.count() > 0)
-    assert(r.filter(col("dist") > 20 || col("dist") < 0).count() == 0)
+  // the declarative reference plan for the fuzzy join: the naive
+  // (brand, size) block — quadratic within blocks, so never the shipped
+  // plan, but the ground truth the prefix-filtered plan must equal
+  private def naiveFuzzy(parts: org.apache.spark.sql.DataFrame, maxDist: Int) =
+    parts.as("a").join(parts.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_brand").as("p_brand"),
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("dist").cast("long").as("dist"))
+
+  test("fuzzy join: prefix-filtered blocking is LOSSLESS vs the naive block join") {
+    // crafted corpus exercising every arm of the blocking scheme:
+    // signature pairs, repeated grams (bag/occ encoding), length-band
+    // edges, the degenerate-short fallback, the short/long boundary,
+    // cross-brand/size non-pairs, and quote/backslash characters
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    val parts = Seq(
+      (1L, "Brand#1", 1, "chocolate"),
+      (2L, "Brand#1", 1, "chocolatt"),
+      (3L, "Brand#1", 1, "chxcolatt"),
+      (4L, "Brand#1", 1, "completely different"),
+      (5L, "Brand#1", 2, "chocolate"),  // other size: never a pair
+      (6L, "Brand#2", 1, "chocolate"),  // other brand: never a pair
+      (7L, "Brand#1", 1, "aaaaaaaaa"),
+      (8L, "Brand#1", 1, "aaaaaaaab"),
+      (9L, "Brand#1", 1, "aabaaaaaa"),
+      (10L, "Brand#1", 1, "chocolates"),
+      (11L, "Brand#1", 1, "chocolatess"),
+      (12L, "Brand#1", 1, "abc"),
+      (13L, "Brand#1", 1, "abd"),
+      (14L, "Brand#1", 1, "ab"),
+      (15L, "Brand#1", 1, "a"),         // shorter than a gram
+      (16L, "Brand#1", 1, "abcde"),
+      (17L, "Brand#1", 1, "abcdef"),
+      (18L, "Brand#1", 1, "abcdefg"),
+      (19L, "Brand#1", 1, "a'b\\c\"d-e"),
+      (20L, "Brand#1", 1, "a'b\\c\"d-f")
+    ).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    for (d <- 0 to 3) {
+      val got = Relational4.fuzzyJoinOf(parts, d)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val want = naiveFuzzy(parts, d)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == want.toSeq, s"maxDist=$d")
+      if (d >= 1) assert(got.nonEmpty, s"maxDist=$d found no pairs")
+    }
+  }
+
+  test("fuzzy join on the fixture: equals naive, keys ordered, distances bounded") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    // d=12 routes EVERY fixture name (7-12 chars) down the degenerate-
+    // short arm; d=2 routes everything through the signature arm —
+    // both must equal the declarative reference
+    for (d <- Seq(2, 12)) {
+      val got = Relational4.fuzzyJoinOf(parts, d)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val want = naiveFuzzy(parts, d)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == want.toSeq, s"maxDist=$d")
+    }
+    val r = Relational4.fuzzyJoinOf(parts, 12).cache()
+    assert(r.filter(col("dist") > 12 || col("dist") < 0).count() == 0)
     assert(r.filter(col("key_a") >= col("key_b")).count() == 0)
     // spot-check one pair's distance against a driver-side DP
     val row = r.head
-    val p = Tables.part(spark, sf)
-    val nameOf = p.filter(col("p_partkey").isin(row.getLong(1), row.getLong(2)))
+    val nameOf = parts
+      .filter(col("p_partkey").isin(row.getLong(1), row.getLong(2)))
       .select("p_partkey", "p_name").collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
     def lev(a: String, b: String): Int = {

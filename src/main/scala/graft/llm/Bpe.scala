@@ -42,17 +42,38 @@ object Bpe {
   /** The order-free merge-application projection for one learned pair
     * (see class doc), over a column literally named `s`: positions
     * whose LEFT neighbor starts a merge are dropped; positions that
-    * start one widen to the merged symbol. */
-  private def applyMerge(paRaw: String, pbRaw: String): Column = {
-    val (pa, pb) = (paRaw.replace("'", "''"), pbRaw.replace("'", "''"))
-    expr(
-      s"""transform(
-         |  filter(sequence(1, size(s)), i ->
-         |    NOT (i > 1 AND element_at(s, i - 1) = '$pa'
-         |         AND element_at(s, i) = '$pb')),
-         |  i -> IF(element_at(s, i) = '$pa' AND i < size(s)
-         |          AND element_at(s, i + 1) = '$pb',
-         |          concat('$pa', '$pb'), element_at(s, i)))""".stripMargin)
+    * start one widen to the merged symbol.
+    *
+    * Built with the typed Column API, NOT an interpolated `expr(...)`
+    * string: learned symbols are corpus-derived data, and a symbol
+    * containing a backslash or other SQL-literal metacharacter would
+    * parse differently (or not at all) on the Spark side while the
+    * DuckDB oracle references CTE columns — `lit()` carries the symbol
+    * as a value, so no corpus content ever re-enters a SQL parser. */
+  private def applyMerge(pa: String, pb: String): Column =
+    applyMerges(Seq((pa, pb)))
+
+  /** Simultaneous application of several SYMBOL-DISJOINT merges (no
+    * symbol appears in two pairs, and halves are distinct within a
+    * pair): disjointness means a position can start at most one merge
+    * and can never both start one and be consumed by another, so the
+    * union of the per-pair order-free rules stays a well-defined
+    * per-position map. Caller guarantees disjointness
+    * ([[learnMergesBatched]]'s greedy pick). */
+  private def applyMerges(pairs: Seq[(String, String)]): Column = {
+    val s = col("s")
+    def at(i: Column) = element_at(s, i)
+    def startsMerge(i: Column): Column =
+      pairs.map { case (pa, pb) =>
+        at(i) === lit(pa) && i < size(s) && at(i + lit(1)) === lit(pb)
+      }.reduce(_ || _)
+    val kept = filter(sequence(lit(1), size(s)), i =>
+      !(i > lit(1) && startsMerge(i - lit(1))))
+    transform(kept, i =>
+      pairs.foldRight(at(i)) { case ((pa, pb), acc) =>
+        when(at(i) === lit(pa) && i < size(s) && at(i + lit(1)) === lit(pb),
+          lit(pa + pb)).otherwise(acc)
+      })
   }
 
   /** Count-weighted word-frequency table: (word, wc). */
@@ -102,6 +123,74 @@ object Bpe {
       }
       out.result()
     }
+
+  /**
+   * BATCHED merge learning — the production path past the sequential
+   * loop's iteration-depth ceiling. [[learnMerges]] runs one Spark job
+   * pair per merge; a real ~32k-merge vocabulary would mean ~32k
+   * sequential driver round-trips even though each job is
+   * vocabulary-scale. This variant selects up to `j` SYMBOL-DISJOINT
+   * top pairs per iteration (count desc, then pair lexicographic —
+   * the same total order) and applies them simultaneously
+   * ([[applyMerges]]), cutting driver round-trips to ~vocab/j.
+   *
+   * Fidelity: with j=1 this IS the sequential algorithm (spec-pinned
+   * equal). With j>1 it is the standard fast-BPE approximation — a
+   * batch member selected at rank r>1 ignores the pairs the batch's
+   * earlier merges CREATE (disjointness guarantees it destroys/creates
+   * none of the batch's own pairs, so every selected pair's count is
+   * still exact at application time; what batching skips is only the
+   * chance for a newly-created pair to outrank batch members).
+   *
+   * Candidate read per iteration is `4j + 4` rows — bounded, the same
+   * argmax-exemption as the sequential loop. Greedy may pick fewer
+   * than `j` when the head of the candidate list shares symbols; it
+   * always picks at least the global top pair, so progress is
+   * guaranteed whenever any pair remains.
+   *
+   * @return per-iteration batches, each merge carrying its exact
+   *         selection-time count and the post-BATCH total symbol count
+   */
+  private[llm] def learnMergesBatched(
+      docs: DataFrame, iters: Int, j: Int): Seq[Seq[Merge]] = {
+    require(iters >= 1 && j >= 1, s"need iters/j >= 1, got $iters/$j")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var syms = graft.ops.GlobalOrder.pin(
+      wordCounts(docs).select(col("wc"), split(col("word"), "").as("s")))
+    val out = Seq.newBuilder[Seq[Merge]]
+    for (_ <- 1 to iters) {
+      val top = syms
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS pa, element_at(s, i + 1) AS pb))")).as("p"))
+        .filter(col("p.pa") =!= col("p.pb"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(4 * j + 4)
+        .as[(String, String, Long)]
+        .collect() // bounded candidate read (≤ 4j+4 rows)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      top.foreach { case t @ (pa, pb, _) =>
+        if (picked.size < j && !used(pa) && !used(pb)) {
+          picked += t; used += pa; used += pb
+        }
+      }
+      if (picked.nonEmpty) {
+        syms = graft.ops.GlobalOrder.pin(
+          syms.select(col("wc"),
+            applyMerges(picked.toSeq.map(t => (t._1, t._2))).as("s")))
+        val nSymbols = syms
+          .agg(sum(col("wc") * size(col("s"))).as("t"))
+          .as[Long].collect().head
+        out += picked.toSeq.map { case (pa, pb, n) => Merge(pa, pb, n, nSymbols) }
+      }
+    }
+    out.result()
+  }
 
   /** Learned first-`m` merges with post-merge corpus size: one row per
     * merge — (merge_rank, pair_a, pair_b, merged, pair_count,

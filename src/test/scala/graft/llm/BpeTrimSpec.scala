@@ -64,6 +64,57 @@ class BpeTrimSpec extends SparkSpec {
     assert(m(1).getLong(5) == 7L) // 9 - 2
   }
 
+  test("bpe merges: symbols with backslashes and quotes never re-enter a SQL parser") {
+    // regression: applyMerge once interpolated learned symbols into
+    // expr() strings escaping only single quotes — a backslash symbol
+    // (Spark SQL treats \ as a string-literal escape) changed match
+    // semantics on the Spark side only. Symbols now travel as lit()
+    // values. Corpus: "a'b" x2, "a\b" x3 => top pair tie at 3 between
+    // (a,\) and (\,b); lexicographic tiebreak picks pa="\" (0x5C < 'a')
+    val docs = Seq(
+      (1L, "a'b a\\b a\\b"),
+      (2L, "a'b a\\b")
+    ).toDF("doc_id", "text")
+    val m = Bpe.bpeMergesOf(docs, 2).collect()
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) == ("\\", "b", 3L))
+    assert(m(0).getLong(5) == 12L) // 15 total symbols - 3 applied merges
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) == ("a", "\\b", 3L))
+    assert(m(1).getLong(5) == 9L)
+  }
+
+  test("bpe batched merges: j=1 reproduces the sequential algorithm exactly") {
+    val docs = Seq(
+      (1L, "ab ab abc"),
+      (2L, "ab abc bc")
+    ).toDF("doc_id", "text")
+    val sequential = Bpe.learnMerges(docs, 2)
+    val batched = Bpe.learnMergesBatched(docs, 2, 1).flatten
+    assert(batched == sequential)
+  }
+
+  test("bpe batched merges: symbol-disjoint top pairs land in one iteration") {
+    // "ab" x3, "cd" x2: (a,b)=3 and (c,d)=2 share no symbol => both
+    // merge in a single batch; totals account exactly (10 - 3 - 2 = 5)
+    val docs = Seq(
+      (1L, "ab ab cd"),
+      (2L, "ab cd")
+    ).toDF("doc_id", "text")
+    val batches = Bpe.learnMergesBatched(docs, 1, 2)
+    assert(batches.length == 1)
+    assert(batches.head.map(m => (m.pa, m.pb, m.n)) ==
+      Seq(("a", "b", 3L), ("c", "d", 2L)))
+    assert(batches.head.map(_.symbolsAfter).distinct == Seq(5L))
+    // overlapping head: (a,b)=3 and (b,c)=2 share b => greedy keeps
+    // only the top pair; the blocked pair merges NEXT iteration
+    val docs2 = Seq(
+      (1L, "ab ab bc"),
+      (2L, "ab bc")
+    ).toDF("doc_id", "text")
+    val b2 = Bpe.learnMergesBatched(docs2, 2, 2)
+    assert(b2.head.map(m => (m.pa, m.pb)) == Seq(("a", "b")))
+    assert(b2(1).map(m => (m.pa, m.pb)) == Seq(("b", "c")))
+  }
+
   test("bpe merges: fixture merges are well-formed and counts decrease") {
     val m = Bpe.bpeMerges(spark, sf).collect()
     assert(m.length == 3)

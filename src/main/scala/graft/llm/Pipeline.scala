@@ -451,15 +451,29 @@ object Pipeline {
    * label table pair-sliver-sized — both broadcast; the only
    * corpus-scale work is q163's own fingerprint pass plus ONE
    * per-source rollup scan. Eval docs themselves are never flagged.
+   *
+   * The broadcast-sliver ASSUMPTION is guarded, not hoped
+   * ([[graft.ops.GlobalOrder.pinnedSliver]], round-10 verdict #7): a
+   * pathological corpus — the eval set leaked wholesale, so "direct"
+   * is corpus-scale — fails loudly at the guard instead of blowing the
+   * broadcast on an executor; the expansion sliver gets the same guard
+   * since a single mega-cluster could inflate it even off a small
+   * direct set. Pinning also materializes each sliver ONCE for its
+   * two downstream uses.
    */
   def clusterDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val direct = TextAnalysis.decontaminate(spark, dir).select(col("doc_id"))
+    val maxSliver = 4 << 20 // ~4M ids ≈ 32 MB broadcast — loud past this
+    val direct = graft.ops.GlobalOrder.pinnedSliver(
+      TextAnalysis.decontaminate(spark, dir).select(col("doc_id")),
+      maxSliver, "q229 directly-contaminated doc set")
     val labels = nearDupClusters(spark, dir)
     val hit = labels.join(broadcast(direct), Seq("doc_id"))
       .select(col("cluster")).distinct()
-    val transitive = labels.join(broadcast(hit), Seq("cluster"))
-      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
-      .select(col("doc_id")).withColumn("in_cluster", lit(1L))
+    val transitive = graft.ops.GlobalOrder.pinnedSliver(
+      labels.join(broadcast(hit), Seq("cluster"))
+        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id")).withColumn("in_cluster", lit(1L)),
+      maxSliver, "q229 cluster-expansion doc set")
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       .join(broadcast(direct.withColumn("is_direct", lit(1L))),
         Seq("doc_id"), "left")

@@ -77,6 +77,27 @@ object GlobalOrder {
   }
 
   /**
+   * [[pin]] for a BY-ASSUMPTION-SMALL table that downstream plans
+   * broadcast (contamination slivers, cluster labels, query sets),
+   * with a LOUD cardinality guard that binds BEFORE anything
+   * materializes more than `maxRows + 1` rows: the limit caps the pin
+   * regardless of the true count, and when the guard passes the
+   * limited pin IS the complete set — the same discipline as the
+   * segment-fold guard below. A pathological input (e.g. an eval set
+   * leaked wholesale into the corpus, round-10 verdict #7) fails with
+   * this message instead of blowing a broadcast on some executor.
+   */
+  def pinnedSliver(df: DataFrame, maxRows: Int, what: String): DataFrame = {
+    val pinned = pin(df.limit(maxRows + 1))
+    val n = pinned.count()
+    require(n <= maxRows,
+      s"$what exceeded its sliver bound (> $maxRows rows): the " +
+        "broadcast-sliver assumption no longer holds for this corpus — " +
+        "route this path through a shuffle join or raise the bound")
+    pinned
+  }
+
+  /**
    * Adds to `df`:
    *  - `rankCol`: the 1-based global rank under `order` (LongType);
    *  - `prefixCol` (if `value` is set): the global EXCLUSIVE prefix sum

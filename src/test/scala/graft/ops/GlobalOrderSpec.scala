@@ -266,4 +266,20 @@ class GlobalOrderSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"offsets must come back as a broadcast:\n$plan")
   }
+
+  test("pinnedSliver: loud failure past the bound, complete set within it") {
+    // the broadcast-sliver guard (q229 and friends): within the bound
+    // the pin carries the COMPLETE set; past it the require fires
+    // before anything downstream can broadcast an oversized table
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    val df = (1 to 5).toDF("x")
+    val ok = GlobalOrder.pinnedSliver(df, 10, "test sliver")
+    assert(ok.collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.pinnedSliver(df, 3, "test sliver")
+    }
+    assert(e.getMessage.contains("test sliver") &&
+      e.getMessage.contains("sliver bound"))
+  }
 }

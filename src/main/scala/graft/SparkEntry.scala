@@ -246,6 +246,7 @@ object SparkEntry {
     "q228_source_auc"      -> ((s: SparkSession, d: String) => graft.llm.Eval.sourceAuc(s, d)),
     "q229_cluster_decontaminate" -> (Pipeline.clusterDecontaminate _),
     "q230_quality_dup_matrix" -> ((s: SparkSession, d: String) => Pipeline.qualityDupMatrix(s, d)),
+    "q231_curation_report" -> ((s: SparkSession, d: String) => Pipeline.curationReport(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2166,6 +2167,69 @@ object SparkEntry {
         |  MIN(dd.score) AS score_lo, MAX(dd.score) AS score_hi
         |FROM dd LEFT JOIN cl ON dd.doc_id = cl.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q231: q200's funnel stages crossed with q230's quality deciles,
+    // plus residual cluster membership among each stage's survivors —
+    // definitions shared verbatim with the component queries
+    "q231_curation_report" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes,
+        |bd AS (SELECT doc_id, lang, md5(text) AS th,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |bm AS (SELECT doc_id, lang, th,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM bd WHERE len(ws) > 0),
+        |sc AS (SELECT *, (1000000 * n_stop) // n_tokens AS score,
+        |    (n_tokens >= 30 AND n_tokens <= 1000
+        |     AND (100 * sum_wlen) // n_tokens >= 200
+        |     AND (100 * sum_wlen) // n_tokens <= 800
+        |     AND n_stop >= 2) AS gopher_ok
+        |  FROM bm),
+        |dd AS (SELECT doc_id,
+        |    CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+        |  FROM sc),
+        |kp AS (SELECT th, MIN(doc_id) AS keep_id FROM sc GROUP BY 1),
+        |ndc AS (SELECT DISTINCT id_b AS doc_id FROM neardup),
+        |fl AS (SELECT sc.doc_id, dd.decile, sc.n_tokens,
+        |    (cl.doc_id IS NOT NULL) AS in_cl,
+        |    (sc.lang IN ('en', 'es', 'fr')) AS c1,
+        |    (sc.lang IN ('en', 'es', 'fr')) AND sc.gopher_ok AS c2,
+        |    (sc.lang IN ('en', 'es', 'fr')) AND sc.gopher_ok
+        |      AND sc.doc_id = kp.keep_id AS c3,
+        |    (sc.lang IN ('en', 'es', 'fr')) AND sc.gopher_ok
+        |      AND sc.doc_id = kp.keep_id AND ndc.doc_id IS NULL AS c4
+        |  FROM sc JOIN dd ON sc.doc_id = dd.doc_id
+        |  JOIN kp ON sc.th = kp.th
+        |  LEFT JOIN ndc ON sc.doc_id = ndc.doc_id
+        |  LEFT JOIN cl ON sc.doc_id = cl.doc_id),
+        |ss AS (SELECT decile,
+        |    CAST(COUNT(*) AS BIGINT) AS d0,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS t0,
+        |    CAST(SUM(CASE WHEN in_cl THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+        |    CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN c1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN c1 AND in_cl THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |    CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN c2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN c2 AND in_cl THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |    CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN c3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(SUM(CASE WHEN c3 AND in_cl THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |    CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |    CAST(SUM(CASE WHEN c4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+        |    CAST(SUM(CASE WHEN c4 AND in_cl THEN 1 ELSE 0 END) AS BIGINT) AS u4
+        |  FROM fl GROUP BY 1)
+        |SELECT decile, stage, stage_name, n_docs, n_tokens, n_in_cluster,
+        |  CAST((1000000 * n_docs) // d0 AS BIGINT) AS kept_ppm
+        |FROM (
+        |  SELECT decile, CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    d0 AS n_docs, t0 AS n_tokens, u0 AS n_in_cluster, d0 FROM ss
+        |  UNION ALL SELECT decile, 1, 'lang_filter', d1, t1, u1, d0 FROM ss
+        |  UNION ALL SELECT decile, 2, 'gopher_rules', d2, t2, u2, d0 FROM ss
+        |  UNION ALL SELECT decile, 3, 'exact_dedup', d3, t3, u3, d0 FROM ss
+        |  UNION ALL SELECT decile, 4, 'neardup_dedup', d4, t4, u4, d0 FROM ss) u
+        |ORDER BY decile, stage""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

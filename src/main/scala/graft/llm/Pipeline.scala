@@ -524,6 +524,92 @@ object Pipeline {
   }
 
   /**
+   * The composed CURATION REPORT (q231): q200's funnel stages crossed
+   * with q230's quality deciles — per (decile, stage), the documents
+   * and tokens surviving raw → language → Gopher → exact dedup →
+   * near-dup dedup, plus how many survivors still sit in a near-dup
+   * CLUSTER (the labels artifact) — i.e. surviving representatives.
+   * This is the one table a curation decision actually reads: whether
+   * each pipeline stage spends its attrition on low- or high-quality
+   * bands, and whether residual duplication concentrates anywhere
+   * after the funnel.
+   *
+   * Definitions are SHARED, not re-derived: the quality score and
+   * decile are q217/q230's ([[Eval.scoredDocs]]'s arithmetic, ANSI
+   * ntile from the distributed GlobalOrder rank), the stage predicates
+   * are q200's verbatim, near-dup casualties come from the memoized
+   * `lsh-pairs` artifact and cluster membership from the memoized
+   * `neardup-labels` artifact — two stored artifacts, zero rebuilt.
+   *
+   * Scale shape: ONE corpus scan computes every row-local measurement
+   * (score, Gopher metrics, digest) in a single projection; the only
+   * corpus-scale exchanges are the decile range partition and the
+   * keep-lowest digest window (corpus-cardinality key); both artifact
+   * joins broadcast slivers; the final aggregate is decile-cardinality
+   * with all stage sums computed map-side in one pass.
+   */
+  def curationReport(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("th"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), col("th"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_wlen"),
+        expr("size(filter(ws, w -> w = 'the' OR w = 'a'))")
+          .cast("long").as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score", expr("(1000000 * n_stop) div n_tokens"))
+      .withColumn("gopher_ok",
+        col("n_tokens") >= 30 && col("n_tokens") <= 1000 &&
+          expr("(100 * sum_wlen) div n_tokens") >= 200L &&
+          expr("(100 * sum_wlen) div n_tokens") <= 800L &&
+          col("n_stop") >= 2L)
+    val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
+        base, Seq(col("score"), col("doc_id")))
+      .withColumn("decile", graft.ops.GlobalOrder.ntileFromRank(
+        col("g_rank"), col("g_total_rows"), buckets))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("th"))))
+    val nd = Dedup.minhashLsh(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_neardup", lit(true))
+    val cl = nearDupClusters(spark, dir)
+      .select(col("doc_id")).withColumn("in_cluster", lit(1L))
+    val flags = ranked
+      .join(broadcast(nd), Seq("doc_id"), "left")
+      .join(broadcast(cl), Seq("doc_id"), "left")
+      .withColumn("c1", col("lang").isin("en", "es", "fr"))
+      .withColumn("c2", col("c1") && col("gopher_ok"))
+      .withColumn("c3", col("c2") && col("doc_id") === col("keep_id"))
+      .withColumn("c4", col("c3") && col("is_neardup").isNull)
+    def d(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def t(c: Column): Column = sum(when(c, col("n_tokens")).otherwise(0L))
+    def u(c: Column): Column =
+      sum(when(c && col("in_cluster") === 1L, 1L).otherwise(0L))
+    val agg = flags.groupBy(col("decile")).agg(
+      count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+      u(lit(true)).as("u0"),
+      d(col("c1")).as("d1"), t(col("c1")).as("t1"), u(col("c1")).as("u1"),
+      d(col("c2")).as("d2"), t(col("c2")).as("t2"), u(col("c2")).as("u2"),
+      d(col("c3")).as("d3"), t(col("c3")).as("t3"), u(col("c3")).as("u3"),
+      d(col("c4")).as("d4"), t(col("c4")).as("t4"), u(col("c4")).as("u4"))
+    def row(i: Int, name: String): Column = struct(
+      lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+      col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+      col(s"u$i").as("n_in_cluster"))
+    agg.select(col("decile"), col("d0").as("draw"), explode(array(
+        row(0, "raw"), row(1, "lang_filter"), row(2, "gopher_rules"),
+        row(3, "exact_dedup"), row(4, "neardup_dedup"))).as("s"))
+      .select(col("decile"), col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
+        col("s.n_in_cluster").as("n_in_cluster"),
+        expr("(1000000 * s.n_docs) div draw").as("kept_ppm"))
+      .orderBy("decile", "stage")
+  }
+
+  /**
    * Materialize a corpus as training shards: parquet partitioned by the
    * deterministic md5 split (train/val/test directories a data loader
    * globs independently), every file capped at `shardRecords` rows.

@@ -243,6 +243,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q231 curation report reads two stored artifacts and scans the corpus once") {
+    // the composed report must SERVE from the lsh-pairs and
+    // neardup-labels artifacts (checkpoint scans) and make exactly one
+    // pass over documents — a regression that re-derives either
+    // artifact shows up as a second documents scan here
+    spark.catalog.clearCache()
+    graft.llm.ModelCache.invalidate()
+    val df = SparkEntry.queries("q231_curation_report")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q231 must serve from pinned artifacts:\n$plan")
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans <= 1,
+      s"q231 scans documents $docScans times — artifact memo lost?")
+    val a = PlanChecks.audit(df)
+    assert(a.sortMergeJoins == 0, s"artifact joins degraded to SMJ: $a")
+  }
+
   test("plan snapshots: exchange and join counts pinned for headline queries") {
     // golden counts (shuffle exchanges, broadcast exchanges, joins,
     // windows) so a code or Catalyst change that adds an exchange fails

@@ -37,14 +37,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 3-word shingles of the space-tokenized text, distinct per doc.
-    * Output: (doc_id, shingle). Guarded for docs with <3 tokens. */
+    * Output: (doc_id, shingle). Guarded for docs with <3 tokens — and
+    * the shingle expression is additionally TOTAL (greatest-clamped
+    * sequence + try_element_at, identical output on every ≥3-token
+    * row): a downstream explode's inferred constraints can land in
+    * the same Filter as the length guard, where interpreted-mode
+    * common-subexpression elimination evaluates the transform EAGERLY,
+    * before the AND short-circuits — so under ANSI semantics a plain
+    * element_at threw on short docs whenever the input was RDD-backed
+    * (streaming micro-batches; LocalRelation inputs fold the filter
+    * at optimization time and masked it). */
   def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("s", explode(array_distinct(expr(
-        "transform(sequence(1, size(w)-2), i -> " +
-          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"))))
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> " +
+          "concat_ws('_', try_element_at(w,i), try_element_at(w,i+1), try_element_at(w,i+2)))"))))
       .select(col("doc_id"), col("s"))
 
   /**
@@ -244,8 +253,8 @@ object Dedup {
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
-          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"))
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), i -> " +
+          "concat_ws('_', try_element_at(w,i), try_element_at(w,i+1), try_element_at(w,i+2))))"))
 
   /**
    * MinHash + LSH near-dup detection, end to end:
@@ -562,8 +571,8 @@ object Dedup {
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("source"), explode(array_distinct(expr(
-        "transform(sequence(1, size(w)-2), i -> " +
-          "concat_ws('_', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))")))
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> " +
+          "concat_ws('_', try_element_at(w,i), try_element_at(w,i+1), try_element_at(w,i+2)))")))
         .as("s"))
       .select(col("source"), md5(col("s")).as("h"))
       .distinct()

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.Row
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -296,4 +296,216 @@ object ArtifactMaintenance {
         graft.llm.Dedup.sourceGramProjection(batch), k),
       KmvSchema,
       reduceOf = partials => graft.llm.Dedup.kmvReduce(partials, k))
+
+  // ---- near-dup cluster labels (union-find under inserts) ---------
+
+  private val BandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("sig", StringType)))
+  private val DocsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val AssignSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lab", LongType)))
+  private val RemapSchema = StructType(Seq(
+    StructField("old_lab", LongType), StructField("new_lab", LongType)))
+
+  /**
+   * Streamed maintenance of the near-dup CLUSTER LABEL artifact
+   * (`neardup-labels` — what q69/q190/q223/q224/q229/q230/q231 serve
+   * from): connected components of the MinHash-LSH pair graph,
+   * maintained under document INSERTS without ever re-running global
+   * propagation — at 100 TB you cannot rebuild connected components
+   * per ingest (round-10 verdict #3).
+   *
+   * The insight that makes increments cheap: new documents only ever
+   * ADD edges, and added edges only ever MERGE components — so the
+   * full edge set never needs revisiting, only the component ROOTS
+   * touched by the batch's new pairs. Per micro-batch:
+   *
+   *  1. sign the batch row-locally (the SAME minhash/band expressions
+   *     as the batch `lsh-bands` artifact) and append to the band
+   *     store;
+   *  2. candidates = batch bands ⋈ stored bands on (band, sig) — only
+   *     pairs touching the batch can be new, so the join probes the
+   *     store, never scans it against itself (in deployment the store
+   *     is bucketed by sig; the probe prunes to matching buckets). A
+   *     hot bucket fails the candidate-count guard LOUDLY rather than
+   *     silently exploding — the production mitigation is the batch
+   *     path's bounded-bucket discipline;
+   *  3. verify candidates at exact shingle-Jaccard ≥ 0.5 (identical
+   *     arithmetic to `Dedup.minhashLshImpl`), reading ONLY candidate
+   *     docs' texts from the doc store (partition-prunable probe);
+   *  4. UNION-FIND over the verified pairs' current labels — a
+   *     batch-pair-sized sliver, resolved driver-side under the same
+   *     guard — emitting two append-only partials: `assign` rows for
+   *     docs entering the pair graph (doc_id → component min at
+   *     insert) and `remap` rows for existing roots a merge re-roots
+   *     (old_root → new min). Roots are always component MINIMUMS
+   *     (min-union), so served labels equal the batch builder's
+   *     min-label propagation exactly.
+   *
+   * Serve resolves assign through the remap forest iteratively (the
+   * label-sum invariant proves convergence — min-union only ever
+   * decreases labels); chain depth is bounded by how many times a
+   * root can be re-rooted between compactions, with the same loud
+   * backstop as the batch propagation. Each sub-store is a
+   * [[ManifestArtifact]], so crash/replay idempotence is inherited;
+   * commit order (docs, bands, remap, assign) is chosen so a replay
+   * after ANY prefix recomputes the identical remaining partials —
+   * notably remap commits BEFORE assign, because once a batch's
+   * assign rows land, its pair endpoints resolve to the post-merge
+   * roots and the remap rows would recompute empty.
+   *
+   * Maintenance cost scales with batch size (signing, candidate
+   * probe, sliver union-find); serve cost with corpus size exactly
+   * once (the assign read) plus the remap sliver per chain round —
+   * the same accounting as every artifact above.
+   */
+  final class NearDupLabelStore(
+      artifactDir: String, maxBatchPairs: Int = 1 << 20) {
+    import graft.llm.Dedup
+
+    private val docsArt = new ManifestArtifact(s"$artifactDir/docs",
+      _.select(col("doc_id").cast("long"), col("text")), DocsSchema)
+    private val bandsArt = new ManifestArtifact(s"$artifactDir/bands",
+      bandsOf, BandsSchema)
+    private val remapArt = new ManifestArtifact(s"$artifactDir/remap",
+      identity, RemapSchema)
+    private val assignArt = new ManifestArtifact(s"$artifactDir/assign",
+      identity, AssignSchema)
+
+    private def bandsOf(docs: DataFrame): DataFrame = {
+      val bandCols = (0 until Dedup.NumBands).map(b =>
+        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+      Dedup.withMinhashes(Dedup.withShingleArray(
+          docs.select(col("doc_id").cast("long"), col("text"))))
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    }
+
+    /** One micro-batch of (doc_id, text) — the foreachBatch body,
+      * directly callable so specs replay arbitrary sequences. */
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      val b = batch.select(col("doc_id").cast("long"), col("text"))
+        .localCheckpoint()
+      docsArt.applyBatch(b, batchId)
+      bandsArt.applyBatch(b, batchId)
+      // candidates touching the batch (the stored side includes the
+      // just-committed batch bands, so within-batch pairs form too;
+      // least/greatest normalizes replay- and order-independently)
+      val batchBands = bandsOf(b)
+      val cand = graft.ops.GlobalOrder.pinnedSliver(
+        batchBands.select(col("doc_id").as("id_x"), col("band"), col("sig"))
+          .join(bandsArt.serve(spark)
+            .select(col("doc_id").as("id_y"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("id_x") =!= col("id_y"))
+          .select(least(col("id_x"), col("id_y")).as("id_a"),
+            greatest(col("id_x"), col("id_y")).as("id_b"))
+          .distinct(),
+        maxBatchPairs, "near-dup batch candidate set")
+      // exact-Jaccard verify on candidate docs only — identical
+      // arithmetic to the batch pipeline's verify
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .union(cand.select(col("id_b").as("doc_id"))).distinct()
+      val sh = Dedup.withShingleArray(
+          docsArt.serve(spark).join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .localCheckpoint()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = cand
+        .join(sh.as("x"), col("x.doc_id") === col("id_a"))
+        .join(sh.as("y"),
+          col("y.doc_id") === col("id_b") && col("y.s") === col("x.s"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      // endpoints' CURRENT labels (resolved); batch-pair-sized sliver
+      val cur = serve(spark)
+      val eps = pairs
+        .join(cur.select(col("doc_id").as("id_a"), col("cluster").as("la")),
+          Seq("id_a"), "left")
+        .join(cur.select(col("doc_id").as("id_b"), col("cluster").as("lb")),
+          Seq("id_b"), "left")
+        .collect() // bounded by the candidate guard above
+      // union-find by MIN over {existing roots} ∪ {unassigned doc ids}
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val existingRoots = scala.collection.mutable.Set.empty[Long]
+      val unassigned = scala.collection.mutable.Set.empty[Long]
+      eps.foreach { r =>
+        val (idA, idB) = (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))
+        val la = if (r.isNullAt(r.fieldIndex("la"))) { unassigned += idA; idA }
+                 else { val v = r.getLong(r.fieldIndex("la")); existingRoots += v; v }
+        val lb = if (r.isNullAt(r.fieldIndex("lb"))) { unassigned += idB; idB }
+                 else { val v = r.getLong(r.fieldIndex("lb")); existingRoots += v; v }
+        union(la, lb)
+      }
+      val remapRows = existingRoots.toSeq.sorted
+        .map(root => (root, find(root))).filter { case (r, nr) => nr != r }
+      val assignRows = unassigned.toSeq.sorted.map(d => (d, find(d)))
+      val sqlCtx = spark
+      import sqlCtx.implicits._
+      // remap BEFORE assign (see class doc for the replay argument)
+      remapArt.applyBatch(remapRows.toDF("old_lab", "new_lab"), batchId)
+      assignArt.applyBatch(assignRows.toDF("doc_id", "lab"), batchId)
+    }
+
+    /** The resolved label view: (doc_id, cluster) for every doc in the
+      * pair graph — the streamed twin of `Pipeline.nearDupClusters`. */
+    def serve(spark: SparkSession): DataFrame = {
+      val remap = remapArt.serve(spark).localCheckpoint()
+      var labels = assignArt.serve(spark).localCheckpoint()
+      // label-sum invariant, as in the batch propagation: min-union
+      // remaps only ever DECREASE labels, so an unchanged sum means
+      // every chain is fully resolved
+      var prevSum = Option.empty[Long]
+      var converged = false
+      var rounds = 0
+      val maxRounds = 64
+      while (!converged && rounds < maxRounds) {
+        val next = labels
+          .join(broadcast(remap), labels("lab") === remap("old_lab"), "left")
+          .select(col("doc_id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+          .localCheckpoint()
+        val s = Option(next.agg(sum(col("lab"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
+        labels = next
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"near-dup remap resolution did not converge within $maxRounds " +
+            "rounds — compact the store or raise the backstop; serving " +
+            "unresolved labels would break the split-leakage guarantee")
+      labels.select(col("doc_id"), col("lab").as("cluster"))
+    }
+
+    /** Wire a streaming (doc_id, text) feed to maintain the store. */
+    def maintain(docs: DataFrame): DataStreamWriter[Row] =
+      docs.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0L))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatch(batch, batchId)
+        }
+
+    /** Fold each sub-store's partials behind its manifest. */
+    def compact(spark: SparkSession): Unit = {
+      docsArt.compact(spark); bandsArt.compact(spark)
+      remapArt.compact(spark); assignArt.compact(spark)
+    }
+  }
 }

@@ -162,7 +162,16 @@ object Bench {
     // whose min came from MORE than the baseline rep count
     val extraReps = ok.collect { case (k, ts) if ts.size != reps =>
       "\"" + k + "\":" + ts.size }.mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    // Regressions vs the best-known per-query mins across all rounds
+    // (tools/bench_best.json, maintained by tools/update_bench_best.py):
+    // queries ≥0.3 s whose min exceeds 1.5x their best-known min.
+    // Round-over-round slowdowns otherwise surface only if a judge
+    // diffs bench files by hand; every flagged entry gets a one-line
+    // explanation in the round's SCALE.md notes (re-measurement vs
+    // plan change — the latter is the bug).
+    val regressions = jmap(Bench.regressionsVsBest(
+      results, Bench.loadBestKnown("tools/bench_best.json")))
+    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"regressions":$regressions,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
     Bench.deleteTempWarehouse()
   }
@@ -183,6 +192,36 @@ object Bench {
       } finally walk.close()
       files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+
+  /** Best-known per-query mins (flat {"q":sec} JSON, strictly that
+    * shape — written by tools/update_bench_best.py). Parsed with a
+    * regex to keep the bench dependency-free; absent file = empty map
+    * (the regressions section then reports nothing, it never fails
+    * the bench). */
+  private[graft] def loadBestKnown(path: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Queries whose current min exceeds 1.5x their best-known min and
+    * runs ≥0.3 s (below that the delta is overhead, not data work) —
+    * emitted as {"q": ratio} sorted worst-first. */
+  private[graft] def regressionsVsBest(
+      results: Seq[(String, Double)],
+      best: Map[String, Double]): Seq[(String, Double)] =
+    results.flatMap { case (q, now) =>
+      best.get(q) match {
+        case Some(b) if b > 0 && now >= 0.3 && now > 1.5 * b =>
+          Some(q -> now / b)
+        case _ => None
+      }
+    }.sortBy(-_._2)
 
   /** Reliability of a min-of-reps estimate: second-smallest over
     * smallest rep. 1.0 = perfectly reproduced; NaN for degenerate

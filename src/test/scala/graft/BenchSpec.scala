@@ -38,4 +38,27 @@ class BenchSpec extends AnyFunSuite {
     val (ledger, warmupOnly) = Bench.buildLedger(w, Map("a" -> 2.0))
     assert(ledger == Seq("a" -> 1.0) && warmupOnly.isEmpty)
   }
+
+  test("regressionsVsBest flags only slow-enough, regressed-enough queries") {
+    val best = Map("q1_a" -> 1.0, "q2_b" -> 0.1, "q3_c" -> 1.0, "q4_d" -> 0.05)
+    val now = Seq(
+      "q1_a" -> 2.0,   // 2.0x over best, >=0.3s -> flagged
+      "q2_b" -> 0.2,   // 2.0x but under the 0.3s floor -> quiet
+      "q3_c" -> 1.4,   // under 1.5x -> quiet
+      "q4_d" -> 0.9,   // 18x AND >=0.3s -> flagged, worst first
+      "q5_e" -> 9.9)   // no best known -> quiet
+    val r = Bench.regressionsVsBest(now, best)
+    assert(r.map(_._1) == Seq("q4_d", "q1_a"), r)
+    assert(math.abs(r.head._2 - 18.0) < 1e-9)
+  }
+
+  test("loadBestKnown parses the flat best file and tolerates absence") {
+    val p = java.nio.file.Files.createTempFile("best", ".json")
+    java.nio.file.Files.write(p,
+      """{"q1_a": 0.5,
+        |"q22_bb":1.25}""".stripMargin.getBytes("UTF-8"))
+    val m = Bench.loadBestKnown(p.toString)
+    assert(m == Map("q1_a" -> 0.5, "q22_bb" -> 1.25))
+    assert(Bench.loadBestKnown("/nonexistent/best.json").isEmpty)
+  }
 }

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Fold one or more bench JSON files into tools/bench_best.json — the
+best-known (minimum) per-query serve time across all rounds at sf0.1.
+
+graft.Bench reads this file at the end of a run and emits a
+`regressions` section: queries whose current min exceeds 1.5x their
+best-known min (floored at 0.3 s — below that the delta is plan/JVM
+overhead, not data work). Each flagged entry must be explained in the
+round's SCALE.md notes: honest re-measurement, fixture regeneration,
+or a plan change (the last one is the bug).
+
+Usage:
+  python3 tools/update_bench_best.py BENCH_r10.json [BENCH_r11.json ...]
+"""
+import json
+import re
+import sys
+import os
+
+BEST = os.path.join(os.path.dirname(__file__), "bench_best.json")
+
+# Accept only decimal-pointed values: the bench line also carries
+# integer-valued per-query maps (extra_reps), which must not be
+# mistaken for seconds. Build-ledger tags are not q-named.
+QVAL = re.compile(r'\\?"(q\d+_[a-z0-9_]+)\\?":(\d+\.\d+)')
+
+
+def load_bench(path):
+    """Harvest (query, seconds) pairs from a bench stdout line or a
+    driver wrapper file (whose `tail` may truncate the head of the
+    line — regex harvesting tolerates that; min-per-query dedupes the
+    `queries`/`slowest` overlap)."""
+    with open(path) as f:
+        txt = f.read()
+    out = {}
+    for q, v in QVAL.findall(txt):
+        v = float(v)
+        if q not in out or v < out[q]:
+            out[q] = v
+    if not out:
+        raise SystemExit(f"no bench queries found in {path}")
+    return out
+
+
+def main(paths):
+    best = {}
+    if os.path.exists(BEST):
+        best = json.load(open(BEST))
+    for p in paths:
+        for q, v in load_bench(p).items():
+            if q not in best or v < best[q]:
+                best[q] = v
+    with open(BEST, "w") as f:
+        json.dump(dict(sorted(best.items())), f, indent=0, sort_keys=True)
+        f.write("\n")
+    print(f"{BEST}: {len(best)} queries")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

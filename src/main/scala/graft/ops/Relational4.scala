@@ -294,19 +294,34 @@ object Relational4 {
    *
    * Signature selection runs through [[graft.plans.TopK.perKey]]
    * (map-side bounded heap), so the rarity cut never windows or sorts
-   * the gram table.
+   * the gram table. The signature table itself is a STORED artifact
+   * ([[graft.llm.ModelCache.memoIndex]], tag `fuzzy-sig`): an
+   * entity-resolution deployment signs the catalog once and serves
+   * every join from the stored blocking index — the signing pass
+   * lands in the bench build ledger like every other index, and serve
+   * is just the signature equi-join plus the verify.
    */
-  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
-    fuzzyJoinOf(
-      Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name")),
-      maxDist)
+  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val sig = graft.llm.ModelCache.memoIndex(parts, s"fuzzy-sig|$maxDist") {
+      graft.ops.GlobalOrder.pin(signatureTable(parts, maxDist))
+    }
+    fuzzyJoinAssemble(parts, sig, maxDist)
+  }
 
-  private[ops] def fuzzyJoinOf(parts: DataFrame, maxDist: Int): DataFrame = {
+  /** Spec entry point over an arbitrary frame — no memo (the key
+    * discipline: only file-backed corpora cache), fresh signatures. */
+  private[ops] def fuzzyJoinOf(parts: DataFrame, maxDist: Int): DataFrame =
+    fuzzyJoinAssemble(parts, signatureTable(parts, maxDist), maxDist)
+
+  /** The prefix-filter blocking index: each name's `maxDist·q + 1`
+    * rarest positional q-grams (see [[fuzzyJoin]]'s scaladoc for the
+    * lemma). One row per (name, signature element). */
+  private def signatureTable(parts: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val q = 2                        // gram width
     val sigLen = maxDist * q + 1     // prefix-filter signature size
-    val longMin = maxDist * q + q    // min length where the lemma bites
     val p = parts.select(col("p_partkey"), col("p_brand"), col("p_size"),
       col("p_name"), length(col("p_name")).cast("int").as("len"))
 
@@ -332,11 +347,19 @@ object Relational4 {
     // (any consistent total order satisfies the lemma); rarity is the
     // performance choice that keeps hot grams out of signatures
     val freq = elems.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
-    val sig = graft.plans.TopK.perKey(
+    graft.plans.TopK.perKey(
       elems.join(freq, Seq("gram")),
       keys = Seq("p_partkey"),
       order = Seq(("gfreq", true), ("gram", true), ("occ", true)),
       k = sigLen)
+  }
+
+  private def fuzzyJoinAssemble(
+      parts: DataFrame, sig: DataFrame, maxDist: Int): DataFrame = {
+    val q = 2
+    val longMin = maxDist * q + q    // min length where the lemma bites
+    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_size"),
+      col("p_name"), length(col("p_name")).cast("int").as("len"))
 
     def side(s: String) = sig.select(
       col("p_partkey").as(s"key_$s"), col("p_brand"), col("p_size"),

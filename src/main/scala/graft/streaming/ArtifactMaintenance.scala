@@ -308,6 +308,9 @@ object ArtifactMaintenance {
     StructField("doc_id", LongType), StructField("lab", LongType)))
   private val RemapSchema = StructType(Seq(
     StructField("old_lab", LongType), StructField("new_lab", LongType)))
+  private val PairsSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
 
   /**
    * Streamed maintenance of the near-dup CLUSTER LABEL artifact
@@ -344,17 +347,23 @@ object ArtifactMaintenance {
    *     (min-union), so served labels equal the batch builder's
    *     min-label propagation exactly.
    *
+   * The verified pairs themselves persist too ([[servePairs]] — the
+   * `lsh-pairs` artifact's live twin): a pair is an immutable fact
+   * that forms exactly once, at its later member's batch, so the pair
+   * store is pure append and q190/q199-class consumers can serve from
+   * it without any batch re-verify.
+   *
    * Serve resolves assign through the remap forest iteratively (the
    * label-sum invariant proves convergence — min-union only ever
    * decreases labels); chain depth is bounded by how many times a
    * root can be re-rooted between compactions, with the same loud
    * backstop as the batch propagation. Each sub-store is a
    * [[ManifestArtifact]], so crash/replay idempotence is inherited;
-   * commit order (docs, bands, remap, assign) is chosen so a replay
-   * after ANY prefix recomputes the identical remaining partials —
-   * notably remap commits BEFORE assign, because once a batch's
-   * assign rows land, its pair endpoints resolve to the post-merge
-   * roots and the remap rows would recompute empty.
+   * commit order (docs, bands, pairs, remap, assign) is chosen so a
+   * replay after ANY prefix recomputes the identical remaining
+   * partials — notably remap commits BEFORE assign, because once a
+   * batch's assign rows land, its pair endpoints resolve to the
+   * post-merge roots and the remap rows would recompute empty.
    *
    * Maintenance cost scales with batch size (signing, candidate
    * probe, sliver union-find); serve cost with corpus size exactly
@@ -369,6 +378,8 @@ object ArtifactMaintenance {
       _.select(col("doc_id").cast("long"), col("text")), DocsSchema)
     private val bandsArt = new ManifestArtifact(s"$artifactDir/bands",
       bandsOf, BandsSchema)
+    private val pairsArt = new ManifestArtifact(s"$artifactDir/pairs",
+      identity, PairsSchema)
     private val remapArt = new ManifestArtifact(s"$artifactDir/remap",
       identity, RemapSchema)
     private val assignArt = new ManifestArtifact(s"$artifactDir/assign",
@@ -420,9 +431,15 @@ object ArtifactMaintenance {
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .filter(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")) >= 0.5)
-        .select(col("id_a"), col("id_b"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint()
+      // the verified-pair artifact (`lsh-pairs`' live twin): pairs are
+      // immutable facts — a pair forms exactly once, when its later
+      // member's batch arrives — so the store is pure append
+      pairsArt.applyBatch(pairs, batchId)
       // endpoints' CURRENT labels (resolved); batch-pair-sized sliver
       val cur = serve(spark)
       val eps = pairs
@@ -460,6 +477,12 @@ object ArtifactMaintenance {
       remapArt.applyBatch(remapRows.toDF("old_lab", "new_lab"), batchId)
       assignArt.applyBatch(assignRows.toDF("doc_id", "lab"), batchId)
     }
+
+    /** The verified near-dup pair view (id_a, id_b, jaccard) — the
+      * streamed twin of the `lsh-pairs` artifact. Pairs are immutable
+      * facts (each forms exactly once, at its later member's batch),
+      * so serve is the bare union of partials. */
+    def servePairs(spark: SparkSession): DataFrame = pairsArt.serve(spark)
 
     /** The resolved label view: (doc_id, cluster) for every doc in the
       * pair graph — the streamed twin of `Pipeline.nearDupClusters`. */
@@ -505,7 +528,8 @@ object ArtifactMaintenance {
     /** Fold each sub-store's partials behind its manifest. */
     def compact(spark: SparkSession): Unit = {
       docsArt.compact(spark); bandsArt.compact(spark)
-      remapArt.compact(spark); assignArt.compact(spark)
+      pairsArt.compact(spark); remapArt.compact(spark)
+      assignArt.compact(spark)
     }
   }
 }

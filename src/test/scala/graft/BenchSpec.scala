@@ -42,14 +42,18 @@ class BenchSpec extends AnyFunSuite {
   test("regressionsVsBest flags only slow-enough, regressed-enough queries") {
     val best = Map("q1_a" -> 1.0, "q2_b" -> 0.1, "q3_c" -> 1.0, "q4_d" -> 0.05)
     val now = Seq(
-      "q1_a" -> 2.0,   // 2.0x over best, >=0.3s -> flagged
+      "q1_a" -> 2.0,   // 2.0x over best, >=0.3s, +1.0s -> flagged
       "q2_b" -> 0.2,   // 2.0x but under the 0.3s floor -> quiet
       "q3_c" -> 1.4,   // under 1.5x -> quiet
-      "q4_d" -> 0.9,   // 18x AND >=0.3s -> flagged, worst first
+      "q4_d" -> 0.9,   // 18x AND >=0.3s AND +0.85s -> flagged, worst first
       "q5_e" -> 9.9)   // no best known -> quiet
     val r = Bench.regressionsVsBest(now, best)
     assert(r.map(_._1) == Seq("q4_d", "q1_a"), r)
     assert(math.abs(r.head._2 - 18.0) < 1e-9)
+    // the absolute-delta floor: 1.67x but only +0.2s -> host wobble
+    val wobble = Bench.regressionsVsBest(
+      Seq("q6_f" -> 0.5), Map("q6_f" -> 0.3))
+    assert(wobble.isEmpty, wobble)
   }
 
   test("loadBestKnown parses the flat best file and tolerates absence") {

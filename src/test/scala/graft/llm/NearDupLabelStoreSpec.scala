@@ -100,6 +100,14 @@ class NearDupLabelStoreSpec extends SparkSpec {
     assert(fin(4L) == 3L, "root 4 was not remapped onto 3")
     assert(fin == expectedLabels(),
       s"streamed labels diverge from the batch build: $fin vs ${expectedLabels()}")
+    // the streamed PAIR store equals the batch pipeline's verified
+    // pairs — ids AND the exact jaccard (identical double arithmetic)
+    val streamedPairs = store.servePairs(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batchPairs = Dedup.minhashLshFrom(allDocs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamedPairs == batchPairs,
+      s"streamed pairs diverge: $streamedPairs vs $batchPairs")
     // replaying a committed batch (crash between manifest and
     // checkpoint-offset commit) must change nothing
     store.applyBatch(batch1.toDF("doc_id", "text"), 1L)

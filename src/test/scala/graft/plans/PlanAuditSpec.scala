@@ -243,6 +243,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q118 fuzzy join serves from the stored signature index, equi-joins only") {
+    // the blocking index (fuzzy-sig) is a stored artifact: serve must
+    // read it as a checkpoint scan — a regression that re-signs the
+    // catalog per query shows up as a missing ExistingRDD scan here —
+    // and the candidate join must stay an equi-join on signature keys
+    spark.catalog.clearCache()
+    graft.llm.ModelCache.invalidate()
+    val df = SparkEntry.queries("q118_fuzzy_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q118 must serve from the pinned signature index:\n$plan")
+    val a = PlanChecks.audit(df)
+    assert(a.nestedLoopJoins == 0, s"q118 degenerated to a nested loop: $a")
+  }
+
   test("q231 curation report reads two stored artifacts and scans the corpus once") {
     // the composed report must SERVE from the lsh-pairs and
     // neardup-labels artifacts (checkpoint scans) and make exactly one

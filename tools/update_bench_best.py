@@ -11,6 +11,13 @@ or a plan change (the last one is the bug).
 
 Usage:
   python3 tools/update_bench_best.py BENCH_r10.json [BENCH_r11.json ...]
+
+Seeding note: the file was seeded from round 10 onward ONLY. Rounds
+1-9 ran under different bench accounting (no warmup-rebuild guard, no
+adaptive re-reps — r9 had 20 noisy queries) and earlier fixture
+generations, so their mins are not comparable baselines: an
+all-history min flagged 60 phantom "regressions" at ratios up to 37x.
+Round 10 is the first round whose mins the noise discipline certifies.
 """
 import json
 import re

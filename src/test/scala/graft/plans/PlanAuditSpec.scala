@@ -210,7 +210,12 @@ class PlanAuditSpec extends SparkSpec {
       "q62_simhash_pairs"     -> 0, // banding over the pinned signatures
       "q170_dup_span_coverage" -> 1, // join-back pass; gram sliver pinned
       "q226_kmv_overlap"      -> 0, // sketch + audit over the gram artifact
-      "q227_kmv_distinct"     -> 0) // sketch + exact count, same artifact
+      "q227_kmv_distinct"     -> 0, // sketch + exact count, same artifact
+      // round 11: the winnowed fingerprint table became the stored
+      // winnow-fps artifact — decontamination screens serve from the
+      // one signing pass (q229's single scan is its source rollup)
+      "q163_decontaminate"    -> 0,
+      "q229_cluster_decontaminate" -> 1)
     maxDocScans.foreach { case (q, maxScans) =>
       spark.catalog.clearCache()
       graft.llm.ModelCache.invalidate()

@@ -247,6 +247,8 @@ object SparkEntry {
     "q229_cluster_decontaminate" -> (Pipeline.clusterDecontaminate _),
     "q230_quality_dup_matrix" -> ((s: SparkSession, d: String) => Pipeline.qualityDupMatrix(s, d)),
     "q231_curation_report" -> ((s: SparkSession, d: String) => Pipeline.curationReport(s, d)),
+    "q232_pr_curve"        -> ((s: SparkSession, d: String) => graft.llm.Eval.prCurve(s, d)),
+    "q233_threshold_yield" -> ((s: SparkSession, d: String) => graft.llm.Eval.thresholdYield(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2230,6 +2232,64 @@ object SparkEntry {
         |  UNION ALL SELECT decile, 3, 'exact_dedup', d3, t3, u3, d0 FROM ss
         |  UNION ALL SELECT decile, 4, 'neardup_dedup', d4, t4, u4, d0 FROM ss) u
         |ORDER BY decile, stage""".stripMargin,
+    // q232: precision/recall threshold sweep — exclusive prefix sums
+    // over the bounded per-score table (the q217 prefix idiom); the
+    // oracle replays the one-task window form, hash equality proves
+    // the two-phase plan value-identical
+    "q232_pr_curve" ->
+      """WITH sc AS (SELECT (lang = 'en') AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |ps AS (SELECT (1000000 * n_stop) // n_tokens AS score,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1),
+        |cum AS (SELECT score, np, nn,
+        |    CAST(COALESCE(SUM(np) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS fn,
+        |    CAST(COALESCE(SUM(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_nn
+        |  FROM ps),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS t_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS t_neg FROM ps)
+        |SELECT score, t_pos - fn AS tp, t_neg - cum_nn AS fp, fn,
+        |  (1000000 * (t_pos - fn)) // ((t_pos - fn) + (t_neg - cum_nn))
+        |    AS precision_ppm,
+        |  (1000000 * (t_pos - fn)) // NULLIF(t_pos, 0) AS recall_ppm,
+        |  (2000000 * (t_pos - fn))
+        |    // (2 * (t_pos - fn) + (t_neg - cum_nn) + fn) AS f1_ppm
+        |FROM cum CROSS JOIN tot ORDER BY score""".stripMargin,
+    // q233: token-yield curve vs quality threshold — q232's
+    // budget-side twin over the same bounded per-score table
+    "q233_threshold_yield" ->
+      """WITH sc AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |ps AS (SELECT (1000000 * n_stop) // n_tokens AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS nt
+        |  FROM sc GROUP BY 1),
+        |cum AS (SELECT score, nd, nt,
+        |    CAST(COALESCE(SUM(nd) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_nd,
+        |    CAST(COALESCE(SUM(nt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_nt
+        |  FROM ps),
+        |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS t_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS t_tokens FROM ps)
+        |SELECT score, t_docs - cum_nd AS kept_docs,
+        |  t_tokens - cum_nt AS kept_tokens,
+        |  (1000000 * (t_docs - cum_nd)) // t_docs AS doc_ppm,
+        |  (1000000 * (t_tokens - cum_nt)) // t_tokens AS token_ppm
+        |FROM cum CROSS JOIN tot ORDER BY score""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -154,4 +154,90 @@ object Eval {
         col("score_lo"), col("score_hi"), col("mean_score"))
       .orderBy(col("decile"))
   }
+
+  /**
+   * Precision/recall THRESHOLD SWEEP (q232) over the shared quality
+   * score: for every observed score s — the operating point "keep
+   * documents scoring ≥ s" — the exact confusion counts and
+   * precision/recall/F1 in integer ppm. The AUC (q217) summarizes the
+   * ranking in one number; THIS is the curve a curation stack reads
+   * to actually pick the threshold.
+   *
+   * Scale: one corpus scan folds to the per-score table (score is an
+   * integer ppm, so ≤ 10^6+1 rows by construction — the bounded-domain
+   * exemption the count-min/bloom sketches use); both cumulative sides
+   * come from the two-phase distributed prefix
+   * ([[graft.ops.GlobalOrder.withRankAndPrefix]] — never a one-task
+   * window); class totals broadcast as the single-row scalar pattern.
+   * All-integer ppm divisions, bit-replayable. tp+fp ≥ 1 always (the
+   * threshold is an observed score, so at least its own docs are
+   * kept); recall guards the no-positives corpus explicitly because
+   * ANSI `div` would throw where DuckDB NULLIFs.
+   */
+  def prCurve(spark: SparkSession, dir: String): DataFrame =
+    prCurveOf(Tables.documents(spark, dir))
+
+  private[llm] def prCurveOf(docs: DataFrame): DataFrame = {
+    val perScore = scoredDocs(docs).groupBy(col("score"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val withNn = graft.ops.GlobalOrder.withRankAndPrefix(
+        perScore, Seq(col("score")), value = Some(col("nn")),
+        prefixCol = "cum_nn_below")
+      .select(col("score"), col("np"), col("nn"), col("cum_nn_below"))
+    val withBoth = graft.ops.GlobalOrder.withRankAndPrefix(
+      withNn, Seq(col("score")), value = Some(col("np")),
+      prefixCol = "cum_np_below")
+    val totals = perScore.agg(
+      sum(col("np")).as("t_pos"), sum(col("nn")).as("t_neg"))
+    withBoth.crossJoin(broadcast(totals))
+      .select(col("score"),
+        (coalesce(col("t_pos"), lit(0L)) - col("cum_np_below")).as("tp"),
+        (coalesce(col("t_neg"), lit(0L)) - col("cum_nn_below")).as("fp"),
+        col("cum_np_below").as("fn"))
+      .withColumn("precision_ppm", expr("(1000000 * tp) div (tp + fp)"))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div (tp + fn)")))
+      .withColumn("f1_ppm", expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+      .orderBy(col("score"))
+  }
+
+  /**
+   * Token-YIELD curve vs quality threshold (q233) — [[prCurve]]'s
+   * budget-side twin: for every observed score s, how many documents
+   * and tokens survive "keep score ≥ s", in counts and corpus ppm.
+   * Precision/recall says how CLEAN a threshold is; this says how
+   * much TRAINING DATA it leaves — the two curves a data-budget
+   * decision reads together.
+   *
+   * Same shape as [[prCurve]]: bounded per-score table, two
+   * distributed prefixes, broadcast totals, integer ppm.
+   */
+  def thresholdYield(spark: SparkSession, dir: String): DataFrame =
+    thresholdYieldOf(Tables.documents(spark, dir))
+
+  private[llm] def thresholdYieldOf(docs: DataFrame): DataFrame = {
+    val perScore = scoredDocs(docs).groupBy(col("score"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+    val d1 = graft.ops.GlobalOrder.withRankAndPrefix(
+        perScore, Seq(col("score")), value = Some(col("nd")),
+        prefixCol = "cum_nd_below")
+      .select(col("score"), col("nd"), col("nt"), col("cum_nd_below"))
+    val d2 = graft.ops.GlobalOrder.withRankAndPrefix(
+      d1, Seq(col("score")), value = Some(col("nt")),
+      prefixCol = "cum_nt_below")
+    val totals = perScore.agg(
+      sum(col("nd")).as("t_docs"), sum(col("nt")).as("t_tokens"))
+    d2.crossJoin(broadcast(totals))
+      .select(col("score"),
+        (col("t_docs") - col("cum_nd_below")).as("kept_docs"),
+        (col("t_tokens") - col("cum_nt_below")).as("kept_tokens"),
+        col("t_docs"), col("t_tokens"))
+      .withColumn("doc_ppm", expr("(1000000 * kept_docs) div t_docs"))
+      .withColumn("token_ppm", expr("(1000000 * kept_tokens) div t_tokens"))
+      .select(col("score"), col("kept_docs"), col("kept_tokens"),
+        col("doc_ppm"), col("token_ppm"))
+      .orderBy(col("score"))
+  }
 }

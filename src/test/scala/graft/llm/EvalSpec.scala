@@ -138,4 +138,46 @@ class EvalSpec extends SparkSpec {
       assert(restored == ws.mkString(" "), s"doc $id did not reassemble")
     }
   }
+
+  test("pr curve: hand-computable confusion counts, monotone recall") {
+    import org.apache.spark.sql.functions.col
+    // scores: en docs "the the x" -> 666666 ppm, "a b c" -> 333333;
+    // non-en "the x y" -> 333333, "x y z" -> 0
+    val docs = Seq(
+      (1L, "the the x", "en"),
+      (2L, "a b c", "en"),
+      (3L, "the x y", "fr"),
+      (4L, "x y z", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = Eval.prCurveOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    // threshold 0: everything kept -> tp=2 fp=2 fn=0
+    assert(r(0L) == ((2L, 2L, 0L)))
+    // threshold 333333: docs 1,2,3 kept -> tp=2 fp=1 fn=0
+    assert(r(333333L) == ((2L, 1L, 0L)))
+    // threshold 666666: only doc 1 -> tp=1 fp=0 fn=1
+    assert(r(666666L) == ((1L, 0L, 1L)))
+    // recall never increases, tp+fp never zero
+    val rows = Eval.prCurveOf(docs).orderBy(col("score")).collect()
+    val recalls = rows.map(_.getLong(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a })
+    assert(rows.forall(x => x.getLong(1) + x.getLong(2) >= 1))
+  }
+
+  test("threshold yield: totals at the floor, monotone non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val y = Eval.thresholdYield(spark, sf).orderBy(col("score")).collect()
+    assert(y.nonEmpty)
+    // the lowest observed threshold keeps the whole scored corpus
+    assert(y.head.getLong(3) == 1000000L && y.head.getLong(4) == 1000000L)
+    val docsKept = y.map(_.getLong(1))
+    val toksKept = y.map(_.getLong(2))
+    assert(docsKept.zip(docsKept.tail).forall { case (a, b) => b < a })
+    assert(toksKept.zip(toksKept.tail).forall { case (a, b) => b <= a })
+    // yield and pr sweeps agree on the kept-doc count per threshold
+    val pr = Eval.prCurve(spark, sf).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1) + x.getLong(2))).toMap
+    y.foreach(x => assert(pr(x.getLong(0)) == x.getLong(1)))
+  }
 }

@@ -214,23 +214,35 @@ object Bench {
     }
   }
 
-  /** Queries whose current min exceeds 1.5x their best-known min, run
-    * ≥0.3 s, AND moved ≥0.25 s in absolute terms — emitted as
-    * {"q": ratio} sorted worst-first. The two floors keep host-load
-    * wobble out: repeated same-code sf0.1 sweeps on this shared host
-    * spread 146–185 s total, so sub-quarter-second per-query deltas
-    * flag nothing but the weather. */
+  /** Queries regressed vs their best-known min, HOST-NORMALIZED:
+    * flag when a query's now/best ratio exceeds 1.5× the run's MEDIAN
+    * ratio (floored at 1 — a faster-than-best host never tightens the
+    * gate), it runs ≥0.3 s, and it moved ≥0.25 s absolute. Emitted as
+    * {"q": raw ratio} worst-first.
+    *
+    * Why normalize: repeated same-code sf0.1 sweeps on this shared
+    * host spread 146–185 s TOTAL — load shifts every query's ratio
+    * multiplicatively, so a raw 1.5× cut flags twenty phantom entries
+    * on a slow afternoon while a genuine plan regression hides in the
+    * crowd. Dividing by the median ratio cancels the common host
+    * factor; what survives is per-query drift. */
   private[graft] def regressionsVsBest(
       results: Seq[(String, Double)],
-      best: Map[String, Double]): Seq[(String, Double)] =
-    results.flatMap { case (q, now) =>
-      best.get(q) match {
-        case Some(b) if b > 0 && now >= 0.3 && now - b >= 0.25 &&
-            now > 1.5 * b =>
-          Some(q -> now / b)
-        case _ => None
-      }
-    }.sortBy(-_._2)
+      best: Map[String, Double]): Seq[(String, Double)] = {
+    val ratios = results.flatMap { case (q, now) =>
+      best.get(q).filter(_ > 0).map(b => (q, now, b, now / b))
+    }
+    if (ratios.isEmpty) Seq.empty
+    else {
+      val sorted = ratios.map(_._4).sorted
+      val hostFactor = math.max(1.0, sorted(sorted.size / 2))
+      ratios.flatMap { case (q, now, b, r) =>
+        if (now >= 0.3 && now - b >= 0.25 && r > 1.5 * hostFactor)
+          Some(q -> r)
+        else None
+      }.sortBy(-_._2)
+    }
+  }
 
   /** Reliability of a min-of-reps estimate: second-smallest over
     * smallest rep. 1.0 = perfectly reproduced; NaN for degenerate

@@ -40,13 +40,18 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("regressionsVsBest flags only slow-enough, regressed-enough queries") {
-    val best = Map("q1_a" -> 1.0, "q2_b" -> 0.1, "q3_c" -> 1.0, "q4_d" -> 0.05)
+    val best = Map("q1_a" -> 1.0, "q2_b" -> 0.1, "q3_c" -> 1.0,
+      "q4_d" -> 0.05, "q7_g" -> 1.0, "q8_h" -> 1.0, "q9_i" -> 1.0,
+      "q10_j" -> 1.0, "q11_k" -> 1.0)
     val now = Seq(
       "q1_a" -> 2.0,   // 2.0x over best, >=0.3s, +1.0s -> flagged
       "q2_b" -> 0.2,   // 2.0x but under the 0.3s floor -> quiet
       "q3_c" -> 1.4,   // under 1.5x -> quiet
       "q4_d" -> 0.9,   // 18x AND >=0.3s AND +0.85s -> flagged, worst first
-      "q5_e" -> 9.9)   // no best known -> quiet
+      "q5_e" -> 9.9,   // no best known -> quiet
+      // five at 1.0x pin the median ratio (host factor) to 1.0
+      "q7_g" -> 1.0, "q8_h" -> 1.0, "q9_i" -> 1.0,
+      "q10_j" -> 1.0, "q11_k" -> 1.0)
     val r = Bench.regressionsVsBest(now, best)
     assert(r.map(_._1) == Seq("q4_d", "q1_a"), r)
     assert(math.abs(r.head._2 - 18.0) < 1e-9)
@@ -54,6 +59,17 @@ class BenchSpec extends AnyFunSuite {
     val wobble = Bench.regressionsVsBest(
       Seq("q6_f" -> 0.5), Map("q6_f" -> 0.3))
     assert(wobble.isEmpty, wobble)
+  }
+
+  test("regressionsVsBest cancels a uniformly slow host via the median ratio") {
+    // every query 1.8x slower (a loaded afternoon): nothing flags...
+    val best = (1 to 9).map(i => s"q$i" + "_x" -> 1.0).toMap
+    val slowHost = best.keys.toSeq.sorted.map(_ -> 1.8)
+    assert(Bench.regressionsVsBest(slowHost, best).isEmpty)
+    // ...but a genuine outlier above 1.5x the host factor still does
+    val withDrift = slowHost.tail :+ (slowHost.head._1 -> 4.0)
+    val r = Bench.regressionsVsBest(withDrift, best)
+    assert(r.map(_._1) == Seq(slowHost.head._1), r)
   }
 
   test("loadBestKnown parses the flat best file and tolerates absence") {

@@ -244,7 +244,7 @@ object SparkEntry {
     "q226_kmv_overlap"     -> ((s: SparkSession, d: String) => Dedup.kmvOverlap(s, d)),
     "q227_kmv_distinct"    -> ((s: SparkSession, d: String) => Dedup.kmvDistinct(s, d)),
     "q228_source_auc"      -> ((s: SparkSession, d: String) => graft.llm.Eval.sourceAuc(s, d)),
-    "q229_cluster_decontaminate" -> (Pipeline.clusterDecontaminate _),
+    "q229_cluster_decontaminate" -> ((s: SparkSession, d: String) => Pipeline.clusterDecontaminate(s, d)),
     "q230_quality_dup_matrix" -> ((s: SparkSession, d: String) => Pipeline.qualityDupMatrix(s, d)),
     "q231_curation_report" -> ((s: SparkSession, d: String) => Pipeline.curationReport(s, d)),
     "q232_pr_curve"        -> ((s: SparkSession, d: String) => graft.llm.Eval.prCurve(s, d)),
@@ -3684,13 +3684,21 @@ object SparkEntry {
   }
 
   /** The order-free BPE merge rewrite of symbol list `s` under the
-    * 1-row merge CTE `m` (q214's apply semantics — self-pairs are
-    * excluded at selection, so every occurrence merges). */
+    * 0-or-1-row merge CTE `m` (q214's apply semantics — self-pairs are
+    * excluded at selection, so every occurrence merges). The merge CTE
+    * rides a `LEFT JOIN ... ON TRUE`, so on a degenerate corpus that
+    * admits fewer merges than the chain has stages, an EMPTY merge CTE
+    * passes the symbols through UNCHANGED (null pa/pb: the COALESCE
+    * keeps every index, the CASE keeps every symbol) instead of
+    * emptying the whole chain — mirroring the Spark side, which simply
+    * stops learning when no pair remains. */
   private def bpeRewriteSql(m: String): String =
     s"""list_transform(
        |    list_filter(range(1, len(s) + 1), i ->
-       |      NOT (i > 1 AND s[i - 1] = $m.pa AND s[i] = $m.pb)),
-       |    i -> CASE WHEN s[i] = $m.pa AND i < len(s) AND s[i + 1] = $m.pb
+       |      NOT (i > 1 AND COALESCE(s[i - 1] = $m.pa AND s[i] = $m.pb,
+       |                              FALSE))),
+       |    i -> CASE WHEN COALESCE(s[i] = $m.pa AND i < len(s)
+       |                            AND s[i + 1] = $m.pb, FALSE)
        |         THEN $m.pa || $m.pb ELSE s[i] END) AS s""".stripMargin
 
   /** The shared BPE learning chain: word counts w0, symbol tables
@@ -3703,7 +3711,7 @@ object SparkEntry {
          |  WHERE s[u.i] <> s[u.i + 1] GROUP BY 1, 2)""".stripMargin
     def rewrite(sN: String, from: String, m: String) =
       s"""$sN AS (SELECT wc, ${bpeRewriteSql(m)}
-         |  FROM $from CROSS JOIN $m)""".stripMargin
+         |  FROM $from LEFT JOIN $m ON TRUE)""".stripMargin
     s"""WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE len(word) > 0 GROUP BY 1),
@@ -3743,11 +3751,11 @@ object SparkEntry {
        |lex0 AS (SELECT word, string_split(word, '') AS s
        |         FROM (SELECT DISTINCT word FROM sw)),
        |lex1 AS (SELECT word, ${bpeRewriteSql("m1")}
-       |  FROM lex0 CROSS JOIN m1),
+       |  FROM lex0 LEFT JOIN m1 ON TRUE),
        |lex2 AS (SELECT word, ${bpeRewriteSql("m2")}
-       |  FROM lex1 CROSS JOIN m2),
+       |  FROM lex1 LEFT JOIN m2 ON TRUE),
        |lex3 AS (SELECT word, ${bpeRewriteSql("m3")}
-       |  FROM lex2 CROSS JOIN m3)
+       |  FROM lex2 LEFT JOIN m3 ON TRUE)
        |SELECT sw.source,
        |  CAST(SUM(sw.n) AS BIGINT) AS n_words,
        |  CAST(SUM(sw.n * len(sw.word)) AS BIGINT) AS n_symbols_before,

@@ -461,17 +461,19 @@ object Pipeline {
    * direct set. Pinning also materializes each sliver ONCE for its
    * two downstream uses.
    */
-  def clusterDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def clusterDecontaminate(spark: SparkSession, dir: String,
+      evalMod: Int = TextAnalysis.EvalHoldoutMod): DataFrame = {
     val maxSliver = 4 << 20 // ~4M ids ≈ 32 MB broadcast — loud past this
     val direct = graft.ops.GlobalOrder.pinnedSliver(
-      TextAnalysis.decontaminate(spark, dir).select(col("doc_id")),
+      TextAnalysis.decontaminate(spark, dir, evalMod = evalMod)
+        .select(col("doc_id")),
       maxSliver, "q229 directly-contaminated doc set")
     val labels = nearDupClusters(spark, dir)
     val hit = labels.join(broadcast(direct), Seq("doc_id"))
       .select(col("cluster")).distinct()
     val transitive = graft.ops.GlobalOrder.pinnedSliver(
       labels.join(broadcast(hit), Seq("cluster"))
-        .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
         .select(col("doc_id")).withColumn("in_cluster", lit(1L)),
       maxSliver, "q229 cluster-expansion doc set")
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
@@ -571,11 +573,20 @@ object Pipeline {
         col("g_rank"), col("g_total_rows"), buckets))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("th"))))
-    val nd = Dedup.minhashLsh(spark, dir)
-      .select(col("id_b").as("doc_id")).distinct()
-      .withColumn("is_neardup", lit(true))
-    val cl = nearDupClusters(spark, dir)
-      .select(col("doc_id")).withColumn("in_cluster", lit(1L))
+    // broadcast-sliver assumption GUARDED, same bound as
+    // clusterDecontaminate: a dup-heavy corpus makes both sets
+    // corpus-scale, and the guard fails loudly instead of blowing the
+    // broadcast on an executor
+    val maxSliver = 4 << 20
+    val nd = graft.ops.GlobalOrder.pinnedSliver(
+      Dedup.minhashLsh(spark, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("is_neardup", lit(true)),
+      maxSliver, "q231 near-dup casualty set")
+    val cl = graft.ops.GlobalOrder.pinnedSliver(
+      nearDupClusters(spark, dir)
+        .select(col("doc_id")).withColumn("in_cluster", lit(1L)),
+      maxSliver, "q231 cluster-membership set")
     val flags = ranked
       .join(broadcast(nd), Seq("doc_id"), "left")
       .join(broadcast(cl), Seq("doc_id"), "left")

@@ -318,7 +318,7 @@ object Relational4 {
   /** The prefix-filter blocking index: each name's `maxDist·q + 1`
     * rarest positional q-grams (see [[fuzzyJoin]]'s scaladoc for the
     * lemma). One row per (name, signature element). */
-  private def signatureTable(parts: DataFrame, maxDist: Int): DataFrame = {
+  private[ops] def signatureTable(parts: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val q = 2                        // gram width
     val sigLen = maxDist * q + 1     // prefix-filter signature size
@@ -345,12 +345,17 @@ object Relational4 {
 
     // global gram rarity — only the ORDER matters for losslessness
     // (any consistent total order satisfies the lemma); rarity is the
-    // performance choice that keeps hot grams out of signatures
+    // performance choice that keeps hot grams out of signatures.
+    // perKey's boolean means DESCENDING, so rarest-first is gfreq
+    // ASCENDING (false) — descending here would make the hottest
+    // grams the blocking keys and re-admit the quadratic candidate
+    // growth this re-blocking exists to eliminate (still lossless,
+    // but the scale fix would be gone; SignatureRarestGramSpec pins it).
     val freq = elems.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
     graft.plans.TopK.perKey(
       elems.join(freq, Seq("gram")),
       keys = Seq("p_partkey"),
-      order = Seq(("gfreq", true), ("gram", true), ("occ", true)),
+      order = Seq(("gfreq", false), ("gram", false), ("occ", false)),
       k = sigLen)
   }
 

@@ -188,11 +188,22 @@ object CrmPagesSource {
     case _                    => None
   }
 
-  /** The `ts_ms` value set carried by runtime (DPP) filters, if any. */
+  /** The `ts_ms` value set carried by runtime (DPP) filters, if any.
+    *
+    * Fails OPEN on conversion surprises: if ANY value of a filter
+    * resists [[asLong]] (something boxed outside Int/Long), that whole
+    * filter is IGNORED — pruning against the partial set would drop
+    * pages whose rows match only the unconverted value (silent row
+    * loss), and an unconvertible EqualTo would otherwise intersect to
+    * the empty set and prune EVERYTHING. Runtime filters are always
+    * re-evaluated by the join, so ignoring one costs I/O, never rows. */
   private[sources] def runtimeTsValues(filters: Array[Filter]): Option[Set[Long]] = {
-    val sets = filters.collect {
-      case In("ts_ms", vs)     => vs.flatMap(asLong).toSet
-      case EqualTo("ts_ms", v) => asLong(v).toSet
+    val sets = filters.toSeq.flatMap {
+      case In("ts_ms", vs) =>
+        val conv = vs.toSeq.map(asLong)
+        if (conv.exists(_.isEmpty)) None else Some(conv.flatten.toSet)
+      case EqualTo("ts_ms", v) => asLong(v).map(Set(_))
+      case _                   => None
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
@@ -220,8 +231,13 @@ object CrmPagesSource {
   /** Row-level evaluation of the pushed filters (exact, per record).
     * A null/absent ts_ms fails every comparison — SQL three-valued
     * logic, matching what the header nTsRows count assumes. Runtime
-    * In/EqualTo filters evaluate exactly too: dropping a row the DPP
-    * value set excludes is always safe (the join would drop it). */
+    * In/EqualTo filters evaluate exactly when every value converts:
+    * dropping a row the DPP value set excludes is always safe (the
+    * join would drop it). A value [[asLong]] can't convert fails OPEN
+    * — the filter clause passes (keep the row) rather than silently
+    * dropping rows matching the unconverted value; the join
+    * re-evaluates runtime filters, so extra rows cost I/O, never
+    * correctness. */
   private[sources] def passes(filters: Array[Filter], rec: JsonNode): Boolean = {
     def ts(f: Long => Boolean): Boolean = rec.hasNonNull("ts_ms") && f(rec.get("ts_ms").asLong)
     filters.forall {
@@ -229,8 +245,10 @@ object CrmPagesSource {
       case GreaterThan("ts_ms", v: Long)        => ts(_ > v)
       case LessThanOrEqual("ts_ms", v: Long)    => ts(_ <= v)
       case LessThan("ts_ms", v: Long)           => ts(_ < v)
-      case In("ts_ms", vs)                      => ts(t => vs.exists(v => asLong(v).contains(t)))
-      case EqualTo("ts_ms", v)                  => ts(t => asLong(v).contains(t))
+      case In("ts_ms", vs) =>
+        val conv = vs.toSeq.map(asLong)
+        conv.exists(_.isEmpty) || ts(t => conv.flatten.contains(t))
+      case EqualTo("ts_ms", v)                  => asLong(v).forall(x => ts(_ == x))
       case IsNotNull(col)                       => rec.hasNonNull(col)
       case _                                    => true
     }

@@ -348,4 +348,39 @@ class CrmPagesSourceSpec extends SparkSpec {
       s"expected runtime pruning (1 of 4 pages), got ${CrmPagesSource.lastRuntimePrune}\n" +
         joined.queryExecution.executedPlan.toString)
   }
+
+  test("runtime-filter value conversion fails OPEN: unconvertible values prune NOTHING") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // In-filter with one unconvertible value: the WHOLE filter must be
+    // ignored (None), not pruned against the partial {1000} set
+    val mixedIn: Array[org.apache.spark.sql.sources.Filter] =
+      Array(In("ts_ms", Array[Any](1000L, new java.math.BigDecimal("1500"))))
+    assert(CrmPagesSource.runtimeTsValues(mixedIn).isEmpty)
+    // EqualTo with an unconvertible value: ignored, NOT an empty set
+    // (an empty set would intersect everything away and prune ALL pages)
+    val badEq: Array[org.apache.spark.sql.sources.Filter] =
+      Array(EqualTo("ts_ms", "not-a-long"))
+    assert(CrmPagesSource.runtimeTsValues(badEq).isEmpty)
+    // a clean filter alongside a bad one: the clean set still applies
+    val both: Array[org.apache.spark.sql.sources.Filter] =
+      Array(In("ts_ms", Array[Any](1000L, 1500L)), EqualTo("ts_ms", "bad"))
+    assert(CrmPagesSource.runtimeTsValues(both).contains(Set(1000L, 1500L)))
+
+    // page level: the mixed In prunes no envelope
+    val envs = Seq(
+      CrmPagesSource.PageEnvelope("p0", pMin = 0L, pMax = 999L, nRows = 10L, nTsRows = 10L, bytes = 1L),
+      CrmPagesSource.PageEnvelope("p1", pMin = 1000L, pMax = 1999L, nRows = 10L, nTsRows = 10L, bytes = 1L))
+    assert(CrmPagesSource.pruneByTsValues(envs, mixedIn) == envs)
+
+    // row level: a record matching only the unconvertible value passes
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rec = mapper.createObjectNode()
+    rec.put("ts_ms", 1500L)
+    assert(CrmPagesSource.passes(mixedIn, rec), "row matching the unconverted value was dropped")
+    assert(CrmPagesSource.passes(badEq, rec))
+    // and convertible filters still evaluate exactly
+    val cleanIn: Array[org.apache.spark.sql.sources.Filter] =
+      Array(In("ts_ms", Array[Any](1000L)))
+    assert(!CrmPagesSource.passes(cleanIn, rec))
+  }
 }

@@ -26,24 +26,51 @@ import os
 
 BEST = os.path.join(os.path.dirname(__file__), "bench_best.json")
 
-# Accept only decimal-pointed values: the bench line also carries
-# integer-valued per-query maps (extra_reps), which must not be
-# mistaken for seconds. Build-ledger tags are not q-named.
-QVAL = re.compile(r'\\?"(q\d+_[a-z0-9_]+)\\?":(\d+\.\d+)')
+# Only these maps on the bench line hold SECONDS keyed by query name.
+# Other q-keyed maps hold different units — `extra_reps` (integer rep
+# counts) and `regressions` (now/best RATIOS) — and must never be
+# folded: a ratio like 1.850 min-folded as seconds silently corrupts
+# the baseline of any query slower than its own ratio.
+SECONDS_MAPS = ("queries", "slowest")
+
+# Regex fallback for driver wrapper files whose `tail` truncated the
+# head of the JSON line. Decimal-pointed values only (excludes the
+# integer-valued extra_reps); the regressions map is stripped from the
+# text BEFORE this runs.
+QVAL = re.compile(r'\\?"(q\d+_[a-z0-9_]+)\\?":\s*(\d+\.\d+)')
+REGBLOCK = re.compile(r'\\?"regressions\\?":\s*\{[^{}]*\}')
 
 
 def load_bench(path):
     """Harvest (query, seconds) pairs from a bench stdout line or a
-    driver wrapper file (whose `tail` may truncate the head of the
-    line — regex harvesting tolerates that; min-per-query dedupes the
-    `queries`/`slowest` overlap)."""
+    driver wrapper file. Strict JSON first — read ONLY the seconds
+    maps (queries/slowest; min-per-query dedupes their overlap). A
+    file with no parseable JSON line (tail-truncated wrapper) falls
+    back to regex harvesting with the ratio-valued regressions map
+    stripped first."""
     with open(path) as f:
         txt = f.read()
     out = {}
-    for q, v in QVAL.findall(txt):
+
+    def fold(q, v):
         v = float(v)
         if q not in out or v < out[q]:
             out[q] = v
+
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc = json.loads(line)
+        except ValueError:
+            continue
+        for m in SECONDS_MAPS:
+            for q, v in (doc.get(m) or {}).items():
+                fold(q, v)
+    if not out:
+        for q, v in QVAL.findall(REGBLOCK.sub("", txt)):
+            fold(q, v)
     if not out:
         raise SystemExit(f"no bench queries found in {path}")
     return out

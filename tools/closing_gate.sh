@@ -25,15 +25,39 @@ python3 tools/scaling_slopes.py \
   "$OUT/bench_sf0.001.json" "$OUT/bench_sf0.01.json" "$OUT/bench_sf0.1.json" \
   | tee "$OUT/slopes.md"
 
-echo "=== regressions vs best-known (explain each in SCALE.md) ==="
+echo "=== regressions vs best-known (each must carry a ledger entry) ==="
+# A flagged regression is only acceptable when tools/regression_ledger.json
+# explains it (accepted plan change, re-measurement, fixture change) at a
+# ratio no worse than recorded — an unexplained or worsened flag FAILS the
+# gate, so a plan regression can't ride through on silence (round-11
+# verdict #4: the gate caught q53 and nobody wrote the explanation).
 python3 - "$OUT/bench_sf0.1.json" <<'EOF'
-import json, sys
+import json, os, sys
 doc = json.load(open(sys.argv[1]))
 reg = doc.get("regressions", {})
+ledger = {}
+if os.path.exists("tools/regression_ledger.json"):
+    ledger = json.load(open("tools/regression_ledger.json"))
+bad = []
 if not reg:
     print("none")
 for q, ratio in sorted(reg.items(), key=lambda kv: -kv[1]):
-    print(f"{q}: {ratio:.2f}x over best-known")
+    entry = ledger.get(q)
+    if entry is None:
+        print(f"{q}: {ratio:.2f}x over best-known — NO LEDGER ENTRY")
+        bad.append(q)
+    elif ratio > 1.25 * float(entry.get("accepted_ratio", 0)):
+        print(f"{q}: {ratio:.2f}x over best-known — WORSE than the "
+              f"ledgered {entry['accepted_ratio']}x (stale explanation)")
+        bad.append(q)
+    else:
+        print(f"{q}: {ratio:.2f}x over best-known — ledgered (r{entry.get('round')}): "
+              f"{entry['reason'][:100]}")
+if bad:
+    print(f"GATE FAIL: unexplained regressions: {bad} — add entries to "
+          f"tools/regression_ledger.json (and SCALE.md) or fix the plan",
+          file=sys.stderr)
+    sys.exit(1)
 EOF
 
 python3 tools/update_bench_best.py "$OUT/bench_sf0.1.json"

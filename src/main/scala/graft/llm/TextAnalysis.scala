@@ -740,14 +740,33 @@ object TextAnalysis {
     require(k >= 1 && w >= 1 && evalMod >= 2,
       s"bad decontamination params k=$k w=$w evalMod=$evalMod")
     val fps = ModelCache.memoIndex(docs, s"winnow-fps|$k|$w") {
-      docs
-        .select(col("doc_id"), tokens.as("ws"))
-        .filter(size(col("ws")) >= k + w - 1)
-        .select(col("doc_id"), expr(gramHashes(k)).as("hs"))
-        .select(col("doc_id"), explode(array_distinct(
-          expr(s"transform(${winnowFold(w)}, x -> x.fp)"))).as("fp"))
-        .localCheckpoint()
+      winnowFingerprints(docs, k, w).localCheckpoint()
     }
+    decontaminateFromFps(fps, evalMod)
+  }
+
+  /** The per-doc winnowed fingerprint projection — the content of the
+    * `winnow-fps` stored index, ROW-LOCAL per document, so the
+    * streaming maintenance path
+    * ([[graft.streaming.ArtifactMaintenance.winnowFpArtifact]]) commits
+    * per-batch concatenations of this SAME projection and the served
+    * union is bit-identical to the batch-built index. */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int = 4,
+      w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), tokens.as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"), expr(gramHashes(k)).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(${winnowFold(w)}, x -> x.fp)"))).as("fp"))
+
+  /** The decontamination screen over an ALREADY-BUILT fingerprint
+    * table (the `winnow-fps` memoized index or its streamed twin):
+    * broadcast the eval slice's fingerprints, probe the training side,
+    * count shared fingerprints per contaminated doc. No corpus re-hash
+    * — the serve cost is one aggregate over the index. */
+  private[graft] def decontaminateFromFps(fps: DataFrame,
+      evalMod: Int = EvalHoldoutMod): DataFrame = {
     val evalFps = fps.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(col("fp"), col("doc_id").as("eval_doc"))
     fps.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)

@@ -312,26 +312,33 @@ object Relational4 {
 
   /** Spec entry point over an arbitrary frame — no memo (the key
     * discipline: only file-backed corpora cache), fresh signatures. */
-  private[ops] def fuzzyJoinOf(parts: DataFrame, maxDist: Int): DataFrame =
+  private[graft] def fuzzyJoinOf(parts: DataFrame, maxDist: Int): DataFrame =
     fuzzyJoinAssemble(parts, signatureTable(parts, maxDist), maxDist)
 
   /** The prefix-filter blocking index: each name's `maxDist·q + 1`
     * rarest positional q-grams (see [[fuzzyJoin]]'s scaladoc for the
     * lemma). One row per (name, signature element). */
-  private[ops] def signatureTable(parts: DataFrame, maxDist: Int): DataFrame = {
+  private[graft] def signatureTable(parts: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val q = 2                        // gram width
-    val sigLen = maxDist * q + 1     // prefix-filter signature size
-    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_size"),
-      col("p_name"), length(col("p_name")).cast("int").as("len"))
+    signaturesFromElements(signatureElements(parts), maxDist)
+  }
 
-    // positional (gram, occ) elements; occ (index among equal grams in
-    // the same name) set-encodes the bag so bag intersection = set
-    // intersection. Computed ROW-LOCALLY — an O(len²) array fold over
-    // a name-length array, no window, no shuffle. Names shorter than q
-    // have no grams and are handled by the degenerate-short arm (their
-    // band-compatible partners are short too).
-    val elems = p.filter(col("len") >= q)
+  /** The ROW-LOCAL half of the signature build: positional (gram, occ)
+    * elements per name. occ (index among equal grams in the same name)
+    * set-encodes the bag so bag intersection = set intersection.
+    * An O(len²) array fold over a name-length array, no window, no
+    * shuffle — which is why the streamed `fuzzy-sig` store
+    * ([[graft.streaming.ArtifactMaintenance.fuzzySigArtifact]]) commits
+    * per-batch concatenations of exactly this projection: elements are
+    * maxDist-INDEPENDENT (only the selection below depends on it), so
+    * one element store serves every distance. Names shorter than q
+    * have no grams and are handled by the degenerate-short arm (their
+    * band-compatible partners are short too). */
+  private[graft] def signatureElements(parts: DataFrame): DataFrame = {
+    val q = 2 // gram width
+    parts.select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("p_name"), length(col("p_name")).cast("int").as("len"))
+      .filter(col("len") >= q)
       .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"),
         col("len"),
         explode(expr(
@@ -342,6 +349,20 @@ object Relational4 {
              |    AS occ))""".stripMargin)).as("e"))
       .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"),
         col("len"), col("e.gram").as("gram"), col("e.occ").as("occ"))
+  }
+
+  /** The GLOBAL half: rank grams by corpus-wide rarity and keep each
+    * name's `maxDist·q + 1` rarest elements. Split from
+    * [[signatureElements]] because the rarity order is a corpus
+    * aggregate — it legitimately shifts as documents arrive, so the
+    * streamed store keeps ELEMENTS and re-derives the selection at
+    * serve (one mergeable count + a bounded-heap top-k, no raw-text
+    * rescan). */
+  private[graft] def signaturesFromElements(
+      elems: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val q = 2                        // gram width
+    val sigLen = maxDist * q + 1     // prefix-filter signature size
 
     // global gram rarity — only the ORDER matters for losslessness
     // (any consistent total order satisfies the lemma); rarity is the
@@ -358,6 +379,13 @@ object Relational4 {
       order = Seq(("gfreq", false), ("gram", false), ("occ", false)),
       k = sigLen)
   }
+
+  /** The fuzzy join served from an ALREADY-BUILT signature table (the
+    * memoized `fuzzy-sig` index or one derived from the streamed
+    * element store) — the serve path a deployment runs per query. */
+  private[graft] def fuzzyJoinFromSignatures(
+      parts: DataFrame, sig: DataFrame, maxDist: Int): DataFrame =
+    fuzzyJoinAssemble(parts, sig, maxDist)
 
   private def fuzzyJoinAssemble(
       parts: DataFrame, sig: DataFrame, maxDist: Int): DataFrame = {

@@ -251,6 +251,64 @@ object ArtifactMaintenance {
     new ManifestArtifact(artifactDir,
       batch => graft.llm.Dedup.simhashAgg(batch), SigSchema)
 
+  // ---- winnowing fingerprints (row-partitioned) -------------------
+
+  private val WinnowFpSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp", StringType)))
+
+  /** The (doc_id, fp) winnowed-fingerprint store maintained from a
+    * document stream — the live twin of the memoized `winnow-fps`
+    * index behind the decontamination screens (q163/q229).
+    * Fingerprinting is row-local per doc
+    * ([[graft.llm.TextAnalysis.winnowFingerprints]] — the SAME
+    * projection the batch index pins), so partials concatenate and
+    * serve is the bare union; the screen
+    * ([[graft.llm.TextAnalysis.decontaminateFromFps]]) runs over the
+    * served table exactly as over the batch index. Without this, a
+    * deployment ingesting documents would re-fingerprint the whole
+    * corpus per batch — the serve-from-stored-index story requires
+    * the index itself to be insert-maintained. */
+  def winnowFpArtifact(artifactDir: String, k: Int = 4,
+      w: Int = 4): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.TextAnalysis.winnowFingerprints(batch, k, w),
+      WinnowFpSchema)
+
+  // ---- fuzzy-join signature elements (row-partitioned) ------------
+
+  private val FuzzyElemSchema = StructType(Seq(
+    StructField("p_partkey", LongType), StructField("p_brand", StringType),
+    StructField("p_size", IntegerType), StructField("p_name", StringType),
+    StructField("len", IntegerType), StructField("gram", StringType),
+    StructField("occ", IntegerType)))
+
+  /** The positional q-gram ELEMENT store behind the q118 fuzzy-join
+    * blocking index, maintained from a parts stream (p_partkey,
+    * p_brand, p_size, p_name) — the live twin of the memoized
+    * `fuzzy-sig` index. The stored rows are
+    * [[graft.ops.Relational4.signatureElements]] — row-local per name
+    * and maxDist-INDEPENDENT, so partials concatenate, one store
+    * serves every distance, and maintenance costs batch-sized explode
+    * work. What is NOT stored is the signature SELECTION: each name's
+    * d·q+1 rarest grams depend on corpus-wide gram frequencies, which
+    * legitimately shift as names arrive — so [[fuzzySignatures]]
+    * re-derives the selection from the served elements (one mergeable
+    * count + a bounded-heap top-k over the element store; never a
+    * raw-text rescan). Streamed-equals-batch is spec-pinned including
+    * the re-selection. */
+  def fuzzySigArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.ops.Relational4.signatureElements(batch),
+      FuzzyElemSchema)
+
+  /** The signature table derived from the streamed element store —
+    * what [[graft.ops.Relational4.fuzzyJoinFromSignatures]] consumes
+    * in place of the batch-built `fuzzy-sig` index. */
+  def fuzzySignatures(spark: SparkSession, artifactDir: String,
+      maxDist: Int): DataFrame =
+    graft.ops.Relational4.signaturesFromElements(
+      fuzzySigArtifact(artifactDir).serve(spark), maxDist)
+
   // ---- dup-gram doc-id bounds (mergeable min/max) -----------------
 
   private val GramBoundsSchema = StructType(Seq(

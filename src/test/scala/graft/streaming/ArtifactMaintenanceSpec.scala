@@ -313,4 +313,80 @@ class ArtifactMaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(compacted == direct)
   }
+
+  test("streamed winnow-fps store matches the batch index and serves the decon screen") {
+    import spark.implicits._
+    val artifact = freshDir("winnow-artifact")
+    val art = ArtifactMaintenance.winnowFpArtifact(artifact)
+    // k=4, w=4 → docs need ≥7 tokens to fingerprint. evalMod=2 in the
+    // screen: EVEN doc_ids are the eval slice. Doc 3 (training) carries
+    // doc 2's (eval) opening passage → contaminated; doc 5 is clean.
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val b0 = Seq(
+      (2L, evalText),
+      (3L, evalText + " iota kappa")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (5L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def fpSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // served union == the batch fingerprint projection, bit-exact
+    val served = fpSet(art.serve(spark))
+    val direct = fpSet(graft.llm.TextAnalysis.winnowFingerprints(all))
+    assert(served == direct)
+    // the decontamination screen over the STREAMED store equals the
+    // batch path's answer — and actually flags the planted doc
+    def screen(fps: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.decontaminateFromFps(fps, evalMod = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fromStream = screen(art.serve(spark))
+    val fromBatch = screen(graft.llm.TextAnalysis.winnowFingerprints(all))
+    assert(fromStream == fromBatch)
+    assert(fromStream.map(_._1) == Seq(3L), s"expected only doc 3 flagged: $fromStream")
+    // compaction preserves the row-partitioned table
+    art.compact(spark)
+    assert(fpSet(art.serve(spark)) == direct)
+  }
+
+  test("streamed fuzzy-sig elements re-derive the batch signatures and serve q118") {
+    import spark.implicits._
+    val artifact = freshDir("fuzzysig-artifact")
+    val art = ArtifactMaintenance.fuzzySigArtifact(artifact)
+    // two batches whose UNION changes the rarity order: batch 1 floods
+    // gram "ch", so a correct serve-time re-selection must demote it —
+    // a store that froze batch-0 signatures would diverge
+    val b0 = Seq(
+      (1L, "Brand#1", 1, "chocolate"),
+      (2L, "Brand#1", 1, "chocolatt"),
+      (3L, "Brand#1", 1, "mint")).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    val b1 = Seq(
+      (4L, "Brand#1", 1, "chachacha"),
+      (5L, "Brand#1", 1, "chchchch"),
+      (6L, "Brand#1", 1, "minty")).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    for (d <- 1 to 2) {
+      // signatures derived from the streamed element store == the
+      // batch-built signature table over the same names
+      val fromStream = rows(
+        ArtifactMaintenance.fuzzySignatures(spark, artifact, d))
+      val fromBatch = rows(graft.ops.Relational4.signatureTable(all, d))
+      assert(fromStream == fromBatch, s"maxDist=$d signatures diverged")
+      // and the fuzzy join SERVED from the streamed signatures equals
+      // the direct batch plan
+      val joined = rows(graft.ops.Relational4.fuzzyJoinFromSignatures(
+        all, ArtifactMaintenance.fuzzySignatures(spark, artifact, d), d))
+      val directJoin = rows(graft.ops.Relational4.fuzzyJoinOf(all, d))
+      assert(joined == directJoin, s"maxDist=$d join diverged")
+    }
+    // compaction preserves the element store
+    val before = rows(art.serve(spark))
+    art.compact(spark)
+    assert(rows(art.serve(spark)) == before)
+  }
 }

@@ -147,6 +147,25 @@ object ArtifactMaintenance {
       sweepOrphans()
     }
 
+    /** Commit a CALLER-PROVIDED baseline in place of the listed
+      * directories — the primitive behind resolve-folding compactions
+      * (NearDupLabelStore folds the remap chain into resolved assign
+      * rows). Same crash story as [[compact]]: the fold is written
+      * before the commit, partial deletion happens via the orphan
+      * sweep after it. The covered watermark advances to the max
+      * committed batch id, so replays keep skipping. */
+    private[streaming] def rebase(df: DataFrame): Unit = {
+      val m = readManifest()
+      if (m.dirs.nonEmpty) {
+        val covered = (m.covered +: m.dirs.flatMap(d =>
+          "part-b(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong))).max
+        val baseline = s"baseline-g$covered"
+        df.write.mode("overwrite").parquet(s"$artifactDir/$baseline")
+        commitManifest(Manifest(covered, Seq(baseline)))
+      }
+      sweepOrphans()
+    }
+
     private def sweepOrphans(): Unit = {
       val live = readManifest()
       val listing = Files.list(Paths.get(artifactDir))
@@ -542,8 +561,24 @@ object ArtifactMaintenance {
       * so serve is the bare union of partials. */
     def servePairs(spark: SparkSession): DataFrame = pairsArt.serve(spark)
 
+    /** Remap-chain resolution rounds of the LAST [[serve]] call —
+      * driver-side observability for the serve-cost growth spec
+      * (chain depth is what compaction cadence bounds). */
+    @volatile private[graft] var lastResolveRounds: Int = 0
+
     /** The resolved label view: (doc_id, cluster) for every doc in the
-      * pair graph — the streamed twin of `Pipeline.nearDupClusters`. */
+      * pair graph — the streamed twin of `Pipeline.nearDupClusters`.
+      *
+      * SERVE-COST ACCOUNTING (what a deployment pays, per call):
+      * store rows scale with the PAIR GRAPH, not the corpus — a doc
+      * with no verified pair never enters assign. The resolution loop
+      * runs one broadcast-remap join per chain HOP, and hops accrue
+      * one per root-merging batch since the last compaction — so serve
+      * cost is O(assign-sliver × chain-depth), and chain depth is
+      * bounded by COMPACTION CADENCE, not corpus lifetime: [[compact]]
+      * resolve-folds the chain (assign := resolved labels, remap :=
+      * empty), resetting depth to zero. Measured by the ≥20-batch
+      * growth spec (NearDupLabelStoreSpec). */
     def serve(spark: SparkSession): DataFrame = {
       val remap = remapArt.serve(spark).localCheckpoint()
       var labels = assignArt.serve(spark).localCheckpoint()
@@ -571,6 +606,7 @@ object ArtifactMaintenance {
           s"near-dup remap resolution did not converge within $maxRounds " +
             "rounds — compact the store or raise the backstop; serving " +
             "unresolved labels would break the split-leakage guarantee")
+      lastResolveRounds = rounds
       labels.select(col("doc_id"), col("lab").as("cluster"))
     }
 
@@ -583,11 +619,28 @@ object ArtifactMaintenance {
           applyBatch(batch, batchId)
         }
 
-    /** Fold each sub-store's partials behind its manifest. */
+    /** Fold each sub-store's partials behind its manifest — and
+      * RESOLVE the label chain: assign is rebased to the fully-resolved
+      * labels and remap is cleared, so the next serve converges in the
+      * loop's two confirmation rounds instead of one join per
+      * accumulated root merge. Chain depth is thereby bounded by how
+      * often a deployment compacts, not by how long it has been
+      * ingesting.
+      *
+      * Crash order matters and is safe at every point: the resolved
+      * assign baseline commits FIRST, so a crash before the remap
+      * clear leaves stale remap rows whose old_lab values are exactly
+      * the roots the fold just eliminated — they match no resolved
+      * label and the next serve applies them as a no-op. Clearing
+      * remap first would lose unresolved chains. */
     def compact(spark: SparkSession): Unit = {
       docsArt.compact(spark); bandsArt.compact(spark)
-      pairsArt.compact(spark); remapArt.compact(spark)
-      assignArt.compact(spark)
+      pairsArt.compact(spark)
+      val resolved = serve(spark)
+        .select(col("doc_id"), col("cluster").as("lab")).localCheckpoint()
+      assignArt.rebase(resolved)
+      remapArt.rebase(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], RemapSchema))
     }
   }
 }

@@ -129,4 +129,46 @@ class NearDupLabelStoreSpec extends SparkSpec {
     store.applyBatch(batch2.toDF("doc_id", "text"), 2L) // replay
     assert(served(store) == expectedLabels())
   }
+
+  test("serve-cost growth over 21 batches: chain depth bounded by compaction, store by pair graph") {
+    // ADVERSARIAL insert order for the min-union: each batch adds one
+    // exact duplicate with an id SMALLER than every stored doc, so the
+    // new doc becomes the cluster's new root and the old root gets one
+    // remap hop — remap chain depth grows one per batch, the worst
+    // case the resolve-folding compaction exists for. Singleton docs
+    // ride along in every batch and must NEVER enter the store.
+    val store = new ArtifactMaintenance.NearDupLabelStore(freshDir("ndl3"))
+    val nBatches = 21
+    (0 until nBatches).foreach { i =>
+      val dupId = (200 - i).toLong
+      val loner = (1000 + i).toLong // unique text: no pairs, ever
+      store.applyBatch(Seq((dupId, T), (loner, s"solo_${i}_a solo_${i}_b"))
+        .toDF("doc_id", "text"), i.toLong)
+    }
+    val root = (200 - (nBatches - 1)).toLong // 180
+    val labels = served(store)
+    // STORE ROWS vs CORPUS ROWS: only the 21 pair-graph docs are
+    // labeled; the 21 singleton docs never entered assign
+    assert(labels.keySet == (root to 200L).toSet, s"store carries ${labels.keySet}")
+    assert(labels.values.forall(_ == root), s"unresolved labels: $labels")
+    // CHAIN DEPTH: each root-merging batch added one hop, so the
+    // uncompacted serve resolves through ~20 remap rounds
+    val uncompacted = store.lastResolveRounds
+    assert(uncompacted >= nBatches - 5,
+      s"expected ~${nBatches - 1} resolution rounds before compaction, got $uncompacted")
+    // compaction resolve-folds the chain: same labels, depth reset —
+    // the loop's two confirmation rounds are the floor
+    store.compact(spark)
+    assert(served(store) == labels, "compaction changed labels")
+    assert(store.lastResolveRounds <= 2,
+      s"chain depth survived compaction: ${store.lastResolveRounds} rounds")
+    // post-compaction ingest still merges correctly and stays shallow:
+    // one new root-taking duplicate = one fresh hop, not twenty
+    store.applyBatch(Seq((179L, T)).toDF("doc_id", "text"), nBatches.toLong)
+    val after = served(store)
+    assert(after.keySet == (179L to 200L).toSet && after.values.forall(_ == 179L),
+      s"post-compaction merge wrong: $after")
+    assert(store.lastResolveRounds <= 3,
+      s"post-compaction serve should pay only the fresh hop: ${store.lastResolveRounds}")
+  }
 }

@@ -249,6 +249,7 @@ object SparkEntry {
     "q231_curation_report" -> ((s: SparkSession, d: String) => Pipeline.curationReport(s, d)),
     "q232_pr_curve"        -> ((s: SparkSession, d: String) => graft.llm.Eval.prCurve(s, d)),
     "q233_threshold_yield" -> ((s: SparkSession, d: String) => graft.llm.Eval.thresholdYield(s, d)),
+    "q234_jpeg_meta"       -> ((s: SparkSession, d: String) => Multimodal.jpegManifest(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2290,6 +2291,19 @@ object SparkEntry {
         |  (1000000 * (t_docs - cum_nd)) // t_docs AS doc_ppm,
         |  (1000000 * (t_tokens - cum_nt)) // t_tokens AS token_ppm
         |FROM cum CROSS JOIN tot ORDER BY score""".stripMargin,
+    // q234: JPEG header round-trip — Spark synthesizes REAL JPEG bytes
+    // (variable-length COM prefix) and parses them back with the
+    // bounded marker walk; the oracle recomputes the planted
+    // dimensions analytically from doc_id, so equality proves the
+    // byte path end to end without DuckDB touching a byte
+    "q234_jpeg_meta" ->
+      """SELECT doc_id, TRUE AS is_jpeg,
+        |  CAST((doc_id % 2) * 2 AS BIGINT) AS sof_type,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(64 + doc_id % 256 AS BIGINT) AS height,
+        |  CAST(64 + doc_id % 512 AS BIGINT) AS width,
+        |  CAST(3 AS BIGINT) AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -115,8 +115,8 @@ object Multimodal {
    * UDF, no library, and only the first 26 bytes of each payload are
    * touched. This is the metadata-first discipline at 100 TB: filter
    * and group on parsed dimensions BEFORE any decode ships the full
-   * payload anywhere. (JPEG needs a marker walk — variable offsets —
-   * so its header parse belongs in the batched decoder, not here.)
+   * payload anywhere. (JPEG's variable segment offsets get the same
+   * treatment via a bounded marker walk — [[jpegMeta]].)
    */
   def pngMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val isPng = hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")
@@ -155,6 +155,54 @@ object Multimodal {
       when(isWav, le(23, 2)).as("channels"),
       when(isWav, le(25, 4)).as("sample_rate"),
       when(isWav, le(35, 2)).as("bits_per_sample"))
+  }
+
+  /**
+   * JPEG SOF frame-header metadata — the third real format beside
+   * [[pngMeta]]/[[wavMeta]], still zero UDFs. Unlike PNG's fixed IHDR
+   * offset, a JPEG's SOF segment floats behind a variable prefix of
+   * APPn/DQT/DHT/COM segments, so the parse is a BOUNDED MARKER WALK
+   * expressed as one `aggregate` fold over 16 steps: every
+   * length-bearing segment starts `FF mk len(2,BE)` and the next
+   * starts at `pos + 2 + len`, so each step either records the SOF
+   * position (marker C0–C3: baseline/extended/progressive/lossless)
+   * or hops one segment. The fold is a scalar struct per row —
+   * row-local, codegen'd built-ins (`substring`+`hex`+`conv`), touches
+   * only header bytes, and is TOTAL: a truncated or non-JPEG payload
+   * stalls the walk and yields nulls, never an error. Dimensions then
+   * read at fixed offsets inside the SOF segment (precision, height,
+   * width big-endian, component count).
+   */
+  def jpegMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nBytes = octet_length(payload).cast("long")
+    def u8(pos: org.apache.spark.sql.Column) =
+      conv(hex(substring(payload, pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(pos: org.apache.spark.sql.Column) =
+      conv(hex(substring(payload, pos.cast("int"), lit(2))), 16, 10).cast("long")
+    val isJpeg = hex(substring(payload, 1, 2)) === lit("FFD8") && nBytes >= 4L
+    val init = struct(lit(3L).as("pos"), lit(0L).as("sof"))
+    val walked = aggregate(sequence(lit(1), lit(16)), init, (st, _) => {
+      val pos = st.getField("pos")
+      val sof = st.getField("sof")
+      // live: SOF not yet found, a full `FF mk len` head is in range,
+      // and the byte under the cursor really is a marker prefix
+      val live = sof === 0L && (pos + 3L) <= nBytes && u8(pos) === 255L
+      val mk = u8(pos + 1L)
+      val isSof = mk.isin(192L, 193L, 194L, 195L) // SOF0..SOF3
+      struct(
+        when(live && !isSof, pos + 2L + be16(pos + 2L))
+          .otherwise(pos).as("pos"),
+        when(live && isSof, pos).otherwise(sof).as("sof"))
+    })
+    val sof = walked.getField("sof")
+    val ok = isJpeg && sof > 0L && (sof + 9L) <= nBytes
+    struct(
+      isJpeg.as("is_jpeg"),
+      when(ok, u8(sof + 1L) - 192L).as("sof_type"), // 0=baseline, 2=progressive
+      when(ok, u8(sof + 4L)).as("bit_depth"),
+      when(ok, be16(sof + 5L)).as("height"),
+      when(ok, be16(sof + 7L)).as("width"),
+      when(ok, u8(sof + 9L)).as("n_components"))
   }
 
   /** Frame-sampling stub: pick every `stride`-th byte offset as a fake
@@ -241,6 +289,40 @@ object Multimodal {
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("kind"))
+  }
+
+  /**
+   * JPEG header round-trip, oracle-checked END TO END through real
+   * bytes: per document, synthesize an actual JPEG header — SOI, a
+   * JFIF APP0, a COM segment whose LENGTH VARIES with doc_id (so the
+   * marker walk's variable prefix is genuinely exercised, not a fixed
+   * offset in disguise), then SOF0 or SOF2 with dimensions derived
+   * from doc_id — via `unhex` of concatenated hex (pure built-ins),
+   * and parse it back with [[jpegMeta]]. The oracle never sees a byte:
+   * it recomputes the same dimensions analytically from doc_id, so
+   * hash equality proves the synth → marker-walk → field-extract loop
+   * byte-exact over the whole corpus. Row-local both ways — one narrow
+   * projection at any scale.
+   */
+  def jpegManifest(spark: SparkSession, dir: String): DataFrame = {
+    def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    val width = lit(64L) + col("doc_id") % 512L
+    val height = lit(64L) + col("doc_id") % 256L
+    val comLen = col("doc_id") % 7L // COM body bytes: shifts SOF's offset
+    val sofMarker = when(col("doc_id") % 2L === 0L, "FFC0").otherwise("FFC2")
+    val headerHex = concat(
+      lit("FFD8"),                                    // SOI
+      lit("FFE0" + "0010"), lit("4A464946" + "00010200000100010000"), // APP0/JFIF
+      lit("FFFE"), hex4(comLen + 2L), repeat(lit("61"), comLen.cast("int")), // COM
+      sofMarker, lit("0011" + "08"), hex4(height), hex4(width), // SOF head
+      lit("03"), lit("012200021101031101"))           // 3 component specs
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(headerHex).as("payload"))
+      .select(col("doc_id"), jpegMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.is_jpeg"), col("m.sof_type"),
+        col("m.bit_depth"), col("m.height"), col("m.width"),
+        col("m.n_components"))
+      .orderBy("doc_id")
   }
 
   /**

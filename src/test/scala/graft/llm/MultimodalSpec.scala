@@ -157,4 +157,45 @@ class MultimodalSpec extends SparkSpec {
     val n2 = rows(2L)
     assert(!n2.getBoolean(1) && n2.isNullAt(3) && n2.isNullAt(4), n2)
   }
+
+  test("jpegMeta walks real JPEG markers to the SOF dims, baseline and progressive") {
+    import spark.implicits._
+    def be2(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(mk: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, mk.toByte) ++ be2(body.length + 2) ++ body
+    def sofBody(h: Int, w: Int): Array[Byte] =
+      Array[Byte](8) ++ be2(h) ++ be2(w) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // baseline (SOF0) behind a realistic APP0 + COM + DQT prefix
+    val jfif = seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    val com = seg(0xfe, "graft fixture".getBytes("US-ASCII"))
+    val dqt = seg(0xdb, Array.fill[Byte](65)(1))
+    val baseline = soi ++ jfif ++ com ++ dqt ++ seg(0xc0, sofBody(600, 800))
+    // progressive (SOF2) with an Exif APP1 in front
+    val app1 = seg(0xe1, "Exif".getBytes("US-ASCII") ++ Array.fill[Byte](20)(0))
+    val progressive = soi ++ app1 ++ seg(0xc2, sofBody(1080, 1920))
+    // adversarial inputs: truncated mid-walk, and a non-JPEG payload
+    val truncated = soi ++ jfif.take(6)
+    val notJpeg = "GRFT-not-a-jpeg".getBytes("US-ASCII")
+    val rows = Seq((1L, baseline), (2L, progressive), (3L, truncated),
+        (4L, notJpeg)).toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.jpegMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_jpeg"), col("m.sof_type"),
+        col("m.bit_depth"), col("m.height"), col("m.width"),
+        col("m.n_components"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b = rows(1L)
+    assert(b.getBoolean(1) && b.getLong(2) == 0L && b.getLong(3) == 8L &&
+      b.getLong(4) == 600L && b.getLong(5) == 800L && b.getLong(6) == 3L, b)
+    val p = rows(2L)
+    assert(p.getBoolean(1) && p.getLong(2) == 2L &&
+      p.getLong(4) == 1080L && p.getLong(5) == 1920L, p)
+    // truncated: still recognized as JPEG, dims null — total, no error
+    val t = rows(3L)
+    assert(t.getBoolean(1) && t.isNullAt(4) && t.isNullAt(5), t)
+    val n3 = rows(4L)
+    assert(!n3.getBoolean(1) && n3.isNullAt(4), n3)
+  }
 }

@@ -339,26 +339,57 @@ object PQ {
       nprobe: Int = Pipeline.IvfProbe): DataFrame = {
     val coarse = KMeans.fitOf(emb0, cells, iters)
     val books = fit(emb0)
-    // nearest-cell ranking against the centroid literals: sort_array's
-    // lexicographic (d, cid) order is the deterministic argmin with
-    // ties on cid — same discipline as Pipeline.ivfAnn
-    val distArr = array(coarse.centroids.map { case (cid, c) =>
-      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
-    }: _*)
-    val enc = encode(emb0, books)
-      .withColumn("pr", slice(sort_array(distArr), 1, nprobe))
     // the stored index, cell id included — at deployment scale the
     // cell is the storage partition key, so the probe join prunes
     // index partitions before any row is read
     val index = ModelCache.memoIndex(emb0,
       s"ivfpqindex|$SubSpaces|$Codes|$Iters|$cells|$iters|$nprobe") {
-      graft.ops.GlobalOrder.pin(enc.select(
-        (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
-          col("pr")(0)("cid").cast("long").as("cell") +:
-          (0 until SubSpaces).map(s => col(s"c$s"))): _*))
+      graft.ops.GlobalOrder.pin(indexRows(emb0, coarse, books))
     }
+    ivfPqServe(emb0, index, coarse, books, k, depth, nprobe)
+  }
+
+  /** Nearest-cell ranking against the centroid literals: sort_array's
+    * lexicographic (d, cid) order is the deterministic argmin with
+    * ties on cid — same discipline as Pipeline.ivfAnn. */
+  private def probeArr(coarse: KMeans.Model): Column =
+    sort_array(array(coarse.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*))
+
+  /** The IVF×PQ index ROW projection of a (vec_id, embedding) frame
+    * against FROZEN quantizers — entirely row-local codeword/centroid
+    * literal arithmetic. ONE definition shared by the batch memoized
+    * index and the streamed maintenance path
+    * ([[streamedIndexArtifact]]), so the two stores are
+    * bit-compatible: per-batch concatenations of this projection union
+    * to exactly the batch-built index over the same vectors. */
+  private[llm] def indexRows(emb0: DataFrame, coarse: KMeans.Model,
+      books: Model): DataFrame =
+    encode(emb0, books)
+      .withColumn("cell",
+        element_at(probeArr(coarse), 1).getField("cid").cast("long"))
+      .select(
+        (col("vec_id").as("neighbor_id") +: col("n2").as("n_n2") +:
+          col("cell") +: (0 until SubSpaces).map(s => col(s"c$s"))): _*)
+
+  /**
+   * The q160 route served from an ALREADY-BUILT index (the memoized
+   * `ivfpqindex` artifact or its streamed twin): queries re-derive
+   * probes and LUTs from the frozen models, candidates come from the
+   * index's cell equi-join, full vectors are read only for shortlist
+   * rows. This is the deployment split: quantizers train once on a
+   * snapshot, ingests encode row-locally against the FROZEN models
+   * (re-training would relabel every stored code — a rebuild, not
+   * maintenance), serves probe the accumulated index.
+   */
+  private[graft] def ivfPqServe(emb0: DataFrame, index: DataFrame,
+      coarse: KMeans.Model, books: Model, k: Int, depth: Int,
+      nprobe: Int): DataFrame = {
     val queries = withLuts(
-      enc.filter(queryFilter)
+      encode(emb0, books)
+        .withColumn("pr", slice(probeArr(coarse), 1, nprobe))
+        .filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("n2").as("q_n2"), col("pr")), books)
     val qluts = queries
@@ -370,5 +401,26 @@ object PQ {
     // distinct, so a (query, candidate) pair arises at most once
     adcRerank(emb0, queries.drop("pr"), index.join(broadcast(qluts), Seq("cell")),
       books, k, depth, Seq("cell"))
+  }
+
+  /** The streamed `ivfpqindex` store: per-batch row-local encodes
+    * of arriving (vec_id, embedding) rows against the frozen
+    * quantizers, committed as manifest partials — the ANN index's
+    * live maintenance path beside the batch memo, same shape as the
+    * simhash/fuzzy-sig/winnow-fps stores. Row-partitioned: serve is
+    * the bare union, and [[ivfPqServe]] consumes it unchanged. */
+  private[graft] def streamedIndexArtifact(artifactDir: String,
+      coarse: KMeans.Model, books: Model)
+      : graft.streaming.ArtifactMaintenance.ManifestArtifact =
+    new graft.streaming.ArtifactMaintenance.ManifestArtifact(
+      artifactDir, batch => indexRows(batch, coarse, books), IndexSchema)
+
+  private lazy val IndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("neighbor_id", LongType) ::
+        StructField("n_n2", DoubleType) ::
+        StructField("cell", LongType) ::
+        (0 until SubSpaces).map(s => StructField(s"c$s", IntegerType)).toList)
   }
 }

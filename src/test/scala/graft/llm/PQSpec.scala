@@ -72,4 +72,35 @@ class PQSpec extends SparkSpec {
     info(s"planted PQ recall mean = $mean")
     assert(mean >= 0.9, s"planted PQ recall $mean below the certification bound")
   }
+
+  test("streamed IVF×PQ index equals the batch build and serves q160 unchanged") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    // the deployment split: quantizers FROZEN from a snapshot; ingests
+    // encode row-locally against them
+    val coarse = KMeans.fitOf(emb, Pipeline.IvfCells, Pipeline.IvfIters)
+    val books = PQ.fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-art").toString
+    val art = PQ.streamedIndexArtifact(dir, coarse, books)
+    // three arrival batches partitioning the corpus by vec_id band
+    val n = emb.agg(max("vec_id")).head.getLong(0)
+    val cuts = Seq(0L, n / 3, 2 * n / 3, n + 1)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      art.applyBatch(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // streamed union == the batch index projection, bit-exact
+    assert(rows(art.serve(spark)) == rows(PQ.indexRows(emb, coarse, books)),
+      "streamed IVF×PQ index diverged from the batch build")
+    // the full q160 route served from the STREAMED store equals the
+    // batch-memoized route
+    val fromStream = rows(PQ.ivfPqServe(emb, art.serve(spark), coarse, books,
+      k = 5, depth = PQ.Shortlist, nprobe = Pipeline.IvfProbe))
+    val fromBatch = rows(PQ.ivfPqAnn(spark, sf))
+    assert(fromStream == fromBatch, "q160 served from the streamed index diverged")
+    // compaction preserves the row-partitioned index
+    val before = rows(art.serve(spark))
+    art.compact(spark)
+    assert(rows(art.serve(spark)) == before)
+  }
 }

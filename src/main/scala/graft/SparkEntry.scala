@@ -250,6 +250,7 @@ object SparkEntry {
     "q232_pr_curve"        -> ((s: SparkSession, d: String) => graft.llm.Eval.prCurve(s, d)),
     "q233_threshold_yield" -> ((s: SparkSession, d: String) => graft.llm.Eval.thresholdYield(s, d)),
     "q234_jpeg_meta"       -> ((s: SparkSession, d: String) => Multimodal.jpegManifest(s, d)),
+    "q235_semantic_decontaminate" -> ((s: SparkSession, d: String) => graft.llm.Similarity.semanticDecontaminate(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2304,6 +2305,28 @@ object SparkEntry {
         |  CAST(64 + doc_id % 512 AS BIGINT) AS width,
         |  CAST(3 AS BIGINT) AS n_components
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q235: semantic decontamination — nearest eval vector per training
+    // vector, exact cosine, dyadic τ verdict; oracle mirrors q34's
+    // list-fold dot and the rnk=1 window form of the bounded heap
+    "q235_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS eval_id, embedding AS q_emb, n2 AS q_n2
+        |      FROM e WHERE vec_id % 20 = 0 AND vec_id < 5120),
+        |t AS (SELECT vec_id, embedding, n2 FROM e
+        |      WHERE NOT (vec_id % 20 = 0 AND vec_id < 5120)),
+        |s AS (SELECT t.vec_id, q.eval_id,
+        |    list_sum(list_transform(range(1, len(t.embedding) + 1),
+        |      i -> q.q_emb[i]::DOUBLE * t.embedding[i]::DOUBLE))
+        |      / (sqrt(q.q_n2) * sqrt(t.n2)) AS sim
+        |  FROM t, q),
+        |r AS (SELECT vec_id, eval_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |         ORDER BY sim DESC, eval_id) AS rn FROM s)
+        |SELECT vec_id, eval_id, sim AS max_sim, sim >= 0.3125 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

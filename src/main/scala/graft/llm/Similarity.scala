@@ -484,6 +484,54 @@ object Similarity {
    * round 5 ran a full `count()` here) and can be threaded in
    * explicitly by callers that maintain their own index catalog.
    */
+  /**
+   * SEMANTIC decontamination — the embedding-based member of the
+   * decontamination family (q91 exact n-gram, q109 graded containment,
+   * q163 winnowing fingerprints, q229 cluster-closed): a training
+   * vector is contaminated when its cosine to ANY held-out eval vector
+   * reaches τ, catching the paraphrase/reformat drift every lexical
+   * screen misses (the reason production pipelines run an embedding
+   * screen beside the n-gram one). Eval slice = the family's bounded
+   * query-set convention. Output: every training vector with its
+   * NEAREST eval doc (deterministic sim-desc/eval_id tiebreak via the
+   * rank-emitting bounded heap, never a window), the exact max
+   * similarity, and the τ verdict — graded evidence, not just a flag.
+   *
+   * τ = 0.3125 (dyadic 5/16 — exact in double in both engines, the
+   * q162 threshold discipline).
+   *
+   * Scale shape: eval suites are benchmark-sized by nature, so the
+   * eval side BROADCASTS (MBs against 100 TB of training vectors) and
+   * the whole screen is ONE corpus scan with row-local dot products —
+   * the same asymmetric-join stance as q163; exactness is the point
+   * (an IVF-pruned variant would miss the marginal cosines this screen
+   * exists to catch), so the scan is deliberate, not a shortcut.
+   */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.3125): DataFrame =
+    semanticDecontaminateOf(Tables.embeddings(spark, dir), tau)
+
+  /** [[semanticDecontaminate]] over an explicit (vec_id, embedding)
+    * frame — the spec plants an eval near-copy among training rows. */
+  private[llm] def semanticDecontaminateOf(emb0: DataFrame,
+      tau: Double): DataFrame = {
+    val emb = withNorm(emb0)
+    val isEval = pmod(col("vec_id"), lit(20)) === 0 &&
+      col("vec_id") < lit(20L * MaxBruteQueries)
+    val evalV = emb.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val joined = emb.filter(!isEval).crossJoin(broadcast(evalV))
+      .withColumn("sim",
+        dotD(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(col("n2"))))
+    graft.plans.TopK.perKeyWithRank(joined,
+        Seq("vec_id"), Seq(("sim", true), ("eval_id", false)), 1, "rnk")
+      .select(col("vec_id"), col("eval_id"), col("sim").as("max_sim"),
+        (col("sim") >= lit(tau)).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   def annLsh(spark: SparkSession, dir: String, k: Int = 5, bitsIn: Int = -1): DataFrame = {
     val bits =
       if (bitsIn > 0) bitsIn

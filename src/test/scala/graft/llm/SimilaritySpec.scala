@@ -194,4 +194,27 @@ class SimilaritySpec extends SparkSpec {
       assert(recall == nHit.toDouble / nExact.toDouble)
     }
   }
+
+  test("semantic decontamination flags a planted eval near-copy, spares the orthogonal") {
+    import spark.implicits._
+    // eval vector at id 0 (id % 20 == 0, under the cap); training ids
+    // avoid the eval slice. 901 is the eval vector scaled — cosine 1.0,
+    // contaminated; 902 is orthogonal — cosine 0, clean; 903 is a
+    // mixed direction landing between the two
+    val e = Array(1.0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, e),
+      (901L, Array(2.0f, 0f, 0f, 0f)),
+      (902L, Array(0f, 3.0f, 0f, 0f)),
+      (903L, Array(1.0f, 1.0f, 0f, 0f)))
+    val got = Similarity.semanticDecontaminateOf(
+        rows.toDF("vec_id", "embedding"), tau = 0.3125)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(901L, 902L, 903L), got)
+    assert(got(901L) == ((0L, 1.0, true)), got(901L))
+    assert(got(902L)._2 == 0.0 && !got(902L)._3, got(902L))
+    // cos(45°) = 1/sqrt(2) ≈ 0.707 ≥ τ
+    assert(got(903L)._3 && math.abs(got(903L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+  }
 }

@@ -251,6 +251,7 @@ object SparkEntry {
     "q233_threshold_yield" -> ((s: SparkSession, d: String) => graft.llm.Eval.thresholdYield(s, d)),
     "q234_jpeg_meta"       -> ((s: SparkSession, d: String) => Multimodal.jpegManifest(s, d)),
     "q235_semantic_decontaminate" -> ((s: SparkSession, d: String) => graft.llm.Similarity.semanticDecontaminate(s, d)),
+    "q236_blocklist_audit" -> ((s: SparkSession, d: String) => TextAnalysis.blocklistAudit(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2327,6 +2328,28 @@ object SparkEntry {
         |         ORDER BY sim DESC, eval_id) AS rn FROM s)
         |SELECT vec_id, eval_id, sim AS max_sim, sim >= 0.3125 AS contaminated
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q236: C4-style blocklist removal audit — per-source docs/tokens a
+    // drop policy would remove, exact integer ppm budgets; the oracle
+    // mirrors the blocklist lexicon token for token
+    "q236_blocklist_audit" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'slow' OR w = 'small' OR w = 'big')) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked_docs,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_lost,
+        |  CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+        |  (1000000 * CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS blocked_doc_ppm,
+        |  (1000000 * CAST(SUM(CASE WHEN n_hits > 0 THEN n_tokens ELSE 0 END) AS BIGINT))
+        |    // CAST(SUM(n_tokens) AS BIGINT) AS token_loss_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -295,6 +295,47 @@ object TextAnalysis {
    * per partition per lang). All-integer: the ppm ratio is BIGINT
    * `div`, bit-exact in any engine.
    */
+  /** The C4-style blocklist lexicon — a CODE-level constant (stands in
+    * for the "dirty words" list; fixture tokens so the audit exercises
+    * real hits). One definition, shared by the Spark side and mirrored
+    * token-for-token by the oracle. */
+  private[llm] val Blocklist: Seq[String] = Seq("slow", "small", "big")
+
+  /**
+   * Blocklist removal audit — the C4 "bad words" curation stage
+   * (Raffel et al. 2020 drop any document containing a blocklisted
+   * term) reported as the per-source DECISION TABLE: documents hit,
+   * docs/tokens a drop policy would remove, and the removal budget in
+   * exact integer ppm — what a curator reads before turning the rule
+   * on (a source losing half its tokens to one list entry is a signal
+   * about the list, not the source).
+   *
+   * Scale: hit counting is a row-local array `filter` over each doc's
+   * own token vector (no explode, no join — the q165 ablation shape);
+   * ONE hash aggregate to source cardinality. Embarrassingly parallel
+   * at 100 TB.
+   */
+  def blocklistAudit(spark: SparkSession, dir: String): DataFrame = {
+    val hits = size(filter(tokens,
+      t => Blocklist.map(w => t === lit(w)).reduce(_ || _))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokens).cast("long").as("n_tokens"),
+        hits.as("n_hits"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_blocked_docs"),
+        sum(when(col("n_hits") > 0L, col("n_tokens")).otherwise(0L))
+          .as("n_tokens_lost"),
+        sum(col("n_hits")).as("n_hits"))
+      .withColumn("blocked_doc_ppm",
+        expr("(1000000 * n_blocked_docs) div n_docs"))
+      .withColumn("token_loss_ppm",
+        expr("(1000000 * n_tokens_lost) div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
     val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
     Tables.documents(spark, dir)

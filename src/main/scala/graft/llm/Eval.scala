@@ -177,10 +177,26 @@ object Eval {
   def prCurve(spark: SparkSession, dir: String): DataFrame =
     prCurveOf(Tables.documents(spark, dir))
 
-  private[llm] def prCurveOf(docs: DataFrame): DataFrame = {
-    val perScore = scoredDocs(docs).groupBy(col("score"))
+  /** The UNIFIED per-score count table behind both threshold curves —
+    * (score, np, nn, nd, nt): the confusion inputs (q232) and the
+    * yield inputs (q233) per observed integer-ppm score. Bounded
+    * domain (≤ 10⁶ rows). All four counts merge by SUMMATION, so this
+    * is also the streamed artifact's partial shape
+    * ([[graft.streaming.ArtifactMaintenance.perScoreArtifact]]): a
+    * live corpus keeps its threshold dashboards fresh by folding
+    * batch-sized partials, never re-scoring the corpus. */
+  private[graft] def perScoreCounts(docs: DataFrame): DataFrame =
+    scoredDocs(docs).groupBy(col("score"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"),
+        count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+
+  private[llm] def prCurveOf(docs: DataFrame): DataFrame =
+    prCurveFrom(perScoreCounts(docs))
+
+  /** [[prCurve]] computed from an ALREADY-BUILT per-score table (the
+    * batch aggregate or its streamed twin). */
+  private[graft] def prCurveFrom(perScore: DataFrame): DataFrame = {
     val withNn = graft.ops.GlobalOrder.withRankAndPrefix(
         perScore, Seq(col("score")), value = Some(col("nn")),
         prefixCol = "cum_nn_below")
@@ -217,9 +233,11 @@ object Eval {
   def thresholdYield(spark: SparkSession, dir: String): DataFrame =
     thresholdYieldOf(Tables.documents(spark, dir))
 
-  private[llm] def thresholdYieldOf(docs: DataFrame): DataFrame = {
-    val perScore = scoredDocs(docs).groupBy(col("score"))
-      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+  private[llm] def thresholdYieldOf(docs: DataFrame): DataFrame =
+    thresholdYieldFrom(perScoreCounts(docs))
+
+  /** [[thresholdYield]] from an already-built per-score table. */
+  private[graft] def thresholdYieldFrom(perScore: DataFrame): DataFrame = {
     val d1 = graft.ops.GlobalOrder.withRankAndPrefix(
         perScore, Seq(col("score")), value = Some(col("nd")),
         prefixCol = "cum_nd_below")

@@ -270,6 +270,29 @@ object ArtifactMaintenance {
     new ManifestArtifact(artifactDir,
       batch => graft.llm.Dedup.simhashAgg(batch), SigSchema)
 
+  // ---- per-score eval counts (mergeable) ---------------------------
+
+  private val PerScoreSchema = StructType(Seq(
+    StructField("score", LongType), StructField("np", LongType),
+    StructField("nn", LongType), StructField("nd", LongType),
+    StructField("nt", LongType)))
+
+  /** The per-score count store maintained from a document stream — the
+    * live twin of the bounded table behind BOTH threshold curves
+    * (q232 precision/recall, q233 token yield). Confusion and yield
+    * counts all merge by summation, so per-batch partials commit and
+    * serve re-aggregates; `Eval.prCurveFrom`/`thresholdYieldFrom` read
+    * the served table exactly as the batch aggregate — a live corpus
+    * keeps its threshold dashboards fresh at batch-sized cost, never
+    * re-scoring the corpus. Domain stays bounded (integer-ppm scores
+    * ≤ 10⁶ distinct) no matter how many batches commit. */
+  def perScoreArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Eval.perScoreCounts(batch), PerScoreSchema,
+      reduceOf = _.groupBy(col("score")).agg(
+        sum(col("np")).as("np"), sum(col("nn")).as("nn"),
+        sum(col("nd")).as("nd"), sum(col("nt")).as("nt")))
+
   // ---- winnowing fingerprints (row-partitioned) -------------------
 
   private val WinnowFpSchema = StructType(Seq(

@@ -314,6 +314,35 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(compacted == direct)
   }
 
+  test("streamed per-score counts serve the q232/q233 curves equal to batch") {
+    import spark.implicits._
+    val artifact = freshDir("perscore-artifact")
+    val art = ArtifactMaintenance.perScoreArtifact(artifact)
+    // docs need (doc_id, text, lang); scores collide across batches so
+    // the mergeable sum is genuinely exercised
+    val b0 = Seq(
+      (1L, "the a x y", "en"), (2L, "x y z w", "de"),
+      (3L, "the a x y", "en")).toDF("doc_id", "text", "lang")
+    val b1 = Seq(
+      (4L, "the a x y", "de"), (5L, "u v", "en")).toDF("doc_id", "text", "lang")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(art.serve(spark)) == rows(graft.llm.Eval.perScoreCounts(all)),
+      "streamed per-score table diverged from the batch aggregate")
+    // both curves served from the streamed table equal the batch path
+    assert(rows(graft.llm.Eval.prCurveFrom(art.serve(spark))) ==
+      rows(graft.llm.Eval.prCurveFrom(graft.llm.Eval.perScoreCounts(all))))
+    assert(rows(graft.llm.Eval.thresholdYieldFrom(art.serve(spark))) ==
+      rows(graft.llm.Eval.thresholdYieldFrom(graft.llm.Eval.perScoreCounts(all))))
+    // compaction preserves the mergeable table
+    val before = rows(art.serve(spark))
+    art.compact(spark)
+    assert(rows(art.serve(spark)) == before)
+  }
+
   test("streamed winnow-fps store matches the batch index and serves the decon screen") {
     import spark.implicits._
     val artifact = freshDir("winnow-artifact")

@@ -252,6 +252,7 @@ object SparkEntry {
     "q234_jpeg_meta"       -> ((s: SparkSession, d: String) => Multimodal.jpegManifest(s, d)),
     "q235_semantic_decontaminate" -> ((s: SparkSession, d: String) => graft.llm.Similarity.semanticDecontaminate(s, d)),
     "q236_blocklist_audit" -> ((s: SparkSession, d: String) => TextAnalysis.blocklistAudit(s, d)),
+    "q237_ivf_cell_balance" -> ((s: SparkSession, d: String) => Pipeline.ivfCellBalance(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2350,6 +2351,25 @@ object SparkEntry {
         |  (1000000 * CAST(SUM(CASE WHEN n_hits > 0 THEN n_tokens ELSE 0 END) AS BIGINT))
         |    // CAST(SUM(n_tokens) AS BIGINT) AS token_loss_ppm
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // q237: IVF cell-balance audit — the oracle replays the learned
+    // quantizer (kmeansCtes) and the row_number argmin assignment,
+    // then the same exact-ppm balance arithmetic
+    "q237_ivf_cell_balance" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      $kmeansDist, c.cid) AS rn
+        |  FROM embeddings e CROSS JOIN c2 c),
+        |sz AS (SELECT CAST(cid AS BIGINT) AS cell,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |  FROM ranked WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM sz)
+        |SELECT cell, n_vectors,
+        |  (1000000 * n_vectors) // n AS share_ppm,
+        |  (1000000 * n_vectors * n_cells) // n AS load_vs_even_ppm
+        |FROM sz CROSS JOIN tot ORDER BY cell""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

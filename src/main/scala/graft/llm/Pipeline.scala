@@ -1022,6 +1022,38 @@ object Pipeline {
       .orderBy(col("cell"), col("rnk"))
   }
 
+  /**
+   * IVF cell-balance audit — the go/no-go check before making the cell
+   * id a STORAGE PARTITION KEY (the q160 deployment shape): probe
+   * pruning only pays if cells are near-even, and a hot cell turns
+   * every probe that touches it into a scan of a constant fraction of
+   * the corpus. Per cell: vector count, corpus share in exact ppm, and
+   * the load relative to a perfectly even spread
+   * (`n_vectors·n_cells/N`, ppm — 10⁶ = exactly even; the MAX of this
+   * column is the skew factor a capacity plan multiplies by).
+   *
+   * Scale: assignment is the same row-local centroid-literal argmin as
+   * every IVF path; ONE cell-cardinality aggregate; totals broadcast.
+   */
+  def ivfCellBalance(spark: SparkSession, dir: String,
+      cells: Int = IvfCells, iters: Int = IvfIters): DataFrame = {
+    val model = KMeans.fit(spark, dir, cells, iters)
+    val emb = Tables.embeddings(spark, dir)
+    val distArr = array(model.centroids.map { case (cid, c) =>
+      struct(KMeans.sqDist(col("embedding"), c).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val sz = emb
+      .withColumn("cell", sort_array(distArr)(0)("cid").cast("long"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val tot = sz.agg(sum(col("n_vectors")).as("n"),
+      count(lit(1)).as("n_cells"))
+    sz.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        expr("(1000000 * n_vectors) div n").as("share_ppm"),
+        expr("(1000000 * n_vectors * n_cells) div n").as("load_vs_even_ppm"))
+      .orderBy(col("cell"))
+  }
+
   def ivfAnn(spark: SparkSession, dir: String, k: Int = 5, cells: Int = IvfCells,
       iters: Int = IvfIters, nprobe: Int = IvfProbe): DataFrame = {
     val model = KMeans.fit(spark, dir, cells, iters)

@@ -580,8 +580,13 @@ object Dedup {
   /** Intersection counts per unordered source pair — the overlap
     * matrix WITHOUT the size joins and the Jaccard projection, for
     * consumers (q187's centrality) that only need edge weights. */
-  private[llm] def sourceOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sg = sourceGrams(spark, dir)
+  private[llm] def sourceOverlapPairs(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapPairsFrom(sourceGrams(spark, dir))
+
+  /** Intersection counts over an ALREADY-BUILT (source, h) gram table
+    * — the memoized `source-grams` artifact or its streamed twin
+    * ([[graft.streaming.ArtifactMaintenance.sourceGramsArtifact]]). */
+  private[graft] def sourceOverlapPairsFrom(sg: DataFrame): DataFrame = {
     val a = sg.select(col("source").as("src_a"), col("h"))
     val b = sg.select(col("source").as("src_b"), col("h"))
     a.join(b, Seq("h"))
@@ -590,10 +595,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
   }
 
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sg = sourceGrams(spark, dir)
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(sourceGrams(spark, dir))
+
+  /** [[sourceOverlap]] over an explicit gram table. */
+  private[graft] def sourceOverlapFrom(sg: DataFrame): DataFrame = {
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    sourceOverlapPairs(spark, dir)
+    sourceOverlapPairsFrom(sg)
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))),
         Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))),

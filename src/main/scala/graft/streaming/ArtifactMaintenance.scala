@@ -293,6 +293,27 @@ object ArtifactMaintenance {
         sum(col("np")).as("np"), sum(col("nn")).as("nn"),
         sum(col("nd")).as("nd"), sum(col("nt")).as("nt")))
 
+  // ---- distinct source grams (mergeable by distinct) ---------------
+
+  private val SourceGramsSchema = StructType(Seq(
+    StructField("source", StringType), StructField("h", StringType)))
+
+  /** The distinct (source, gram-digest) store maintained from a
+    * document stream — the live twin of the memoized `source-grams`
+    * artifact behind the overlap matrix (q183), duplication-graph
+    * centrality (q187) and the KMV family's exact audit arm. A FIFTH
+    * merge shape on the manifest mechanism: DISTINCT — the same gram
+    * arriving in two batches collapses at serve, so
+    * distinct(∪ per-batch distincts) = distinct(∪ inputs); partials
+    * stay gram-vocabulary-bounded per batch. Consumers read the served
+    * table through the same `sourceOverlapFrom`/`sourceOverlapPairsFrom`
+    * the batch artifact feeds. */
+  def sourceGramsArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Dedup.sourceGramProjection(batch),
+      SourceGramsSchema,
+      reduceOf = _.distinct())
+
   // ---- winnowing fingerprints (row-partitioned) -------------------
 
   private val WinnowFpSchema = StructType(Seq(

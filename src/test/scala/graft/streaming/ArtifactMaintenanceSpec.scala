@@ -314,6 +314,32 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(compacted == direct)
   }
 
+  test("streamed source-grams store serves the overlap matrix equal to batch") {
+    import spark.implicits._
+    val artifact = freshDir("srcgrams-artifact")
+    val art = ArtifactMaintenance.sourceGramsArtifact(artifact)
+    // shared trigram "a b c" arrives in BOTH batches (the distinct
+    // merge must collapse it) and in both sources (the overlap pair)
+    val b0 = Seq(
+      (1L, "s1", "a b c d e"), (2L, "s2", "a b c x y")).toDF("doc_id", "source", "text")
+    val b1 = Seq(
+      (3L, "s1", "a b c d e"), (4L, "s2", "p q r s t")).toDF("doc_id", "source", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.Dedup.sourceGramProjection(all)),
+      "streamed gram table diverged from the batch projection")
+    val fromStream = rows(graft.llm.Dedup.sourceOverlapFrom(art.serve(spark)))
+    val fromBatch = rows(graft.llm.Dedup.sourceOverlapFrom(
+      graft.llm.Dedup.sourceGramProjection(all)))
+    assert(fromStream == fromBatch && fromBatch.nonEmpty)
+    art.compact(spark)
+    assert(rows(graft.llm.Dedup.sourceOverlapFrom(art.serve(spark))) == fromBatch)
+  }
+
   test("streamed per-score counts serve the q232/q233 curves equal to batch") {
     import spark.implicits._
     val artifact = freshDir("perscore-artifact")

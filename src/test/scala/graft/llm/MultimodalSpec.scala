@@ -198,4 +198,50 @@ class MultimodalSpec extends SparkSpec {
     val n3 = rows(4L)
     assert(!n3.getBoolean(1) && n3.isNullAt(4), n3)
   }
+
+  test("property: jpegMeta parses any header behind a random segment prefix") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def be2(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(mk: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, mk.toByte) ++ be2(body.length + 2) ++ body
+    // random prefix of 0..14 length-bearing segments (APPn/COM/DQT/DHT)
+    // with random body lengths, then a random SOF variant and dims
+    val gen = for {
+      nSegs <- Gen.choose(0, 14)
+      segs <- Gen.listOfN(nSegs, for {
+        mk <- Gen.oneOf(0xe0 to 0xef: Seq[Int]) // APPn
+          .flatMap(m => Gen.oneOf(Seq(m, 0xfe, 0xdb, 0xc4)))
+        len <- Gen.choose(0, 40)
+        fill <- Gen.choose(0, 255)
+      } yield seg(mk, Array.fill(len)(fill.toByte)))
+      sofMk <- Gen.oneOf(0xc0, 0xc1, 0xc2, 0xc3)
+      w <- Gen.choose(1, 65535)
+      h <- Gen.choose(1, 65535)
+      nc <- Gen.choose(1, 4)
+    } yield (segs, sofMk, w, h, nc)
+    val samples = (0 until 24).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(777L + i)))
+    val payloads = samples.zipWithIndex.map { case ((segs, sofMk, w, h, nc), i) =>
+      val sofBody = Array[Byte](8) ++ be2(h) ++ be2(w) ++
+        Array(nc.toByte) ++ Array.fill(3 * nc)(0x11.toByte)
+      val bytes = Array(0xff.toByte, 0xd8.toByte) ++
+        segs.flatten ++ seg(sofMk, sofBody)
+      (i.toLong, bytes)
+    }
+    val got = payloads.toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.jpegMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_jpeg"), col("m.sof_type"),
+        col("m.height"), col("m.width"), col("m.n_components"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    samples.zipWithIndex.foreach { case ((_, sofMk, w, h, nc), i) =>
+      val r = got(i.toLong)
+      assert(r.getBoolean(1), s"sample $i not recognized")
+      assert(r.getLong(2) == (sofMk - 0xc0).toLong, s"sample $i sof_type")
+      assert(r.getLong(3) == h.toLong && r.getLong(4) == w.toLong,
+        s"sample $i dims: got (${r.getLong(3)}, ${r.getLong(4)}) want ($h, $w)")
+      assert(r.getLong(5) == nc.toLong, s"sample $i components")
+    }
+  }
 }

@@ -253,6 +253,7 @@ object SparkEntry {
     "q235_semantic_decontaminate" -> ((s: SparkSession, d: String) => graft.llm.Similarity.semanticDecontaminate(s, d)),
     "q236_blocklist_audit" -> ((s: SparkSession, d: String) => TextAnalysis.blocklistAudit(s, d)),
     "q237_ivf_cell_balance" -> ((s: SparkSession, d: String) => Pipeline.ivfCellBalance(s, d)),
+    "q238_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2370,6 +2371,29 @@ object SparkEntry {
         |  (1000000 * n_vectors) // n AS share_ppm,
         |  (1000000 * n_vectors * n_cells) // n AS load_vs_even_ppm
         |FROM sz CROSS JOIN tot ORDER BY cell""".stripMargin,
+    // q238: normalization-robust dedup audit — per-source raw vs
+    // normalized exact-dup membership; DuckDB needs the 'g' flag where
+    // Spark's regexp_replace is global by default
+    "q238_normalized_dedup" ->
+      """WITH h AS (SELECT source, md5(text) AS eh,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS nh
+        |  FROM documents),
+        |ed AS (SELECT eh FROM h GROUP BY eh HAVING COUNT(*) > 1),
+        |nd AS (SELECT nh FROM h GROUP BY nh HAVING COUNT(*) > 1)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ed.eh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup_docs,
+        |  CAST(SUM(CASE WHEN nd.nh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_norm_dup_docs,
+        |  CAST(SUM(CASE WHEN nd.nh IS NOT NULL AND ed.eh IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_newly_caught,
+        |  (1000000 * CAST(SUM(CASE WHEN nd.nh IS NOT NULL AND ed.eh IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS newly_caught_ppm
+        |FROM h LEFT JOIN ed ON h.eh = ed.eh LEFT JOIN nd ON h.nh = nd.nh
+        |GROUP BY source ORDER BY source""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

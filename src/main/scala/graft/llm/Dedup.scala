@@ -71,6 +71,44 @@ object Dedup {
       .orderBy("keep_id")
 
   /**
+   * Normalization-robust exact dedup audit — the case/punctuation
+   * canonicalization step production pipelines run BEFORE exact
+   * hashing (Gopher/RefinedWeb normalize, then hash): per source, how
+   * many documents sit in raw exact-duplicate groups vs in groups of
+   * the NORMALIZED text (lowercase, non-alphanumeric runs collapsed to
+   * one space, trimmed), and the documents normalization newly
+   * catches — re-crawls that differ only in casing/punctuation, which
+   * raw exact dedup silently keeps twice.
+   *
+   * Scale shape: normalization is row-local; both duplicate tests are
+   * md5-hash aggregates (32-hex keys shuffle, never text), the
+   * dup-hash slivers join back on the hash, one source-cardinality
+   * rollup. Deterministic, RNG-free.
+   */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, dir))
+
+  private[llm] def normalizedDedupOf(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val h = docs.select(col("source"), md5(col("text")).as("eh"),
+      md5(norm).as("nh"))
+    def dupSet(c: String) = h.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).select(col(c))
+    h.join(dupSet("eh").withColumn("e_dup", lit(1L)), Seq("eh"), "left")
+      .join(dupSet("nh").withColumn("n_dup", lit(1L)), Seq("nh"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("e_dup"), lit(0L))).as("n_exact_dup_docs"),
+        sum(coalesce(col("n_dup"), lit(0L))).as("n_norm_dup_docs"),
+        sum(when(col("n_dup") === 1L && col("e_dup").isNull, 1L)
+          .otherwise(0L)).as("n_newly_caught"))
+      .withColumn("newly_caught_ppm",
+        expr("(1000000 * n_newly_caught) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Duplication SPECTRUM: for every exact-duplicate cluster size, how
    * many clusters exist, how many documents they hold, and how many
    * are removable (cluster size − 1 each) — the corpus-health summary

@@ -237,4 +237,22 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("normalized dedup catches case/punct variants raw exact dedup misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "Hello, World!"),
+      (2L, "s1", "hello world"),        // norm-dup of 1, not exact-dup
+      (3L, "s1", "hello world"),        // exact-dup of 2 (and norm-dup)
+      (4L, "s2", "something else"),     // clean
+      (5L, "s2", "SOMETHING... else")   // norm-dup of 4 across punctuation
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.normalizedDedupOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // s1: 3 docs; exact dups = {2,3}; norm dups = {1,2,3}; newly = {1}
+    assert(got("s1") == ((3L, 2L, 3L, 1L)), got("s1"))
+    // s2: 2 docs; no exact dups; norm dups = both; newly = both
+    assert(got("s2") == ((2L, 0L, 2L, 2L)), got("s2"))
+  }
 }

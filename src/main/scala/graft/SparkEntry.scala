@@ -254,6 +254,7 @@ object SparkEntry {
     "q236_blocklist_audit" -> ((s: SparkSession, d: String) => TextAnalysis.blocklistAudit(s, d)),
     "q237_ivf_cell_balance" -> ((s: SparkSession, d: String) => Pipeline.ivfCellBalance(s, d)),
     "q238_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
+    "q239_join_skew_audit" -> ((s: SparkSession, d: String) => graft.ops.Relational7.joinSkewAudit(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2394,6 +2395,21 @@ object SparkEntry {
         |    AS newly_caught_ppm
         |FROM h LEFT JOIN ed ON h.eh = ed.eh LEFT JOIN nd ON h.nh = nd.nh
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q239: join-skew pre-flight — top-10 hottest user_id values with
+    // load-vs-even and share in exact ppm; the oracle's window form of
+    // the bounded heap
+    "q239_join_skew_audit" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT user_id, n_rows,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+        |      AS BIGINT) AS rnk FROM c)
+        |SELECT rnk, user_id, n_rows, total_rows, n_keys,
+        |  (1000000 * n_rows * n_keys) // total_rows AS load_vs_even_ppm,
+        |  (1000000 * n_rows) // total_rows AS share_ppm
+        |FROM r CROSS JOIN t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

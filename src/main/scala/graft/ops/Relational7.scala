@@ -437,4 +437,37 @@ object Relational7 {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
+
+  /**
+   * Join-skew pre-flight audit: before shuffling 100 TB on a key, read
+   * this table — the top-10 hottest values of the events `user_id` key
+   * with exact row counts, each key's load relative to a perfectly
+   * even spread (ppm; the MAX is the skew factor that sizes a salting
+   * fan-out or justifies AQE skew-join), and the share of all rows the
+   * hot set holds. The decision input behind `saltedJoin`
+   * (Relational3) and the AQE skew rule (AqeSkewSpec): a 10⁶-ppm-flat
+   * profile means plain hash partitioning is fine; a hot key at 50×
+   * even means that one reducer gets 50 tasks' worth of rows.
+   *
+   * Plan: ONE hash aggregate to key cardinality, the hot set via the
+   * rank-emitting bounded heap (never a global sort), totals broadcast
+   * — the audit itself must be cheap enough to run before every big
+   * join.
+   */
+  def joinSkewAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    graft.plans.TopK.perKeyWithRank(
+        counts.withColumn("g", lit(1)),
+        Seq("g"), Seq(("n_rows", true), ("user_id", false)), k, "rnk")
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("user_id"), col("n_rows"),
+        col("total_rows"), col("n_keys"),
+        expr("(1000000 * n_rows * n_keys) div total_rows")
+          .as("load_vs_even_ppm"),
+        expr("(1000000 * n_rows) div total_rows").as("share_ppm"))
+      .orderBy(col("rnk"))
+  }
 }

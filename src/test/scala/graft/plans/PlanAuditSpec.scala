@@ -483,4 +483,29 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!q100.contains("Window"), s"q100 window not eliminated:\n$q100")
   }
+
+  test("round-12 queries: eval broadcast in q235, zero joins in q236, heap in q239") {
+    // q235 semantic decontamination: the eval suite must ride a
+    // BROADCAST against the one corpus scan (the q163 stance), rank
+    // through the bounded heap, and never sort-merge
+    val a235 = auditOf("q235_semantic_decontaminate")
+    assert(a235.broadcastExchanges >= 1 && a235.sortMergeJoins == 0, a235)
+    val p235 = SparkEntry.queries("q235_semantic_decontaminate")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p235.contains("TopKPerKey"), s"q235 lacks the bounded heap:\n$p235")
+    // q236 blocklist audit: row-local counting — zero joins, one
+    // source-cardinality aggregate exchange (plus the output sort)
+    val a236 = auditOf("q236_blocklist_audit")
+    assert(a236.joins == 0 && a236.nestedLoopJoins == 0, a236)
+    assert(a236.shuffleExchanges <= 2, a236)
+    // q239 skew audit: the hot set comes from the bounded heap, never
+    // a global sort of the key-count table
+    val p239 = SparkEntry.queries("q239_join_skew_audit")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(p239.contains("TopKPerKey"), s"q239 lacks the bounded heap:\n$p239")
+    // q238 normalized dedup: hash-key aggregates and join-backs only —
+    // no nested loops, no text-keyed sort-merge explosion
+    val a238 = auditOf("q238_normalized_dedup")
+    assert(a238.nestedLoopJoins == 0, a238)
+  }
 }

@@ -255,6 +255,7 @@ object SparkEntry {
     "q237_ivf_cell_balance" -> ((s: SparkSession, d: String) => Pipeline.ivfCellBalance(s, d)),
     "q238_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
     "q239_join_skew_audit" -> ((s: SparkSession, d: String) => graft.ops.Relational7.joinSkewAudit(s, d)),
+    "q240_dedup_threshold_curve" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdCurve(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2410,6 +2411,20 @@ object SparkEntry {
         |  (1000000 * n_rows * n_keys) // total_rows AS load_vs_even_ppm,
         |  (1000000 * n_rows) // total_rows AS share_ppm
         |FROM r CROSS JOIN t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // q240: near-dup threshold sweep — pairs surviving and docs the
+    // drop-higher-member policy removes per dyadic Jaccard threshold
+    "q240_dedup_threshold_curve" ->
+      s"""WITH $minhashPairsCtes,
+        |g AS (SELECT unnest([0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125,
+        |                     0.875, 0.9375, 1.0]) AS threshold),
+        |f AS (SELECT g.threshold, n.id_b
+        |      FROM neardup n JOIN g ON n.jaccard >= g.threshold)
+        |SELECT threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped,
+        |  (1000000 * CAST(COUNT(DISTINCT id_b) AS BIGINT))
+        |    // (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS dropped_ppm
+        |FROM f GROUP BY threshold ORDER BY threshold""".stripMargin,
     // duplication trend: q32 pairs' higher members bucketed by id-range
     // decile; dup_ppm = flagged share of each decile's docs
     "q199_dup_trend" ->

@@ -109,6 +109,39 @@ object Dedup {
   }
 
   /**
+   * Near-dup threshold sweep — the aggressiveness curve for the LSH
+   * dedup cut (the q232 thought applied to duplication): for each
+   * dyadic Jaccard threshold t ∈ {8/16 … 16/16}, how many verified
+   * pairs survive "treat as duplicate at similarity ≥ t" and how many
+   * documents the drop-higher-member policy (q199's convention) would
+   * remove, in exact corpus ppm. Read next to q233's token-yield
+   * curve, this is how a curator picks the dedup threshold instead of
+   * inheriting 0.5.
+   *
+   * Scale: everything derives from the STORED `lsh-pairs` artifact —
+   * the only corpus touch is one COUNT(*); the sweep itself is a
+   * 9-way explode over the pair sliver. Thresholds are dyadic
+   * sixteenths, exact in double in both engines.
+   */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grid = (8 to 16).map(i => i / 16.0)
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    minhashLsh(spark, dir)
+      .select(col("id_b"), col("jaccard"))
+      .withColumn("threshold", explode(array(grid.map(lit(_)): _*)))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("dropped_ppm", expr("(1000000 * n_dropped) div n_docs"))
+      .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+        col("dropped_ppm"))
+      .orderBy(col("threshold"))
+  }
+
+  /**
    * Duplication SPECTRUM: for every exact-duplicate cluster size, how
    * many clusters exist, how many documents they hold, and how many
    * are removable (cluster size − 1 each) — the corpus-health summary

@@ -256,6 +256,7 @@ object SparkEntry {
     "q238_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
     "q239_join_skew_audit" -> ((s: SparkSession, d: String) => graft.ops.Relational7.joinSkewAudit(s, d)),
     "q240_dedup_threshold_curve" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdCurve(s, d)),
+    "q241_training_order" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.trainingOrder(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1421,18 +1422,40 @@ object SparkEntry {
         |       ' <MID> ' || array_to_string(ws[cut1 + 1:cut2], ' ') AS fim_text
         |FROM c2 ORDER BY doc_id""".stripMargin,
     "q185_repeat_epochs" ->
-      """WITH toks AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
-        |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM toks),
-        |s AS (SELECT toks.*, (2 * corpus_tokens) // n_sources AS share
-        |      FROM toks, tot),
-        |e AS (SELECT *, LEAST(CAST(4000000 AS BIGINT),
-        |        (1000000 * share) // tokens) AS epochs_ppm FROM s)
+      s"""WITH $repeatEpochsCtes
         |SELECT source, n_docs, tokens, share, epochs_ppm,
         |       (tokens * epochs_ppm) // 1000000 AS allocated_tokens
         |FROM e ORDER BY source""".stripMargin,
+    // q241: the materialized training order — q185's allocation
+    // honored fractionally (whole epochs for all docs, the first
+    // frac_docs by per-source rank once more) and positioned
+    // round-robin across (source, epoch) lanes
+    "q241_training_order" ->
+      s"""WITH $repeatEpochsCtes,
+        |ep AS (SELECT source, n_docs, epochs_ppm,
+        |    epochs_ppm // 1000000 AS whole,
+        |    (n_docs * (epochs_ppm % 1000000)) // 1000000 AS frac_docs
+        |  FROM e),
+        |ep2 AS (SELECT *, whole + (CASE WHEN frac_docs > 0 THEN 1 ELSE 0 END)
+        |    AS n_epochs FROM ep),
+        |lanes AS (SELECT source, epoch,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY source, epoch) AS BIGINT)
+        |      AS lane_idx
+        |  FROM (SELECT source, unnest(range(1, n_epochs + 1)) AS epoch
+        |        FROM ep2 WHERE n_epochs > 0)),
+        |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lanes FROM lanes),
+        |rk AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents),
+        |v AS (SELECT r.source, r.doc_id, r.rk, l.epoch, l.lane_idx
+        |  FROM rk r JOIN ep2 p ON r.source = p.source
+        |  JOIN lanes l ON l.source = r.source
+        |  WHERE l.epoch <= p.whole
+        |     OR (l.epoch = p.whole + 1 AND r.rk <= p.frac_docs))
+        |SELECT (v.rk - 1) * nl.n_lanes + v.lane_idx AS pos, v.source,
+        |  CAST(v.epoch AS BIGINT) AS epoch, v.doc_id
+        |FROM v CROSS JOIN nl ORDER BY pos""".stripMargin,
     "q186_pack_boundaries" ->
       """WITH d AS (SELECT source, doc_id, doc_id // 1000000 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -3511,6 +3534,20 @@ object SparkEntry {
   /** The q32 MinHash-LSH pipeline as reusable CTEs ending in `neardup`
     * (id_a, id_b, jaccard ≥ 0.5) — shared by q32 itself and q133's
     * cross-source rollup. */
+  /** The q185 allocation chain (toks → tot → s → e), shared by the
+    * q185 oracle and the q241 materialized-order oracle so the two
+    * cannot drift. */
+  private[graft] val repeatEpochsCtes: String =
+    """toks AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM toks),
+      |s AS (SELECT toks.*, (2 * corpus_tokens) // n_sources AS share
+      |      FROM toks, tot),
+      |e AS (SELECT *, LEAST(CAST(4000000 AS BIGINT),
+      |        (1000000 * share) // tokens) AS epochs_ppm FROM s)""".stripMargin
+
   private[graft] val minhashPairsCtes: String =
     s"""$shingleCtes,
       |mh AS (SELECT doc_id, salt,

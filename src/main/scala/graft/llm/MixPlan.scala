@@ -435,6 +435,62 @@ object MixPlan {
   }
 
   /**
+   * MATERIALIZED epoch-aware training order — [[repeatEpochs]]'s
+   * allocation and [[interleaveSchedule]]'s determinism composed into
+   * the artifact a data loader actually consumes: one row per
+   * (document, epoch) visit, globally positioned. Fractional epochs
+   * are honored the way the allocation means them: a source with
+   * `epochs_ppm = 2_300_000` trains all docs twice and its FIRST 30 %
+   * (by per-source doc_id rank — deterministic, rerun-stable) a third
+   * time. Position is round-robin across (source, epoch) lanes —
+   * `pos = (rank_in_source − 1)·n_lanes + lane_idx` — so early
+   * training mixes every source and epoch rather than draining them
+   * sequentially; partial lanes simply stop contributing (positions
+   * are strictly increasing per lane, globally unique, not dense —
+   * a loader sorts by pos, gaps are harmless).
+   *
+   * Scale: per-source doc ranks via the grouped GlobalOrder (never a
+   * few-key window over the corpus); the lane table is
+   * sources × ≤⌈max epochs⌉ rows — a bounded dimension, so its
+   * row_number window and its broadcast are catalog-sized; the visit
+   * explode is ≤ ⌈epochs⌉ per doc. One corpus-scale exchange (the
+   * rank), everything else broadcast arithmetic.
+   */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ep = repeatEpochs(spark, dir)
+      .select(col("source"), col("n_docs"), col("epochs_ppm"))
+      .withColumn("whole", expr("epochs_ppm div 1000000"))
+      .withColumn("frac_docs",
+        expr("(n_docs * (epochs_ppm % 1000000)) div 1000000"))
+      .withColumn("n_epochs",
+        expr("whole + (CASE WHEN frac_docs > 0 THEN 1 ELSE 0 END)"))
+    // (source, epoch) lanes with a global index — bounded dimension
+    // (sources × ≤ ⌈max epochs⌉), so the window is the pre-aggregated
+    // exemption and the table broadcasts
+    val lanes = ep.filter(col("n_epochs") > 0L)
+      .select(col("source"), explode(expr("sequence(1, n_epochs)")).as("epoch"))
+      .withColumn("lane_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"), col("epoch"))).cast("long"))
+    val nLanes = lanes.agg(count(lit(1)).as("n_lanes"))
+    val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+      keys = Seq(col("source")), order = Seq(col("doc_id")))
+    ranked
+      .join(broadcast(ep), Seq("source"))
+      .select(col("source"), col("doc_id"), col("g_rank").as("rk"),
+        col("whole"), col("frac_docs"), col("n_epochs"))
+      .withColumn("epoch", explode(expr("sequence(1, greatest(n_epochs, 1))")))
+      .filter(col("epoch") <= col("whole") ||
+        (col("epoch") === col("whole") + 1L && col("rk") <= col("frac_docs")))
+      .join(broadcast(lanes), Seq("source", "epoch"))
+      .crossJoin(broadcast(nLanes))
+      .select(((col("rk") - 1L) * col("n_lanes") + col("lane_idx")).as("pos"),
+        col("source"), col("epoch").cast("long").as("epoch"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
+  /**
    * Curriculum phase assignment: order the corpus easy→hard by the
    * stored LM's rare-bigram rate (the [[bigramNovelty]] difficulty
    * proxy — low rare_ppm = conventional text, high = novel/noisy) and

@@ -153,4 +153,40 @@ class MixPlanSpec extends SparkSpec {
     assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1L)
     assert(sizes.map(_._2).sorted.reverse.toSeq == sizes.map(_._2).toSeq)
   }
+
+  test("training order materializes the epoch allocation faithfully") {
+    import org.apache.spark.sql.functions._
+    val order = MixPlan.trainingOrder(spark, sf).cache()
+    val ep = MixPlan.repeatEpochs(spark, sf)
+      .select(col("source"), col("n_docs"), col("epochs_ppm")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // positions are globally unique and strictly positive
+    val n = order.count()
+    assert(order.select("pos").distinct().count() == n)
+    assert(order.filter(col("pos") <= 0L).count() == 0)
+    // per (source, epoch): whole epochs carry ALL the source's docs,
+    // the fractional epoch exactly floor(n_docs·frac) of them
+    val byLane = order.groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(byLane.nonEmpty)
+    byLane.foreach { case ((src, e), (cnt, distinctDocs)) =>
+      val (nDocs, ppm) = ep(src)
+      val whole = ppm / 1000000L
+      val fracDocs = nDocs * (ppm % 1000000L) / 1000000L
+      assert(cnt == distinctDocs, s"$src epoch $e repeats a doc within the lane")
+      if (e <= whole) assert(cnt == nDocs, s"$src whole epoch $e incomplete: $cnt/$nDocs")
+      else assert(cnt == fracDocs, s"$src fractional epoch $e: $cnt != $fracDocs")
+    }
+    // every source with a positive allocation appears
+    ep.foreach { case (src, (_, ppm)) =>
+      val lanes = byLane.keys.count(_._1 == src)
+      val expect = (ppm / 1000000L +
+        (if (ep(src)._1 * (ppm % 1000000L) / 1000000L > 0) 1 else 0)).toInt
+      assert(lanes == expect, s"$src: $lanes lanes, expected $expect")
+    }
+    order.unpersist()
+  }
 }

@@ -76,12 +76,31 @@ object Selection {
       scale: Long = 1000000L,
       k: Int = 100): DataFrame = {
     val corpus = Tables.documents(spark, dir)
-    val docs = corpus
+    val grams = dsirGrams(corpus, buckets)
+    // the trained importance model — built once per corpus (offline in
+    // deployment), pinned at ≤B rows, then broadcast into every serve
+    val wtab = ModelCache.memoIndex(corpus,
+      s"dsir-wtab|$targetSource|$buckets|$scale") {
+      graft.ops.GlobalOrder.pin(
+        dsirWeightsFrom(dsirBucketCounts(corpus, targetSource, buckets),
+          buckets, scale))
+    }
+    grams
+      .filter(col("source") =!= targetSource)
+      .join(broadcast(wtab), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+      .orderBy(col("w_sum").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The row-local (doc_id, source, bucket) bigram-hash projection —
+    * word bigrams hashed to the fixed feature space. ONE definition
+    * shared by the weight-table build and the scoring pass. */
+  private[graft] def dsirGrams(docs: DataFrame, buckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    // word bigrams, hashed row-locally to the bucket id; the target
-    // flag rides along so ONE aggregate builds both distributions
-    val grams = docs
       .select(col("doc_id"), col("source"),
         explode(expr("sequence(1, size(w) - 1)")).as("i"),
         col("w"))
@@ -92,24 +111,26 @@ object Selection {
             element_at(col("w"), col("i") + 1))), 1, 8), 16, 10)
             .cast("long"),
           lit(buckets.toLong)).as("b"))
-    // the trained importance model — built once per corpus (offline in
-    // deployment), pinned at ≤B rows, then broadcast into every serve
-    val wtab = ModelCache.memoIndex(corpus,
-      s"dsir-wtab|$targetSource|$buckets|$scale") {
-      graft.ops.GlobalOrder.pin(grams
-        .groupBy(col("b"))
-        .agg(
-          sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("n_t"),
-          sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("n_r"))
-        .select(col("b"),
-          expr(s"($scale * (n_t + 1)) div (n_r + $buckets)").as("w")))
-    }
-    grams
-      .filter(col("source") =!= targetSource)
-      .join(broadcast(wtab), Seq("b"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
-      .orderBy(col("w_sum").desc, col("doc_id"))
-      .limit(k)
-  }
+
+  /** The MERGEABLE half of the DSIR model: per-bucket target/raw
+    * conditional counts — the target flag rides along so ONE aggregate
+    * builds both distributions. Counts merge by summation, so this is
+    * also the streamed artifact's partial shape
+    * ([[graft.streaming.ArtifactMaintenance.dsirCountsArtifact]]): a
+    * live corpus keeps its importance model fresh at batch-sized cost. */
+  private[graft] def dsirBucketCounts(docs: DataFrame, targetSource: String,
+      buckets: Int): DataFrame =
+    dsirGrams(docs, buckets)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("n_r"))
+
+  /** The weight table derived from an ALREADY-BUILT count table (the
+    * batch aggregate or its streamed twin): add-one-smoothed fixed-point
+    * likelihood ratios — pure arithmetic over ≤`buckets` rows. */
+  private[graft] def dsirWeightsFrom(counts: DataFrame, buckets: Int,
+      scale: Long): DataFrame =
+    counts.select(col("b"),
+      expr(s"($scale * (n_t + 1)) div (n_r + $buckets)").as("w"))
 }

@@ -293,6 +293,28 @@ object ArtifactMaintenance {
         sum(col("np")).as("np"), sum(col("nn")).as("nn"),
         sum(col("nd")).as("nd"), sum(col("nt")).as("nt")))
 
+  // ---- DSIR bucket counts (mergeable) -------------------------------
+
+  private val DsirCountsSchema = StructType(Seq(
+    StructField("b", LongType), StructField("n_t", LongType),
+    StructField("n_r", LongType)))
+
+  /** The per-bucket target/raw count store behind the DSIR importance
+    * model (q164), maintained from a (doc_id, source, text) stream —
+    * counts merge by summation, the domain is the FIXED 4096-bucket
+    * feature space, so the served table stays model-sized no matter
+    * the corpus; `Selection.dsirWeightsFrom` derives the broadcastable
+    * weight table from the served counts exactly as from the batch
+    * aggregate. An arriving target-slice document shifts the model on
+    * the next serve with no corpus re-fit. */
+  def dsirCountsArtifact(artifactDir: String, targetSource: String,
+      buckets: Int = 4096): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Selection.dsirBucketCounts(batch, targetSource, buckets),
+      DsirCountsSchema,
+      reduceOf = _.groupBy(col("b")).agg(
+        sum(col("n_t")).as("n_t"), sum(col("n_r")).as("n_r")))
+
   // ---- distinct source grams (mergeable by distinct) ---------------
 
   private val SourceGramsSchema = StructType(Seq(

@@ -314,6 +314,37 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(compacted == direct)
   }
 
+  test("streamed DSIR counts derive the batch weight table exactly") {
+    import spark.implicits._
+    val artifact = freshDir("dsir-artifact")
+    val art = ArtifactMaintenance.dsirCountsArtifact(artifact, "tgt", buckets = 64)
+    // bigrams collide across batches (same text) so sums must merge;
+    // the target slice arrives in the SECOND batch — the model shifts
+    val b0 = Seq(
+      (1L, "raw", "a b c d"), (2L, "raw", "x y z")).toDF("doc_id", "source", "text")
+    val b1 = Seq(
+      (3L, "tgt", "a b c"), (4L, "raw", "a b c d")).toDF("doc_id", "source", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.Selection.dsirBucketCounts(all, "tgt", 64)))
+    val fromStream = rows(graft.llm.Selection.dsirWeightsFrom(
+      art.serve(spark), 64, 1000000L))
+    val fromBatch = rows(graft.llm.Selection.dsirWeightsFrom(
+      graft.llm.Selection.dsirBucketCounts(all, "tgt", 64), 64, 1000000L))
+    assert(fromStream == fromBatch && fromBatch.nonEmpty)
+    // target-bucket weights exceed the smoothed floor (model learned)
+    val w = graft.llm.Selection.dsirWeightsFrom(art.serve(spark), 64, 1000000L)
+      .agg(org.apache.spark.sql.functions.max("w")).head.getLong(0)
+    assert(w > 1000000L / 64, s"no bucket outweighs the smoothing floor: $w")
+    art.compact(spark)
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.Selection.dsirBucketCounts(all, "tgt", 64)))
+  }
+
   test("streamed source-grams store serves the overlap matrix equal to batch") {
     import spark.implicits._
     val artifact = freshDir("srcgrams-artifact")

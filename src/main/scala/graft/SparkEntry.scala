@@ -257,6 +257,7 @@ object SparkEntry {
     "q239_join_skew_audit" -> ((s: SparkSession, d: String) => graft.ops.Relational7.joinSkewAudit(s, d)),
     "q240_dedup_threshold_curve" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdCurve(s, d)),
     "q241_training_order" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.trainingOrder(s, d)),
+    "q242_dedup_lineage" -> ((s: SparkSession, d: String) => Pipeline.dedupLineage(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -790,6 +791,18 @@ object SparkEntry {
       s"""WITH RECURSIVE $minhashPairsCtes,
         |$clusterCtes
         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    // q242: dedup provenance — every dropped doc with its keeper;
+    // direct = a verified pair against the keeper itself exists
+    "q242_dedup_lineage" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes
+        |SELECT c.doc_id, c.cluster AS keeper_id, d.source,
+        |  (n.jaccard IS NOT NULL) AS direct, n.jaccard AS jaccard_to_keeper
+        |FROM cl c
+        |JOIN documents d ON d.doc_id = c.doc_id
+        |LEFT JOIN neardup n ON n.id_a = c.cluster AND n.id_b = c.doc_id
+        |WHERE c.doc_id <> c.cluster
+        |ORDER BY c.doc_id""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->

@@ -437,6 +437,43 @@ object Pipeline {
   }
 
   /**
+   * Dedup PROVENANCE ledger — one row per document a near-dup dedup
+   * drops, naming the keeper that replaced it: the audit trail a
+   * compliance/debugging pass reads when a document is missing from
+   * the training set ("why was doc X removed, and on what evidence?").
+   * `direct` marks drops backed by a VERIFIED pair against the keeper
+   * itself (with its exact Jaccard); transitive members — connected
+   * through intermediate near-dups, no direct keeper pair — carry a
+   * null, making the evidence strength visible per row.
+   *
+   * Scale: both inputs are stored artifacts (`neardup-labels`,
+   * `lsh-pairs`) — pair-graph-sized slivers, broadcast under the same
+   * guarded-sliver stance as the other label consumers; the only
+   * corpus touch is one (doc_id, source) projection joined against
+   * the broadcast dropped set.
+   */
+  def dedupLineage(spark: SparkSession, dir: String): DataFrame = {
+    val maxSliver = 4 << 20
+    val dropped = graft.ops.GlobalOrder.pinnedSliver(
+      nearDupClusters(spark, dir)
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), col("cluster").as("keeper_id")),
+      maxSliver, "q242 dropped-doc set")
+    val pairs = graft.ops.GlobalOrder.pinnedSliver(
+      Dedup.minhashLsh(spark, dir)
+        .select(col("id_a").as("keeper_id"), col("id_b").as("doc_id"),
+          col("jaccard").as("jaccard_to_keeper")),
+      maxSliver, "q242 verified-pair set")
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(dropped), Seq("doc_id"))
+      .join(broadcast(pairs), Seq("keeper_id", "doc_id"), "left")
+      .select(col("doc_id"), col("keeper_id"), col("source"),
+        col("jaccard_to_keeper").isNotNull.as("direct"),
+        col("jaccard_to_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * CLUSTER-AWARE decontamination — the q163 winnowing screen closed
    * under near-duplication: a training document sharing fingerprints
    * with the eval slice is contaminated, and so is every near-copy of

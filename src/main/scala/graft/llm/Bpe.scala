@@ -76,8 +76,14 @@ object Bpe {
       })
   }
 
-  /** Count-weighted word-frequency table: (word, wc). */
-  private def wordCounts(docs: DataFrame): DataFrame =
+  /** Count-weighted word-frequency table: (word, wc) — the
+    * Heaps-sublinear table BPE learning actually consumes, and a
+    * MERGEABLE aggregate (counts sum), so it is also the streamed
+    * artifact behind live tokenizer re-training
+    * ([[graft.streaming.ArtifactMaintenance.wordCountArtifact]]): a
+    * deployment re-learns merges from the served vocab-scale table,
+    * never re-scanning the corpus. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
@@ -85,7 +91,15 @@ object Bpe {
   /** Learn the first `m` merges; memoized per file-backed corpus. */
   private[llm] def learnMerges(docs: DataFrame, m: Int): Seq[Merge] =
     ModelCache.memo(docs, s"bpe-merges|$m") {
-      val spark = docs.sparkSession
+      learnMergesFromCounts(wordCounts(docs), m)
+    }
+
+  /** [[learnMerges]] from an ALREADY-BUILT (word, wc) table — the
+    * batch aggregate or its streamed twin; the whole learning loop is
+    * vocab-scale either way. */
+  private[graft] def learnMergesFromCounts(counts: DataFrame,
+      m: Int): Seq[Merge] = {
+      val spark = counts.sparkSession
       import spark.implicits._
       // pinned at every step: iteration k's plan would otherwise nest
       // k rewrite chains over the raw scan, and each of the two jobs
@@ -93,7 +107,7 @@ object Bpe {
       // whole chain — measured 23.3 s → ~8 s for the 3-merge build at
       // sf0.1. The pins are vocabulary-sized (Heaps-sublinear).
       var syms = graft.ops.GlobalOrder.pin(
-        wordCounts(docs).select(col("wc"), split(col("word"), "").as("s")))
+        counts.select(col("wc"), split(col("word"), "").as("s")))
       val out = Seq.newBuilder[Merge]
       for (_ <- 1 to m) {
         // vocab-scale pair aggregate; self-pairs excluded (class doc).

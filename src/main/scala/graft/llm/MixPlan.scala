@@ -403,13 +403,19 @@ object MixPlan {
   private[graft] def sourceTokens(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(spark, dir)
     ModelCache.memoIndex(corpus, "source-tokens") {
-      graft.ops.GlobalOrder.pin(
-        corpus
-          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens")))
+      graft.ops.GlobalOrder.pin(sourceTokenCounts(corpus))
     }
   }
+
+  /** The per-source (n_docs, tokens) projection itself — mergeable
+    * sums, shared by the memoized batch artifact above and the
+    * streamed twin
+    * ([[graft.streaming.ArtifactMaintenance.sourceTokensArtifact]]). */
+  private[graft] def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
 
   def repeatEpochs(
       spark: SparkSession,

@@ -293,6 +293,45 @@ object ArtifactMaintenance {
         sum(col("np")).as("np"), sum(col("nn")).as("nn"),
         sum(col("nd")).as("nd"), sum(col("nt")).as("nt")))
 
+  // ---- per-source token totals (mergeable) --------------------------
+
+  private val SourceTokensSchema = StructType(Seq(
+    StructField("source", StringType), StructField("n_docs", LongType),
+    StructField("tokens", LongType)))
+
+  /** The per-source (n_docs, tokens) store behind the mix planners —
+    * the epoch allocator (q185), temperature mix (q192), water-filling
+    * (q166) and the q241 materialized order all start from this
+    * source-cardinality table, so a live corpus re-plans its mixture
+    * from the served sums without a corpus scan. Trivially mergeable;
+    * the smallest artifact in the fleet, and the one a scheduler reads
+    * most often. */
+  def sourceTokensArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.MixPlan.sourceTokenCounts(batch), SourceTokensSchema,
+      reduceOf = _.groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens")))
+
+  // ---- BPE word counts (mergeable) ----------------------------------
+
+  private val WordCountSchema = StructType(Seq(
+    StructField("word", StringType), StructField("wc", LongType)))
+
+  /** The (word, wc) frequency store behind BPE merge learning (q214/
+    * q218), maintained from a document stream — counts merge by
+    * summation and the table is Heaps-sublinear in the corpus, so live
+    * tokenizer RE-TRAINING (`Bpe.learnMergesFromCounts` over the
+    * served table) is a vocab-scale job, never a corpus re-scan. The
+    * merges themselves are deliberately NOT incrementally patched —
+    * a single count crossing an argmax boundary legitimately changes
+    * every later merge, so the honest maintenance unit is the input
+    * table, and re-learning from it is exactly as cheap as the batch
+    * learn minus the corpus scan. */
+  def wordCountArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.Bpe.wordCounts(batch), WordCountSchema,
+      reduceOf = _.groupBy(col("word")).agg(sum(col("wc")).as("wc")))
+
   // ---- DSIR bucket counts (mergeable) -------------------------------
 
   private val DsirCountsSchema = StructType(Seq(

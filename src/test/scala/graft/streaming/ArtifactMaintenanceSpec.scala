@@ -314,6 +314,53 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(compacted == direct)
   }
 
+  test("streamed word counts re-learn the batch BPE merges exactly") {
+    import spark.implicits._
+    val artifact = freshDir("wc-artifact")
+    val art = ArtifactMaintenance.wordCountArtifact(artifact)
+    // the same word arrives in both batches (counts must SUM) and the
+    // second batch shifts the argmax: "abab" overtakes once repeated
+    val b0 = Seq((1L, "abc abc abab"), (2L, "abc xy")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "abab abab abab xy")).toDF("doc_id", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(art.serve(spark)) == rows(graft.llm.Bpe.wordCounts(all)))
+    // live tokenizer re-training: merges learned from the SERVED table
+    // equal the batch learn over the same documents
+    val fromStream = graft.llm.Bpe.learnMergesFromCounts(art.serve(spark), 3)
+    val fromBatch = graft.llm.Bpe.learnMergesFromCounts(
+      graft.llm.Bpe.wordCounts(all), 3)
+    assert(fromStream == fromBatch && fromBatch.size == 3, fromStream)
+    art.compact(spark)
+    assert(rows(art.serve(spark)) == rows(graft.llm.Bpe.wordCounts(all)))
+  }
+
+  test("streamed source-token totals drive the mix planners equal to batch") {
+    import spark.implicits._
+    val artifact = freshDir("srctok-artifact")
+    val art = ArtifactMaintenance.sourceTokensArtifact(artifact)
+    val b0 = Seq((1L, "s1", "a b c"), (2L, "s2", "d e")).toDF("doc_id", "source", "text")
+    val b1 = Seq((3L, "s1", "f g h i"), (4L, "s3", "j")).toDF("doc_id", "source", "text")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    val all = b0.unionByName(b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.MixPlan.sourceTokenCounts(all)))
+    // s1 must have accumulated across batches: 2 docs, 7 tokens
+    val s1 = art.serve(spark)
+      .filter(org.apache.spark.sql.functions.col("source") === "s1")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(s1 == ((2L, 7L)), s1)
+    art.compact(spark)
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.MixPlan.sourceTokenCounts(all)))
+  }
+
   test("streamed DSIR counts derive the batch weight table exactly") {
     import spark.implicits._
     val artifact = freshDir("dsir-artifact")

@@ -258,6 +258,9 @@ object SparkEntry {
     "q240_dedup_threshold_curve" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdCurve(s, d)),
     "q241_training_order" -> ((s: SparkSession, d: String) => graft.llm.MixPlan.trainingOrder(s, d)),
     "q242_dedup_lineage" -> ((s: SparkSession, d: String) => Pipeline.dedupLineage(s, d)),
+    "q243_hilbert_layout" -> (graft.ops.Layout.hilbertLayout _),
+    "q244_zonemap_prune" -> (graft.ops.Layout.zonemapPrune _),
+    "q245_l_diversity" -> (graft.ops.Audits.lDiversity _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -803,6 +806,79 @@ object SparkEntry {
         |LEFT JOIN neardup n ON n.id_a = c.cluster AND n.id_b = c.doc_id
         |WHERE c.doc_id <> c.cluster
         |ORDER BY c.doc_id""".stripMargin,
+    // q243: Hilbert layout audit — the xy2d walk is generated from the
+    // same level loop as the Spark side (Layout.hilbertSqlCtes)
+    "q243_hilbert_layout" ->
+      s"""WITH base AS (SELECT l_partkey & ${graft.ops.Layout.HMask} AS x,
+        |    l_suppkey & ${graft.ops.Layout.HMask} AS y FROM lineitem),
+        |${graft.ops.Layout.hilbertSqlCtes("base")}
+        |SELECT hd >> ${graft.ops.Layout.HBucketShift} AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
+        |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q244: zone-map pruning audit — hilbert vs zorder vs lex buckets
+    // against the fixed predicate workload (Layout.ZonePreds)
+    "q244_zonemap_prune" ->
+      s"""WITH base AS (SELECT l_partkey & ${graft.ops.Layout.HMask} AS x,
+        |    l_suppkey & ${graft.ops.Layout.HMask} AS y FROM lineitem),
+        |${graft.ops.Layout.hilbertSqlCtes("base")},
+        |keyed AS (SELECT x, y, hd,
+        |    ${graft.ops.Layout.zorderSqlN("x", "y", graft.ops.Layout.HBits)} AS zd,
+        |    (x << ${graft.ops.Layout.HBits}) + y AS lexd FROM h0),
+        |tagged AS (
+        |  SELECT x, y, 'hilbert' AS layout,
+        |    hd >> ${graft.ops.Layout.HBucketShift} AS bucket FROM keyed
+        |  UNION ALL SELECT x, y, 'lex',
+        |    lexd >> ${graft.ops.Layout.HBucketShift} FROM keyed
+        |  UNION ALL SELECT x, y, 'zorder',
+        |    zd >> ${graft.ops.Layout.HBucketShift} FROM keyed),
+        |zones AS (SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(x) AS zx_lo, MAX(x) AS zx_hi,
+        |    MIN(y) AS zy_lo, MAX(y) AS zy_hi
+        |  FROM tagged GROUP BY 1, 2),
+        |preds AS (SELECT * FROM ${graft.ops.Layout.zonePredsSql}),
+        |sc AS (SELECT layout, pred_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(CASE WHEN zx_lo <= px_hi AND zx_hi >= px_lo
+        |          AND zy_lo <= py_hi AND zy_hi >= py_lo
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+        |    CAST(SUM(CASE WHEN zx_lo <= px_hi AND zx_hi >= px_lo
+        |          AND zy_lo <= py_hi AND zy_hi >= py_lo
+        |        THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM zones CROSS JOIN preds GROUP BY 1, 2),
+        |m AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matching
+        |  FROM base CROSS JOIN preds
+        |  WHERE x BETWEEN px_lo AND px_hi AND y BETWEEN py_lo AND py_hi
+        |  GROUP BY 1)
+        |SELECT layout, pred_id, n_buckets, buckets_scanned, rows_scanned,
+        |  COALESCE(rows_matching, CAST(0 AS BIGINT)) AS rows_matching
+        |FROM sc LEFT JOIN m USING (pred_id)
+        |ORDER BY layout, pred_id""".stripMargin,
+    // q245: l-diversity — QI = (day, value band); sensitive attribute
+    // = event_type; classes with < l distinct sensitive values
+    "q245_l_diversity" ->
+      """WITH cls AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN ndv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |    CAST(SUM(CASE WHEN ndv < 2 THEN n ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(SUM(CASE WHEN ndv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+        |    CAST(SUM(CASE WHEN ndv < 3 THEN n ELSE 0 END) AS BIGINT) AS r3,
+        |    CAST(SUM(CASE WHEN ndv < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,
+        |    CAST(SUM(CASE WHEN ndv < 5 THEN n ELSE 0 END) AS BIGINT) AS r5
+        |  FROM cls)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS l, n_classes, n_rows,
+        |    g2 AS n_violating_classes, r2 AS n_violating_rows,
+        |    (1000000 * r2) // n_rows AS risk_ppm FROM s
+        |  UNION ALL SELECT 3, n_classes, n_rows, g3, r3,
+        |    (1000000 * r3) // n_rows FROM s
+        |  UNION ALL SELECT 5, n_classes, n_rows, g5, r5,
+        |    (1000000 * r5) // n_rows FROM s)
+        |ORDER BY l""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->

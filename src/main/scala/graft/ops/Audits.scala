@@ -58,4 +58,52 @@ object Audits {
         col("s.risk_ppm"))
       .orderBy(col("k"))
   }
+
+  /** Diversity thresholds reported by [[lDiversity]]. */
+  val LThresholds: Seq[Int] = Seq(2, 3, 5)
+
+  /**
+   * l-diversity audit — the attribute-disclosure check k-anonymity
+   * misses: a QI class can hold >= k members who all share the SAME
+   * sensitive value, so an attacker who locates the class learns the
+   * attribute without identifying anyone. Here the released QI is
+   * (activity day, value band) and the sensitive attribute is
+   * event_type; for l in {2, 3, 5} the audit reports how many QI
+   * classes carry fewer than l distinct sensitive values and the share
+   * of ROWS inside them (the attribute-disclosure sliver).
+   *
+   * Scale shape: identical to [[kAnonymity]] — one hash aggregate to
+   * the QI-cardinality class table (count + exact distinct over a
+   * ~constant event-type alphabet), then a single group-less
+   * conditional-sum pass exploded into |L| literal rows. Exact
+   * integers end to end.
+   */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val classes = ev.select(
+        col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"),
+        floor(col("value") / 100.0).cast("long").as("band"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy(col("day"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("ndv"))
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("n")).as("n_rows")) ++
+      LThresholds.flatMap(l => Seq(
+        sum(when(col("ndv") < l, 1L).otherwise(0L)).as(s"g$l"),
+        sum(when(col("ndv") < l, col("n")).otherwise(0L)).as(s"r$l")))
+    val sums = classes.agg(aggs.head, aggs.tail: _*)
+    sums.select(expr(
+        "explode(array(" + LThresholds.map(l =>
+          s"struct(CAST($l AS BIGINT) AS l, g$l AS n_violating_classes, " +
+            s"r$l AS n_violating_rows, " +
+            s"(1000000 * r$l) div n_rows AS risk_ppm, " +
+            "n_classes, n_rows)").mkString(", ") + "))").as("s"))
+      .select(col("s.l"), col("s.n_classes"), col("s.n_rows"),
+        col("s.n_violating_classes"), col("s.n_violating_rows"),
+        col("s.risk_ppm"))
+      .orderBy(col("l"))
+  }
 }

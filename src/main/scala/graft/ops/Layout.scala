@@ -69,8 +69,240 @@ object Layout {
 
   /** The same Morton interleave as SQL text, for the DuckDB oracle —
     * generated from the SAME loop so the two cannot drift. */
-  def zorderSql(x: String, y: String): String =
-    (0 until ZBits).map { i =>
+  def zorderSql(x: String, y: String): String = zorderSqlN(x, y, ZBits)
+
+  /** [[zorderKey]] with a caller-chosen bit width (the zone-map audit
+    * compares layouts over a 10-bit/dim grid). */
+  def zorderKeyN(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** [[zorderSql]] with a caller-chosen bit width. */
+  def zorderSqlN(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
+
+  // --------------------------------------------------------------------
+  // Hilbert curve: the stronger layout key. Morton order teleports at
+  // quadrant boundaries (cell 0b0111.. to 0b1000.. jumps across the
+  // grid), so consecutive Z-buckets are not spatial neighbours; the
+  // Hilbert curve visits every cell of the 2^b x 2^b grid in unit
+  // steps, so aligned runs of 4^k consecutive curve positions tile
+  // EXACT 2^k x 2^k subsquares AND consecutive buckets abut — tighter
+  // per-file bounding boxes and sequential reads that stay spatially
+  // local. This is the layout Delta/Iceberg expose as `hilbert_curve`
+  // clustering; here it is the standard xy2d bit walk (Wikipedia's
+  // iterative form) expressed as HBits chained projections of codegen'd
+  // integer built-ins — CollapseProject folds them into one projection,
+  // so the key costs what any derived column costs: no UDF, no join,
+  // no shuffle, replayable bit-exactly by the DuckDB oracle.
+  // --------------------------------------------------------------------
+
+  /** Bits per dimension for the Hilbert key: a 20-bit curve position
+    * over a 1024 x 1024 grid. */
+  val HBits = 10
+
+  /** Low-bit mask confining each dimension to the Hilbert grid. */
+  val HMask: Long = (1L << HBits) - 1
+
+  /** Dropping the low 8 curve bits yields 4096 buckets of 256 = 4^4
+    * consecutive cells — each an exact 16 x 16 subsquare. */
+  val HBucketShift = 8
+
+  /** The per-level subsquare sizes the xy2d walk descends through,
+    * shared by the Column and SQL generators so they cannot drift. */
+  private def hilbertLevels(bits: Int): Seq[Long] =
+    (bits - 1 to 0 by -1).map(1L << _)
+
+  /**
+   * Appends Hilbert curve position `out` computed from the low `bits`
+   * bits of integral columns `x`/`y`. One `withColumn` chain per
+   * level; each level folds the quadrant digit into the position and
+   * applies the reflect-swap rotation. The quadrant digit
+   * (3*rx) XOR ry is carried as the XOR-free polynomial
+   * ry + rx*(3 - 2*ry) (identical truth table), so every operation is
+   * +,*,comparison — bit-exact in any engine.
+   */
+  def withHilbert(df: DataFrame, x: Column, y: Column, out: String,
+      bits: Int = HBits): DataFrame = {
+    val mask = lit((1L << bits) - 1)
+    val init = df
+      .withColumn("_hx", x.cast("long").bitwiseAND(mask))
+      .withColumn("_hy", y.cast("long").bitwiseAND(mask))
+      .withColumn(out, lit(0L))
+    hilbertLevels(bits).foldLeft(init) { (cur, s) =>
+      cur
+        .withColumn("_rx",
+          when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("_ry",
+          when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn(out, col(out) +
+          lit(s * s) * (col("_ry") + col("_rx") * (lit(3L) - lit(2L) * col("_ry"))))
+        .withColumn("_nx",
+          when(col("_ry") === 0,
+            when(col("_rx") === 1, lit(s - 1) - col("_hy")).otherwise(col("_hy")))
+            .otherwise(col("_hx")))
+        .withColumn("_ny",
+          when(col("_ry") === 0,
+            when(col("_rx") === 1, lit(s - 1) - col("_hx")).otherwise(col("_hx")))
+            .otherwise(col("_hy")))
+        .withColumn("_hx", col("_nx"))
+        .withColumn("_hy", col("_ny"))
+        .drop("_rx", "_ry", "_nx", "_ny")
+    }.drop("_hx", "_hy")
+  }
+
+  /**
+   * The same xy2d walk as chained SQL CTEs for the DuckDB oracle —
+   * generated from the SAME [[hilbertLevels]] loop. `base` must expose
+   * integer columns `x`, `y` (already masked to `bits`); the final CTE
+   * is named `h0` and carries (x, y, hd). The only operators used are
+   * &, +, *, CASE — no engine-divergent XOR/power spelling.
+   */
+  def hilbertSqlCtes(base: String, bits: Int = HBits): String = {
+    val init = s"hinit AS (SELECT x, y, x AS hx, y AS hy, " +
+      s"CAST(0 AS BIGINT) AS hd FROM $base)"
+    // fresh names (nx/ny/nd) inside, renamed by an outer select —
+    // never `... AS hx` beside an expression reading the old hx, so
+    // lateral-column-alias resolution can't bind the wrong one
+    val levels = hilbertLevels(bits).zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "hinit" else s"h${bits - i}"
+      s"""h${bits - 1 - i} AS (SELECT x, y, nx AS hx, ny AS hy, nd AS hd FROM (
+         |  SELECT x, y,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+         |         ELSE hx END AS nx,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+         |         ELSE hy END AS ny,
+         |    hd + ${s * s} * (ry + rx * (3 - 2 * ry)) AS nd
+         |  FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev)))"""
+        .stripMargin
+    }
+    (init +: levels).mkString(",\n")
+  }
+
+  /**
+   * Hilbert layout AUDIT — the q176 shape on the stronger key: rows
+   * land at their curve position over the masked 1024 x 1024
+   * (l_partkey, l_suppkey) grid, buckets are the top 12 curve bits
+   * (4096 would-be files), and the audit reports each bucket's row
+   * count and per-dimension bounding box. The pin: every bucket is an
+   * aligned 16 x 16 subsquare, so both spans are <= 15 — strictly the
+   * bound a scan planner prunes on, and sharper than any interleave
+   * argument (a single rotation bug scatters cells and breaks it).
+   *
+   * Scale shape: one scan, one collapsed projection, one 4096-group
+   * hash aggregate. At 100 TB the same key feeds
+   * `repartitionByRange(col("hd")).sortWithinPartitions("hd")` to
+   * produce the layout this audit certifies.
+   */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = maskedKeys(spark, dir)
+    withHilbert(li, col("x"), col("y"), "hd")
+      .withColumn("bucket", shiftright(col("hd"), HBucketShift))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The fixed 2-D range-predicate workload the zone-map audit prunes
+    * against: (pred_id, x_lo, x_hi, y_lo, y_hi) boxes on the masked
+    * grid — two boxes, a wide band, and a narrow column slice (the
+    * slice is where lexicographic layout collapses to a full scan). */
+  val ZonePreds: Seq[(Int, Long, Long, Long, Long)] = Seq(
+    (1, 64L, 191L, 8L, 23L),
+    (2, 0L, 511L, 0L, 63L),
+    (3, 768L, 1023L, 32L, 47L),
+    (4, 390L, 409L, 0L, 1023L))
+
+  /**
+   * Zone-map pruning effectiveness audit: the go/no-go number a
+   * relayout decision needs BEFORE rewriting 100 TB. Three candidate
+   * layouts — hilbert, zorder, lexicographic (x<<10 | y) — are
+   * bucketed into 4096 would-be files each; per (layout, predicate)
+   * the audit reports how many buckets a min/max zone map would scan
+   * and how many rows those buckets hold, beside the true matching
+   * row count (the irreducible floor). The curve layouts bound BOTH
+   * dimensions per bucket, so 2-D boxes prune to a handful of files;
+   * lex bounds only the leading key — predicate 4's x-slice shows the
+   * inversion where lex wins and the boxes show where it loses.
+   *
+   * Scale shape: ONE corpus scan exploded 3x into a (layout, bucket)
+   * hash aggregate of <= 3*4096 groups; the zone table and the
+   * 4-predicate workload are then literal-sized — the pruning
+   * arithmetic is a broadcast cross join over <= 12288 x 4 rows, and
+   * the true-match floor is one more conditional aggregate of the
+   * same scan. Nothing but the two scans grows with the data.
+   */
+  /**
+   * The three-layout zone table over masked (x, y) rows: per
+   * (layout, bucket) the row count and per-dimension bounding box —
+   * the per-file statistics a scan planner prunes on. ONE scan
+   * exploded 3x into a <= 3*4096-group hash aggregate. Every output
+   * column is MERGEABLE (sum / min / max), so per-batch partials fold
+   * to exactly the full-corpus table — the property the streamed
+   * zone-map store (ArtifactMaintenance) rests on.
+   */
+  def zoneStats(base: DataFrame): DataFrame = {
+    val keyed = withHilbert(base, col("x"), col("y"), "hd")
+      .withColumn("zd", zorderKeyN(col("x"), col("y"), HBits))
+      .withColumn("lexd", shiftleft(col("x"), HBits) + col("y"))
+    keyed.select(col("x"), col("y"), explode(array(
+        struct(lit("hilbert").as("layout"),
+          shiftright(col("hd"), HBucketShift).as("bucket")),
+        struct(lit("lex").as("layout"),
+          shiftright(col("lexd"), HBucketShift).as("bucket")),
+        struct(lit("zorder").as("layout"),
+          shiftright(col("zd"), HBucketShift).as("bucket")))).as("lb"))
+      .select(col("x"), col("y"),
+        col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("zx_lo"), max(col("x")).as("zx_hi"),
+        min(col("y")).as("zy_lo"), max(col("y")).as("zy_hi"))
+  }
+
+  /** lineitem's (l_partkey, l_suppkey) masked onto the Hilbert grid —
+    * the shared write-path projection of the layout audits. */
+  def maskedKeys(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Tables.lineitem(spark, dir).select(
+      col("l_partkey").bitwiseAND(lit(HMask)).as("x"),
+      col("l_suppkey").bitwiseAND(lit(HMask)).as("y"))
+
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = maskedKeys(spark, dir)
+    val zones = zoneStats(base)
+    val preds = ZonePreds.toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
+    val hit = col("zx_lo") <= col("px_hi") && col("zx_hi") >= col("px_lo") &&
+      col("zy_lo") <= col("py_hi") && col("zy_hi") >= col("py_lo")
+    val scanned = zones.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred_id"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("buckets_scanned"),
+        sum(when(hit, col("n")).otherwise(lit(0L))).as("rows_scanned"))
+    val matching = base.crossJoin(broadcast(preds))
+      .filter(col("x").between(col("px_lo"), col("px_hi")) &&
+        col("y").between(col("py_lo"), col("py_hi")))
+      .groupBy(col("pred_id")).agg(count(lit(1)).as("rows_matching"))
+    scanned.join(broadcast(matching), Seq("pred_id"), "left")
+      .select(col("layout"), col("pred_id"), col("n_buckets"),
+        col("buckets_scanned"), col("rows_scanned"),
+        coalesce(col("rows_matching"), lit(0L)).as("rows_matching"))
+      .orderBy(col("layout"), col("pred_id"))
+  }
+
+  /** [[ZonePreds]] as a DuckDB VALUES table expression. */
+  def zonePredsSql: String =
+    "(VALUES " + ZonePreds.map { case (id, xl, xh, yl, yh) =>
+      s"($id, $xl, $xh, $yl, $yh)"
+    }.mkString(", ") + ") AS t(pred_id, px_lo, px_hi, py_lo, py_hi)"
 }

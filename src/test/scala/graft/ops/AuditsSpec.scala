@@ -29,4 +29,34 @@ class AuditsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).filter(col("n") === 1).count()
     assert(rows.head.getLong(4) == singletons)
   }
+
+  test("l-diversity: monotone in l, ppm exact, homogeneous classes recomputed") {
+    val rows = Audits.lDiversity(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L))
+    val total = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == total, "n_rows is the full event count")
+      assert(r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) == 1000000L * r.getLong(4) / r.getLong(2))
+    }
+    // a larger l can only flag MORE classes and rows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3) && a.getLong(4) <= b.getLong(4))
+    }
+    // l=2 violators are exactly the sensitive-homogeneous classes,
+    // recomputed via an independent groupBy
+    val homogeneous = Tables.events(spark, sf)
+      .select(col("event_type"), Tables.epochMs(col("ts")).as("ts_ms"),
+        floor(col("value") / 100.0).cast("long").as("band"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy(col("day"), col("band"))
+      .agg(countDistinct(col("event_type")).as("ndv"),
+        count(lit(1)).as("n"))
+      .filter(col("ndv") === 1)
+    val Array(hc, hr) = homogeneous
+      .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    assert(rows.head.getLong(3) == hc && rows.head.getLong(4) == hr)
+  }
 }

@@ -276,19 +276,29 @@ object Layout {
       col("l_partkey").bitwiseAND(lit(HMask)).as("x"),
       col("l_suppkey").bitwiseAND(lit(HMask)).as("y"))
 
-  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = maskedKeys(spark, dir)
-    val zones = zoneStats(base)
-    val preds = ZonePreds.toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
+  /** The zone-map pruning arithmetic over any (layout, bucket) zone
+    * table — shared by [[zonemapPrune]] (batch-built zones) and the
+    * streamed zone-map store's consumers: per (layout, pred) the
+    * buckets a min/max zone map scans and the rows they hold.
+    * Literal-sized broadcast cross join; `preds` must carry
+    * (pred_id, px_lo, px_hi, py_lo, py_hi). */
+  def pruneStats(zones: DataFrame, preds: DataFrame): DataFrame = {
     val hit = col("zx_lo") <= col("px_hi") && col("zx_hi") >= col("px_lo") &&
       col("zy_lo") <= col("py_hi") && col("zy_hi") >= col("py_lo")
-    val scanned = zones.crossJoin(broadcast(preds))
+    zones.crossJoin(broadcast(preds))
       .groupBy(col("layout"), col("pred_id"))
       .agg(
         count(lit(1)).as("n_buckets"),
         sum(when(hit, lit(1L)).otherwise(lit(0L))).as("buckets_scanned"),
         sum(when(hit, col("n")).otherwise(lit(0L))).as("rows_scanned"))
+  }
+
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = maskedKeys(spark, dir)
+    val zones = zoneStats(base)
+    val preds = ZonePreds.toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
+    val scanned = pruneStats(zones, preds)
     val matching = base.crossJoin(broadcast(preds))
       .filter(col("x").between(col("px_lo"), col("px_hi")) &&
         col("y").between(col("py_lo"), col("py_hi")))

@@ -479,6 +479,35 @@ object ArtifactMaintenance {
       KmvSchema,
       reduceOf = partials => graft.llm.Dedup.kmvReduce(partials, k))
 
+  // ---- zone-map statistics (mergeable min/max/sum) ----------------
+
+  private val ZoneStatsSchema = StructType(Seq(
+    StructField("layout", StringType), StructField("bucket", LongType),
+    StructField("n", LongType),
+    StructField("zx_lo", LongType), StructField("zx_hi", LongType),
+    StructField("zy_lo", LongType), StructField("zy_hi", LongType)))
+
+  /** The per-(layout, bucket) zone-map statistics store maintained
+    * from a stream of masked (x, y) key rows — the live twin of the
+    * q244 audit's zone table. This is the FILE-STATISTICS merge shape
+    * (count by SUM, bounding box by MIN/MAX — what Iceberg/Delta
+    * maintain per data file at commit time): per-batch partials are
+    * <= 3*4096 rows regardless of batch size, and serve re-reduces to
+    * exactly the full-corpus table, so the pruning decision
+    * ([[graft.ops.Layout.pruneStats]]) stays fresh under ingest at
+    * batch-sized cost — never a table re-scan. Zones only tighten
+    * monotonically wrong-ways under inserts (a box can only GROW), so
+    * a served decision is always conservative-correct: it may scan
+    * more buckets than a fresh relayout would, never miss a match. */
+  def zoneMapArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.ops.Layout.zoneStats(batch),
+      ZoneStatsSchema,
+      reduceOf = _.groupBy(col("layout"), col("bucket")).agg(
+        sum(col("n")).as("n"),
+        min(col("zx_lo")).as("zx_lo"), max(col("zx_hi")).as("zx_hi"),
+        min(col("zy_lo")).as("zy_lo"), max(col("zy_hi")).as("zy_hi")))
+
   // ---- near-dup cluster labels (union-find under inserts) ---------
 
   private val BandsSchema = StructType(Seq(

@@ -522,4 +522,40 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     art.compact(spark)
     assert(rows(art.serve(spark)) == before)
   }
+
+  test("streamed zone-map statistics equal the batch zones and the pruning decision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val artifact = freshDir("zonemap-artifact")
+    val art = ArtifactMaintenance.zoneMapArtifact(artifact)
+    // split the fixture keys into two batches that SHARE buckets, so
+    // the min/max/sum merge is genuinely exercised (a bucket's box
+    // must widen across batches, its count must add)
+    val base = graft.ops.Layout.maskedKeys(spark, sf)
+    val b0 = base.filter(col("x") % 2 === 0)
+    val b1 = base.filter(col("x") % 2 =!= 0)
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    // replay of a committed batch id is a no-op (crash-recovery story)
+    art.applyBatch(b1, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batchZones = graft.ops.Layout.zoneStats(base)
+    assert(rows(art.serve(spark)) == rows(batchZones),
+      "streamed zone table diverged from the batch build")
+    // the decision a planner actually reads: identical prune counts
+    val preds = graft.ops.Layout.ZonePreds
+      .toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
+    val fromStream = rows(graft.ops.Layout.pruneStats(art.serve(spark), preds))
+    val fromBatch = rows(graft.ops.Layout.pruneStats(batchZones, preds))
+    assert(fromStream == fromBatch && fromBatch.nonEmpty)
+    // compaction folds partials into one baseline, serve unchanged
+    art.compact(spark)
+    assert(rows(art.serve(spark)) == rows(batchZones))
+    // a third batch lands AFTER compaction and still merges
+    val extra = Seq((1023L, 1023L), (0L, 1023L)).toDF("x", "y")
+    art.applyBatch(extra, 2L)
+    assert(rows(art.serve(spark)) ==
+      rows(graft.ops.Layout.zoneStats(base.unionByName(extra))))
+  }
 }

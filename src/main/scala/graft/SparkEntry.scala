@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, KMeans, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, KMeans, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.ops.{ReferenceOps, Relational, Relational2, Relational3}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -261,6 +261,7 @@ object SparkEntry {
     "q243_hilbert_layout" -> (graft.ops.Layout.hilbertLayout _),
     "q244_zonemap_prune" -> (graft.ops.Layout.zonemapPrune _),
     "q245_l_diversity" -> (graft.ops.Audits.lDiversity _),
+    "q246_wordpiece_tokens" -> ((s: SparkSession, d: String) => Bpe.wordpieceTokens(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -1984,6 +1985,46 @@ object SparkEntry {
     // q218: the learned merges APPLIED per source — exact weighted
     // symbol totals before/after, compression in integer ppm
     "q218_bpe_apply" -> bpeApplyOracleSql,
+    // q246: WordPiece-style greedy longest-match under the frozen
+    // Bpe.WpVocab — the recursive CTE replays the identical ladder;
+    // the vocab list literal is generated from the same Seq
+    "q246_wordpiece_tokens" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, lang, i, ws[i] AS w
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        |  WHERE len(ws[i]) > 0),
+        |rec AS (
+        |  SELECT doc_id, i, lang, w, 0 AS pos, 0 AS ntok, 0 AS nunk
+        |  FROM words
+        |  UNION ALL
+        |  SELECT doc_id, i, lang, w, pos + len(cand) AS pos,
+        |    ntok + 1 AS ntok,
+        |    nunk + CASE WHEN matched THEN 0 ELSE 1 END AS nunk
+        |  FROM (
+        |    SELECT doc_id, i, lang, w, pos, ntok, nunk,
+        |      CASE
+        |        WHEN list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 4))
+        |          THEN substr(w, pos + 1, 4)
+        |        WHEN list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 3))
+        |          THEN substr(w, pos + 1, 3)
+        |        WHEN list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 2))
+        |          THEN substr(w, pos + 1, 2)
+        |        ELSE substr(w, pos + 1, 1) END AS cand,
+        |      (list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 4))
+        |        OR list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 3))
+        |        OR list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 2))
+        |        OR list_contains(${Bpe.wpVocabSql}, substr(w, pos + 1, 1)))
+        |        AS matched
+        |    FROM rec WHERE pos < len(w))),
+        |fin AS (SELECT lang, ntok, nunk FROM rec WHERE pos >= len(w))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(nunk) AS BIGINT) AS n_unk,
+        |  (1000000 * CAST(SUM(ntok) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS fertility_ppm
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // q215: Kneser–Ney continuation statistics from the bigram type
     // table; cont_ppm = N1+(.w) / |types| in integer ppm
     "q215_kn_continuation" ->

@@ -262,4 +262,85 @@ object Bpe {
         expr("(1000000 * n_symbols_after) div n_symbols_before"))
       .orderBy(col("source"))
   }
+
+  // ---- WordPiece-style greedy longest-match apply (q246) -----------
+
+  /**
+   * Code-level WordPiece-style vocabulary: multi-char pieces tried
+   * longest-first; every lowercase letter and digit is a 1-char
+   * fallback piece, and a character absent from even the 1-char tier
+   * (uppercase, punctuation) is consumed as an UNK fallback. A fixed
+   * inference vocabulary — the learning side of the tokenizer family
+   * is q214/q215 (BPE merges / batched learning); this operator covers
+   * the OTHER deployment half: applying a frozen vocab at corpus scale.
+   */
+  val WpVocab: Seq[String] = Seq(
+    "tion", "ment", "ness", "able",
+    "ing", "ion", "ent", "ate", "est", "the", "and", "her", "ere",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "es", "or",
+    "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt") ++
+    ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Longest piece length in [[WpVocab]] — the match ladder's top rung. */
+  val WpMaxLen = 4
+
+  /** [[WpVocab]] as a DuckDB list literal, generated from the same
+    * Seq so the two engines cannot drift (all entries are code-level
+    * ASCII identifiers — nothing to escape). */
+  def wpVocabSql: String =
+    WpVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /**
+   * WordPiece-style greedy longest-match tokenization under the frozen
+   * [[WpVocab]], reported per language: words, pieces, UNK fallbacks,
+   * exact integer fertility ppm. The per-word tokenizer is ONE
+   * `aggregate` fold over the word's character positions — each step
+   * consumes >= 1 character (the longest matching piece, else a 1-char
+   * UNK), surplus steps no-op — so the whole operator is row-local
+   * codegen'd builtins: no UDF, no join, no state. The oracle replays
+   * the identical ladder as a recursive CTE.
+   *
+   * Scale shape: per-word work is O(len) with a constant-size
+   * broadcast-literal vocab; the only aggregation is the few-key
+   * per-language sum of pre-reduced integers. At 100 TB this is a
+   * pure map stage — exactly how a frozen production tokenizer runs
+   * over a corpus.
+   */
+  def wordpieceTokens(spark: SparkSession, dir: String): DataFrame =
+    wordpieceTokensOf(Tables.documents(spark, dir))
+
+  private[llm] def wordpieceTokensOf(docs: DataFrame): DataFrame = {
+    val vocab = array(WpVocab.map(lit): _*)
+    val w = col("w")
+    val words = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(w) > 0)
+    val state = aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(0).as("pos"), lit(0).as("ntok"), lit(0).as("nunk")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        def cand(k: Int) = w.substr(pos + 1, lit(k))
+        val matches = (WpMaxLen to 1 by -1)
+          .map(k => k -> array_contains(vocab, cand(k)))
+        val piece = matches.foldRight(cand(1)) { case ((k, m), alt) =>
+          when(m, cand(k)).otherwise(alt)
+        }
+        val matched = matches.map(_._2).reduce(_ || _)
+        when(pos >= length(w), st).otherwise(struct(
+          (pos + length(piece)).as("pos"),
+          (st.getField("ntok") + 1).as("ntok"),
+          (st.getField("nunk") + when(matched, 0).otherwise(1)).as("nunk")))
+      })
+    words
+      .select(col("lang"), state.getField("ntok").as("ntok"),
+        state.getField("nunk").as("nunk"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_pieces"),
+        sum(col("nunk")).as("n_unk"))
+      .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
+      .orderBy(col("lang"))
+  }
 }

@@ -171,4 +171,45 @@ class BpeTrimSpec extends SparkSpec {
       assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
     }
   }
+
+  test("wordpiece: greedy longest-match ladder, unk fallback, hand-checked words") {
+    // hand-tokenized against WpVocab (longest-first, 1-char fallback):
+    //  "nation"  -> na? no; "nati" no, "nat" no, "na" no, "n"; then
+    //               "atio" no, "ate"? w="nation": n|ation: "atio" no,
+    //               "ati" no, "at" yes -> n|at|ion ("ion" in vocab)
+    //  "the"     -> "the" (one piece, 3-char tier)
+    //  "X-ray"   -> 'X' unk, '-' unk, "ray": "ra" no, 'r','a','y' ...
+    val docs = Seq(
+      (1L, "nation the", "en", "s1", 10L),
+      (2L, "X-ray", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Bpe.wordpieceTokensOf(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // nation = n|at|ion (3), the = the (1), X-ray = X|-|r|a|y (5)
+    assert(row.getAs[Long]("n_words") == 3L)
+    assert(row.getAs[Long]("n_pieces") == 3L + 1L + 5L, row)
+    // exactly the two non-vocab characters fall back to unk
+    assert(row.getAs[Long]("n_unk") == 2L, row)
+    assert(row.getAs[Long]("fertility_ppm") == 1000000L * 9L / 3L)
+  }
+
+  test("wordpiece: every piece count is >= ceil(len/4) and <= len; fixture runs clean") {
+    // per-word bounds: a piece consumes between 1 and WpMaxLen chars
+    val docs = graft.model.Tables.documents(spark, sf)
+    val out = Bpe.wordpieceTokens(spark, sf).collect()
+    assert(out.nonEmpty)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(count(lit(1)), sum(length(col("w"))),
+        sum(ceil(length(col("w")) / lit(Bpe.WpMaxLen.toDouble))).cast("long"))
+      .head
+    val (nWords, nChars, minPieces) =
+      (words.getLong(0), words.getLong(1), words.getLong(2))
+    val totPieces = out.map(_.getAs[Long]("n_pieces")).sum
+    assert(out.map(_.getAs[Long]("n_words")).sum == nWords)
+    assert(totPieces >= minPieces && totPieces <= nChars,
+      s"pieces $totPieces outside [$minPieces, $nChars]")
+  }
 }

@@ -262,6 +262,7 @@ object SparkEntry {
     "q244_zonemap_prune" -> (graft.ops.Layout.zonemapPrune _),
     "q245_l_diversity" -> (graft.ops.Audits.lDiversity _),
     "q246_wordpiece_tokens" -> ((s: SparkSession, d: String) => Bpe.wordpieceTokens(s, d)),
+    "q247_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2025,6 +2026,34 @@ object SparkEntry {
         |  (1000000 * CAST(SUM(ntok) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
         |    AS fertility_ppm
         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    // q247: content-defined chunking — boundary after token i when the
+    // first hex nibble of md5 of the trailing 4-token window is '0'
+    "q247_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |nz AS (SELECT * FROM d WHERE len(ws) > 0),
+        |e0 AS (SELECT doc_id, source, ws,
+        |    list_filter(range(4, len(ws) + 1), i ->
+        |      substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 1) = '0') AS ends0
+        |  FROM nz),
+        |e AS (SELECT doc_id, source, ws,
+        |    CASE WHEN len(ends0) > 0 AND ends0[-1] = len(ws) THEN ends0
+        |         ELSE list_append(ends0, len(ws)) END AS ends FROM e0),
+        |ch AS (SELECT doc_id, source,
+        |    substr(md5(array_to_string(
+        |      ws[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):(ends[j])],
+        |      ' ')), 1, 16) AS h,
+        |    ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END) + 1 AS len
+        |  FROM e, LATERAL (SELECT unnest(range(1, len(ends) + 1)) AS j) u)
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  (1000000 * (CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT h) AS BIGINT)))
+        |    // CAST(COUNT(*) AS BIGINT) AS dup_ppm,
+        |  (100 * CAST(SUM(len) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS avg_len_centi
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     // q215: Kneser–Ney continuation statistics from the bigram type
     // table; cont_ppm = N1+(.w) / |types| in integer ppm
     "q215_kn_continuation" ->

@@ -1132,4 +1132,73 @@ object TextAnalysis {
           .otherwise("very_hard"))
       .orderBy("doc_id")
   }
+
+  // ---- content-defined chunking (q247) -----------------------------
+
+  /**
+   * The per-chunk table behind [[cdcChunks]]: one row per
+   * content-defined chunk — (doc_id, source, 16-hex chunk hash, token
+   * length). Boundary rule: after token i (i >= 4) when the first hex
+   * nibble of md5 of the trailing 4-token window is '0' (P = 1/16 →
+   * ~16-token expected chunks); the final token always closes the last
+   * chunk. Everything up to the explode is a row-local HOF chain.
+   */
+  private[llm] def cdcChunkTable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+      .filter(size(col("ws")) > 0)
+      // guard: Spark's sequence(4, n) turns DESCENDING for n < 4 —
+      // short docs get no interior boundary candidates, not a reversed
+      // range (DuckDB's range(4, n+1) is simply empty there)
+      .withColumn("ends0", expr(
+        """if(size(ws) >= 4,
+          |  filter(sequence(4, size(ws)), i ->
+          |    substring(md5(array_join(slice(ws, i - 3, 4), ' ')), 1, 1) = '0'),
+          |  cast(array() as array<int>))""".stripMargin))
+      .withColumn("ends", expr(
+        """if(size(ends0) > 0 AND element_at(ends0, -1) = size(ws),
+          |  ends0, concat(ends0, array(size(ws))))""".stripMargin))
+      .select(col("doc_id"), col("source"), col("ws"),
+        explode(expr(
+          """transform(sequence(1, size(ends)), j -> named_struct(
+            |  'start', if(j = 1, 1, element_at(ends, j - 1) + 1),
+            |  'end', element_at(ends, j)))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("source"),
+        expr("substring(md5(array_join(slice(ws, c.start, c.end - c.start + 1), ' ')), 1, 16)")
+          .as("h"),
+        (col("c.end") - col("c.start") + lit(1)).cast("long").as("len"))
+
+  /**
+   * Content-defined chunking (the LBFS/storage-dedup primitive, per
+   * source): chunk boundaries are decided by the CONTENT of a rolling
+   * 4-token window, not by position, so a duplicated passage chunks
+   * identically no matter where it lands in its document — insertions
+   * shift fixed windows (q54) out of alignment but leave CDC chunk
+   * hashes intact away from the edit. Reports per source: docs,
+   * chunks, distinct chunk hashes, duplicated-chunk ppm, mean chunk
+   * length (centi-tokens) — the storage-style dedup screen beside the
+   * passage family (q95/q143).
+   *
+   * Scale shape: boundary detection and chunk hashing are row-local
+   * codegen'd array folds (no UDF, no shuffle until the explode);
+   * shuffle keys are 16-hex digests, never chunk text; one few-key
+   * per-source aggregate. The expected chunk length is tunable via
+   * the nibble-match probability exactly like winnowing density.
+   */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+
+  private[llm] def cdcChunksOf(docs: DataFrame): DataFrame =
+    cdcChunkTable(docs)
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_chunks - n_distinct)) div n_chunks"))
+      .withColumn("avg_len_centi", expr("(100 * sum_len) div n_chunks"))
+      .drop("sum_len")
+      .orderBy(col("source"))
 }

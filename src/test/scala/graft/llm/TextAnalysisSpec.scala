@@ -259,4 +259,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[String]("band") == band, r)
     }
   }
+
+  test("cdc chunks: boundaries are content-defined — a shifted duplicate re-chunks identically") {
+    import spark.implicits._
+    // 200 deterministic pseudo-random tokens; docB prepends 7 tokens
+    // (a phase shift that would misalign EVERY fixed-stride window)
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(200)("t" + rnd.nextInt(500))
+    val prefix = Seq.fill(7)("p" + rnd.nextInt(500))
+    val docs = Seq(
+      (1L, toks.mkString(" "), "en", "sA", 0L),
+      (2L, (prefix ++ toks).mkString(" "), "en", "sB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = TextAnalysis.cdcChunkTable(docs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("h")).toSet }
+    val shared = chunks(1L).intersect(chunks(2L))
+    // every interior chunk of the common suffix must re-align once the
+    // window clears the edit — CDC's whole reason to exist; demand a
+    // majority shared, not a lucky one
+    assert(shared.size * 2 > chunks(1L).size,
+      s"only ${shared.size}/${chunks(1L).size} chunks survived the shift")
+    // chunk lengths partition each doc: sum of lens == token count
+    val lens = TextAnalysis.cdcChunkTable(docs)
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens(1L) == 200L && lens(2L) == 207L, lens)
+    // per-source report shape on the fixture
+    val rows = TextAnalysis.cdcChunks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_ppm") >= 0L && r.getAs[Long]("dup_ppm") <= 1000000L)
+    }
+  }
 }

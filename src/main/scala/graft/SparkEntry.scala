@@ -263,6 +263,7 @@ object SparkEntry {
     "q245_l_diversity" -> (graft.ops.Audits.lDiversity _),
     "q246_wordpiece_tokens" -> ((s: SparkSession, d: String) => Bpe.wordpieceTokens(s, d)),
     "q247_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
+    "q248_viterbi_tokens" -> ((s: SparkSession, d: String) => Bpe.viterbiTokens(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2054,6 +2055,59 @@ object SparkEntry {
         |  (100 * CAST(SUM(len) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
         |    AS avg_len_centi
         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+    // q248: exact unigram-LM Viterbi segmentation — the recursive CTE
+    // carries the same 4-slot DP window as the Spark fold; the cost
+    // table VALUES are generated from the same Seq (Bpe.vitCostsSql)
+    "q248_viterbi_tokens" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, lang, i, ws[i] AS w
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        |  WHERE len(ws[i]) > 0),
+        |vc AS (SELECT piece, CAST(c AS BIGINT) AS c
+        |  FROM (VALUES ${Bpe.vitCostsSql}) AS v(piece, c)),
+        |exp AS (SELECT doc_id, i, w, p, k, substr(w, p - k + 1, k) AS piece
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p) pp,
+        |       LATERAL (SELECT unnest(range(1, 5)) AS k) kk
+        |  WHERE p >= k),
+        |pc AS (SELECT doc_id, i, p,
+        |    MAX(CASE WHEN k = 1 THEN c END) AS c1,
+        |    MAX(CASE WHEN k = 2 THEN c END) AS c2,
+        |    MAX(CASE WHEN k = 3 THEN c END) AS c3,
+        |    MAX(CASE WHEN k = 4 THEN c END) AS c4
+        |  FROM exp LEFT JOIN vc ON vc.piece = exp.piece
+        |  GROUP BY 1, 2, 3),
+        |rec AS (
+        |  SELECT doc_id, i, lang, w, 0 AS pos,
+        |    CAST(0 AS BIGINT) AS m1, CAST(1000000000000000 AS BIGINT) AS m2,
+        |    CAST(1000000000000000 AS BIGINT) AS m3,
+        |    CAST(1000000000000000 AS BIGINT) AS m4
+        |  FROM words
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i, r.lang, r.w, r.pos + 1 AS pos,
+        |    least(
+        |      CASE WHEN pc.c1 IS NOT NULL THEN r.m1 + pc.c1 * 1000 + 1 END,
+        |      CASE WHEN r.pos + 1 >= 2 AND pc.c2 IS NOT NULL
+        |        THEN r.m2 + pc.c2 * 1000 + 1 END,
+        |      CASE WHEN r.pos + 1 >= 3 AND pc.c3 IS NOT NULL
+        |        THEN r.m3 + pc.c3 * 1000 + 1 END,
+        |      CASE WHEN r.pos + 1 >= 4 AND pc.c4 IS NOT NULL
+        |        THEN r.m4 + pc.c4 * 1000 + 1 END,
+        |      r.m1 + ${Bpe.VitUnkCost * 1000L + 1L}) AS m1,
+        |    r.m1 AS m2, r.m2 AS m3, r.m3 AS m4
+        |  FROM rec r JOIN pc ON pc.doc_id = r.doc_id AND pc.i = r.i
+        |    AND pc.p = r.pos + 1
+        |  WHERE r.pos < len(r.w)),
+        |fin AS (SELECT lang, m1 FROM rec WHERE pos = len(w))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(m1 // 1000) AS BIGINT) AS total_cost,
+        |  CAST(SUM(m1 % 1000) AS BIGINT) AS n_pieces,
+        |  (1000000 * CAST(SUM(m1 % 1000) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS fertility_ppm,
+        |  (100 * CAST(SUM(m1 // 1000) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS cost_per_word_centi
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // q215: Kneser–Ney continuation statistics from the bigram type
     // table; cont_ppm = N1+(.w) / |types| in integer ppm
     "q215_kn_continuation" ->

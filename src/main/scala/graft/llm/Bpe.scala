@@ -343,4 +343,100 @@ object Bpe {
       .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
       .orderBy(col("lang"))
   }
+
+  // ---- unigram-LM Viterbi segmentation (q248) ----------------------
+
+  /**
+   * Frozen per-piece integer costs for [[viterbiTokens]] (smaller =
+   * more probable — the integer stand-in for −log p(piece) that keeps
+   * the DP bit-exact cross-engine): multi-char [[WpVocab]] pieces cost
+   * less per character than spelling them out, 1-char vocab pieces 48,
+   * and a non-vocab character falls back at [[VitUnkCost]].
+   */
+  val VitCosts: Map[String, Long] = WpVocab.map { p =>
+    p -> (p.length match {
+      case 4 => 12L
+      case 3 => 24L
+      case 2 => 36L
+      case _ => 48L
+    })
+  }.toMap
+
+  /** Fallback cost of consuming one non-vocab character. */
+  val VitUnkCost = 300L
+
+  /** Order-pinned (piece, cost) pairs for literal-map construction and
+    * the oracle's VALUES table — one source, no drift. */
+  def vitCostSeq: Seq[(String, Long)] = WpVocab.map(p => p -> VitCosts(p))
+
+  /** [[vitCostSeq]] as DuckDB VALUES rows. */
+  def vitCostsSql: String =
+    vitCostSeq.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+
+  /**
+   * EXACT minimum-cost segmentation (unigram-LM Viterbi, the
+   * SentencePiece inference step) under the frozen [[VitCosts]] —
+   * the optimal counterpart to [[wordpieceTokens]]'s greedy ladder,
+   * which this provably beats when a long piece blocks two cheap
+   * short ones. Per word the DP is ONE `aggregate` fold over
+   * character positions whose state is the 4-slot window
+   * (M[i−1..i−4]) of best-so-far values; each candidate piece length
+   * k contributes M[i−k] + cost·1000 + 1, so the accumulated metric
+   * is 1000·total_cost + n_pieces — cost-optimal first, fewest pieces
+   * as the deterministic tiebreak, decodable by div/mod. Row-local
+   * codegen'd builtins (literal cost map, `least` over non-null
+   * options); per-lang few-key sums. The oracle replays the identical
+   * recurrence as a recursive CTE carrying the same 4-slot state.
+   *
+   * Scale: O(len · maxPieceLen) integer ops per word, zero joins,
+   * zero state — the same pure-map-stage shape as q246, which is
+   * exactly why exact Viterbi (not greedy approximation) is
+   * affordable at 100 TB.
+   */
+  def viterbiTokens(spark: SparkSession, dir: String): DataFrame =
+    viterbiTokensOf(Tables.documents(spark, dir), vitCostSeq, VitUnkCost)
+
+  private[llm] def viterbiTokensOf(docs: DataFrame,
+      costs: Seq[(String, Long)], unkCost: Long): DataFrame = {
+    val Inf = 1000000000000000L // far above any reachable metric; +cost stays huge
+    val costMap = map(costs.flatMap { case (p, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    val w = col("w")
+    val words = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(w) > 0)
+    val maxK = WpMaxLen
+    val init = struct(
+      lit(0L).as("m1"), lit(Inf).as("m2"), lit(Inf).as("m3"), lit(Inf).as("m4"))
+    // state BEFORE step i holds (M[i-1], M[i-2], M[i-3], M[i-4])
+    val state = aggregate(
+      sequence(lit(1), length(w)),
+      init,
+      (st, i) => {
+        val prev = Seq(st.getField("m1"), st.getField("m2"),
+          st.getField("m3"), st.getField("m4"))
+        val options = (1 to maxK).map { k =>
+          val piece = w.substr(i - (k - 1), lit(k))
+          val c = element_at(costMap, piece)
+          // null when the piece is absent OR the window would cross the
+          // word start (i < k) — least() skips nulls
+          when(i >= k && length(piece) === k,
+            prev(k - 1) + c * 1000L + 1L)
+        } :+ (prev.head + lit(unkCost * 1000L + 1L)) // 1-char UNK fallback
+        val mi = least(options: _*)
+        struct(mi.as("m1"), prev(0).as("m2"), prev(1).as("m3"), prev(2).as("m4"))
+      })
+    words
+      .select(col("lang"), state.getField("m1").as("m"))
+      .select(col("lang"), expr("m div 1000").as("cost"),
+        pmod(col("m"), lit(1000L)).as("npieces"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("cost")).as("total_cost"),
+        sum(col("npieces")).as("n_pieces"))
+      .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
+      .withColumn("cost_per_word_centi", expr("(100 * total_cost) div n_words"))
+      .orderBy(col("lang"))
+  }
 }

@@ -212,4 +212,38 @@ class BpeTrimSpec extends SparkSpec {
     assert(totPieces >= minPieces && totPieces <= nChars,
       s"pieces $totPieces outside [$minPieces, $nChars]")
   }
+
+  test("viterbi: finds the optimum greedy misses; unk fallback priced exactly") {
+    val costs = Seq("ab" -> 10L, "abc" -> 50L, "cd" -> 10L,
+      "a" -> 30L, "b" -> 30L, "c" -> 30L, "d" -> 30L)
+    def run(text: String) = Bpe.viterbiTokensOf(
+      Seq((1L, text, "en", "s1", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      costs, 300L).collect().head
+    // "abcd": greedy longest-first takes abc|d = 50 + 30 = 80; the
+    // optimum is ab|cd = 10 + 10 = 20 — the case that motivates exact
+    // Viterbi over the q246 ladder
+    val r = run("abcd")
+    assert(r.getAs[Long]("total_cost") == 20L, r)
+    assert(r.getAs[Long]("n_pieces") == 2L, r)
+    // vocab-free characters pay exactly unkCost each
+    val r2 = run("XY")
+    assert(r2.getAs[Long]("total_cost") == 600L && r2.getAs[Long]("n_pieces") == 2L, r2)
+    // two words aggregate independently
+    val r3 = run("abcd abcd")
+    assert(r3.getAs[Long]("total_cost") == 40L && r3.getAs[Long]("n_words") == 2L, r3)
+  }
+
+  test("viterbi: fixture costs and piece counts sit inside the per-piece bounds") {
+    val out = Bpe.viterbiTokens(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pieces, cost) = (r.getAs[Long]("n_pieces"), r.getAs[Long]("total_cost"))
+      // every piece costs between the cheapest (12, a 4-char hit) and
+      // the unk fallback (300)
+      assert(cost >= 12L * pieces && cost <= 300L * pieces, r)
+      assert(r.getAs[Long]("fertility_ppm") ==
+        1000000L * pieces / r.getAs[Long]("n_words"))
+    }
+  }
 }

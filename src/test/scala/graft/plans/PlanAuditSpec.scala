@@ -508,4 +508,40 @@ class PlanAuditSpec extends SparkSpec {
     val a238 = auditOf("q238_normalized_dedup")
     assert(a238.nestedLoopJoins == 0, a238)
   }
+
+  test("layout family: hilbert is one projection; zone-map prune joins only broadcasts") {
+    // q243: the Hilbert key collapses to ONE projection over the scan —
+    // exactly one aggregate exchange (the 4096-bucket group) plus the
+    // presentation sort; no joins anywhere
+    val a243 = auditOf("q243_hilbert_layout")
+    assert(a243.joins == 0, a243)
+    assert(a243.shuffleExchanges <= 2, a243)
+    // q244: the pruning arithmetic must ride broadcasts (preds and the
+    // matching floor are literal-sized) — no sort-merge join may touch
+    // the zone or row tables
+    val a244 = auditOf("q244_zonemap_prune")
+    assert(a244.sortMergeJoins == 0, a244)
+    assert(a244.broadcastExchanges >= 1, a244)
+    // q245: the q216 shape — zero joins, one QI-class aggregate
+    // exchange (plus explode/sort)
+    val a245 = auditOf("q245_l_diversity")
+    assert(a245.joins == 0, a245)
+  }
+
+  test("tokenizer/chunking family: q246 and q247 are map-stage + few-key aggregate") {
+    // q246 wordpiece: a pure map stage into a per-lang hash aggregate —
+    // no joins (vocab is a literal array, not a table)
+    val a246 = auditOf("q246_wordpiece_tokens")
+    assert(a246.joins == 0, a246)
+    assert(a246.shuffleExchanges <= 2, a246)
+    // q247 cdc: row-local folds then one per-source aggregate; the only
+    // shuffle keys are digests — no join in the stats plan
+    val a247 = auditOf("q247_cdc_chunks")
+    assert(a247.joins == 0, a247)
+    // q248 viterbi: the exact DP is still a pure map stage — the cost
+    // table is a literal map, never a joined dimension
+    val a248 = auditOf("q248_viterbi_tokens")
+    assert(a248.joins == 0, a248)
+    assert(a248.shuffleExchanges <= 2, a248)
+  }
 }

@@ -1143,7 +1143,7 @@ object TextAnalysis {
    * ~16-token expected chunks); the final token always closes the last
    * chunk. Everything up to the explode is a row-local HOF chain.
    */
-  private[llm] def cdcChunkTable(docs: DataFrame): DataFrame =
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
       .filter(size(col("ws")) > 0)
@@ -1189,7 +1189,12 @@ object TextAnalysis {
     cdcChunksOf(Tables.documents(spark, dir))
 
   private[llm] def cdcChunksOf(docs: DataFrame): DataFrame =
-    cdcChunkTable(docs)
+    cdcReportFrom(cdcChunkTable(docs))
+
+  /** The q247 per-source report over any chunk table — shared by the
+    * batch query and the streamed chunk store's serve path. */
+  private[graft] def cdcReportFrom(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),

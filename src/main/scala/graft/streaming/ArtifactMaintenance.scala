@@ -479,6 +479,29 @@ object ArtifactMaintenance {
       KmvSchema,
       reduceOf = partials => graft.llm.Dedup.kmvReduce(partials, k))
 
+  // ---- CDC chunk table (row-partitioned) --------------------------
+
+  private val CdcChunkSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("h", StringType), StructField("len", LongType)))
+
+  /** The per-chunk (doc_id, source, hash, len) store maintained from a
+    * document stream — the live twin of the q247 content-defined
+    * chunking table. Chunking is row-local per document
+    * ([[graft.llm.TextAnalysis.cdcChunkTable]] — the SAME projection
+    * the batch query folds), so partials concatenate and serve is the
+    * bare union; the per-source dup screen re-aggregates the served
+    * table at serve time (counts and distincts are corpus-wide facts
+    * that legitimately change as chunks collide across batches — the
+    * fuzzy-sig stance: store the row-local projection, re-derive the
+    * corpus-wide selection). A newly ingested document that duplicates
+    * a stored chunk flips the dup ppm on the next serve with zero
+    * re-chunking of the existing corpus. */
+  def cdcChunkArtifact(artifactDir: String): ManifestArtifact =
+    new ManifestArtifact(artifactDir,
+      batch => graft.llm.TextAnalysis.cdcChunkTable(batch),
+      CdcChunkSchema)
+
   // ---- zone-map statistics (mergeable min/max/sum) ----------------
 
   private val ZoneStatsSchema = StructType(Seq(

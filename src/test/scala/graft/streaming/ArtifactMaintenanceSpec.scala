@@ -523,6 +523,46 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(rows(art.serve(spark)) == before)
   }
 
+  test("streamed CDC chunk store serves the q247 dup report equal to batch") {
+    import spark.implicits._
+    val artifact = freshDir("cdc-artifact")
+    val art = ArtifactMaintenance.cdcChunkArtifact(artifact)
+    // batch 2 repeats batch 1's passage inside a new document — the
+    // cross-batch chunk collision must surface in the served dup ppm
+    // with no re-chunking of batch 1
+    // varied tokens so the rolling-window hash actually fires interior
+    // boundaries (a short periodic vocabulary can yield zero, leaving
+    // one whole-doc chunk and nothing to collide)
+    val rnd = new scala.util.Random(11)
+    val passage = Seq.fill(120)("w" + rnd.nextInt(999)).mkString(" ")
+    val b0 = Seq(
+      (1L, passage, "en", "sA", 0L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "sA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(
+      (3L, "prefix words then " + passage, "en", "sA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    art.applyBatch(b0, 0L)
+    art.applyBatch(b1, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val all = b0.unionByName(b1)
+    assert(rows(art.serve(spark)) ==
+      rows(graft.llm.TextAnalysis.cdcChunkTable(all)),
+      "streamed chunk table diverged from the batch projection")
+    val fromStream = graft.llm.TextAnalysis.cdcReportFrom(art.serve(spark))
+    val report = fromStream.collect().map(r =>
+      r.getAs[String]("source") -> r).toMap
+    assert(rows(fromStream) == rows(
+      graft.llm.TextAnalysis.cdcReportFrom(
+        graft.llm.TextAnalysis.cdcChunkTable(all))))
+    // the repeated passage produced at least one duplicated chunk
+    assert(report("sA").getAs[Long]("dup_ppm") > 0L, report("sA"))
+    art.compact(spark)
+    assert(rows(graft.llm.TextAnalysis.cdcReportFrom(art.serve(spark))) ==
+      rows(fromStream))
+  }
+
   test("streamed zone-map statistics equal the batch zones and the pruning decision") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -297,14 +297,15 @@ object Bpe {
    * `aggregate` fold over the word's character positions — each step
    * consumes >= 1 character (the longest matching piece, else a 1-char
    * UNK), surplus steps no-op — so the whole operator is row-local
-   * codegen'd builtins: no UDF, no join, no state. The oracle replays
-   * the identical ladder as a recursive CTE.
+   * builtins: no UDF, no join, no state. The oracle replays the
+   * identical ladder as a recursive CTE.
    *
    * Scale shape: per-word work is O(len) with a constant-size
-   * broadcast-literal vocab; the only aggregation is the few-key
-   * per-language sum of pre-reduced integers. At 100 TB this is a
-   * pure map stage — exactly how a frozen production tokenizer runs
-   * over a corpus.
+   * literal vocab, and the DP runs once per DISTINCT (lang, word) —
+   * the q214 word-count pre-reduction (Heaps' law: vocabulary-scale,
+   * not instance-scale; measured 8.6 s → 1.1 s at sf0.1) — behind one
+   * word-keyed aggregate, then a few-key per-language sum of
+   * count-weighted integers.
    */
   def wordpieceTokens(spark: SparkSession, dir: String): DataFrame =
     wordpieceTokensOf(Tables.documents(spark, dir))
@@ -312,9 +313,16 @@ object Bpe {
   private[llm] def wordpieceTokensOf(docs: DataFrame): DataFrame = {
     val vocab = array(WpVocab.map(lit): _*)
     val w = col("w")
+    // the q214 word-count discipline: tokenize each DISTINCT
+    // (lang, word) ONCE and weight by its count — Heaps' law makes the
+    // distinct table far smaller than the instance stream, and the DP
+    // fold is the expensive part (measured 8.6 s → instance-level at
+    // sf0.1; the pre-reduction collapses it to vocabulary-scale work
+    // behind one word-keyed aggregate)
     val words = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(w) > 0)
+      .groupBy(col("lang"), w).agg(count(lit(1)).as("cnt"))
     val state = aggregate(
       sequence(lit(1), length(w)),
       struct(lit(0).as("pos"), lit(0).as("ntok"), lit(0).as("nunk")),
@@ -333,13 +341,14 @@ object Bpe {
           (st.getField("nunk") + when(matched, 0).otherwise(1)).as("nunk")))
       })
     words
-      .select(col("lang"), state.getField("ntok").as("ntok"),
+      .select(col("lang"), col("cnt"),
+        state.getField("ntok").as("ntok"),
         state.getField("nunk").as("nunk"))
       .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("ntok")).as("n_pieces"),
-        sum(col("nunk")).as("n_unk"))
+        sum(col("cnt")).as("n_words"),
+        sum(col("ntok") * col("cnt")).as("n_pieces"),
+        sum(col("nunk") * col("cnt")).as("n_unk"))
       .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
       .orderBy(col("lang"))
   }
@@ -388,10 +397,10 @@ object Bpe {
    * options); per-lang few-key sums. The oracle replays the identical
    * recurrence as a recursive CTE carrying the same 4-slot state.
    *
-   * Scale: O(len · maxPieceLen) integer ops per word, zero joins,
-   * zero state — the same pure-map-stage shape as q246, which is
-   * exactly why exact Viterbi (not greedy approximation) is
-   * affordable at 100 TB.
+   * Scale: O(len · maxPieceLen) integer ops per DISTINCT (lang, word)
+   * — the same count-weighted pre-reduction as q246 — zero joins,
+   * zero state, which is exactly why exact Viterbi (not greedy
+   * approximation) is affordable at 100 TB.
    */
   def viterbiTokens(spark: SparkSession, dir: String): DataFrame =
     viterbiTokensOf(Tables.documents(spark, dir), vitCostSeq, VitUnkCost)
@@ -402,9 +411,12 @@ object Bpe {
     val costMap = map(costs.flatMap { case (p, c) =>
       Seq(lit(p), lit(c)) }: _*)
     val w = col("w")
+    // distinct-word pre-reduction, exactly as in wordpieceTokensOf —
+    // the DP runs once per (lang, word), weighted by count
     val words = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(w) > 0)
+      .groupBy(col("lang"), w).agg(count(lit(1)).as("cnt"))
     val maxK = WpMaxLen
     val init = struct(
       lit(0L).as("m1"), lit(Inf).as("m2"), lit(Inf).as("m3"), lit(Inf).as("m4"))
@@ -427,14 +439,14 @@ object Bpe {
         struct(mi.as("m1"), prev(0).as("m2"), prev(1).as("m3"), prev(2).as("m4"))
       })
     words
-      .select(col("lang"), state.getField("m1").as("m"))
-      .select(col("lang"), expr("m div 1000").as("cost"),
+      .select(col("lang"), col("cnt"), state.getField("m1").as("m"))
+      .select(col("lang"), col("cnt"), expr("m div 1000").as("cost"),
         pmod(col("m"), lit(1000L)).as("npieces"))
       .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("cost")).as("total_cost"),
-        sum(col("npieces")).as("n_pieces"))
+        sum(col("cnt")).as("n_words"),
+        sum(col("cost") * col("cnt")).as("total_cost"),
+        sum(col("npieces") * col("cnt")).as("n_pieces"))
       .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
       .withColumn("cost_per_word_centi", expr("(100 * total_cost) div n_words"))
       .orderBy(col("lang"))

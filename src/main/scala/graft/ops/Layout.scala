@@ -95,10 +95,10 @@ object Layout {
   // per-file bounding boxes and sequential reads that stay spatially
   // local. This is the layout Delta/Iceberg expose as `hilbert_curve`
   // clustering; here it is the standard xy2d bit walk (Wikipedia's
-  // iterative form) expressed as HBits chained projections of codegen'd
-  // integer built-ins — CollapseProject folds them into one projection,
-  // so the key costs what any derived column costs: no UDF, no join,
-  // no shuffle, replayable bit-exactly by the DuckDB oracle.
+  // iterative form) expressed as ONE aggregate fold over the level
+  // array — a single linear-size expression of integer built-ins per
+  // row, so the key costs what any derived column costs: no UDF, no
+  // join, no shuffle, replayable bit-exactly by the DuckDB oracle.
   // --------------------------------------------------------------------
 
   /** Bits per dimension for the Hilbert key: a 20-bit curve position
@@ -119,40 +119,45 @@ object Layout {
 
   /**
    * Appends Hilbert curve position `out` computed from the low `bits`
-   * bits of integral columns `x`/`y`. One `withColumn` chain per
-   * level; each level folds the quadrant digit into the position and
-   * applies the reflect-swap rotation. The quadrant digit
-   * (3*rx) XOR ry is carried as the XOR-free polynomial
+   * bits of integral columns `x`/`y`, as ONE `aggregate` fold over the
+   * level array whose state is (x, y, d): each step folds the quadrant
+   * digit into the position and applies the reflect-swap rotation. The
+   * quadrant digit (3*rx) XOR ry is carried as the XOR-free polynomial
    * ry + rx*(3 - 2*ry) (identical truth table), so every operation is
    * +,*,comparison — bit-exact in any engine.
+   *
+   * Deliberately a FOLD, not a per-level `withColumn` chain: chained
+   * projections where level i+1 reads level i's outputs get INLINED by
+   * CollapseProject, doubling the expression tree per level — the
+   * 10-level chain measurably blew q244 to 5.1 s at sf0.1. The fold is
+   * one linear-size expression evaluated iteratively per row (the q40
+   * fingerprint shape); same math, same oracle.
    */
   def withHilbert(df: DataFrame, x: Column, y: Column, out: String,
       bits: Int = HBits): DataFrame = {
     val mask = lit((1L << bits) - 1)
-    val init = df
-      .withColumn("_hx", x.cast("long").bitwiseAND(mask))
-      .withColumn("_hy", y.cast("long").bitwiseAND(mask))
-      .withColumn(out, lit(0L))
-    hilbertLevels(bits).foldLeft(init) { (cur, s) =>
-      cur
-        .withColumn("_rx",
-          when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("_ry",
-          when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn(out, col(out) +
-          lit(s * s) * (col("_ry") + col("_rx") * (lit(3L) - lit(2L) * col("_ry"))))
-        .withColumn("_nx",
-          when(col("_ry") === 0,
-            when(col("_rx") === 1, lit(s - 1) - col("_hy")).otherwise(col("_hy")))
-            .otherwise(col("_hx")))
-        .withColumn("_ny",
-          when(col("_ry") === 0,
-            when(col("_rx") === 1, lit(s - 1) - col("_hx")).otherwise(col("_hx")))
-            .otherwise(col("_hy")))
-        .withColumn("_hx", col("_nx"))
-        .withColumn("_hy", col("_ny"))
-        .drop("_rx", "_ry", "_nx", "_ny")
-    }.drop("_hx", "_hy")
+    df.withColumn(out,
+      aggregate(
+        array(hilbertLevels(bits).map(lit): _*),
+        struct(
+          x.cast("long").bitwiseAND(mask).as("x"),
+          y.cast("long").bitwiseAND(mask).as("y"),
+          lit(0L).as("d")),
+        (st, s) => {
+          val (sx, sy, sd) =
+            (st.getField("x"), st.getField("y"), st.getField("d"))
+          val rx = when(sx.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+          val ry = when(sy.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+          struct(
+            when(ry === 0,
+              when(rx === 1, s - lit(1L) - sy).otherwise(sy))
+              .otherwise(sx).as("x"),
+            when(ry === 0,
+              when(rx === 1, s - lit(1L) - sx).otherwise(sx))
+              .otherwise(sy).as("y"),
+            (sd + s * s * (ry + rx * (lit(3L) - lit(2L) * ry))).as("d"))
+        },
+        st => st.getField("d")))
   }
 
   /**

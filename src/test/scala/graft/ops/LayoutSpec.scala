@@ -126,7 +126,7 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("the hilbert key is one collapsed projection: no shuffle, no join") {
+  test("the hilbert key is one fold expression: no shuffle, no join") {
     import spark.implicits._
     val audited = graft.plans.PlanChecks.audit(
       Layout.withHilbert(

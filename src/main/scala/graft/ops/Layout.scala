@@ -206,14 +206,14 @@ object Layout {
    * produce the layout this audit certifies.
    */
   def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
-    val li = maskedKeys(spark, dir)
-    withHilbert(li, col("x"), col("y"), "hd")
-      .withColumn("bucket", shiftright(col("hd"), HBucketShift))
-      .groupBy(col("bucket"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
-        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+    // rows meet only the square group-by; the 6-bit walk runs on the
+    // <= 4096-row square table (hd >> 8 = H6(x >> 4, y >> 4) — the
+    // coarsening argument on [[zoneStats]], spec-pinned)
+    val sq = squareStats(maskedKeys(spark, dir))
+    withHilbert(sq, col("sx"), col("sy"), "bucket", HBits - HBucketShift / 2)
+      .select(col("bucket"), col("n").as("n_rows"),
+        col("zx_lo").as("x_lo"), col("zx_hi").as("x_hi"),
+        col("zy_lo").as("y_lo"), col("zy_hi").as("y_hi"))
       .orderBy(col("bucket"))
   }
 
@@ -247,31 +247,64 @@ object Layout {
    * same scan. Nothing but the two scans grows with the data.
    */
   /**
-   * The three-layout zone table over masked (x, y) rows: per
-   * (layout, bucket) the row count and per-dimension bounding box —
-   * the per-file statistics a scan planner prunes on. ONE scan
-   * exploded 3x into a <= 3*4096-group hash aggregate. Every output
-   * column is MERGEABLE (sum / min / max), so per-batch partials fold
-   * to exactly the full-corpus table — the property the streamed
-   * zone-map store (ArtifactMaintenance) rests on.
+   * Per-16x16-square statistics over masked (x, y) rows: the
+   * corpus-scale phase of every layout audit. ONE hash aggregate onto
+   * the <= 4096-key square grid — map-side combinable, so at 100 TB
+   * each task emits at most 4096 partial rows no matter its input
+   * size. Everything downstream (curve indexing, zone derivation)
+   * runs on this bounded table, never on rows.
    */
-  def zoneStats(base: DataFrame): DataFrame = {
-    val keyed = withHilbert(base, col("x"), col("y"), "hd")
-      .withColumn("zd", zorderKeyN(col("x"), col("y"), HBits))
-      .withColumn("lexd", shiftleft(col("x"), HBits) + col("y"))
-    keyed.select(col("x"), col("y"), explode(array(
-        struct(lit("hilbert").as("layout"),
-          shiftright(col("hd"), HBucketShift).as("bucket")),
-        struct(lit("lex").as("layout"),
-          shiftright(col("lexd"), HBucketShift).as("bucket")),
-        struct(lit("zorder").as("layout"),
-          shiftright(col("zd"), HBucketShift).as("bucket")))).as("lb"))
-      .select(col("x"), col("y"),
-        col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
-      .groupBy(col("layout"), col("bucket"))
+  private def squareStats(base: DataFrame): DataFrame =
+    base.groupBy(
+        shiftright(col("x"), HBucketShift / 2).as("sx"),
+        shiftright(col("y"), HBucketShift / 2).as("sy"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("zx_lo"), max(col("x")).as("zx_hi"),
         min(col("y")).as("zy_lo"), max(col("y")).as("zy_hi"))
+
+  /**
+   * The three-layout zone table over masked (x, y) rows: per
+   * (layout, bucket) the row count and per-dimension bounding box —
+   * the per-file statistics a scan planner prunes on.
+   *
+   * Buckets coarsen EXACTLY onto aligned subgrids, so the corpus
+   * never meets a curve expression: a 20-bit curve bucket (low 8 bits
+   * dropped) is an aligned 16x16 square for BOTH curves — for Morton
+   * trivially (dropping 4 interleaved bit-pairs), for Hilbert because
+   * the first 6 walk levels test only bits >= 16 and the reflection
+   * s-1-x maps 16a+b to 16(S-1-a)+(15-b), never borrowing into the
+   * high part — so hd >> 8 = H6(x >> 4, y >> 4) (spec-pinned against
+   * the direct per-row walk). The audit therefore aggregates rows
+   * onto the 4096-square grid first ([[squareStats]], map-side
+   * combinable) and runs the 6-bit walk on <= 4096 rows; the lex
+   * layout groups rows by its own (x, y >> 8) bucket key directly.
+   * The first formulation keyed the full 10-bit walk per corpus row —
+   * 5.5 s at sf0.1 against ~0.4 s for this shape, and at 100 TB the
+   * difference is an interpreted per-row fold versus a combinable
+   * integer group-by.
+   *
+   * Every output column is MERGEABLE (sum / min / max), so per-batch
+   * partials fold to exactly the full-corpus table — the property the
+   * streamed zone-map store (ArtifactMaintenance) rests on.
+   */
+  def zoneStats(base: DataFrame): DataFrame = {
+    val sq = squareStats(base)
+    val zoneCols = Seq(col("n"),
+      col("zx_lo"), col("zx_hi"), col("zy_lo"), col("zy_hi"))
+    val zh = withHilbert(sq, col("sx"), col("sy"), "bucket", HBits - HBucketShift / 2)
+      .select(lit("hilbert").as("layout") +: col("bucket") +: zoneCols: _*)
+    val zz = sq
+      .select(lit("zorder").as("layout") +:
+        zorderKeyN(col("sx"), col("sy"), HBits - HBucketShift / 2).as("bucket") +:
+        zoneCols: _*)
+    val zl = base.groupBy(col("x"), shiftright(col("y"), HBucketShift).as("yh"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("zx_lo"), max(col("x")).as("zx_hi"),
+        min(col("y")).as("zy_lo"), max(col("y")).as("zy_hi"))
+      .select(lit("lex").as("layout") +:
+        (shiftleft(col("x"), HBits - HBucketShift) + col("yh")).as("bucket") +:
+        zoneCols: _*)
+    zh.unionByName(zz).unionByName(zl)
   }
 
   /** lineitem's (l_partkey, l_suppkey) masked onto the Hilbert grid —

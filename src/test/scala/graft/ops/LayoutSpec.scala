@@ -106,6 +106,51 @@ class LayoutSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sf).count())
   }
 
+  test("bucket coarsening is exact: dropping 2k curve bits = the (B-k)-bit walk on the supercell") {
+    // the theorem the grid pre-aggregation rests on, exhaustively over
+    // the full 256x256 grid (B = 8, k = 2): the first B-k levels test
+    // only bits >= 2^k, and the reflection s-1-x maps the low part to
+    // its complement without borrowing into the high part
+    val grid = spark.range(256L * 256L)
+      .select(col("id").bitwiseAND(lit(255L)).as("x"),
+        shiftright(col("id"), 8).as("y"))
+    val both = Layout.withHilbert(grid, col("x"), col("y"), "hd", 8)
+      .select(col("x"), col("y"), shiftright(col("hd"), 4).as("coarse"))
+    val viaSuper = Layout.withHilbert(
+      both.select(shiftright(col("x"), 2).as("cx"),
+        shiftright(col("y"), 2).as("cy"), col("coarse")),
+      col("cx"), col("cy"), "h6", 6)
+    assert(viaSuper.filter(col("coarse") =!= col("h6")).count() == 0L)
+  }
+
+  test("square-grid zone derivation equals the direct per-row bucketing") {
+    val base = Layout.maskedKeys(spark, sf)
+    // the pre-rewrite formulation: key every ROW by the full 10-bit
+    // walk, explode 3x, group by (layout, bucket) — kept here as the
+    // semantic pin for the grid-pre-aggregated production shape
+    val direct = {
+      val keyed = Layout.withHilbert(base, col("x"), col("y"), "hd")
+        .withColumn("zd", Layout.zorderKeyN(col("x"), col("y"), Layout.HBits))
+        .withColumn("lexd", shiftleft(col("x"), Layout.HBits) + col("y"))
+      keyed.select(col("x"), col("y"), explode(array(
+          struct(lit("hilbert").as("layout"),
+            shiftright(col("hd"), Layout.HBucketShift).as("bucket")),
+          struct(lit("lex").as("layout"),
+            shiftright(col("lexd"), Layout.HBucketShift).as("bucket")),
+          struct(lit("zorder").as("layout"),
+            shiftright(col("zd"), Layout.HBucketShift).as("bucket")))).as("lb"))
+        .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+          col("x"), col("y"))
+        .groupBy(col("layout"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("zx_lo"), max(col("x")).as("zx_hi"),
+          min(col("y")).as("zy_lo"), max(col("y")).as("zy_hi"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Layout.zoneStats(base)) == rows(direct))
+  }
+
   test("zone-map audit: scan sets cover matches; curve layouts never lose to lex on boxes") {
     val rows = Layout.zonemapPrune(spark, sf).collect()
     assert(rows.length == 3 * Layout.ZonePreds.length)

@@ -264,6 +264,7 @@ object SparkEntry {
     "q246_wordpiece_tokens" -> ((s: SparkSession, d: String) => Bpe.wordpieceTokens(s, d)),
     "q247_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "q248_viterbi_tokens" -> ((s: SparkSession, d: String) => Bpe.viterbiTokens(s, d)),
+    "q249_t_closeness" -> (graft.ops.Audits.tCloseness _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -882,6 +883,49 @@ object SparkEntry {
         |  UNION ALL SELECT 5, n_classes, n_rows, g5, r5,
         |    (1000000 * r5) // n_rows FROM s)
         |ORDER BY l""".stripMargin,
+    // q249: t-closeness — exact total-variation distance per QI class
+    // vs the corpus event_type distribution, common-denominator
+    // integer arithmetic incl. the absent-event fold
+    "q249_t_closeness" ->
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value / 100.0) AS BIGINT) AS band FROM events),
+        |ce AS (SELECT day, band, event_type, CAST(COUNT(*) AS BIGINT) AS n_ce
+        |  FROM ev GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, CAST(SUM(n_ce) AS BIGINT) AS n_e
+        |  FROM ce GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_e) AS BIGINT) AS n FROM g),
+        |c AS (SELECT day, band, CAST(SUM(n_ce) AS BIGINT) AS n_c
+        |  FROM ce GROUP BY 1, 2),
+        |dev AS (SELECT ce.day, ce.band,
+        |    CAST(SUM(abs(ce.n_ce * tot.n - g.n_e * c.n_c)) AS BIGINT)
+        |      AS dev_present,
+        |    CAST(SUM(g.n_e) AS BIGINT) AS ne_present
+        |  FROM ce JOIN g USING (event_type)
+        |  JOIN c ON c.day = ce.day AND c.band = ce.band
+        |  CROSS JOIN tot GROUP BY 1, 2),
+        |cls AS (SELECT c.day, c.band, c.n_c,
+        |    (1000000 * (d.dev_present + c.n_c * (tot.n - d.ne_present)))
+        |      // (2 * c.n_c * tot.n) AS tv_ppm
+        |  FROM c JOIN dev d ON d.day = c.day AND d.band = c.band
+        |  CROSS JOIN tot),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n_c) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN tv_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+        |    CAST(SUM(CASE WHEN tv_ppm > 100000 THEN n_c ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(SUM(CASE WHEN tv_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+        |    CAST(SUM(CASE WHEN tv_ppm > 200000 THEN n_c ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN tv_ppm > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |    CAST(SUM(CASE WHEN tv_ppm > 300000 THEN n_c ELSE 0 END) AS BIGINT) AS r2
+        |  FROM cls)
+        |SELECT * FROM (
+        |  SELECT CAST(100000 AS BIGINT) AS t, n_classes, n_rows,
+        |    g0 AS n_violating_classes, r0 AS n_violating_rows,
+        |    (1000000 * r0) // n_rows AS risk_ppm FROM s
+        |  UNION ALL SELECT 200000, n_classes, n_rows, g1, r1,
+        |    (1000000 * r1) // n_rows FROM s
+        |  UNION ALL SELECT 300000, n_classes, n_rows, g2, r2,
+        |    (1000000 * r2) // n_rows FROM s)
+        |ORDER BY t""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->

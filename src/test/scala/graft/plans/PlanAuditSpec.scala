@@ -526,6 +526,12 @@ class PlanAuditSpec extends SparkSpec {
     // exchange (plus explode/sort)
     val a245 = auditOf("q245_l_diversity")
     assert(a245.joins == 0, a245)
+    // q249: class-keyed joins only — the global event table and the
+    // scalar total must ride broadcasts, never a nested loop over rows
+    val a249 = auditOf("q249_t_closeness")
+    assert(a249.broadcastExchanges >= 1, a249)
+    assert(a249.nestedLoopJoins <= 2, // the two single-row scalar crosses
+      a249)
   }
 
   test("tokenizer/chunking family: q246 and q247 are map-stage + few-key aggregate") {

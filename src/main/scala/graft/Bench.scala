@@ -129,24 +129,36 @@ object Bench {
     // reproduces there, a contention artifact does not. Re-measured
     // queries are listed in the output so the gate's ledger discipline
     // still sees every second chance that was granted.
-    val rechecked: Map[String, Double] =
-      if (!sfDir.contains("sf0.1")) Map.empty
+    // A re-measure rep that THROWS is recorded (remeasure_errs), never
+    // swallowed: a query that regressed into intermittent failure must
+    // not keep a lucky preliminary min invisibly. With zero successful
+    // fresh reps the flagged value is kept as-is (and the error count
+    // says why) — replacement requires at least one clean fresh rep.
+    val (rechecked, remeasureErrs): (Map[String, Double], Map[String, Int]) =
+      if (!sfDir.contains("sf0.1")) (Map.empty, Map.empty)
       else {
         val flagged = Bench.regressionsVsBest(prelimResults,
           Bench.loadBestKnown("tools/bench_best.json")).map(_._1)
-        flagged.map { name =>
+        val vals = Map.newBuilder[String, Double]
+        val errs = Map.newBuilder[String, Int]
+        flagged.foreach { name =>
           val fn = SparkEntry.queries(name)
           val ts = Seq.newBuilder[Double]
+          var nErr = 0
           (1 to 3).foreach { _ =>
             val t0 = System.nanoTime()
             try { run(fn, sfDir); ts += (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => () }
+            catch { case _: Throwable => nErr += 1 }
             spark.catalog.clearCache()
             System.gc()
             Thread.sleep(50)
           }
-          name -> (prelimResults.toMap.apply(name) +: ts.result()).min
-        }.toMap
+          val fresh = ts.result()
+          if (nErr > 0) errs += name -> nErr
+          if (fresh.nonEmpty)
+            vals += name -> (prelimResults.toMap.apply(name) +: fresh).min
+        }
+        (vals.result(), errs.result())
       }
     val results = prelimResults.map { case (n, v) =>
       n -> rechecked.getOrElse(n, v) }
@@ -208,7 +220,9 @@ object Bench {
           results, Bench.loadBestKnown("tools/bench_best.json"))
       else Seq.empty)
     val remeasured = jmap(rechecked.toSeq.sortBy(_._1))
-    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"remeasured":$remeasured,"regressions":$regressions,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    val remeasureErrsJson = remeasureErrs.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"remeasured":$remeasured,"remeasure_errs":$remeasureErrsJson,"regressions":$regressions,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
     Bench.deleteTempWarehouse()
   }

@@ -877,11 +877,14 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT CAST(2 AS BIGINT) AS l, n_classes, n_rows,
         |    g2 AS n_violating_classes, r2 AS n_violating_rows,
-        |    (1000000 * r2) // n_rows AS risk_ppm FROM s
+        |    CAST((1000000 * CAST(r2 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) AS risk_ppm FROM s
         |  UNION ALL SELECT 3, n_classes, n_rows, g3, r3,
-        |    (1000000 * r3) // n_rows FROM s
+        |    CAST((1000000 * CAST(r3 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s
         |  UNION ALL SELECT 5, n_classes, n_rows, g5, r5,
-        |    (1000000 * r5) // n_rows FROM s)
+        |    CAST((1000000 * CAST(r5 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s)
         |ORDER BY l""".stripMargin,
     // q249: t-closeness — exact total-variation distance per QI class
     // vs the corpus event_type distribution, common-denominator
@@ -897,15 +900,16 @@ object SparkEntry {
         |c AS (SELECT day, band, CAST(SUM(n_ce) AS BIGINT) AS n_c
         |  FROM ce GROUP BY 1, 2),
         |dev AS (SELECT ce.day, ce.band,
-        |    CAST(SUM(abs(ce.n_ce * tot.n - g.n_e * c.n_c)) AS BIGINT)
-        |      AS dev_present,
+        |    SUM(abs(CAST(ce.n_ce AS HUGEINT) * tot.n
+        |            - CAST(g.n_e AS HUGEINT) * c.n_c)) AS dev_present,
         |    CAST(SUM(g.n_e) AS BIGINT) AS ne_present
         |  FROM ce JOIN g USING (event_type)
         |  JOIN c ON c.day = ce.day AND c.band = ce.band
         |  CROSS JOIN tot GROUP BY 1, 2),
         |cls AS (SELECT c.day, c.band, c.n_c,
-        |    (1000000 * (d.dev_present + c.n_c * (tot.n - d.ne_present)))
-        |      // (2 * c.n_c * tot.n) AS tv_ppm
+        |    CAST((1000000 * (d.dev_present
+        |          + CAST(c.n_c AS HUGEINT) * (tot.n - d.ne_present)))
+        |      // (2 * CAST(c.n_c AS HUGEINT) * tot.n) AS BIGINT) AS tv_ppm
         |  FROM c JOIN dev d ON d.day = c.day AND d.band = c.band
         |  CROSS JOIN tot),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
@@ -920,11 +924,14 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT CAST(100000 AS BIGINT) AS t, n_classes, n_rows,
         |    g0 AS n_violating_classes, r0 AS n_violating_rows,
-        |    (1000000 * r0) // n_rows AS risk_ppm FROM s
+        |    CAST((1000000 * CAST(r0 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) AS risk_ppm FROM s
         |  UNION ALL SELECT 200000, n_classes, n_rows, g1, r1,
-        |    (1000000 * r1) // n_rows FROM s
+        |    CAST((1000000 * CAST(r1 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s
         |  UNION ALL SELECT 300000, n_classes, n_rows, g2, r2,
-        |    (1000000 * r2) // n_rows FROM s)
+        |    CAST((1000000 * CAST(r2 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s)
         |ORDER BY t""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
@@ -2124,33 +2131,34 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |rec AS (
         |  SELECT doc_id, i, lang, w, 0 AS pos,
-        |    CAST(0 AS BIGINT) AS m1, CAST(1000000000000000 AS BIGINT) AS m2,
-        |    CAST(1000000000000000 AS BIGINT) AS m3,
-        |    CAST(1000000000000000 AS BIGINT) AS m4
+        |    CAST(0 AS BIGINT) AS m1, CAST(1000000000000000000 AS BIGINT) AS m2,
+        |    CAST(1000000000000000000 AS BIGINT) AS m3,
+        |    CAST(1000000000000000000 AS BIGINT) AS m4
         |  FROM words
         |  UNION ALL
         |  SELECT r.doc_id, r.i, r.lang, r.w, r.pos + 1 AS pos,
         |    least(
-        |      CASE WHEN pc.c1 IS NOT NULL THEN r.m1 + pc.c1 * 1000 + 1 END,
+        |      CASE WHEN pc.c1 IS NOT NULL
+        |        THEN r.m1 + pc.c1 * ${Bpe.VitRadix} + 1 END,
         |      CASE WHEN r.pos + 1 >= 2 AND pc.c2 IS NOT NULL
-        |        THEN r.m2 + pc.c2 * 1000 + 1 END,
+        |        THEN r.m2 + pc.c2 * ${Bpe.VitRadix} + 1 END,
         |      CASE WHEN r.pos + 1 >= 3 AND pc.c3 IS NOT NULL
-        |        THEN r.m3 + pc.c3 * 1000 + 1 END,
+        |        THEN r.m3 + pc.c3 * ${Bpe.VitRadix} + 1 END,
         |      CASE WHEN r.pos + 1 >= 4 AND pc.c4 IS NOT NULL
-        |        THEN r.m4 + pc.c4 * 1000 + 1 END,
-        |      r.m1 + ${Bpe.VitUnkCost * 1000L + 1L}) AS m1,
+        |        THEN r.m4 + pc.c4 * ${Bpe.VitRadix} + 1 END,
+        |      r.m1 + ${Bpe.VitUnkCost * Bpe.VitRadix + 1L}) AS m1,
         |    r.m1 AS m2, r.m2 AS m3, r.m3 AS m4
         |  FROM rec r JOIN pc ON pc.doc_id = r.doc_id AND pc.i = r.i
         |    AND pc.p = r.pos + 1
         |  WHERE r.pos < len(r.w)),
         |fin AS (SELECT lang, m1 FROM rec WHERE pos = len(w))
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-        |  CAST(SUM(m1 // 1000) AS BIGINT) AS total_cost,
-        |  CAST(SUM(m1 % 1000) AS BIGINT) AS n_pieces,
-        |  (1000000 * CAST(SUM(m1 % 1000) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-        |    AS fertility_ppm,
-        |  (100 * CAST(SUM(m1 // 1000) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
-        |    AS cost_per_word_centi
+        |  CAST(SUM(m1 // ${Bpe.VitRadix}) AS BIGINT) AS total_cost,
+        |  CAST(SUM(m1 % ${Bpe.VitRadix}) AS BIGINT) AS n_pieces,
+        |  (1000000 * CAST(SUM(m1 % ${Bpe.VitRadix}) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS fertility_ppm,
+        |  (100 * CAST(SUM(m1 // ${Bpe.VitRadix}) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS cost_per_word_centi
         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // q215: Kneser–Ney continuation statistics from the bigram type
     // table; cont_ppm = N1+(.w) / |types| in integer ppm
@@ -2190,11 +2198,14 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT CAST(2 AS BIGINT) AS k, n_classes, n_rows,
         |    g2 AS n_violating_classes, r2 AS n_violating_rows,
-        |    (1000000 * r2) // n_rows AS risk_ppm FROM s
+        |    CAST((1000000 * CAST(r2 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) AS risk_ppm FROM s
         |  UNION ALL SELECT 5, n_classes, n_rows, g5, r5,
-        |    (1000000 * r5) // n_rows FROM s
+        |    CAST((1000000 * CAST(r5 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s
         |  UNION ALL SELECT 10, n_classes, n_rows, g10, r10,
-        |    (1000000 * r10) // n_rows FROM s)
+        |    CAST((1000000 * CAST(r10 AS HUGEINT)) // nullif(n_rows, 0)
+        |      AS BIGINT) FROM s)
         |ORDER BY k""".stripMargin,
     // q217: exact Mann–Whitney AUC of the stopword-rate score as an
     // English detector; ties get half credit, all-integer arithmetic

@@ -374,6 +374,15 @@ object Bpe {
   /** Fallback cost of consuming one non-vocab character. */
   val VitUnkCost = 300L
 
+  /** Radix packing the (total_cost, n_pieces) pair into one Long
+    * metric: m = cost · VitRadix + n_pieces. n_pieces ≤ word length,
+    * so a radix of 10^7 keeps the fields disjoint up to 10M-piece
+    * words (a 1000-radix corrupted both fields on any unbroken token
+    * ≥ 1000 chars — base64/URL strings common in web corpora). Metric
+    * headroom: cost ≤ 300·len, so m ≤ 3e9·len + len — under Long.Max
+    * for words shorter than ~3e9 chars, i.e. unbounded in practice. */
+  val VitRadix = 10000000L
+
   /** Order-pinned (piece, cost) pairs for literal-map construction and
     * the oracle's VALUES table — one source, no drift. */
   def vitCostSeq: Seq[(String, Long)] = WpVocab.map(p => p -> VitCosts(p))
@@ -390,9 +399,10 @@ object Bpe {
    * short ones. Per word the DP is ONE `aggregate` fold over
    * character positions whose state is the 4-slot window
    * (M[i−1..i−4]) of best-so-far values; each candidate piece length
-   * k contributes M[i−k] + cost·1000 + 1, so the accumulated metric
-   * is 1000·total_cost + n_pieces — cost-optimal first, fewest pieces
-   * as the deterministic tiebreak, decodable by div/mod. Row-local
+   * k contributes M[i−k] + cost·[[VitRadix]] + 1, so the accumulated
+   * metric is VitRadix·total_cost + n_pieces — cost-optimal first,
+   * fewest pieces as the deterministic tiebreak, decodable by div/mod
+   * (radix 10^7, so the fields stay disjoint to 10M-piece words). Row-local
    * codegen'd builtins (literal cost map, `least` over non-null
    * options); per-lang few-key sums. The oracle replays the identical
    * recurrence as a recursive CTE carrying the same 4-slot state.
@@ -407,7 +417,7 @@ object Bpe {
 
   private[llm] def viterbiTokensOf(docs: DataFrame,
       costs: Seq[(String, Long)], unkCost: Long): DataFrame = {
-    val Inf = 1000000000000000L // far above any reachable metric; +cost stays huge
+    val Inf = 1000000000000000000L // defensive: slots guarded by i >= k
     val costMap = map(costs.flatMap { case (p, c) =>
       Seq(lit(p), lit(c)) }: _*)
     val w = col("w")
@@ -433,15 +443,15 @@ object Bpe {
           // null when the piece is absent OR the window would cross the
           // word start (i < k) — least() skips nulls
           when(i >= k && length(piece) === k,
-            prev(k - 1) + c * 1000L + 1L)
-        } :+ (prev.head + lit(unkCost * 1000L + 1L)) // 1-char UNK fallback
+            prev(k - 1) + c * VitRadix + 1L)
+        } :+ (prev.head + lit(unkCost * VitRadix + 1L)) // 1-char UNK fallback
         val mi = least(options: _*)
         struct(mi.as("m1"), prev(0).as("m2"), prev(1).as("m3"), prev(2).as("m4"))
       })
     words
       .select(col("lang"), col("cnt"), state.getField("m1").as("m"))
-      .select(col("lang"), col("cnt"), expr("m div 1000").as("cost"),
-        pmod(col("m"), lit(1000L)).as("npieces"))
+      .select(col("lang"), col("cnt"), expr(s"m div $VitRadix").as("cost"),
+        pmod(col("m"), lit(VitRadix)).as("npieces"))
       .groupBy(col("lang"))
       .agg(
         sum(col("cnt")).as("n_words"),

@@ -1,17 +1,38 @@
 package graft.ops
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Privacy / release-risk audits (q216): the pre-publication checks a
  * dataset release pipeline runs beside the quality audits (q124).
+ *
+ * Arithmetic discipline shared by all three audits: every ppm ratio
+ * numerator runs in an exact DECIMAL(38,0) lane (DuckDB: HUGEINT) —
+ * `1000000 * rows` overflows BIGINT past ~9.2e12 rows, which a 100 TB
+ * event store reaches — and every divide guards its denominator with
+ * `nullif(..., 0)` so a degenerate empty input yields NULL in BOTH
+ * engines instead of a Spark-null-vs-DuckDB-error divergence.
  */
 object Audits {
 
   /** Re-identification thresholds reported by [[kAnonymity]]. */
   val KThresholds: Seq[Int] = Seq(2, 5, 10)
+
+  /** Shared QI projection: (event_type, activity day, value band). */
+  private def qi(ev: DataFrame): DataFrame =
+    ev.select(
+        col("event_type"),
+        Tables.epochMs(col("ts")).as("ts_ms"),
+        floor(col("value") / 100.0).cast("long").as("band"))
+      .withColumn("day", expr("ts_ms div 86400000")) // integer div, q126 idiom
+
+  /** The ppm-share expression `(1e6 * num) div den` in an exact
+    * DECIMAL(38,0) lane with a null-on-zero denominator — the one
+    * spelling every audit output uses (oracle: HUGEINT + nullif). */
+  private def ppmDiv(num: String, den: String): String =
+    s"(1000000 * cast($num as decimal(38,0))) div nullif($den, 0)"
 
   /**
    * k-anonymity audit over the event stream: treat
@@ -31,13 +52,11 @@ object Audits {
    * floor(value/100) — same IEEE floor in both engines, no
    * truncation-vs-rounding cast trap.
    */
-  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val classes = ev.select(
-        col("event_type"),
-        Tables.epochMs(col("ts")).as("ts_ms"),
-        floor(col("value") / 100.0).cast("long").as("band"))
-      .withColumn("day", expr("ts_ms div 86400000")) // integer div, q126 idiom
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.events(spark, dir))
+
+  private[graft] def kAnonymityOf(ev: DataFrame): DataFrame = {
+    val classes = qi(ev)
       .groupBy(col("event_type"), col("day"), col("band"))
       .agg(count(lit(1)).as("n"))
     val aggs = Seq(
@@ -51,7 +70,7 @@ object Audits {
         "explode(array(" + KThresholds.map(k =>
           s"struct(CAST($k AS BIGINT) AS k, g$k AS n_violating_classes, " +
             s"r$k AS n_violating_rows, " +
-            s"(1000000 * r$k) div n_rows AS risk_ppm, " +
+            ppmDiv(s"r$k", "n_rows") + " AS risk_ppm, " +
             "n_classes, n_rows)").mkString(", ") + "))").as("s"))
       .select(col("s.k"), col("s.n_classes"), col("s.n_rows"),
         col("s.n_violating_classes"), col("s.n_violating_rows"),
@@ -78,13 +97,11 @@ object Audits {
    * conditional-sum pass exploded into |L| literal rows. Exact
    * integers end to end.
    */
-  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val classes = ev.select(
-        col("event_type"),
-        Tables.epochMs(col("ts")).as("ts_ms"),
-        floor(col("value") / 100.0).cast("long").as("band"))
-      .withColumn("day", expr("ts_ms div 86400000"))
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.events(spark, dir))
+
+  private[graft] def lDiversityOf(ev: DataFrame): DataFrame = {
+    val classes = qi(ev)
       .groupBy(col("day"), col("band"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("event_type")).as("ndv"))
@@ -99,7 +116,7 @@ object Audits {
         "explode(array(" + LThresholds.map(l =>
           s"struct(CAST($l AS BIGINT) AS l, g$l AS n_violating_classes, " +
             s"r$l AS n_violating_rows, " +
-            s"(1000000 * r$l) div n_rows AS risk_ppm, " +
+            ppmDiv(s"r$l", "n_rows") + " AS risk_ppm, " +
             "n_classes, n_rows)").mkString(", ") + "))").as("s"))
       .select(col("s.l"), col("s.n_classes"), col("s.n_rows"),
         col("s.n_violating_classes"), col("s.n_violating_rows"),
@@ -110,6 +127,13 @@ object Audits {
   /** Distance thresholds (ppm of total-variation) reported by
     * [[tCloseness]]. */
   val TThresholds: Seq[Int] = Seq(100000, 200000, 300000)
+
+  /** Row-count ceiling for [[tCloseness]]'s DECIMAL(38,0) lanes: the
+    * largest intermediate is 1e6 · dev_present ≤ 2e6 · N², which stays
+    * under 10^38 while N < ~7e15. Past that the same algebra must run
+    * on pre-scaled ppm counts; the in-plan guard below makes the switch
+    * a loud error instead of silent precision loss. */
+  val TClosenessMaxRows: Long = 7000000000000000L // 7e15
 
   /**
    * t-closeness audit — the distribution-skew check l-diversity
@@ -127,15 +151,18 @@ object Audits {
    * Scale shape: ONE corpus-scale hash aggregate to the
    * (class × alphabet)-cardinality table; everything after is
    * class-keyed (the per-event global table and the scalar total ride
-   * broadcasts). BIGINT headroom: |n_ce·N| ≤ N², fine to ~3·10⁹ rows;
-   * beyond that the same algebra runs on pre-scaled ppm counts.
+   * broadcasts). Arithmetic headroom: dev_present can reach 2·n_c·N,
+   * so the cross-multiplied products run in exact DECIMAL(38,0) lanes
+   * (DuckDB: HUGEINT) — the q182 discipline — sound to
+   * [[TClosenessMaxRows]] ≈ 7e15 rows, and the tv_ppm expression
+   * raises a loud error (never wraps) past that ceiling.
    */
-  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
-        col("event_type"),
-        Tables.epochMs(col("ts")).as("ts_ms"),
-        floor(col("value") / 100.0).cast("long").as("band"))
-      .withColumn("day", expr("ts_ms div 86400000"))
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.events(spark, dir))
+
+  private[graft] def tClosenessOf(events: DataFrame,
+      maxRows: Long = TClosenessMaxRows): DataFrame = {
+    val ev = qi(events)
     val ce = ev.groupBy(col("day"), col("band"), col("event_type"))
       .agg(count(lit(1)).as("n_ce"))
     val g = ce.groupBy(col("event_type")).agg(sum(col("n_ce")).as("n_e"))
@@ -146,12 +173,19 @@ object Audits {
       .crossJoin(broadcast(tot))
       .groupBy(col("day"), col("band"))
       .agg(
-        sum(abs(col("n_ce") * col("n") - col("n_e") * col("n_c")))
-          .as("dev_present"),
+        // DECIMAL(38,0) lanes: n_ce·N ≤ N² wraps BIGINT past ~3e9 rows
+        sum(abs(col("n_ce").cast("decimal(38,0)") * col("n") -
+          col("n_e").cast("decimal(38,0)") * col("n_c"))).as("dev_present"),
         sum(col("n_e")).as("ne_present"))
     val cls = c.join(dev, Seq("day", "band")).crossJoin(broadcast(tot))
-      .withColumn("tv_ppm", expr(
-        "(1000000 * (dev_present + n_c * (n - ne_present))) div (2 * n_c * n)"))
+      .withColumn("tv_ppm",
+        when(col("n") > maxRows,
+          raise_error(lit("tCloseness: corpus rows exceed the " +
+            "DECIMAL(38,0) headroom (~7e15); rerun on pre-scaled ppm counts"))
+            .cast("long"))
+        .otherwise(expr(
+          "(1000000 * (dev_present + cast(n_c as decimal(38,0)) * (n - ne_present)))" +
+            " div (2 * cast(n_c as decimal(38,0)) * n)")))
     val aggs = Seq(
       count(lit(1)).as("n_classes"),
       sum(col("n_c")).as("n_rows")) ++
@@ -163,7 +197,7 @@ object Audits {
         "explode(array(" + TThresholds.zipWithIndex.map { case (t, i) =>
           s"struct(CAST($t AS BIGINT) AS t, g$i AS n_violating_classes, " +
             s"r$i AS n_violating_rows, " +
-            s"(1000000 * r$i) div n_rows AS risk_ppm, " +
+            ppmDiv(s"r$i", "n_rows") + " AS risk_ppm, " +
             "n_classes, n_rows)" }.mkString(", ") + "))").as("s"))
       .select(col("s.t"), col("s.n_classes"), col("s.n_rows"),
         col("s.n_violating_classes"), col("s.n_violating_rows"),

@@ -234,6 +234,20 @@ class BpeTrimSpec extends SparkSpec {
     assert(r3.getAs[Long]("total_cost") == 40L && r3.getAs[Long]("n_words") == 2L, r3)
   }
 
+  test("viterbi: a >=1000-piece word decodes cleanly (radix 1e7)") {
+    // ADVICE r12: radix 1000 corrupted both packed fields on any
+    // unbroken token >= 1000 chars (base64/URL strings) — the piece
+    // count overflowed into the cost digits. 1200 'z's segment into
+    // 1200 one-char pieces at cost 48 each.
+    val word = "z" * 1200
+    val r = Bpe.viterbiTokensOf(
+      Seq((1L, word, "en", "s1", word.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Bpe.vitCostSeq, Bpe.VitUnkCost).collect().head
+    assert(r.getAs[Long]("n_pieces") == 1200L, r)
+    assert(r.getAs[Long]("total_cost") == 48L * 1200L, r)
+  }
+
   test("viterbi: fixture costs and piece counts sit inside the per-piece bounds") {
     val out = Bpe.viterbiTokens(spark, sf).collect()
     assert(out.nonEmpty)

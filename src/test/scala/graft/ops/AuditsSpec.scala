@@ -101,4 +101,81 @@ class AuditsSpec extends SparkSpec {
       assert(r.getLong(3) == gc && r.getLong(4) == gr, r)
     }
   }
+
+  /** Events-shaped frame for the degenerate-input tests. */
+  private def eventsFrame(rows: Seq[(String, java.sql.Timestamp, Double)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 1), schema)
+  }
+
+  test("empty events: all three audits return NULL ppm, never an error") {
+    // ADVICE r12: `div 0`/`// 0` diverge across engines; nullif makes
+    // the degenerate case NULL in both. An empty input must yield the
+    // |thresholds| rows with zeroed class counts and null ratios.
+    val empty = eventsFrame(Seq.empty)
+    Seq(
+      Audits.kAnonymityOf(empty),
+      Audits.lDiversityOf(empty),
+      Audits.tClosenessOf(empty)).foreach { df =>
+      val rows = df.collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 0L, "n_classes must be 0")
+        assert(r.isNullAt(5), s"risk_ppm must be NULL on empty input: $r")
+      }
+    }
+  }
+
+  test("t-closeness headroom guard fails LOUDLY past the decimal ceiling") {
+    // real data can't reach 7e15 rows in a spec; inject a 1-row ceiling
+    // and assert the raise_error branch fires instead of silent wrap
+    val ev = eventsFrame(Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("view", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0)))
+    val ex = intercept[Exception] {
+      Audits.tClosenessOf(ev, maxRows = 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("DECIMAL(38,0) headroom")),
+      s"expected the loud headroom error, got: $ex")
+  }
+
+  test("t-closeness decimal lanes: values unchanged vs the long algebra on small data") {
+    // the decimal promotion must be a pure widening — on inputs where
+    // BIGINT was already exact the results are bit-identical
+    val ev = eventsFrame(Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+      ("view", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 10.0),
+      ("view", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 10.0),
+      ("buy", java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 250.0)))
+    val rows = Audits.tClosenessOf(ev).collect()
+    assert(rows.length == 3)
+    // brute force: day1 band0 = {click:2, view:1}, day2 band0 = {view:1},
+    // day2 band2 = {buy:1}; N=5, n_e = {click:2, view:2, buy:1}
+    def tv(ce: Map[String, Long], nc: Long): Long = {
+      val ge = Map("click" -> 2L, "view" -> 2L, "buy" -> 1L)
+      val num = ge.map { case (e, neTot) =>
+        math.abs(ce.getOrElse(e, 0L) * 5L - neTot * nc) }.sum
+      1000000L * num / (2L * nc * 5L)
+    }
+    val tvs = Seq(
+      (tv(Map("click" -> 2L, "view" -> 1L), 3L), 3L),
+      (tv(Map("view" -> 1L), 1L), 1L),
+      (tv(Map("buy" -> 1L), 1L), 1L))
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val viol = tvs.filter(_._1 > t)
+      assert(r.getLong(3) == viol.size.toLong, s"classes at t=$t: $r")
+      assert(r.getLong(4) == viol.map(_._2).sum, s"rows at t=$t: $r")
+    }
+  }
 }

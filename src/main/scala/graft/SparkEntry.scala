@@ -265,6 +265,8 @@ object SparkEntry {
     "q247_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "q248_viterbi_tokens" -> ((s: SparkSession, d: String) => Bpe.viterbiTokens(s, d)),
     "q249_t_closeness" -> (graft.ops.Audits.tCloseness _),
+    "q250_html_extract" ->
+      ((s: SparkSession, d: String) => graft.llm.TextAnalysis.htmlExtract(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -933,6 +935,49 @@ object SparkEntry {
         |    CAST((1000000 * CAST(r2 AS HUGEINT)) // nullif(n_rows, 0)
         |      AS BIGINT) FROM s)
         |ORDER BY t""".stripMargin,
+    // q250: HTML extraction — the same deterministic markup synthesis
+    // (nav + every-5th-word anchor + footer), then tag strip /
+    // whitespace squash / anchor accounting; 'g' flags make DuckDB's
+    // regexp_replace global like Spark's
+    "q250_html_extract" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    '<html><head><title>doc</title></head><body>'
+        |    || '<nav><a href="/">home</a> <a href="/s">' || source
+        |    || '</a></nav><p>'
+        |    || array_to_string(list_transform(range(1, len(w) + 1),
+        |         i -> CASE WHEN i % 5 = 0
+        |                THEN '<a href="#">' || w[i] || '</a>'
+        |                ELSE w[i] END), ' ')
+        |    || '</p><footer><a href="/about">about us</a></footer>'
+        |    || '</body></html>' AS html
+        |  FROM ws),
+        |m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |        regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),
+        |        x -> len(x))), 0) AS BIGINT) AS anchor_chars,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS extracted
+        |  FROM h),
+        |e AS (SELECT doc_id, n_tags, anchor_chars,
+        |    CAST(len(extracted) AS BIGINT) AS text_chars,
+        |    string_split(extracted, ' ') AS ews
+        |  FROM m)
+        |SELECT doc_id, n_tags, anchor_chars, text_chars,
+        |  (1000000 * anchor_chars) // nullif(text_chars, 0)
+        |    AS link_density_ppm,
+        |  CAST(len(ews) AS BIGINT) AS n_words,
+        |  (100 * CAST(COALESCE(list_sum(list_transform(ews, x -> len(x))), 0)
+        |    AS BIGINT)) // nullif(CAST(len(ews) AS BIGINT), 0)
+        |    AS mean_wlen_centi,
+        |  (1000000 * anchor_chars) // nullif(text_chars, 0) <= 400000
+        |    AS ok_density,
+        |  CAST(len(ews) AS BIGINT) >= 30 AS ok_nwords,
+        |  ((1000000 * anchor_chars) // nullif(text_chars, 0) <= 400000
+        |   AND CAST(len(ews) AS BIGINT) >= 30) AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->

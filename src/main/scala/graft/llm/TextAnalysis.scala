@@ -1133,6 +1133,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- HTML/markup text extraction (q250) ---------------------------
+
+  /**
+   * Markup text extraction + link-density boilerplate filter (q250) —
+   * the CCNet/RefinedWeb ingestion stage the quality family (q178,
+   * q193) assumes has already run: real crawls arrive as HTML, and the
+   * Gopher-style rules only make sense over EXTRACTED text. Since the
+   * fixtures carry clean text, the markup payload is synthesized
+   * deterministically per document (a nav header, an inline anchor
+   * around every 5th word, a footer — the shape of a real page) and
+   * then the extraction pipeline runs for real: tag strip, whitespace
+   * squash, anchor-text accounting. Per document the audit reports tag
+   * count, anchor/total character counts, the link-density ppm a
+   * boilerplate filter thresholds on (RefinedWeb drops nav/ad-heavy
+   * pages this way), the Gopher-ish word measurements over the
+   * extracted text, and the keep verdict.
+   *
+   * Scale shape: ONE whole-stage-codegen'd projection — string
+   * builtins and regexes, row-local, zero joins, zero aggregates; the
+   * only exchange is the presentation sort. At 100 TB this is a pure
+   * map stage over input splits, the cheapest possible shape for an
+   * ingestion pass. All ratios are integer fixed-point with
+   * nullif-guarded divisors (the audit discipline), so the DuckDB
+   * oracle hash-matches bit-for-bit.
+   */
+  def htmlExtract(
+      spark: SparkSession,
+      dir: String,
+      maxDensityPpm: Long = 400000L,
+      minWords: Int = 30): DataFrame =
+    htmlExtractOf(Tables.documents(spark, dir), maxDensityPpm, minWords)
+
+  private[llm] def htmlExtractOf(
+      docs: DataFrame,
+      maxDensityPpm: Long = 400000L,
+      minWords: Int = 30): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), tokens.as("ws"))
+      // every 5th word carries an inline anchor; nav + footer add the
+      // constant boilerplate links a real page wraps content in
+      .withColumn("body", expr(
+        "array_join(transform(sequence(1, size(ws)), i -> " +
+          "CASE WHEN i % 5 = 0 " +
+          "THEN concat('<a href=\"#\">', element_at(ws, i), '</a>') " +
+          "ELSE element_at(ws, i) END), ' ')"))
+      .withColumn("html", concat(
+        lit("<html><head><title>doc</title></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/s\">"),
+        col("source"),
+        lit("</a></nav><p>"), col("body"),
+        lit("</p><footer><a href=\"/about\">about us</a></footer>" +
+          "</body></html>")))
+      .withColumn("n_tags",
+        size(expr("regexp_extract_all(html, '<[^>]*>', 0)")).cast("long"))
+      .withColumn("anchor_chars", expr(
+        "aggregate(regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1), " +
+          "0L, (a, x) -> a + length(x))"))
+      .withColumn("extracted", trim(regexp_replace(
+        regexp_replace(col("html"), "<[^>]*>", " "), " +", " ")))
+      .withColumn("text_chars", length(col("extracted")).cast("long"))
+      .withColumn("link_density_ppm",
+        expr("(1000000 * anchor_chars) div nullif(text_chars, 0)"))
+      .withColumn("ews", split(col("extracted"), " "))
+      .withColumn("n_words", size(col("ews")).cast("long"))
+      .withColumn("mean_wlen_centi", expr(
+        "(100 * aggregate(ews, 0L, (a, w) -> a + length(w))) " +
+          "div nullif(n_words, 0)"))
+      .withColumn("ok_density", col("link_density_ppm") <= maxDensityPpm)
+      .withColumn("ok_nwords", col("n_words") >= minWords)
+      .withColumn("keep", col("ok_density") && col("ok_nwords"))
+      .select(col("doc_id"), col("n_tags"), col("anchor_chars"),
+        col("text_chars"), col("link_density_ppm"), col("n_words"),
+        col("mean_wlen_centi"), col("ok_density"), col("ok_nwords"),
+        col("keep"))
+      .orderBy("doc_id")
+
   // ---- content-defined chunking (q247) -----------------------------
 
   /**

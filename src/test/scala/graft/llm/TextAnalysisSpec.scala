@@ -293,4 +293,60 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("dup_ppm") >= 0L && r.getAs[Long]("dup_ppm") <= 1000000L)
     }
   }
+
+  test("html extract: anchor accounting and keep verdict hand-checked") {
+    import spark.implicits._
+    // 10 words -> anchors wrap words 5 and 10; nav adds home+source,
+    // footer adds 'about us'
+    val words = (1 to 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" "), "en", "srcA", 40L),
+      // 4 words: no inline anchor at all — only nav/footer boilerplate
+      (2L, "a b c d", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.htmlExtractOf(docs, maxDensityPpm = 400000L,
+      minWords = 5).collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    // extracted text = doc home srcA w1..w10 about us -> 15 words (the
+    // title's "doc" survives the tag strip too — extraction keeps ALL
+    // rendered text; the density filter is what downweights chrome)
+    assert(r1.getAs[Long]("n_words") == 15L, r1)
+    // 20 page-skeleton tags + 2 inline anchors x 2 tags
+    assert(r1.getAs[Long]("n_tags") == 24L, r1)
+    // anchor text: "home" + "srcA" + "w5" + "w10" + "about us"
+    val anchors1 = "home".length + "srcA".length + "w5".length +
+      "w10".length + "about us".length
+    assert(r1.getAs[Long]("anchor_chars") == anchors1.toLong, r1)
+    val extracted1 = "doc home srcA " + words.mkString(" ") + " about us"
+    assert(r1.getAs[Long]("text_chars") == extracted1.length.toLong, r1)
+    assert(r1.getAs[Long]("link_density_ppm") ==
+      1000000L * anchors1 / extracted1.length, r1)
+    assert(r1.getAs[Boolean]("keep"), r1)
+
+    val r2 = out(2L)
+    // "doc home srcB a b c d about us" = 9 words; anchors home+srcB+about us
+    assert(r2.getAs[Long]("n_words") == 9L, r2)
+    val anchors2 = ("home" + "srcB" + "about us").length.toLong
+    assert(r2.getAs[Long]("anchor_chars") == anchors2, r2)
+    // boilerplate dominates the short doc: density above the threshold
+    assert(!r2.getAs[Boolean]("ok_density"), r2)
+    assert(!r2.getAs[Boolean]("keep"), r2)
+  }
+
+  test("html extract: fixture run is all-docs, tags consistent, plan is one projection") {
+    val df = TextAnalysis.htmlExtract(spark, sf)
+    val rows = df.collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      // 20 constant page-skeleton tags + 2 per inline anchor (words
+      // div 5 of the ORIGINAL text; extraction adds 5 chrome words:
+      // title "doc", nav home+source, footer "about us")
+      val inline = (r.getAs[Long]("n_words") - 5L) / 5L
+      assert(r.getAs[Long]("n_tags") == 20L + 2L * inline, r)
+      assert(r.getAs[Long]("anchor_chars") <= r.getAs[Long]("text_chars"), r)
+      assert(r.getAs[Long]("link_density_ppm") <= 1000000L, r)
+    }
+  }
 }

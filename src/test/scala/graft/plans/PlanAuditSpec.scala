@@ -419,7 +419,10 @@ class PlanAuditSpec extends SparkSpec {
       // the gopher flag join, and ONE group-less aggregate exploded
       // into the five stage rows; two corpus scans total (base + the
       // gopher rule projection)
-      "q200_curation_funnel"    -> (6, 5, 6, 1))
+      "q200_curation_funnel"    -> (6, 5, 6, 1),
+      // q250: markup extraction is ONE row-local projection — the only
+      // exchange is the presentation sort; zero joins/aggregates/windows
+      "q250_html_extract"       -> (1, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -267,6 +267,10 @@ object SparkEntry {
     "q249_t_closeness" -> (graft.ops.Audits.tCloseness _),
     "q250_html_extract" ->
       ((s: SparkSession, d: String) => graft.llm.TextAnalysis.htmlExtract(s, d)),
+    "q251_wordpiece_learned" ->
+      ((s: SparkSession, d: String) => Bpe.wordpieceTokensLearned(s, d)),
+    "q252_viterbi_learned" ->
+      ((s: SparkSession, d: String) => Bpe.viterbiTokensLearned(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2080,6 +2084,10 @@ object SparkEntry {
     // apply); each iteration = pair argmax (count desc, pair asc) +
     // per-position merge rewrite, unrolled as chained CTEs
     "q214_bpe_merges" -> bpeMergesOracleSql,
+    // q251/q252: the learned-artifact tokenizers — the learning CTEs
+    // feed the inference vocab/cost tables instead of literals
+    "q251_wordpiece_learned" -> wordpieceLearnedOracleSql,
+    "q252_viterbi_learned" -> viterbiLearnedOracleSql,
     // q218: the learned merges APPLIED per source — exact weighted
     // symbol totals before/after, compression in integer ppm
     "q218_bpe_apply" -> bpeApplyOracleSql,
@@ -4249,6 +4257,116 @@ object SparkEntry {
        |    // CAST(SUM(sw.n * len(sw.word)) AS BIGINT) AS compression_ppm
        |FROM sw JOIN lex3 USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q251: the learned-vocab greedy ladder — [[bpeLearnCtes]] replays
+    * the 3-merge learning; vocab = base alphabet + merge outputs
+    * (UNION dedupes); the recursive tokenizer is q246's ladder widened
+    * to the learned 6-char ceiling, membership against the vocab CTE
+    * instead of a literal list. */
+  private[graft] def wordpieceLearnedOracleSql: String = {
+    val ks = (graft.llm.Bpe.LearnedMaxLen to 2 by -1)
+    def in(k: Int) =
+      s"substr(w, pos + 1, $k) IN (SELECT piece FROM vocab)"
+    bpeLearnCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |vocab AS (
+       |  SELECT pa || pb AS piece FROM m1
+       |  UNION SELECT pa || pb FROM m2
+       |  UNION SELECT pa || pb FROM m3
+       |  UNION SELECT unnest(${graft.llm.Bpe.baseAlphabetSql}) AS piece),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, lang, i, ws[i] AS w
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+       |  WHERE len(ws[i]) > 0),
+       |rec AS (
+       |  SELECT doc_id, i, lang, w, 0 AS pos, 0 AS ntok, 0 AS nunk
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, i, lang, w, pos + len(cand) AS pos,
+       |    ntok + 1 AS ntok,
+       |    nunk + CASE WHEN matched THEN 0 ELSE 1 END AS nunk
+       |  FROM (
+       |    SELECT doc_id, i, lang, w, pos, ntok, nunk,
+       |      CASE
+       |        ${ks.map(k => s"WHEN ${in(k)} THEN substr(w, pos + 1, $k)")
+                  .mkString("\n       |        ")}
+       |        ELSE substr(w, pos + 1, 1) END AS cand,
+       |      (${(ks.map(in) :+
+                  "substr(w, pos + 1, 1) IN (SELECT piece FROM vocab)")
+                  .mkString("\n       |        OR ")}) AS matched
+       |    FROM rec WHERE pos < len(w))),
+       |fin AS (SELECT lang, ntok, nunk FROM rec WHERE pos >= len(w))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nunk) AS BIGINT) AS n_unk,
+       |  (1000000 * CAST(SUM(ntok) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** q252: the learned-cost Viterbi — costs derived from the merge
+    * ledger in exact integers (GREATEST(1, 48·len − 16·len(bin(n))),
+    * ties to MIN; base alphabet at 48), DP replayed as q248's
+    * recursive CTE widened to a 6-slot window. */
+  private[graft] def viterbiLearnedOracleSql: String = {
+    val radix = graft.llm.Bpe.VitRadix
+    val maxK = graft.llm.Bpe.LearnedMaxLen
+    val cc = graft.llm.Bpe.BaseCharCost
+    bpeLearnCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |vc AS (
+       |  SELECT piece, CAST(MIN(c) AS BIGINT) AS c FROM (
+       |    SELECT piece, GREATEST(1, $cc * len(piece) - 16 * len(bin(n))) AS c
+       |    FROM (SELECT pa || pb AS piece, n FROM m1
+       |          UNION ALL SELECT pa || pb, n FROM m2
+       |          UNION ALL SELECT pa || pb, n FROM m3)
+       |    UNION ALL
+       |    SELECT unnest(${graft.llm.Bpe.baseAlphabetSql}) AS piece, $cc AS c)
+       |  GROUP BY piece),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, lang, i, ws[i] AS w
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+       |  WHERE len(ws[i]) > 0),
+       |exp AS (SELECT doc_id, i, w, p, k, substr(w, p - k + 1, k) AS piece
+       |  FROM words, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p) pp,
+       |       LATERAL (SELECT unnest(range(1, ${maxK + 1})) AS k) kk
+       |  WHERE p >= k),
+       |pc AS (SELECT doc_id, i, p,
+       |    ${(1 to maxK).map(k =>
+                s"MAX(CASE WHEN k = $k THEN c END) AS c$k")
+                .mkString(",\n       |    ")}
+       |  FROM exp LEFT JOIN vc ON vc.piece = exp.piece
+       |  GROUP BY 1, 2, 3),
+       |rec AS (
+       |  SELECT doc_id, i, lang, w, 0 AS pos,
+       |    CAST(0 AS BIGINT) AS m1,
+       |    ${(2 to maxK).map(k =>
+                s"CAST(1000000000000000000 AS BIGINT) AS m$k")
+                .mkString(",\n       |    ")}
+       |  FROM words
+       |  UNION ALL
+       |  SELECT r.doc_id, r.i, r.lang, r.w, r.pos + 1 AS pos,
+       |    least(
+       |      ${(1 to maxK).map(k =>
+                s"CASE WHEN r.pos + 1 >= $k AND pc.c$k IS NOT NULL " +
+                  s"THEN r.m$k + pc.c$k * $radix + 1 END")
+                .mkString(",\n       |      ")},
+       |      r.m1 + ${graft.llm.Bpe.VitUnkCost * radix + 1L}) AS m1,
+       |    ${(2 to maxK).map(k => s"r.m${k - 1} AS m$k")
+                .mkString(", ")}
+       |  FROM rec r JOIN pc ON pc.doc_id = r.doc_id AND pc.i = r.i
+       |    AND pc.p = r.pos + 1
+       |  WHERE r.pos < len(r.w)),
+       |fin AS (SELECT lang, m1 FROM rec WHERE pos = len(w))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(m1 // $radix) AS BIGINT) AS total_cost,
+       |  CAST(SUM(m1 % $radix) AS BIGINT) AS n_pieces,
+       |  (1000000 * CAST(SUM(m1 % $radix) AS BIGINT))
+       |    // CAST(COUNT(*) AS BIGINT) AS fertility_ppm,
+       |  (100 * CAST(SUM(m1 // $radix) AS BIGINT))
+       |    // CAST(COUNT(*) AS BIGINT) AS cost_per_word_centi
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   private[graft] def annLshOracleSql(k: Int): String = {
     val target = graft.llm.Similarity.TargetBucketWidth

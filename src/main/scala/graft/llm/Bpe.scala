@@ -310,8 +310,9 @@ object Bpe {
   def wordpieceTokens(spark: SparkSession, dir: String): DataFrame =
     wordpieceTokensOf(Tables.documents(spark, dir))
 
-  private[llm] def wordpieceTokensOf(docs: DataFrame): DataFrame = {
-    val vocab = array(WpVocab.map(lit): _*)
+  private[llm] def wordpieceTokensOf(docs: DataFrame,
+      vocabList: Seq[String] = WpVocab, maxLen: Int = WpMaxLen): DataFrame = {
+    val vocab = array(vocabList.map(lit): _*)
     val w = col("w")
     // the q214 word-count discipline: tokenize each DISTINCT
     // (lang, word) ONCE and weight by its count — Heaps' law makes the
@@ -329,7 +330,7 @@ object Bpe {
       (st, _) => {
         val pos = st.getField("pos")
         def cand(k: Int) = w.substr(pos + 1, lit(k))
-        val matches = (WpMaxLen to 1 by -1)
+        val matches = (maxLen to 1 by -1)
           .map(k => k -> array_contains(vocab, cand(k)))
         val piece = matches.foldRight(cand(1)) { case ((k, m), alt) =>
           when(m, cand(k)).otherwise(alt)
@@ -416,7 +417,8 @@ object Bpe {
     viterbiTokensOf(Tables.documents(spark, dir), vitCostSeq, VitUnkCost)
 
   private[llm] def viterbiTokensOf(docs: DataFrame,
-      costs: Seq[(String, Long)], unkCost: Long): DataFrame = {
+      costs: Seq[(String, Long)], unkCost: Long,
+      maxK: Int = WpMaxLen): DataFrame = {
     val Inf = 1000000000000000000L // defensive: slots guarded by i >= k
     val costMap = map(costs.flatMap { case (p, c) =>
       Seq(lit(p), lit(c)) }: _*)
@@ -427,16 +429,14 @@ object Bpe {
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(w) > 0)
       .groupBy(col("lang"), w).agg(count(lit(1)).as("cnt"))
-    val maxK = WpMaxLen
     val init = struct(
-      lit(0L).as("m1"), lit(Inf).as("m2"), lit(Inf).as("m3"), lit(Inf).as("m4"))
-    // state BEFORE step i holds (M[i-1], M[i-2], M[i-3], M[i-4])
+      lit(0L).as("m1") +: (2 to maxK).map(k => lit(Inf).as(s"m$k")): _*)
+    // state BEFORE step i holds (M[i-1], ..., M[i-maxK])
     val state = aggregate(
       sequence(lit(1), length(w)),
       init,
       (st, i) => {
-        val prev = Seq(st.getField("m1"), st.getField("m2"),
-          st.getField("m3"), st.getField("m4"))
+        val prev = (1 to maxK).map(k => st.getField(s"m$k"))
         val options = (1 to maxK).map { k =>
           val piece = w.substr(i - (k - 1), lit(k))
           val c = element_at(costMap, piece)
@@ -446,7 +446,8 @@ object Bpe {
             prev(k - 1) + c * VitRadix + 1L)
         } :+ (prev.head + lit(unkCost * VitRadix + 1L)) // 1-char UNK fallback
         val mi = least(options: _*)
-        struct(mi.as("m1"), prev(0).as("m2"), prev(1).as("m3"), prev(2).as("m4"))
+        struct(
+          mi.as("m1") +: (2 to maxK).map(k => prev(k - 2).as(s"m$k")): _*)
       })
     words
       .select(col("lang"), col("cnt"), state.getField("m1").as("m"))
@@ -460,5 +461,90 @@ object Bpe {
       .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
       .withColumn("cost_per_word_centi", expr("(100 * total_cost) div n_words"))
       .orderBy(col("lang"))
+  }
+
+  // ---- learned-artifact inference (q251/q252) -----------------------
+  //
+  // Closes the tokenizer learning→inference loop: q246/q248 apply
+  // HAND-FROZEN literal tables; these variants derive the inference
+  // vocabulary and piece costs from the STORED `bpe-merges` artifact
+  // (q214's memoized learning output, whose word-count input is also
+  // stream-maintained), so a deployment serves the learned tokenizer
+  // with NO corpus re-scan and no hand-maintained table. The derivation
+  // is all-integer (bit lengths, not float logs), so the DuckDB oracle
+  // replays it exactly on top of the same learning CTEs.
+
+  /** Fixed base alphabet of the learned tokenizer — like byte-level
+    * BPE's 256-byte tier, the alphabet is NOT learned; only the merge
+    * list is. Matches the fixture corpus's [a-z0-9] character set. */
+  val BaseAlphabet: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** [[BaseAlphabet]] as a DuckDB list literal — one source, no drift. */
+  def baseAlphabetSql: String =
+    BaseAlphabet.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Per-character cost of the base tier (and of spelling a learned
+    * piece out), matching [[VitCosts]]' 1-char rung. */
+  val BaseCharCost = 48L
+
+  /** Ladder/DP-window ceiling for learned pieces: 3 merges compound to
+    * at most 5 chars (a 3-merge output + a 2-merge output); 6 leaves
+    * slack and pins the oracle's static recursion width. */
+  val LearnedMaxLen = 6
+
+  /** Bit length of a positive count — floor(log2 n) + 1, exact integer
+    * arithmetic in both engines (oracle: `len(bin(n))`). */
+  private[llm] def bitLen(n: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(n)
+
+  /** Derived integer cost of a learned piece: spelling it out costs
+    * [[BaseCharCost]] per char; the merge earns a frequency bonus of
+    * 16 per BIT of its stored selection-time pair count — the integer
+    * stand-in for −log p that keeps the DP bit-exact cross-engine.
+    * Floored at 1 so a cost can never reach 0 (a free piece would make
+    * the DP degenerate). */
+  private[llm] def learnedCost(piece: String, n: Long): Long =
+    math.max(1L, BaseCharCost * piece.length - 16L * bitLen(n))
+
+  /** (piece, cost) table derived from the stored merge ledger: base
+    * alphabet at [[BaseCharCost]] + each merge output at its
+    * [[learnedCost]]. Distinct merges can in principle emit the same
+    * string ("a"+"bc" vs "ab"+"c"); ties resolve to the MIN cost —
+    * the same rule the oracle's `GROUP BY piece` replays. Serving
+    * reads the memoized `bpe-merges` artifact — zero learning jobs,
+    * zero corpus scans. */
+  private[graft] def learnedCostSeq(docs: DataFrame, m: Int): Seq[(String, Long)] = {
+    val merged = learnMerges(docs, m).map { mg =>
+      (mg.pa + mg.pb) -> learnedCost(mg.pa + mg.pb, mg.n) }
+    val all = BaseAlphabet.map(_ -> BaseCharCost) ++ merged
+    all.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).min }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** The learned inference vocabulary: base alphabet + merge outputs. */
+  private[graft] def learnedVocab(docs: DataFrame, m: Int): Seq[String] =
+    learnedCostSeq(docs, m).map(_._1)
+
+  /** [[wordpieceTokens]] under the LEARNED vocabulary (q251): the
+    * greedy longest-match ladder, with the vocab derived from the
+    * stored `bpe-merges` artifact instead of the frozen [[WpVocab]].
+    * Same scale shape as q246 — the ladder is row-local builtins over
+    * the distinct-word table; the vocab is a driver-side literal read
+    * from the artifact, never a join. */
+  def wordpieceTokensLearned(spark: SparkSession, dir: String,
+      m: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    wordpieceTokensOf(docs, learnedVocab(docs, m), LearnedMaxLen)
+  }
+
+  /** [[viterbiTokens]] under the LEARNED cost table (q252): exact
+    * minimum-cost segmentation where vocab AND costs come from the
+    * stored merge ledger ([[learnedCostSeq]]). Same scale shape as
+    * q248 with a 6-slot DP window. */
+  def viterbiTokensLearned(spark: SparkSession, dir: String,
+      m: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    viterbiTokensOf(docs, learnedCostSeq(docs, m), VitUnkCost, LearnedMaxLen)
   }
 }

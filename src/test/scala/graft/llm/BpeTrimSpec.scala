@@ -248,6 +248,72 @@ class BpeTrimSpec extends SparkSpec {
     assert(r.getAs[Long]("total_cost") == 48L * 1200L, r)
   }
 
+  test("learned wordpiece == literal wordpiece on a corpus whose vocabs coincide") {
+    // round-13 verdict #2: the learning→inference loop. Corpus
+    // "the the the thx": merge 1 = (t,h) count 4, merge 2 = (th,e)
+    // count 3, so the learned vocab (alphabet + {th, the}) agrees with
+    // the frozen WpVocab on every substring this corpus contains — the
+    // two greedy ladders must emit identical rows.
+    val docs = Seq((1L, "the the the thx", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val learned = Bpe.learnedVocab(docs, 2)
+    assert(learned.toSet ==
+      (Bpe.BaseAlphabet ++ Seq("th", "the")).toSet, learned)
+    val lit = Bpe.wordpieceTokensOf(docs).collect().map(_.toSeq)
+    val der = Bpe.wordpieceTokensOf(docs, learned, Bpe.LearnedMaxLen)
+      .collect().map(_.toSeq)
+    assert(lit.toSeq == der.toSeq, s"literal $lit vs learned $der")
+    // and the learned ladder serves through the public entry shape
+    val viaEntry = Bpe.wordpieceTokensOf(docs, learned, Bpe.LearnedMaxLen)
+      .collect().head
+    assert(viaEntry.getAs[Long]("n_unk") == 0L)
+  }
+
+  test("learned viterbi: costs derived from stored counts, DP optimum brute-checked") {
+    val docs = Seq((1L, "the the the thx", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val costs = Bpe.learnedCostSeq(docs, 2).toMap
+    // th: count 4 -> bitlen 3 -> 96 - 48 = 48; the: count 3 -> bitlen 2
+    // -> 144 - 32 = 112; a merged piece is cheaper than spelling it out
+    assert(costs("th") == 48L && costs("the") == 112L, costs)
+    assert(costs("th") < costs("t") + costs("h"))
+    // optimum per word: "the" -> th|e = 96 (beats the 1-piece 112 and
+    // the spelled 144); "thx" -> th|x = 96
+    val r = Bpe.viterbiTokensOf(docs, Bpe.learnedCostSeq(docs, 2),
+      Bpe.VitUnkCost, Bpe.LearnedMaxLen).collect().head
+    assert(r.getAs[Long]("n_words") == 4L, r)
+    assert(r.getAs[Long]("total_cost") == 4L * 96L, r)
+    assert(r.getAs[Long]("n_pieces") == 8L, r)
+  }
+
+  test("learned tokenizers serve from the memoized artifact on the fixture") {
+    // both run green at fixture scale and their piece counts respect
+    // the same per-word bounds as the frozen-table paths
+    Seq(Bpe.wordpieceTokensLearned(spark, sf),
+        Bpe.viterbiTokensLearned(spark, sf)).foreach { df =>
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"), r)
+        assert(r.getAs[Long]("fertility_ppm") ==
+          1000000L * r.getAs[Long]("n_pieces") / r.getAs[Long]("n_words"))
+      }
+    }
+    // exact Viterbi can never pay MORE pieces-weighted cost than any
+    // other segmentation under the SAME cost table — compare against
+    // the greedy ladder re-costed: fertility of viterbi <= greedy's
+    // (both under the learned vocab, cost-optimal implies it here
+    // because every piece costs >= 1)
+    val greedy = Bpe.wordpieceTokensLearned(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_pieces")).toMap
+    Bpe.viterbiTokensLearned(spark, sf).collect().foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("total_cost") <=
+        greedy(lang) * 48L * Bpe.LearnedMaxLen,
+        s"viterbi cost not bounded by greedy spelling for $lang")
+    }
+  }
+
   test("viterbi: fixture costs and piece counts sit inside the per-piece bounds") {
     val out = Bpe.viterbiTokens(spark, sf).collect()
     assert(out.nonEmpty)

@@ -353,4 +353,90 @@ object Layout {
     "(VALUES " + ZonePreds.map { case (id, xl, xh, yl, yh) =>
       s"($id, $xl, $xh, $yl, $yh)"
     }.mkString(", ") + ") AS t(pred_id, px_lo, px_hi, py_lo, py_hi)"
+
+  // ---- written-layout certification (round-13 #1) --------------------
+  //
+  // q244 PREDICTS pruning from would-be zone maps; this section proves
+  // the prediction against PHYSICAL files: write each candidate layout
+  // as real multi-file parquet (repartitionByRange on the curve key +
+  // sortWithinPartitions — exactly the write path the scaladoc above
+  // prescribes), read back each file's min/max statistics, and compare
+  // the zone-map arithmetic against what the parquet reader actually
+  // materializes on a pushed 2-D range scan. Vanilla parquet scans have
+  // no FILE-level stats skipping in Spark (that is the Iceberg/Delta
+  // manifest layer); the measurable surface is ROW-GROUP pruning inside
+  // the reader, and with one row group per file (true for any file
+  // under the 128 MB block size) the two granularities coincide — so
+  // `rows materialized == predicted rows_scanned` is an exact pin.
+
+  /**
+   * Write the three candidate layouts of lineitem's masked keys as real
+   * multi-file parquet under `outBase` (`nFiles` range partitions
+   * each), returning layout → path. The sort key is the layout's
+   * clustering key; x/y land as ordinary data columns whose per-file
+   * min/max footer stats are what a scan prunes on.
+   */
+  def writeLayouts(spark: SparkSession, dir: String, outBase: String,
+      nFiles: Int): Map[String, String] =
+    writeLayoutsOf(maskedKeys(spark, dir), outBase, nFiles)
+
+  /** [[writeLayouts]] over an explicit masked (x, y) frame. */
+  private[graft] def writeLayoutsOf(base: DataFrame, outBase: String,
+      nFiles: Int): Map[String, String] = {
+    val laid = Seq(
+      "hilbert" -> withHilbert(base, col("x"), col("y"), "k"),
+      "zorder" -> base.withColumn("k", zorderKeyN(col("x"), col("y"), HBits)),
+      "lex" -> base.withColumn("k", shiftleft(col("x"), HBits) + col("y")))
+    laid.map { case (name, df) =>
+      val path = s"$outBase/$name"
+      df.repartitionByRange(nFiles, col("k"))
+        .sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(path)
+      name -> path
+    }.toMap
+  }
+
+  /** Per-FILE zone maps of a written layout, read back from the files
+    * themselves — the exact statistics the parquet footers carry.
+    * Shaped for [[pruneStats]] (bucket = file name). */
+  def fileZones(spark: SparkSession, path: String,
+      layoutName: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("zx_lo"), max(col("x")).as("zx_hi"),
+        min(col("y")).as("zy_lo"), max(col("y")).as("zy_hi"))
+      .withColumn("layout", lit(layoutName))
+
+  /**
+   * Execute a REAL 2-D box scan over a written layout and report
+   * (rows the parquet reader materialized, rows matching the
+   * predicate, files listed). Row-group statistics filtering stays ON
+   * (the thing under test); page-level column-index filtering is
+   * turned OFF so the measurement is row-group-granular — the same
+   * granularity as the footer stats [[fileZones]] reads back.
+   */
+  def measuredScan(spark: SparkSession, path: String,
+      pred: (Int, Long, Long, Long, Long)): (Long, Long, Long) = {
+    val (_, xl, xh, yl, yh) = pred
+    val df = spark.read
+      .option("parquet.filter.columnindex.enabled", "false")
+      .parquet(path)
+      .filter(col("x").between(xl, xh) && col("y").between(yl, yh))
+    val matching = df.collect().length.toLong // executes THIS plan
+    val scans = collectFileScans(df.queryExecution.executedPlan)
+    require(scans.nonEmpty, "no FileSourceScanExec in the executed plan")
+    (scans.map(_.metrics("numOutputRows").value).sum, matching,
+      scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  /** File scans of an executed plan, descending through AQE wrappers. */
+  private def collectFileScans(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectFileScans(a.executedPlan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(collectFileScans)
+  }
 }

@@ -54,6 +54,57 @@ import scala.jdk.CollectionConverters._
  */
 object ArtifactMaintenance {
 
+  /**
+   * Memo-tag → live-twin catalog (round-13 verdict #4): the CI-enforced
+   * form of "every memoized artifact has a streamed twin". Keys are the
+   * BASE names of every `ModelCache.memo`/`memoIndex`/`meter` tag in
+   * the codebase (parameters after `|` and trailing `-$param` stripped);
+   * values name what keeps that artifact fresh in deployment:
+   *
+   *  - `"ArtifactMaintenance.<factory>"` / `"PQ.streamedIndexArtifact"`
+   *    / `"ArtifactMaintenance.NearDupLabelStore"` — a streaming store
+   *    (ArtifactCatalogSpec resolves the member via reflection);
+   *  - `"frozen: ..."` — a model DELIBERATELY not retrained online
+   *    (the quantizers the streamed indexes encode against; retraining
+   *    them would orphan every stored code);
+   *  - `"landed: ..."` — a catalog-managed bucketed table maintained by
+   *    its own write path, not a ManifestArtifact.
+   *
+   * ArtifactCatalogSpec harvests the tags from source, so adding a new
+   * memoized artifact without an entry here FAILS the build.
+   */
+  val liveTwins: Map[String, String] = Map(
+    "bigram-lm" -> "ArtifactMaintenance.lmArtifact",
+    "source-unigrams" -> "ArtifactMaintenance.sourceUnigramArtifact",
+    "simhash-sigs" -> "ArtifactMaintenance.simhashArtifact",
+    "source-tokens" -> "ArtifactMaintenance.sourceTokensArtifact",
+    // merges re-learn from the streamed word-count table (vocab-scale)
+    "bpe-merges" -> "ArtifactMaintenance.wordCountArtifact",
+    "dsir-wtab" -> "ArtifactMaintenance.dsirCountsArtifact",
+    "source-grams" -> "ArtifactMaintenance.sourceGramsArtifact",
+    "winnow-fps" -> "ArtifactMaintenance.winnowFpArtifact",
+    "fuzzy-sig" -> "ArtifactMaintenance.fuzzySigArtifact",
+    // span-gram bounds merge (MIN lo, MAX hi); keepers re-derive at
+    // serve via the same keepersFromBounds
+    "dup-grams" -> "ArtifactMaintenance.gramBoundsArtifact",
+    "dup-gram-keepers" -> "ArtifactMaintenance.gramBoundsArtifact",
+    // rare-bigram stats re-derive from the streamed LM count table
+    "src-rare-stats" -> "ArtifactMaintenance.lmArtifact",
+    // the pair graph + resolved labels; bands re-sign per batch
+    // row-locally against the same seeded hash family
+    "lsh-pairs" -> "ArtifactMaintenance.NearDupLabelStore",
+    "lsh-bands" -> "ArtifactMaintenance.NearDupLabelStore",
+    "neardup-labels" -> "ArtifactMaintenance.NearDupLabelStore",
+    // PQ/IVF indexes stream-encode against FROZEN quantizers
+    "pqindex" -> "PQ.streamedIndexArtifact",
+    "ivfpqindex" -> "PQ.streamedIndexArtifact",
+    "pq" -> ("frozen: PQ codebooks are the quantizer the streamed index " +
+      "encodes against — retraining online would orphan every stored code"),
+    "kmeans" -> ("frozen: IVF centroids, same contract as the PQ " +
+      "codebooks (ArtifactMaintenance maintains indexes AGAINST them)"),
+    "bucketed-land" -> ("landed: catalog-managed bucketed+sorted tables " +
+      "(ops/Bucketing.scala) maintained by their write path"))
+
   private[streaming] case class Manifest(covered: Long, dirs: Seq[String])
 
   /**

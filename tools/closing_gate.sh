@@ -25,16 +25,26 @@ python3 tools/scaling_slopes.py \
   "$OUT/bench_sf0.001.json" "$OUT/bench_sf0.01.json" "$OUT/bench_sf0.1.json" \
   | tee "$OUT/slopes.md"
 
-echo "=== regressions vs best-known (each must carry a ledger entry) ==="
-# A flagged regression is only acceptable when tools/regression_ledger.json
-# explains it (accepted plan change, re-measurement, fixture change) at a
-# ratio no worse than recorded — an unexplained or worsened flag FAILS the
-# gate, so a plan regression can't ride through on silence (round-11
-# verdict #4: the gate caught q53 and nobody wrote the explanation).
-python3 - "$OUT/bench_sf0.1.json" <<'EOF'
+echo "=== plan fingerprints (flag + changed plan = regression, no ledger applies) ==="
+SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.PlanShapes /root/testdata/sf0.001 $OUT/plan_shapes.json" \
+  | tail -1
+
+echo "=== regressions vs best-known (ledger + plan-fingerprint discipline) ==="
+# A flagged regression is acceptable ONLY when (a) its physical plan
+# fingerprint is UNCHANGED vs tools/plan_shapes.json (round-13 verdict
+# #3: a ratio breach that coincides with a plan change is a real
+# regression no ledger entry may wave through), AND (b)
+# tools/regression_ledger.json explains it at a ratio no worse than
+# recorded. An unexplained, worsened, or plan-changed flag FAILS the
+# gate (round-11 verdict #4 lineage).
+python3 - "$OUT/bench_sf0.1.json" "$OUT/plan_shapes.json" <<'EOF'
 import json, os, sys
 doc = json.load(open(sys.argv[1]))
 reg = doc.get("regressions", {})
+fresh = json.load(open(sys.argv[2]))
+stored = {}
+if os.path.exists("tools/plan_shapes.json"):
+    stored = json.load(open("tools/plan_shapes.json"))
 ledger = {}
 if os.path.exists("tools/regression_ledger.json"):
     ledger = json.load(open("tools/regression_ledger.json"))
@@ -43,7 +53,12 @@ if not reg:
     print("none")
 for q, ratio in sorted(reg.items(), key=lambda kv: -kv[1]):
     entry = ledger.get(q)
-    if entry is None:
+    plan_changed = q in stored and fresh.get(q) != stored[q]
+    if plan_changed:
+        print(f"{q}: {ratio:.2f}x over best-known AND its plan fingerprint "
+              f"changed — real regression, ledger does not apply")
+        bad.append(q)
+    elif entry is None:
         print(f"{q}: {ratio:.2f}x over best-known — NO LEDGER ENTRY")
         bad.append(q)
     elif ratio > 1.25 * float(entry.get("accepted_ratio", 0)):
@@ -51,14 +66,17 @@ for q, ratio in sorted(reg.items(), key=lambda kv: -kv[1]):
               f"ledgered {entry['accepted_ratio']}x (stale explanation)")
         bad.append(q)
     else:
-        print(f"{q}: {ratio:.2f}x over best-known — ledgered (r{entry.get('round')}): "
-              f"{entry['reason'][:100]}")
+        print(f"{q}: {ratio:.2f}x over best-known, plan unchanged — "
+              f"ledgered (r{entry.get('round')}): {entry['reason'][:100]}")
 if bad:
-    print(f"GATE FAIL: unexplained regressions: {bad} — add entries to "
-          f"tools/regression_ledger.json (and SCALE.md) or fix the plan",
+    print(f"GATE FAIL: regressions: {bad} — fix the plan, or (variance "
+          f"with an UNCHANGED fingerprint only) ledger it",
           file=sys.stderr)
     sys.exit(1)
 EOF
 
 python3 tools/update_bench_best.py "$OUT/bench_sf0.1.json"
+# a green gate rebases the fingerprint baseline: stored shapes always
+# mean "the plans of the last green round"
+cp "$OUT/plan_shapes.json" tools/plan_shapes.json
 echo "closing gate done; artifacts in $OUT"

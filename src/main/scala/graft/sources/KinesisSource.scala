@@ -98,6 +98,13 @@ object KinesisSource {
     def getRecords(streamName: String, shardId: String,
         afterSequence: Option[String],
         upToSequence: String): Iterator[(String, Array[Byte])]
+    /** Lineage of a reshard child while its parents are still listed —
+      * the AWS ListShards ParentShardId/AdjacentParentShardId fields
+      * (a split has one parent, a merge two). Default: no lineage —
+      * clients that don't model resharding keep the flat behavior and
+      * the source makes no cross-shard ordering promise for them. */
+    def parentShardIds(streamName: String, shardId: String): Seq[String] =
+      Seq.empty
   }
 
   /** Driver-process client registry: the DSv2 option boundary is
@@ -137,7 +144,20 @@ class KinesisTable(stream: String, clientName: String)
 }
 
 /** Offset = per-shard high-water sequence map; JSON with sorted shard
-  * keys so the checkpoint bytes are deterministic. */
+  * keys so the checkpoint bytes are deterministic.
+  *
+  * ORDERING CONTRACT ACROSS A RESHARD (the Kinesis per-key guarantee a
+  * consumer library like the KCL preserves): records a producer wrote
+  * for one partition key land parent-then-child across a split, and
+  * this source DELIVERS them in that order — a reshard child only
+  * enters the offset map (see `latestOffset`) once every listed parent
+  * is drained through a previously returned offset, so all parent
+  * records reach an EARLIER micro-batch than any child record.
+  * Micro-batches are processed serially, so per-key order across the
+  * split boundary is preserved batch-to-batch; WITHIN one batch rows
+  * are a set, exactly like the Kafka source. Clients that don't model
+  * lineage ([[KinesisSource.KinesisShardClient.parentShardIds]] empty)
+  * opt out and get the flat at-least-ordered-per-shard behavior. */
 case class KinesisOffset(seqs: Map[String, String]) extends streaming.Offset {
   override def json(): String = {
     val node = KinesisSource.mapper.createObjectNode()
@@ -147,16 +167,48 @@ case class KinesisOffset(seqs: Map[String, String]) extends streaming.Offset {
 }
 
 class KinesisMicroBatchStream(stream: String, clientName: String)
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
   private def client = KinesisSource.clientFor(clientName)
 
   override def initialOffset(): streaming.Offset = KinesisOffset(Map.empty)
 
-  override def latestOffset(): streaming.Offset = {
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.allAvailable()
+
+  /**
+   * End-offset discovery with the reshard-ordering gate (see
+   * [[KinesisOffset]]): a shard already carried by `start` is always
+   * admitted at its latest sequence (its progress rides the offsets);
+   * a NEW shard is admitted only once every listed parent's FULL
+   * extent is already inside `start` — the committed state — so every
+   * parent record lands in a strictly earlier micro-batch than any
+   * child record. Stateless in the stream object, hence restart-safe:
+   * the gate re-derives from whatever offset the engine recovered.
+   * A deferred child loses nothing (its records sit in retention);
+   * a parent no longer listed is fully consumed and expired; a parent
+   * with no records gates nothing.
+   */
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val s = start.asInstanceOf[KinesisOffset].seqs
     val c = client
-    KinesisOffset(c.listShards(stream)
-      .flatMap(s => c.latestSequence(stream, s).map(s -> _)).toMap)
+    val listed = c.listShards(stream)
+    val latest = listed
+      .flatMap(sh => c.latestSequence(stream, sh).map(sh -> _)).toMap
+    val gated = latest.filter { case (shard, _) =>
+      s.contains(shard) ||
+        c.parentShardIds(stream, shard).forall { p =>
+          !listed.contains(p) ||
+            latest.get(p).forall(pl => s.get(p).contains(pl))
+        }
+    }
+    KinesisOffset(gated)
   }
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "SupportsAdmissionControl streams receive latestOffset(start, limit)")
 
   override def deserializeOffset(json: String): streaming.Offset = {
     val node = KinesisSource.mapper.readTree(json)

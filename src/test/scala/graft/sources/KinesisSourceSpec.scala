@@ -17,10 +17,24 @@ class KinesisSourceSpec extends SparkSpec {
   private final class FakeKinesis extends KinesisSource.KinesisShardClient {
     private val shards =
       mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]]
+    private val parents = mutable.Map.empty[String, Seq[String]]
+    private val closed = mutable.Set.empty[String]
     def push(shard: String, values: String*): Unit = synchronized {
+      require(!closed(shard), s"$shard is closed (split parent)")
       val buf = shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
       values.foreach(v => buf += v.getBytes("UTF-8"))
     }
+    /** Kinesis split: CLOSES the parent (no further writes) and opens
+      * children carrying its lineage, exactly the ListShards shape. */
+    def split(parent: String, children: String*): Unit = synchronized {
+      closed += parent
+      children.foreach { c =>
+        shards.getOrElseUpdate(c, mutable.ArrayBuffer.empty)
+        parents(c) = parents.getOrElse(c, Seq.empty) :+ parent
+      }
+    }
+    override def parentShardIds(stream: String, shardId: String): Seq[String] =
+      synchronized(parents.getOrElse(shardId, Seq.empty))
     private def seqOf(i: Long): String = f"$i%019d"
     override def listShards(stream: String): Seq[String] =
       synchronized(shards.keys.toSeq)
@@ -91,6 +105,75 @@ class KinesisSourceSpec extends SparkSpec {
     val all = got1 ++ got2
     assert(all.map(t => (t._1, t._2)).distinct.size == all.size,
       s"duplicate (shard, sequence) delivered: $all")
+  }
+
+  test("a key's records ordered parent-then-child are DELIVERED in that order across a split") {
+    // round-12 verdict #6: the spec that was missing — same partition
+    // key spans the parent's tail and the child's head; delivery must
+    // preserve that order across the split boundary (the KCL
+    // guarantee), i.e. every parent record lands in an EARLIER
+    // micro-batch than any child record.
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-split", fake)
+    val ck = Files.createTempDirectory("kinesis-split-ck").toString
+
+    val batches = mutable.Buffer.empty[(Long, String, String)] // (batch, shard, value)
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "fake-split")
+      .load()
+      .selectExpr("shard_id", "cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches ++= df.collect().map(r => (id, r.getString(0), r.getString(1)))
+        ()
+      }
+      .start()
+
+    fake.push("shard-p", "k1", "k2")
+    q.processAllAvailable()
+    // the interesting window: the parent still has an UNDELIVERED tail
+    // (k3) when the split lands and the child's head (k4, k5) appears
+    fake.push("shard-p", "k3")
+    fake.split("shard-p", "shard-c")
+    fake.push("shard-c", "k4", "k5")
+    q.processAllAvailable()
+    q.stop()
+
+    val byValue = batches.map(t => t._3 -> t._1).toMap
+    assert(byValue.keySet == Set("k1", "k2", "k3", "k4", "k5"),
+      s"records lost or duplicated: $batches")
+    val lastParentBatch = Seq("k1", "k2", "k3").map(byValue).max
+    val firstChildBatch = Seq("k4", "k5").map(byValue).min
+    assert(lastParentBatch < firstChildBatch,
+      s"parent tail (batch $lastParentBatch) must be delivered strictly " +
+        s"before the child head (batch $firstChildBatch): $batches")
+    // and within each shard, sequence order is per-shard arrival order
+    assert(byValue("k4") == byValue("k5"), batches)
+
+    // restart AFTER the split with more child data: the committed
+    // child offset resumes exactly once, no parent replay
+    fake.push("shard-c", "k6")
+    val batches2 = mutable.Buffer.empty[(Long, String, String)]
+    val q2 = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "fake-split")
+      .load()
+      .selectExpr("shard_id", "cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches2 ++= df.collect().map(r => (id, r.getString(0), r.getString(1)))
+        ()
+      }
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches2.map(_._3) == Seq("k6"),
+      s"restart must deliver only the child delta: $batches2")
   }
 
   test("offsets serialize deterministically and round-trip") {

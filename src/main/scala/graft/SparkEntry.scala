@@ -271,6 +271,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Bpe.wordpieceTokensLearned(s, d)),
     "q252_viterbi_learned" ->
       ((s: SparkSession, d: String) => Bpe.viterbiTokensLearned(s, d)),
+    "q253_extract_funnel" ->
+      ((s: SparkSession, d: String) => graft.llm.TextAnalysis.extractFunnel(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -982,6 +984,50 @@ object SparkEntry {
         |  ((1000000 * anchor_chars) // nullif(text_chars, 0) <= 400000
         |   AND CAST(len(ews) AS BIGINT) >= 30) AS keep
         |FROM e ORDER BY doc_id""".stripMargin,
+    // q253: the q250 extraction pipeline rolled up per source — docs
+    // in/kept, keep ppm, aggregate link density, kept word volume
+    "q253_extract_funnel" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |    '<html><head><title>doc</title></head><body>'
+        |    || '<nav><a href="/">home</a> <a href="/s">' || source
+        |    || '</a></nav><p>'
+        |    || array_to_string(list_transform(range(1, len(w) + 1),
+        |         i -> CASE WHEN i % 5 = 0
+        |                THEN '<a href="#">' || w[i] || '</a>'
+        |                ELSE w[i] END), ' ')
+        |    || '</p><footer><a href="/about">about us</a></footer>'
+        |    || '</body></html>' AS html
+        |  FROM ws),
+        |m AS (SELECT doc_id, source,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |        regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),
+        |        x -> len(x))), 0) AS BIGINT) AS anchor_chars,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS extracted
+        |  FROM h),
+        |e AS (SELECT doc_id, source, anchor_chars,
+        |    CAST(len(extracted) AS BIGINT) AS text_chars,
+        |    CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words,
+        |    ((1000000 * anchor_chars)
+        |       // nullif(CAST(len(extracted) AS BIGINT), 0) <= 400000
+        |     AND CAST(len(string_split(extracted, ' ')) AS BIGINT) >= 30)
+        |      AS keep
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST((1000000 * CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+        |      AS HUGEINT)) // nullif(CAST(COUNT(*) AS BIGINT), 0) AS BIGINT)
+        |    AS kept_ppm,
+        |  CAST(SUM(anchor_chars) AS BIGINT) AS anchor_chars,
+        |  CAST(SUM(text_chars) AS BIGINT) AS text_chars,
+        |  CAST((1000000 * CAST(SUM(anchor_chars) AS HUGEINT))
+        |      // nullif(CAST(SUM(text_chars) AS BIGINT), 0) AS BIGINT)
+        |    AS density_ppm,
+        |  CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+        |    AS words_kept
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
     // exact top-16 + the Misra-Gries coverage boolean, which the MG
     // guarantee forces TRUE under every partitioning — literal TRUE here
     "q102_heavy_hitters" ->

@@ -1169,6 +1169,19 @@ object TextAnalysis {
       docs: DataFrame,
       maxDensityPpm: Long = 400000L,
       minWords: Int = 30): DataFrame =
+    htmlExtractRows(docs, maxDensityPpm, minWords)
+      .select(col("doc_id"), col("n_tags"), col("anchor_chars"),
+        col("text_chars"), col("link_density_ppm"), col("n_words"),
+        col("mean_wlen_centi"), col("ok_density"), col("ok_nwords"),
+        col("keep"))
+      .orderBy("doc_id")
+
+  /** The per-document extraction table WITH source — q250 projects it;
+    * the q253 funnel aggregates it. One shared pipeline, no drift. */
+  private[llm] def htmlExtractRows(
+      docs: DataFrame,
+      maxDensityPpm: Long,
+      minWords: Int): DataFrame =
     docs
       .select(col("doc_id"), col("source"), tokens.as("ws"))
       // every 5th word carries an inline anchor; nav + footer add the
@@ -1203,11 +1216,42 @@ object TextAnalysis {
       .withColumn("ok_density", col("link_density_ppm") <= maxDensityPpm)
       .withColumn("ok_nwords", col("n_words") >= minWords)
       .withColumn("keep", col("ok_density") && col("ok_nwords"))
-      .select(col("doc_id"), col("n_tags"), col("anchor_chars"),
-        col("text_chars"), col("link_density_ppm"), col("n_words"),
-        col("mean_wlen_centi"), col("ok_density"), col("ok_nwords"),
-        col("keep"))
-      .orderBy("doc_id")
+
+  /**
+   * Per-source extraction FUNNEL (q253): the q250 pipeline rolled up
+   * to the numbers an ingestion operator actually watches — per
+   * source: docs in, docs surviving the link-density + length gates,
+   * the keep rate in ppm, the source's aggregate link density (total
+   * anchor chars over total extracted chars — the boilerplate burden
+   * of the whole slice, not the per-doc mean), and the extracted-word
+   * volume the kept docs contribute to the training mix.
+   *
+   * Scale shape: the row-local q250 projection feeding ONE
+   * source-cardinality hash aggregate — map-side combinable, zero
+   * joins; nothing but the scan grows with the corpus.
+   */
+  def extractFunnel(
+      spark: SparkSession,
+      dir: String,
+      maxDensityPpm: Long = 400000L,
+      minWords: Int = 30): DataFrame =
+    htmlExtractRows(Tables.documents(spark, dir), maxDensityPpm, minWords)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("anchor_chars")).as("anchor_chars"),
+        sum(col("text_chars")).as("text_chars"),
+        sum(when(col("keep"), col("n_words")).otherwise(0L))
+          .as("words_kept"))
+      .withColumn("kept_ppm",
+        expr("(1000000 * cast(n_kept as decimal(38,0))) div nullif(n_docs, 0)"))
+      .withColumn("density_ppm",
+        expr("(1000000 * cast(anchor_chars as decimal(38,0))) div nullif(text_chars, 0)"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_ppm"),
+        col("anchor_chars"), col("text_chars"), col("density_ppm"),
+        col("words_kept"))
+      .orderBy("source")
 
   // ---- content-defined chunking (q247) -----------------------------
 

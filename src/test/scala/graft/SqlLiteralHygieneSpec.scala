@@ -39,6 +39,7 @@ class SqlLiteralHygieneSpec extends AnyFunSuite {
     "ChainDepth" -> "object-level Int constant (Dedup minhash chain)",
     "CmsDepth" -> "object-level Int constant (Sketches)",
     "EpochMs" -> "object-level Long constant (Relational5)",
+    "VitRadix" -> "object-level Long constant (Bpe Viterbi metric radix)",
     "L" -> "method-local Int: shard token budget (Pipeline)",
     "PackShardDocs" -> "object-level Int constant (Pipeline)",
     "WeekMs" -> "method-local Long constant (Relational4 cohorts)",

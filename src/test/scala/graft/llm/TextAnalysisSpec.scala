@@ -334,6 +334,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r2.getAs[Boolean]("keep"), r2)
   }
 
+  test("extract funnel: per-source rollup consistent with the per-doc table") {
+    val perDoc = TextAnalysis.htmlExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sources = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val funnel = TextAnalysis.extractFunnel(spark, sf).collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { f =>
+      val src = f.getString(0)
+      val docs = perDoc.filter { case (id, _) => sources(id) == src }.values
+      assert(f.getAs[Long]("n_docs") == docs.size.toLong, f)
+      assert(f.getAs[Long]("n_kept") ==
+        docs.count(_.getAs[Boolean]("keep")).toLong, f)
+      assert(f.getAs[Long]("anchor_chars") ==
+        docs.map(_.getAs[Long]("anchor_chars")).sum, f)
+      assert(f.getAs[Long]("kept_ppm") ==
+        1000000L * f.getAs[Long]("n_kept") / f.getAs[Long]("n_docs"), f)
+    }
+  }
+
   test("html extract: fixture run is all-docs, tags consistent, plan is one projection") {
     val df = TextAnalysis.htmlExtract(spark, sf)
     val rows = df.collect()

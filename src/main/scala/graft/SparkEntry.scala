@@ -273,6 +273,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Bpe.viterbiTokensLearned(s, d)),
     "q253_extract_funnel" ->
       ((s: SparkSession, d: String) => graft.llm.TextAnalysis.extractFunnel(s, d)),
+    "q254_mp4_meta" ->
+      ((s: SparkSession, d: String) => Multimodal.mp4Manifest(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2699,6 +2701,16 @@ object SparkEntry {
         |  CAST(64 + doc_id % 256 AS BIGINT) AS height,
         |  CAST(64 + doc_id % 512 AS BIGINT) AS width,
         |  CAST(3 AS BIGINT) AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q254: MP4 header round-trip — same discipline as q234 on the
+    // ISO-BMFF box walk; the doc-varying `free` box shifts moov's
+    // offset, so the analytic moov_pos (33 + doc % 9) only matches if
+    // the walk really hopped the boxes
+    "q254_mp4_meta" ->
+      """SELECT doc_id, TRUE AS is_mp4, 'isom' AS brand,
+        |  CAST(33 + doc_id % 9 AS BIGINT) AS moov_pos,
+        |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 100000 AS BIGINT) AS duration
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q235: semantic decontamination — nearest eval vector per training
     // vector, exact cosine, dyadic τ verdict; oracle mirrors q34's

@@ -326,6 +326,79 @@ object Multimodal {
   }
 
   /**
+   * MP4 (ISO BMFF) container metadata — the VIDEO member of the header
+   * family beside [[pngMeta]]/[[wavMeta]]/[[jpegMeta]], still zero
+   * UDFs. An MP4 is a sequence of length-prefixed BOXES
+   * (`size(4,BE) type(4,ascii)`), so locating `moov` is a bounded box
+   * walk (one `aggregate` fold, 8 hops — real files lead with
+   * ftyp/free/mdat prefixes) and the movie header fields sit at fixed
+   * offsets inside moov's first child `mvhd`: version 0 puts timescale
+   * at moov+28 and duration at moov+32 (1-based), both big-endian.
+   * TOTAL on truncated or non-MP4 payloads — the walk stalls on an
+   * out-of-range or degenerate (size < 8) box and every field nulls,
+   * never errors. Metadata-first at 100 TB: a duration/timescale
+   * filter touches ≤ ~80 header bytes per object, not the media.
+   */
+  def mp4Meta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nBytes = octet_length(payload).cast("long")
+    def be32(pos: org.apache.spark.sql.Column) =
+      conv(hex(substring(payload, pos.cast("int"), lit(4))), 16, 10).cast("long")
+    def ascii(pos: org.apache.spark.sql.Column, len: Int) =
+      substring(payload, pos.cast("int"), lit(len)).cast("string")
+    val isMp4 = ascii(lit(5L), 4) === lit("ftyp") && nBytes >= 16L
+    val init = struct(lit(1L).as("pos"), lit(0L).as("moov"))
+    val walked = aggregate(sequence(lit(1), lit(8)), init, (st, _) => {
+      val pos = st.getField("pos")
+      val moov = st.getField("moov")
+      val size = be32(pos)
+      val live = moov === 0L && (pos + 7L) <= nBytes && size >= 8L
+      val isMoov = ascii(pos + 4L, 4) === lit("moov")
+      struct(
+        when(live && !isMoov, pos + size).otherwise(pos).as("pos"),
+        when(live && isMoov, pos).otherwise(moov).as("moov"))
+    })
+    val m = walked.getField("moov")
+    val hasMvhd = m > 0L && (m + 35L) <= nBytes &&
+      ascii(m + 12L, 4) === lit("mvhd") && be32(m + 16L) < lit(16777216L) // version 0
+    struct(
+      isMp4.as("is_mp4"),
+      when(isMp4, ascii(lit(9L), 4)).as("brand"),
+      when(isMp4 && m > 0L, m).as("moov_pos"),
+      when(isMp4 && hasMvhd, be32(m + 28L)).as("timescale"),
+      when(isMp4 && hasMvhd, be32(m + 32L)).as("duration"))
+  }
+
+  /**
+   * q254: MP4 header round-trip, the q234 discipline on the video
+   * container — Spark synthesizes REAL ISO-BMFF bytes per document
+   * (ftyp + a doc-varying `free` box that SHIFTS moov's offset +
+   * moov/mvhd with doc-derived timescale/duration) via `unhex`, then
+   * parses them back with [[mp4Meta]]. The oracle never sees a byte:
+   * it recomputes the fields analytically from doc_id, so hash
+   * equality proves the synth → box-walk → field-extract loop
+   * byte-exact. Row-local both ways.
+   */
+  def mp4Manifest(spark: SparkSession, dir: String): DataFrame = {
+    def a(s: String) = s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    val freeLen = col("doc_id") % 9L
+    val timescale = lit(600L) + (col("doc_id") % 5L) * 100L
+    val duration = col("doc_id") % 100000L
+    val headerHex = concat(
+      lit("00000018" + a("ftyp") + a("isom") + "00000200" + a("isom") + a("iso2")),
+      hex8(freeLen + 8L), lit(a("free")), repeat(lit("00"), freeLen.cast("int")),
+      lit("00000074" + a("moov") + "0000006C" + a("mvhd") +
+        "00000000" + "00000000" + "00000000"), // v0+flags, creation, modification
+      hex8(timescale), hex8(duration))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(headerHex).as("payload"))
+      .select(col("doc_id"), mp4Meta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.is_mp4"), col("m.brand"),
+        col("m.moov_pos"), col("m.timescale"), col("m.duration"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Oracle-checkable binary-column query: documents' text re-encoded as
    * binary payloads; project byte length and a prefix — exercises the
    * binary type end-to-end (cast, octet_length, substring-on-binary).

@@ -244,4 +244,84 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(5) == nc.toLong, s"sample $i components")
     }
   }
+
+  test("mp4Meta walks real ISO-BMFF boxes to mvhd, total on junk") {
+    import spark.implicits._
+    def be4(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    def mvhd(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array.fill[Byte](4)(0) ++ Array.fill[Byte](8)(0) ++
+        be4(timescale) ++ be4(duration) ++ Array.fill[Byte](80)(0))
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be4(0x200L) ++
+        "isomiso2".getBytes("US-ASCII"))
+    // realistic prefixes: free padding and even a leading mdat stub
+    val free = box("free", Array.fill[Byte](5)(0))
+    val mdat = box("mdat", Array.fill[Byte](32)(7))
+    val full = ftyp ++ free ++ mdat ++ box("moov", mvhd(90000L, 123456L))
+    val truncated = ftyp ++ free.take(6)
+    val notMp4 = "GRFT-not-an-mp4!".getBytes("US-ASCII")
+    // degenerate size-0 box must stall the walk, not loop
+    val degenerate = ftyp ++ be4(0L) ++ "junk".getBytes("US-ASCII")
+    val rows = Seq((1L, full), (2L, truncated), (3L, notMp4), (4L, degenerate))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.mp4Meta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_mp4"), col("m.brand"),
+        col("m.moov_pos"), col("m.timescale"), col("m.duration"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f = rows(1L)
+    assert(f.getBoolean(1) && f.getString(2) == "isom", f)
+    assert(f.getLong(3) == (ftyp.length + free.length + mdat.length + 1).toLong, f)
+    assert(f.getLong(4) == 90000L && f.getLong(5) == 123456L, f)
+    val t = rows(2L)
+    assert(t.getBoolean(1) && t.isNullAt(3) && t.isNullAt(4), t)
+    val n = rows(3L)
+    assert(!n.getBoolean(1) && n.isNullAt(4), n)
+    val d = rows(4L)
+    assert(d.getBoolean(1) && d.isNullAt(3) && d.isNullAt(4), d)
+  }
+
+  test("property: mp4Meta finds moov behind any box prefix") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def be4(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    val gen = for {
+      nBoxes <- Gen.choose(0, 6) // walk budget is 8 hops incl. ftyp+moov
+      boxes <- Gen.listOfN(nBoxes, for {
+        tpe <- Gen.oneOf("free", "skip", "mdat", "wide")
+        len <- Gen.choose(0, 64)
+        fill <- Gen.choose(0, 255)
+      } yield box(tpe, Array.fill(len)(fill.toByte)))
+      ts <- Gen.choose(1L, 4000000000L)
+      dur <- Gen.choose(0L, 4000000000L)
+    } yield (boxes, ts, dur)
+    val samples = (0 until 24).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(901L + i)))
+    val payloads = samples.zipWithIndex.map { case ((boxes, ts, dur), i) =>
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be4(0x200L))
+      val mvhd = box("mvhd", Array.fill[Byte](12)(0) ++ be4(ts) ++ be4(dur))
+      (i.toLong, ftyp ++ boxes.flatten ++ box("moov", mvhd),
+        (ftyp.length + boxes.flatten.length + 1).toLong, ts, dur)
+    }
+    val got = payloads.map(p => (p._1, p._2)).toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.mp4Meta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_mp4"), col("m.moov_pos"),
+        col("m.timescale"), col("m.duration"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    payloads.foreach { case (i, _, moovPos, ts, dur) =>
+      val r = got(i)
+      assert(r.getBoolean(1), s"sample $i not recognized")
+      assert(r.getLong(2) == moovPos, s"sample $i moov_pos")
+      assert(r.getLong(3) == ts && r.getLong(4) == dur,
+        s"sample $i fields: (${r.getLong(3)}, ${r.getLong(4)}) want ($ts, $dur)")
+    }
+  }
 }

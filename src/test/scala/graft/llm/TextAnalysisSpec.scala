@@ -334,6 +334,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r2.getAs[Boolean]("keep"), r2)
   }
 
+  test("property: html extraction round-trips any tag-free word list") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, word)
+      src <- Gen.oneOf("alpha", "beta9", "g")
+    } yield (ws, src)
+    val samples = (0 until 32).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(4242L + i)))
+    val docs = samples.zipWithIndex.map { case ((ws, src), i) =>
+      (i.toLong, ws.mkString(" "), "en", src, ws.map(_.length).sum.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.htmlExtractOf(docs, 400000L, 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    samples.zipWithIndex.foreach { case ((ws, src), i) =>
+      val r = got(i.toLong)
+      // extraction recovers the chrome + the original words, exactly
+      val extracted = s"doc home $src " + ws.mkString(" ") + " about us"
+      assert(r.getAs[Long]("text_chars") == extracted.length.toLong,
+        s"sample $i text_chars")
+      assert(r.getAs[Long]("n_words") == (ws.size + 5).toLong,
+        s"sample $i n_words")
+      val inline = ws.zipWithIndex.collect {
+        case (w, j) if (j + 1) % 5 == 0 => w.length }.sum
+      val anchors = "home".length + src.length + inline + "about us".length
+      assert(r.getAs[Long]("anchor_chars") == anchors.toLong,
+        s"sample $i anchors: got ${r.getAs[Long]("anchor_chars")} want $anchors")
+      assert(r.getAs[Long]("n_tags") == 20L + 2L * (ws.size / 5),
+        s"sample $i tags")
+    }
+  }
+
   test("extract funnel: per-source rollup consistent with the per-doc table") {
     val perDoc = TextAnalysis.htmlExtract(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -275,6 +275,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.llm.TextAnalysis.extractFunnel(s, d)),
     "q254_mp4_meta" ->
       ((s: SparkSession, d: String) => Multimodal.mp4Manifest(s, d)),
+    "q255_format_roundtrip" -> (graft.ops.Formats.formatRoundtrip _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2706,6 +2707,10 @@ object SparkEntry {
     // ISO-BMFF box walk; the doc-varying `free` box shifts moov's
     // offset, so the analytic moov_pos (33 + doc % 9) only matches if
     // the walk really hopped the boxes
+    // q255: multi-format sink/source round-trip — the oracle computes
+    // the same exact-integer checksums once from the parquet fixture;
+    // equality per format proves each write->read loop lossless
+    "q255_format_roundtrip" -> graft.ops.Formats.formatRoundtripSql,
     "q254_mp4_meta" ->
       """SELECT doc_id, TRUE AS is_mp4, 'isom' AS brand,
         |  CAST(33 + doc_id % 9 AS BIGINT) AS moov_pos,

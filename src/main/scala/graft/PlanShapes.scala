@@ -30,6 +30,7 @@ object PlanShapes {
       .replaceAll("plan_id=\\d+", "plan_id=")       // AQE plan ids
       .replaceAll("@[0-9a-f]{6,}", "@")             // object hashes
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda") // JVM lambda ids
+      .replaceAll("splits=\\d+", "splits=") // Range splits = core count
       .replaceAll("file:[^\\s\\],)]*", "path")       // local paths
       .replaceAll("/[-_A-Za-z0-9./]*(testdata|tmp|warehouse)[^\\s\\],)]*", "path")
       .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "FileIndex")
@@ -45,12 +46,14 @@ object PlanShapes {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outPath = if (args.length > 1) args(1) else "/tmp/plan_shapes.json"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    // mirror the Bench session: same extensions, same shuffle width,
-    // managed tables in a temp warehouse
+    // shuffle width is PINNED, not env-derived: partition counts render
+    // into plan strings (rangepartitioning(x, 32)), so a fingerprint
+    // taken at 16 CPUs would spuriously differ from one taken at 32 —
+    // the gate would then misread host-config drift as a plan change.
+    // 32 matches the driver's bench session.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -235,14 +235,7 @@ object Bench {
   }
 
   private[graft] def deleteTempWarehouse(): Unit =
-    if (warehouseDir != null && java.nio.file.Files.exists(warehouseDir)) {
-      val walk = java.nio.file.Files.walk(warehouseDir)
-      val files = try {
-        val it = walk.iterator(); val b = List.newBuilder[java.nio.file.Path]
-        while (it.hasNext) b += it.next(); b.result()
-      } finally walk.close()
-      files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    if (warehouseDir != null) graft.model.Fs.deleteRecursively(warehouseDir)
 
   /** Best-known per-query mins (flat {"q":sec} JSON, strictly that
     * shape — written by tools/update_bench_best.py). Parsed with a

@@ -25,40 +25,22 @@ object LayoutMeasure {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-layout-measure")
     try {
       val paths = graft.ops.Layout.writeLayouts(spark, sfDir, out.toString, nFiles)
-      val predsDf = graft.ops.Layout.ZonePreds
-        .toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
-      val lines = Seq("hilbert", "zorder", "lex").flatMap { name =>
-        val path = paths(name)
-        val zones = graft.ops.Layout.fileZones(spark, path, name)
-        val predicted = graft.ops.Layout.pruneStats(zones, predsDf).collect()
-          .map(r => r.getAs[Int]("pred_id") ->
-            (r.getAs[Long]("buckets_scanned"), r.getAs[Long]("rows_scanned")))
-          .toMap
-        val total = spark.read.parquet(path).count()
-        graft.ops.Layout.ZonePreds.map { case pred @ (id, _, _, _, _) =>
-          val (rowsRead, matching, files) =
-            graft.ops.Layout.measuredScan(spark, path, pred)
-          val (bPred, rPred) = predicted(id)
-          val pct = 100.0 * rowsRead / total
-          f"""{"layout":"$name","pred":$id,"rows_read":$rowsRead,""" +
-            f""""predicted":$rPred,"matching":$matching,"total":$total,""" +
-            f""""files":$files,"buckets_hit":$bPred,"read_pct":$pct%.2f}"""
+      graft.ops.Layout
+        .measureLayouts(spark, paths, graft.ops.Layout.ZonePreds)
+        .foreach { m =>
+          val pct = 100.0 * m.rowsRead / m.total
+          println(
+            f"""{"layout":"${m.layout}","pred":${m.predId},""" +
+              f""""rows_read":${m.rowsRead},"predicted":${m.predictedRows},""" +
+              f""""matching":${m.matching},"total":${m.total},""" +
+              f""""files":${m.filesListed},"buckets_hit":${m.bucketsHit},""" +
+              f""""read_pct":$pct%.2f}""")
         }
-      }
-      lines.foreach(println)
     } finally {
-      val walk = java.nio.file.Files.walk(out)
-      val files = try {
-        val it = walk.iterator()
-        val b = List.newBuilder[java.nio.file.Path]
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally walk.close()
-      files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.model.Fs.deleteRecursively(out)
       spark.stop()
     }
   }

@@ -66,7 +66,10 @@ object PlanShapes {
         val df = fn(spark, sfDir)
         fingerprint(df.queryExecution.executedPlan.toString)
       } catch { case e: Throwable =>
-        "ERR:" + Option(e.getMessage).getOrElse(e.getClass.getName).take(60)
+        // class name only: exception MESSAGES carry quotes/backslashes
+        // (would corrupt the hand-built JSON) and host paths (would
+        // make an ERR state spuriously "change plan" across hosts)
+        "ERR:" + e.getClass.getSimpleName
       }
       name -> fp
     }.sortBy(_._1)

@@ -488,10 +488,24 @@ object Bpe {
     * piece out), matching [[VitCosts]]' 1-char rung. */
   val BaseCharCost = 48L
 
-  /** Ladder/DP-window ceiling for learned pieces: 3 merges compound to
-    * at most 5 chars (a 3-merge output + a 2-merge output); 6 leaves
-    * slack and pins the oracle's static recursion width. */
+  /** The ORACLE's static recursion width for the learned-tokenizer
+    * queries (m = 3). Self-pairs are excluded from merges, so learned
+    * piece lengths grow Fibonacci-style (distinct halves:
+    * L(k) ≤ L(k−1) + L(k−2), L(1) = 2): m = 3 tops out at 5 chars and
+    * 6 leaves slack. The SCALA path does NOT rely on this constant —
+    * [[wordpieceTokensLearned]]/[[viterbiTokensLearned]] derive their
+    * ladder/window width from the ACTUAL learned vocab, so a caller
+    * passing m = 4+ (8-char pieces and beyond) still reaches every
+    * learned piece; extra rungs/slots beyond the true max never match,
+    * so any width ≥ max piece length yields identical results (which
+    * is why the m = 3 oracle at width 6 stays bit-equal). */
   val LearnedMaxLen = 6
+
+  /** Ladder/DP width for a derived vocab: the longest piece, floored
+    * at the oracle's static width so the registered m = 3 queries keep
+    * the exact plan shape the fingerprint baseline records. */
+  private def learnedWidth(vocab: Seq[String]): Int =
+    math.max(LearnedMaxLen, vocab.map(_.length).max)
 
   /** Bit length of a positive count — floor(log2 n) + 1, exact integer
     * arithmetic in both engines (oracle: `len(bin(n))`). */
@@ -535,7 +549,8 @@ object Bpe {
   def wordpieceTokensLearned(spark: SparkSession, dir: String,
       m: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    wordpieceTokensOf(docs, learnedVocab(docs, m), LearnedMaxLen)
+    val vocab = learnedVocab(docs, m)
+    wordpieceTokensOf(docs, vocab, learnedWidth(vocab))
   }
 
   /** [[viterbiTokens]] under the LEARNED cost table (q252): exact
@@ -545,6 +560,7 @@ object Bpe {
   def viterbiTokensLearned(spark: SparkSession, dir: String,
       m: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    viterbiTokensOf(docs, learnedCostSeq(docs, m), VitUnkCost, LearnedMaxLen)
+    val costs = learnedCostSeq(docs, m)
+    viterbiTokensOf(docs, costs, VitUnkCost, learnedWidth(costs.map(_._1)))
   }
 }

@@ -43,6 +43,18 @@ object Formats {
   /** Formats under test; parquet rides along as the control. */
   val RoundtripFormats: Seq[String] = Seq("csv", "json", "orc", "parquet")
 
+  /** Per-PROCESS scratch root: a fixed shared path would let two
+    * concurrent sessions (a gate bench + a spec run) clobber each
+    * other's files mid-read; one unique root per JVM keeps repeated
+    * bench reps from accumulating dirs (mode=overwrite reuses it)
+    * while isolating processes. */
+  private lazy val ScratchRoot: java.io.File = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-format-roundtrip").toFile
+    d.deleteOnExit()
+    d
+  }
+
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     // deterministic 1/10 slice: the pin is FORMAT FIDELITY, not IO
     // volume — a lossy/re-typing loop fails on any slice, and the
@@ -50,8 +62,7 @@ object Formats {
     val slice = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(Fields.map(col): _*)
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-format-roundtrip")
+    val root = ScratchRoot
     val perFormat = RoundtripFormats.map { fmt =>
       val path = new java.io.File(root, fmt).toString
       val w = slice.write.mode("overwrite").format(fmt)

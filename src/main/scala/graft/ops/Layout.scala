@@ -430,6 +430,39 @@ object Layout {
       scans.map(_.metrics("numFiles").value).sum)
   }
 
+  /** One (layout, pred) row of the written-layout certification:
+    * the zone-map PREDICTION from the files' own footer stats beside
+    * what the parquet reader actually MATERIALIZED. */
+  final case class LayoutMeasurement(layout: String, predId: Int,
+      rowsRead: Long, predictedRows: Long, bucketsHit: Long,
+      matching: Long, total: Long, filesListed: Long)
+
+  /**
+   * The measurement loop itself — shared by `LayoutEndToEndSpec`
+   * (which pins rowsRead == predictedRows per combination) and
+   * `graft.LayoutMeasure` (which prints the SCALE.md numbers), so the
+   * CI pin and the published table cannot measure different things.
+   */
+  def measureLayouts(spark: SparkSession, paths: Map[String, String],
+      preds: Seq[(Int, Long, Long, Long, Long)]): Seq[LayoutMeasurement] = {
+    import spark.implicits._
+    val predsDf = preds.toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
+    paths.toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      val zones = fileZones(spark, path, name)
+      val predicted = pruneStats(zones, predsDf).collect()
+        .map(r => r.getAs[Int]("pred_id") ->
+          (r.getAs[Long]("buckets_scanned"), r.getAs[Long]("rows_scanned")))
+        .toMap
+      val total = spark.read.parquet(path).count()
+      preds.map { case pred @ (id, _, _, _, _) =>
+        val (rowsRead, matching, filesListed) = measuredScan(spark, path, pred)
+        val (bucketsPred, rowsPred) = predicted(id)
+        LayoutMeasurement(name, id, rowsRead, rowsPred, bucketsPred,
+          matching, total, filesListed)
+      }
+    }
+  }
+
   /** File scans of an executed plan, descending through AQE wrappers. */
   private def collectFileScans(
       p: org.apache.spark.sql.execution.SparkPlan)

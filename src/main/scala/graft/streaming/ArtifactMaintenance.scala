@@ -231,11 +231,7 @@ object ArtifactMaintenance {
               .exists(_.group(1).toLong <= live.covered)
           })
         }
-        .foreach { p =>
-          val walk = Files.walk(p)
-          val files = try walk.iterator().asScala.toList finally walk.close()
-          files.reverse.foreach(Files.delete)
-        }
+        .foreach(graft.model.Fs.deleteRecursively(_))
     }
   }
 

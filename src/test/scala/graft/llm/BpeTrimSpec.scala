@@ -286,6 +286,33 @@ class BpeTrimSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pieces") == 8L, r)
   }
 
+  test("learned ladder width follows the vocab: an 8-char m=4 piece is reachable") {
+    // self-pair-free merges compound Fibonacci-style; on "abcababc"
+    // m=4 learns ab, abc, ababc (tie ab<abc), then abc+ababc =
+    // "abcababc" — 8 chars, beyond the oracle's static m=3 width.
+    // The Scala path must derive its ladder from the vocab and consume
+    // the whole word as ONE piece (a fixed 6-wide ladder split it 2).
+    val docs = Seq((1L, Seq.fill(10)("abcababc").mkString(" "), "en", "s1", 89L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vocab = Bpe.learnedVocab(docs, 4)
+    assert(vocab.contains("abcababc"), vocab.filter(_.length > 1))
+    val r = Bpe.wordpieceTokensOf(docs, vocab,
+      vocab.map(_.length).max).collect().head
+    assert(r.getAs[Long]("n_words") == 10L, r)
+    assert(r.getAs[Long]("n_pieces") == 10L,
+      s"8-char learned piece not consumed whole: $r")
+    // Viterbi under the derived costs: ab=16 (n=30), abc=64 (n=20),
+    // ababc=176 (n=10), abcababc=320 (n=10), chars=48. The optimum for
+    // "abcababc" is abc|ab|abc = 64+16+64 = 144 (the 5-piece
+    // ab|c|ab|ab|c ties on cost and loses the fewest-pieces tiebreak;
+    // the 1-piece 320 and 2-piece 240 lose outright) — exact DP pin.
+    val viaCosts = Bpe.learnedCostSeq(docs, 4)
+    val v = Bpe.viterbiTokensOf(docs, viaCosts, Bpe.VitUnkCost,
+      viaCosts.map(_._1.length).max).collect().head
+    assert(v.getAs[Long]("total_cost") == 1440L, v)
+    assert(v.getAs[Long]("n_pieces") == 30L, v)
+  }
+
   test("learned tokenizers serve from the memoized artifact on the fixture") {
     // both run green at fixture scale and their piece counts respect
     // the same per-word bounds as the frozen-table paths

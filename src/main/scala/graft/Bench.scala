@@ -115,8 +115,31 @@ object Bench {
         val res = ts.result()
         name -> (if (err != null) Left(err) else Right(res))
       }
-    val ok = timed.collect { case (name, Right(ts)) => name -> ts }
+    val okMain = timed.collect { case (name, Right(ts)) => name -> ts }
     val failed = timed.collect { case (name, Left(e)) => name -> e }
+    // ISOLATION PASS (round-13 verdict #7): the slowest queries are the
+    // ones a neighbour's page-cache/GC shadow depresses most — and the
+    // ones whose inflated mins dominate max_spread and trigger gate
+    // re-measures. Each of the top-10 by main-loop min gets ONE extra
+    // rep in its own clean window (fresh GC, drained cleaner queue) at
+    // the END of the run; the rep joins the query's rep list, so both
+    // the min and the min-confirmation metric see it. Strictly
+    // tightening, ~one query-cost each.
+    val isolationTargets = okMain.sortBy { case (_, ts) => -ts.min }
+      .take(10).map(_._1).toSet
+    val isolated: Map[String, Double] = okMain.collect {
+      case (name, _) if isolationTargets(name) =>
+        val fn = SparkEntry.queries(name)
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime()
+        val v = try { run(fn, sfDir)
+                      Some((System.nanoTime() - t0) / 1e9) }
+                catch { case _: Throwable => None }
+        spark.catalog.clearCache()
+        name -> v
+    }.collect { case (n, Some(v)) => n -> v }.toMap
+    val ok = okMain.map { case (name, ts) =>
+      name -> (ts ++ isolated.get(name)) }
     // min-of-reps: the contention-resistant estimate of the plan's cost
     val prelimResults = ok.map { case (name, ts) => name -> ts.min }
     // Second-chance re-measure for would-be regression flags: two
@@ -220,9 +243,10 @@ object Bench {
           results, Bench.loadBestKnown("tools/bench_best.json"))
       else Seq.empty)
     val remeasured = jmap(rechecked.toSeq.sortBy(_._1))
+    val isolatedJson = jmap(isolated.toSeq.sortBy(_._1))
     val remeasureErrsJson = remeasureErrs.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"remeasured":$remeasured,"remeasure_errs":$remeasureErrsJson,"regressions":$regressions,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    println(s"""{"queries":$qs,"reps":$reps,"extra_reps":$extraReps,"sf":"$sfDir","slowest":$top,"build":${jmap(build)},"build_total":${fmt(buildTotal)},"build_tags_warmup_only":$warmupOnlyJson,"max_spread":${fmt(maxSpread)},"noisy":$noisy,"remeasured":$remeasured,"remeasure_errs":$remeasureErrsJson,"isolated":$isolatedJson,"regressions":$regressions,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
     Bench.deleteTempWarehouse()
   }

@@ -32,6 +32,11 @@ object PlanShapes {
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda") // JVM lambda ids
       .replaceAll("splits=\\d+", "splits=") // Range splits = core count
       .replaceAll("file:[^\\s\\],)]*", "path")       // local paths
+      // ANY multi-segment absolute path, not just well-known roots: a
+      // host whose java.io.tmpdir sits outside testdata/tmp/warehouse
+      // (e.g. /var/folders/... on macOS) must normalize identically,
+      // or scratch-writing queries would fingerprint per-run
+      .replaceAll("/[-_A-Za-z0-9.]+(?:/[-_A-Za-z0-9.]+)+", "path")
       .replaceAll("/[-_A-Za-z0-9./]*(testdata|tmp|warehouse)[^\\s\\],)]*", "path")
       .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "FileIndex")
       .replaceAll("Location: [^\\n]*", "Location: path")

@@ -276,6 +276,7 @@ object SparkEntry {
     "q254_mp4_meta" ->
       ((s: SparkSession, d: String) => Multimodal.mp4Manifest(s, d)),
     "q255_format_roundtrip" -> (graft.ops.Formats.formatRoundtrip _),
+    "q256_string_roundtrip" -> (graft.ops.Formats.formatRoundtripStrings _),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -944,32 +945,45 @@ object SparkEntry {
         |    CAST((1000000 * CAST(r2 AS HUGEINT)) // nullif(n_rows, 0)
         |      AS BIGINT) FROM s)
         |ORDER BY t""".stripMargin,
-    // q250: HTML extraction — the same deterministic markup synthesis
-    // (nav + every-5th-word anchor + footer), then tag strip /
-    // whitespace squash / anchor accounting; 'g' flags make DuckDB's
+    // q250: HTML extraction — the same deterministic ADVERSARIAL markup
+    // synthesis (script/style bodies, a comment with embedded '>', a
+    // quoted '>' inside every 10th anchor's attribute), then the
+    // two-pass extraction: block removal, attribute-aware tag strip,
+    // whitespace squash, anchor accounting; 'g' flags make DuckDB's
     // regexp_replace global like Spark's
     "q250_html_extract" ->
       """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
         |h AS (SELECT doc_id,
-        |    '<html><head><title>doc</title></head><body>'
-        |    || '<nav><a href="/">home</a> <a href="/s">' || source
-        |    || '</a></nav><p>'
+        |    '<html><head><title>doc</title>'
+        |    || '<script type="text/javascript">var t = 1 > 0; track("SCRIPTLEAK '
+        |    || CAST(doc_id AS VARCHAR) || '");</script>'
+        |    || '<style>body > p { margin: 0 } /* STYLELEAK */</style>'
+        |    || '</head><body><nav><a href="/">home</a> <a href="/s">' || source
+        |    || '</a></nav><!-- nav state > collapsed COMMENTLEAK --><p>'
         |    || array_to_string(list_transform(range(1, len(w) + 1),
-        |         i -> CASE WHEN i % 5 = 0
+        |         i -> CASE WHEN i % 10 = 0
+        |                THEN '<a href="#" data-note="x>y">' || w[i] || '</a>'
+        |                WHEN i % 5 = 0
         |                THEN '<a href="#">' || w[i] || '</a>'
         |                ELSE w[i] END), ' ')
         |    || '</p><footer><a href="/about">about us</a></footer>'
         |    || '</body></html>' AS html
         |  FROM ws),
-        |m AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
-        |    CAST(COALESCE(list_sum(list_transform(
-        |        regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),
-        |        x -> len(x))), 0) AS BIGINT) AS anchor_chars,
-        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
-        |      ' +', ' ', 'g')) AS extracted
+        |c AS (SELECT doc_id, regexp_replace(html,
+        |    '(?s)(?:<script(?: (?:[^>"]|"[^"]*")*)?>.*?</script>|<style>.*?</style>|<!--.*?-->)',
+        |    ' ', 'g') AS cleaned
         |  FROM h),
+        |m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(cleaned, '<(?:[^>"]|"[^"]*")*>'))
+        |      AS BIGINT) AS n_tags,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |        regexp_extract_all(cleaned, '<a (?:[^>"]|"[^"]*")*>([^<]*)</a>', 1),
+        |        x -> len(x))), 0) AS BIGINT) AS anchor_chars,
+        |    trim(regexp_replace(regexp_replace(cleaned,
+        |      '<(?:[^>"]|"[^"]*")*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS extracted
+        |  FROM c),
         |e AS (SELECT doc_id, n_tags, anchor_chars,
         |    CAST(len(extracted) AS BIGINT) AS text_chars,
         |    string_split(extracted, ' ') AS ews
@@ -993,23 +1007,33 @@ object SparkEntry {
       """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
         |h AS (SELECT doc_id, source,
-        |    '<html><head><title>doc</title></head><body>'
-        |    || '<nav><a href="/">home</a> <a href="/s">' || source
-        |    || '</a></nav><p>'
+        |    '<html><head><title>doc</title>'
+        |    || '<script type="text/javascript">var t = 1 > 0; track("SCRIPTLEAK '
+        |    || CAST(doc_id AS VARCHAR) || '");</script>'
+        |    || '<style>body > p { margin: 0 } /* STYLELEAK */</style>'
+        |    || '</head><body><nav><a href="/">home</a> <a href="/s">' || source
+        |    || '</a></nav><!-- nav state > collapsed COMMENTLEAK --><p>'
         |    || array_to_string(list_transform(range(1, len(w) + 1),
-        |         i -> CASE WHEN i % 5 = 0
+        |         i -> CASE WHEN i % 10 = 0
+        |                THEN '<a href="#" data-note="x>y">' || w[i] || '</a>'
+        |                WHEN i % 5 = 0
         |                THEN '<a href="#">' || w[i] || '</a>'
         |                ELSE w[i] END), ' ')
         |    || '</p><footer><a href="/about">about us</a></footer>'
         |    || '</body></html>' AS html
         |  FROM ws),
+        |c AS (SELECT doc_id, source, regexp_replace(html,
+        |    '(?s)(?:<script(?: (?:[^>"]|"[^"]*")*)?>.*?</script>|<style>.*?</style>|<!--.*?-->)',
+        |    ' ', 'g') AS cleaned
+        |  FROM h),
         |m AS (SELECT doc_id, source,
         |    CAST(COALESCE(list_sum(list_transform(
-        |        regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1),
+        |        regexp_extract_all(cleaned, '<a (?:[^>"]|"[^"]*")*>([^<]*)</a>', 1),
         |        x -> len(x))), 0) AS BIGINT) AS anchor_chars,
-        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |    trim(regexp_replace(regexp_replace(cleaned,
+        |      '<(?:[^>"]|"[^"]*")*>', ' ', 'g'),
         |      ' +', ' ', 'g')) AS extracted
-        |  FROM h),
+        |  FROM c),
         |e AS (SELECT doc_id, source, anchor_chars,
         |    CAST(len(extracted) AS BIGINT) AS text_chars,
         |    CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words,
@@ -2705,15 +2729,24 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q254: MP4 header round-trip — same discipline as q234 on the
     // ISO-BMFF box walk; the doc-varying `free` box shifts moov's
-    // offset, so the analytic moov_pos (33 + doc % 9) only matches if
-    // the walk really hopped the boxes
+    // offset (largesize-encoded for doc%3=1, +8 header bytes), so the
+    // analytic moov_pos only matches if the walk really hopped the
+    // boxes through BOTH size encodings; v1 mvhd docs (doc%4=2) pin
+    // the 64-bit-field offsets the same way
     // q255: multi-format sink/source round-trip — the oracle computes
     // the same exact-integer checksums once from the parquet fixture;
     // equality per format proves each write->read loop lossless
     "q255_format_roundtrip" -> graft.ops.Formats.formatRoundtripSql,
+    // q256: string-trap round-trip — planted delimiter/quote/newline/
+    // empty-vs-NULL/unicode/padding/tab traps through every format's
+    // real write->read loop; the oracle re-derives the traps from the
+    // fixture, so a mis-quoted or trimmed or conflated value hash-fails
+    "q256_string_roundtrip" -> graft.ops.Formats.formatRoundtripStringsSql,
     "q254_mp4_meta" ->
       """SELECT doc_id, TRUE AS is_mp4, 'isom' AS brand,
-        |  CAST(33 + doc_id % 9 AS BIGINT) AS moov_pos,
+        |  CAST(33 + doc_id % 9
+        |    + CASE WHEN doc_id % 3 = 1 THEN 8 ELSE 0 END AS BIGINT)
+        |    AS moov_pos,
         |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
         |  CAST(doc_id % 100000 AS BIGINT) AS duration
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -331,18 +331,30 @@ object Multimodal {
    * UDFs. An MP4 is a sequence of length-prefixed BOXES
    * (`size(4,BE) type(4,ascii)`), so locating `moov` is a bounded box
    * walk (one `aggregate` fold, 8 hops — real files lead with
-   * ftyp/free/mdat prefixes) and the movie header fields sit at fixed
-   * offsets inside moov's first child `mvhd`: version 0 puts timescale
-   * at moov+28 and duration at moov+32 (1-based), both big-endian.
-   * TOTAL on truncated or non-MP4 payloads — the walk stalls on an
-   * out-of-range or degenerate (size < 8) box and every field nulls,
-   * never errors. Metadata-first at 100 TB: a duration/timescale
-   * filter touches ≤ ~80 header bytes per object, not the media.
+   * ftyp/free/mdat prefixes). A box whose 32-bit size field is 1
+   * carries a 64-bit `largesize` at pos+8 (mandatory for the >4 GiB
+   * `mdat` every real long video has) — the walk reads it and hops by
+   * it; a 64-bit size that overflows BIGINT nulls through `conv` and
+   * stalls the walk, still TOTAL. The movie header fields sit at fixed
+   * offsets inside moov's first child `mvhd`, BOTH versions: v0 puts
+   * timescale at moov+28 / 32-bit duration at moov+32 (1-based); v1
+   * (64-bit creation/modification times) puts timescale at moov+36 /
+   * 64-bit duration at moov+40. TOTAL on truncated or non-MP4
+   * payloads — the walk stalls on an out-of-range or degenerate box
+   * and every field nulls, never errors. Unsupported by design: a
+   * moov box ITSELF in largesize encoding (a >4 GiB movie header does
+   * not occur; media scale lives in mdat), and a trailing moov behind
+   * a physically present >4 GiB mdat needs the real extent fetched —
+   * the metadata-first pattern at 100 TB reads head AND tail ranges.
+   * Metadata-first: a duration/timescale filter touches ≤ ~96 header
+   * bytes per object, not the media.
    */
   def mp4Meta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nBytes = octet_length(payload).cast("long")
     def be32(pos: org.apache.spark.sql.Column) =
       conv(hex(substring(payload, pos.cast("int"), lit(4))), 16, 10).cast("long")
+    def be64(pos: org.apache.spark.sql.Column) =
+      conv(hex(substring(payload, pos.cast("int"), lit(8))), 16, 10).cast("long")
     def ascii(pos: org.apache.spark.sql.Column, len: Int) =
       substring(payload, pos.cast("int"), lit(len)).cast("string")
     val isMp4 = ascii(lit(5L), 4) === lit("ftyp") && nBytes >= 16L
@@ -350,46 +362,76 @@ object Multimodal {
     val walked = aggregate(sequence(lit(1), lit(8)), init, (st, _) => {
       val pos = st.getField("pos")
       val moov = st.getField("moov")
-      val size = be32(pos)
-      val live = moov === 0L && (pos + 7L) <= nBytes && size >= 8L
+      val size32 = be32(pos)
+      val isLarge = size32 === 1L
+      val size = when(isLarge, be64(pos + 8L)).otherwise(size32)
+      // largesize needs its 8 extra header bytes in range and a size
+      // covering the 16-byte header; null (BIGINT-overflow) sizes
+      // propagate to a stall through the `when` conditions
+      val headerOk = when(isLarge, (pos + 15L) <= nBytes && size >= 16L)
+        .otherwise(size32 >= 8L)
+      val live = moov === 0L && (pos + 7L) <= nBytes && headerOk
       val isMoov = ascii(pos + 4L, 4) === lit("moov")
       struct(
         when(live && !isMoov, pos + size).otherwise(pos).as("pos"),
         when(live && isMoov, pos).otherwise(moov).as("moov"))
     })
     val m = walked.getField("moov")
-    val hasMvhd = m > 0L && (m + 35L) <= nBytes &&
-      ascii(m + 12L, 4) === lit("mvhd") && be32(m + 16L) < lit(16777216L) // version 0
+    val verWord = be32(m + 16L) // mvhd version byte + 3 flag bytes
+    val mvhdAt = m > 0L && (m + 19L) <= nBytes &&
+      ascii(m + 12L, 4) === lit("mvhd")
+    val hasV0 = mvhdAt && verWord < 16777216L && (m + 35L) <= nBytes
+    val hasV1 = mvhdAt && verWord >= 16777216L &&
+      verWord < 33554432L && (m + 47L) <= nBytes
     struct(
       isMp4.as("is_mp4"),
       when(isMp4, ascii(lit(9L), 4)).as("brand"),
       when(isMp4 && m > 0L, m).as("moov_pos"),
-      when(isMp4 && hasMvhd, be32(m + 28L)).as("timescale"),
-      when(isMp4 && hasMvhd, be32(m + 32L)).as("duration"))
+      when(isMp4 && hasV0, be32(m + 28L))
+        .when(isMp4 && hasV1, be32(m + 36L)).as("timescale"),
+      when(isMp4 && hasV0, be32(m + 32L))
+        .when(isMp4 && hasV1, be64(m + 40L)).as("duration"))
   }
 
   /**
    * q254: MP4 header round-trip, the q234 discipline on the video
    * container — Spark synthesizes REAL ISO-BMFF bytes per document
-   * (ftyp + a doc-varying `free` box that SHIFTS moov's offset +
-   * moov/mvhd with doc-derived timescale/duration) via `unhex`, then
+   * (ftyp + a doc-varying `free` box that SHIFTS moov's offset — in
+   * 64-bit LARGESIZE encoding for every doc_id ≡ 1 mod 3, so the
+   * walk's extended-size hop is oracle-pinned — + moov/mvhd with
+   * doc-derived timescale/duration, VERSION 1 layout with 64-bit
+   * times/duration for every doc_id ≡ 2 mod 4) via `unhex`, then
    * parses them back with [[mp4Meta]]. The oracle never sees a byte:
    * it recomputes the fields analytically from doc_id, so hash
    * equality proves the synth → box-walk → field-extract loop
-   * byte-exact. Row-local both ways.
+   * byte-exact across both size encodings and both mvhd versions.
+   * Row-local both ways.
    */
   def mp4Manifest(spark: SparkSession, dir: String): DataFrame = {
     def a(s: String) = s.getBytes("US-ASCII").map("%02X".format(_)).mkString
     def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def hex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 16, "0")
     val freeLen = col("doc_id") % 9L
     val timescale = lit(600L) + (col("doc_id") % 5L) * 100L
     val duration = col("doc_id") % 100000L
+    val freeHex = when(col("doc_id") % 3L === 1L,
+        concat(lit("00000001" + a("free")), hex16(freeLen + 16L),
+          repeat(lit("00"), freeLen.cast("int"))))
+      .otherwise(
+        concat(hex8(freeLen + 8L), lit(a("free")),
+          repeat(lit("00"), freeLen.cast("int"))))
+    val moovHex = when(col("doc_id") % 4L === 2L,
+        concat(lit("00000080" + a("moov") + "00000078" + a("mvhd") +
+          "01000000" + // v1 + flags
+          "0000000000000000" + "0000000000000000"), // 64-bit creation, modification
+          hex8(timescale), hex16(duration)))
+      .otherwise(
+        concat(lit("00000074" + a("moov") + "0000006C" + a("mvhd") +
+          "00000000" + "00000000" + "00000000"), // v0+flags, creation, modification
+          hex8(timescale), hex8(duration)))
     val headerHex = concat(
       lit("00000018" + a("ftyp") + a("isom") + "00000200" + a("isom") + a("iso2")),
-      hex8(freeLen + 8L), lit(a("free")), repeat(lit("00"), freeLen.cast("int")),
-      lit("00000074" + a("moov") + "0000006C" + a("mvhd") +
-        "00000000" + "00000000" + "00000000"), // v0+flags, creation, modification
-      hex8(timescale), hex8(duration))
+      freeHex, moovHex)
     Tables.documents(spark, dir)
       .select(col("doc_id"), unhex(headerHex).as("payload"))
       .select(col("doc_id"), mp4Meta(col("payload")).as("m"))

@@ -1142,9 +1142,12 @@ object TextAnalysis {
    * Gopher-style rules only make sense over EXTRACTED text. Since the
    * fixtures carry clean text, the markup payload is synthesized
    * deterministically per document (a nav header, an inline anchor
-   * around every 5th word, a footer — the shape of a real page) and
-   * then the extraction pipeline runs for real: tag strip, whitespace
-   * squash, anchor-text accounting. Per document the audit reports tag
+   * around every 5th word, a footer — PLUS the adversarial classes a
+   * real crawl carries: script/style bodies, comments, quoted '>'
+   * inside attributes; see [[htmlExtractRows]]) and then the
+   * extraction pipeline runs for real: block removal, attribute-aware
+   * tag strip, whitespace squash, anchor-text accounting. Per
+   * document the audit reports tag
    * count, anchor/total character counts, the link-density ppm a
    * boilerplate filter thresholds on (RefinedWeb drops nav/ad-heavy
    * pages this way), the Gopher-ish word measurements over the
@@ -1177,34 +1180,65 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** The per-document extraction table WITH source — q250 projects it;
-    * the q253 funnel aggregates it. One shared pipeline, no drift. */
+    * the q253 funnel aggregates it. One shared pipeline, no drift.
+    *
+    * ADVERSARIAL SYNTHESIS (round-13 verdict #2): real crawls are not
+    * well-formed, so the synthesized page plants the three classes a
+    * naive `<[^>]*>` strip breaks on — a quoted `>` inside an anchor
+    * attribute (every 10th word), a `<script>` body carrying a
+    * SCRIPTLEAK sentinel + a `1 > 0` comparison, a `<style>` body with
+    * a `body > p` child selector, and an HTML comment with an embedded
+    * `>` and a COMMENTLEAK sentinel. Extraction is then two passes,
+    * still pure built-ins: (1) script/style/comment BLOCKS drop with
+    * their bodies (the content a tag strip would leak into "text");
+    * (2) an attribute-aware tag regex — `<(?:[^>"]|"[^"]*")*>`, i.e. a
+    * quoted `>` stays inside its tag — strips the remaining markup.
+    * Single-quoted attributes would extend the alternation the same
+    * way; the synthesis (like the fixtures) only emits double quotes.
+    * TextAnalysisSpec pins that no sentinel and no `<`/`>` survives
+    * into the extracted text. */
   private[llm] def htmlExtractRows(
       docs: DataFrame,
       maxDensityPpm: Long,
       minWords: Int): DataFrame =
     docs
       .select(col("doc_id"), col("source"), tokens.as("ws"))
-      // every 5th word carries an inline anchor; nav + footer add the
-      // constant boilerplate links a real page wraps content in
+      // every 5th word carries an inline anchor — every 10th one with
+      // a quoted '>' in its attribute, the naive-tag-regex killer
       .withColumn("body", expr(
         "array_join(transform(sequence(1, size(ws)), i -> " +
-          "CASE WHEN i % 5 = 0 " +
+          "CASE WHEN i % 10 = 0 " +
+          "THEN concat('<a href=\"#\" data-note=\"x>y\">', element_at(ws, i), '</a>') " +
+          "WHEN i % 5 = 0 " +
           "THEN concat('<a href=\"#\">', element_at(ws, i), '</a>') " +
           "ELSE element_at(ws, i) END), ' ')"))
       .withColumn("html", concat(
-        lit("<html><head><title>doc</title></head><body>" +
-          "<nav><a href=\"/\">home</a> <a href=\"/s\">"),
+        lit("<html><head><title>doc</title>" +
+          "<script type=\"text/javascript\">var t = 1 > 0; track(\"SCRIPTLEAK "),
+        col("doc_id").cast("string"),
+        lit("\");</script>" +
+          "<style>body > p { margin: 0 } /* STYLELEAK */</style>" +
+          "</head><body><nav><a href=\"/\">home</a> <a href=\"/s\">"),
         col("source"),
-        lit("</a></nav><p>"), col("body"),
+        lit("</a></nav><!-- nav state > collapsed COMMENTLEAK --><p>"),
+        col("body"),
         lit("</p><footer><a href=\"/about\">about us</a></footer>" +
           "</body></html>")))
-      .withColumn("n_tags",
-        size(expr("regexp_extract_all(html, '<[^>]*>', 0)")).cast("long"))
+      // pass 1: drop script/style/comment blocks WITH their bodies
+      .withColumn("cleaned", regexp_replace(col("html"),
+        "(?s)(?:<script(?: (?:[^>\"]|\"[^\"]*\")*)?>.*?</script>" +
+          "|<style>.*?</style>|<!--.*?-->)", " "))
+      .withColumn("n_tags", size(expr(
+        "regexp_extract_all(cleaned, '<(?:[^>\"]|\"[^\"]*\")*>', 0)"))
+        .cast("long"))
       .withColumn("anchor_chars", expr(
-        "aggregate(regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1), " +
+        "aggregate(regexp_extract_all(cleaned, " +
+          "'<a (?:[^>\"]|\"[^\"]*\")*>([^<]*)</a>', 1), " +
           "0L, (a, x) -> a + length(x))"))
+      // pass 2: attribute-aware tag strip + whitespace squash
       .withColumn("extracted", trim(regexp_replace(
-        regexp_replace(col("html"), "<[^>]*>", " "), " +", " ")))
+        regexp_replace(col("cleaned"), "<(?:[^>\"]|\"[^\"]*\")*>", " "),
+        " +", " ")))
       .withColumn("text_chars", length(col("extracted")).cast("long"))
       .withColumn("link_density_ppm",
         expr("(1000000 * anchor_chars) div nullif(text_chars, 0)"))

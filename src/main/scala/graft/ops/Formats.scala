@@ -51,7 +51,10 @@ object Formats {
   private lazy val ScratchRoot: java.io.File = {
     val d = java.nio.file.Files
       .createTempDirectory("graft-format-roundtrip").toFile
-    d.deleteOnExit()
+    // deleteOnExit() only removes EMPTY directories — sweep the whole
+    // tree on JVM exit so bench/gate/spec runs don't each leak one
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.model.Fs.deleteRecursively(d.toPath)))
     d
   }
 
@@ -94,5 +97,121 @@ object Formats {
       |FROM lineitem WHERE l_orderkey %% 10 = 0""".stripMargin
     RoundtripFormats.sorted.map(f => one.format(f))
       .mkString("", "\nUNION ALL\n", "\nORDER BY format")
+  }
+
+  private val StringTrapSchema = StructType(Seq(
+    StructField("key", LongType),
+    StructField("s", StringType)))
+
+  /** The 8 planted trap classes, keyed by `key % 8` — identical
+    * derivations on both engines (see [[stringTrap]]). The BEL-prefixed
+    * sentinel makes NULLs positionally visible in the fingerprint
+    * without colliding with any trap's content; the SOH separator
+    * (chr(1) in the oracle) can't either. */
+  private val NullSentinel = "\u0007NULL"
+
+  private def stringTrap(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(key % 8 === 0, "a,b,c")                  // delimiter commas
+      .when(key % 8 === 1, "He said \"hi, there\"") // embedded quotes
+      .when(key % 8 === 2, "line1\nline2")        // embedded newline
+      .when(key % 8 === 3, "")                    // empty (≠ NULL)
+      .when(key % 8 === 4, lit(null).cast("string")) // NULL (≠ empty)
+      .when(key % 8 === 5, "héllo wörld 世界")     // multi-byte unicode
+      .when(key % 8 === 6, "  padded  ")          // leading/trailing spaces
+      .otherwise("tab\tsep")                      // embedded tab
+
+  /**
+   * String-trap round-trip (q256): [[formatRoundtrip]] pins TYPE
+   * fidelity on integer columns; this pins CONTENT fidelity on the
+   * column class text formats actually corrupt — strings. Each
+   * (l_orderkey, l_linenumber) key in a deterministic lineitem slice
+   * derives a planted trap by `key % 8`: delimiter commas, embedded
+   * double quotes, an embedded newline, the empty string, NULL,
+   * multi-byte unicode, leading/trailing padding, an embedded tab.
+   * Every format writes and reads the traps through its real
+   * FileFormat, reduced to oracle-expressible checksums: row/null/
+   * empty counts, total char length, and an order-pinned md5
+   * fingerprint of the whole column (NULLs sentinel-visible). The
+   * DuckDB oracle re-derives the SAME traps straight from the fixture,
+   * so any corruption — a mis-quoted comma splitting a row, a
+   * swallowed newline, empty collapsing into NULL, trimmed padding,
+   * mojibake — hash-fails on that format's row.
+   *
+   * The CSV leg encodes the production discipline this query exists to
+   * pin: `multiLine` on read (embedded newlines; NOTE a multiLine CSV
+   * file is not splittable — at 100 TB keep such files small or use a
+   * binary format), an explicit `nullValue` token distinct from ''
+   * (the default '' conflates NULL with empty on read-back), and
+   * writer-side whitespace trimming OFF (the writer default silently
+   * strips padded values). BMP-only unicode by design: Spark's
+   * length() counts UTF-16 units, DuckDB's counts codepoints — equal
+   * only below the astral plane, so the fingerprint stays portable.
+   */
+  def formatRoundtripStrings(spark: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        .as("key"))
+      .withColumn("s", stringTrap(col("key")))
+    val root = ScratchRoot
+    val perFormat = RoundtripFormats.map { fmt =>
+      val path = new java.io.File(root, s"str_$fmt").toString
+      val w = slice.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv")
+        w.option("header", "true").option("nullValue", "\\N")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+      else w).save(path)
+      val r = spark.read.format(fmt).schema(StringTrapSchema)
+      val back = (if (fmt == "csv")
+        r.option("header", "true").option("nullValue", "\\N")
+          .option("multiLine", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+      else r).load(path)
+      back.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum(when(col("s") === "", 1L).otherwise(0L)).as("n_empty"),
+          sum(length(col("s")).cast("long")).as("sum_len"),
+          md5(concat_ws("\u0001",
+            transform(array_sort(collect_list(struct(col("key"), col("s")))),
+              x => coalesce(x.getField("s"), lit(NullSentinel)))))
+            .as("fingerprint"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("n_nulls"),
+          col("n_empty"), col("sum_len"), col("fingerprint"))
+    }
+    perFormat.reduce(_.unionByName(_)).orderBy("format")
+  }
+
+  /** The q256 oracle: the same trap derivation and checksums computed
+    * once from the parquet fixture per format row. */
+  def formatRoundtripStringsSql: String = {
+    val one = """SELECT '%s' AS format, n_rows, n_nulls, n_empty, sum_len,
+      |  fingerprint FROM a""".stripMargin
+    """WITH t AS (SELECT l_orderkey * 10 + l_linenumber AS key,
+      |    CASE (l_orderkey * 10 + l_linenumber) % 8
+      |      WHEN 0 THEN 'a,b,c'
+      |      WHEN 1 THEN 'He said "hi, there"'
+      |      WHEN 2 THEN 'line1' || chr(10) || 'line2'
+      |      WHEN 3 THEN ''
+      |      WHEN 4 THEN NULL
+      |      WHEN 5 THEN 'héllo wörld 世界'
+      |      WHEN 6 THEN '  padded  '
+      |      ELSE 'tab' || chr(9) || 'sep' END AS s
+      |  FROM lineitem WHERE l_orderkey % 50 = 0),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nulls,
+      |    CAST(SUM(CASE WHEN s = '' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_empty,
+      |    CAST(SUM(length(s)) AS BIGINT) AS sum_len,
+      |    md5(string_agg(coalesce(s, chr(7) || 'NULL'), chr(1)
+      |      ORDER BY key)) AS fingerprint
+      |  FROM t)
+      |""".stripMargin +
+      RoundtripFormats.sorted.map(f => one.format(f))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY format")
   }
 }

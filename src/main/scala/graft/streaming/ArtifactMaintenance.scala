@@ -126,6 +126,16 @@ object ArtifactMaintenance {
 
     private def manifestPath: Path = Paths.get(artifactDir, "manifest")
 
+    /** CRASH-POINT SEAM (round-13 verdict #5): invoked with a label at
+      * every externally visible FS boundary — after the partial write,
+      * between the manifest temp-write and its atomic move, after the
+      * commit, after the baseline fold write, and before every orphan
+      * delete. Production default is a no-op; the all-crash-points
+      * spec (ArtifactMaintenanceSpec) swaps in a thrower to kill one
+      * ingest+compact cycle at each boundary in turn and proves the
+      * served state always equals the old or the new manifest's. */
+    private[streaming] var crashPoint: String => Unit = _ => ()
+
     private[streaming] def readManifest(): Manifest = {
       val p = manifestPath
       if (!Files.exists(p)) Manifest(-1L, Nil)
@@ -141,8 +151,10 @@ object ArtifactMaintenance {
       val tmp = Paths.get(artifactDir, "manifest.tmp")
       Files.createDirectories(Paths.get(artifactDir))
       Files.write(tmp, (s"covered=${m.covered}" +: m.dirs).asJava)
+      crashPoint("manifest-tmp-written")
       Files.move(tmp, manifestPath,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      crashPoint("manifest-committed")
     }
 
     /** One micro-batch application — the foreachBatch body, directly
@@ -155,6 +167,7 @@ object ArtifactMaintenance {
       if (batchId > m.covered && !m.dirs.contains(dir)) {
         partialOf(batch)
           .write.mode("overwrite").parquet(s"$artifactDir/$dir")
+        crashPoint("partial-written")
         commitManifest(m.copy(dirs = m.dirs :+ dir))
       }
     }
@@ -193,6 +206,7 @@ object ArtifactMaintenance {
         val baseline = s"baseline-g$covered"
         serve(spark)
           .write.mode("overwrite").parquet(s"$artifactDir/$baseline")
+        crashPoint("baseline-written")
         commitManifest(Manifest(covered, Seq(baseline)))
       }
       sweepOrphans()
@@ -212,6 +226,7 @@ object ArtifactMaintenance {
           "part-b(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong))).max
         val baseline = s"baseline-g$covered"
         df.write.mode("overwrite").parquet(s"$artifactDir/$baseline")
+        crashPoint("baseline-written")
         commitManifest(Manifest(covered, Seq(baseline)))
       }
       sweepOrphans()
@@ -231,7 +246,10 @@ object ArtifactMaintenance {
               .exists(_.group(1).toLong <= live.covered)
           })
         }
-        .foreach(graft.model.Fs.deleteRecursively(_))
+        .foreach { p =>
+          crashPoint(s"sweep-delete:${p.getFileName}")
+          graft.model.Fs.deleteRecursively(p)
+        }
     }
   }
 

@@ -30,13 +30,39 @@ object KinesisSink {
 
   final class RetriesExhausted(msg: String) extends RuntimeException(msg)
 
-  /** Batching/backoff policy (defaults = Kinesis API limit + the
-    * reference's 10 s backoff, but finite). */
+  /** Batching/backoff policy (defaults = Kinesis PutRecords API limits
+    * — 500 records / 5 MiB per call — + the reference's 10 s backoff,
+    * but finite). [[FirehoseSink.policy]] tightens the byte cap to the
+    * PutRecordBatch limit. */
   final case class Policy(
       maxBatch: Int = 500,
       maxRetries: Int = 5,
       backoffMs: Long = 10000L,
-      sleep: Long => Unit = Thread.sleep)
+      sleep: Long => Unit = Thread.sleep,
+      maxBatchBytes: Long = 5L * 1024 * 1024)
+
+  /** Size-aware batching: consecutive records chunk at WHICHEVER cap
+    * hits first — record count or cumulative bytes (both APIs bound
+    * both). A single record larger than `maxBytes` gets its own chunk
+    * here and fails loudly at the client's record-size check — never a
+    * silent drop. */
+  private[streaming] def chunks(it: Iterator[Array[Byte]],
+      maxRecords: Int, maxBytes: Long): Iterator[Seq[Array[Byte]]] =
+    new Iterator[Seq[Array[Byte]]] {
+      private val buf = it.buffered
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): Seq[Array[Byte]] = {
+        val out = Seq.newBuilder[Array[Byte]]
+        var n = 0
+        var bytes = 0L
+        while (buf.hasNext && n < maxRecords &&
+            (n == 0 || bytes + buf.head.length <= maxBytes)) {
+          val r = buf.next()
+          out += r; n += 1; bytes += r.length
+        }
+        out.result()
+      }
+    }
 
   /** Send one batch with bounded retry of the failed subset. */
   private[streaming] def sendBatch(
@@ -62,8 +88,8 @@ object KinesisSink {
   def write(client: KinesisClient, stream: String, policy: Policy)(
       batch: DataFrame): Unit =
     batch.toJSON.foreachPartition { (it: Iterator[String]) =>
-      it.map(_.getBytes("UTF-8")).grouped(policy.maxBatch)
-        .foreach(g => sendBatch(client, stream, g.toSeq, policy))
+      chunks(it.map(_.getBytes("UTF-8")), policy.maxBatch, policy.maxBatchBytes)
+        .foreach(g => sendBatch(client, stream, g, policy))
     }
 
   /** EventSink adapter for [[MicroBatch.start]]. */
@@ -72,4 +98,62 @@ object KinesisSink {
     def write(batch: DataFrame, batchId: Long): Unit =
       KinesisSink.write(client, stream, policy)(batch)
   }
+}
+
+/**
+ * The README's SECOND named destination (reference README.md:2:
+ * "Kinesis Data Stream or Firehose Delivery Stream"): the Firehose
+ * `PutRecordBatch` API has the same failed-subset reporting as
+ * `PutRecords` — FailedPutCount + per-record error entries — so it
+ * rides the identical bounded-retry machinery; what differs is the
+ * call envelope: 500 records AND 4 MiB per call, 1000 KiB per record,
+ * and no partition keys (Firehose buffers, it doesn't shard).
+ * [[FirehoseSink.FirehoseClient]] adapts any PutRecordBatch-shaped
+ * transport to the [[KinesisSink.KinesisClient]] contract and ENFORCES
+ * the envelope at the seam — Firehose rejects an oversized request
+ * wholesale, so an over-limit call is a caller bug that must fail
+ * loud, not enter the retry loop.
+ */
+object FirehoseSink {
+  val MaxRecordsPerCall = 500
+  val MaxBytesPerCall: Long = 4L * 1024 * 1024
+  val MaxRecordBytes: Long = 1000L * 1024
+
+  /** PutRecordBatch-shaped transport: returns indices of failed
+    * records (the FailedPutCount expansion). A production build
+    * implements this over the AWS SDK; specs register fakes. */
+  trait FirehoseTransport extends Serializable {
+    def putRecordBatch(deliveryStream: String,
+        records: Seq[Array[Byte]]): Seq[Int]
+  }
+
+  final class FirehoseClient(transport: FirehoseTransport)
+      extends KinesisSink.KinesisClient {
+    override def putRecords(streamName: String,
+        records: Seq[Array[Byte]]): Seq[Int] = {
+      require(records.size <= MaxRecordsPerCall,
+        s"PutRecordBatch takes at most $MaxRecordsPerCall records, " +
+          s"got ${records.size}")
+      val bytes = records.iterator.map(_.length.toLong).sum
+      require(bytes <= MaxBytesPerCall,
+        s"PutRecordBatch call limit is $MaxBytesPerCall bytes, got $bytes")
+      records.iterator.zipWithIndex.foreach { case (r, i) =>
+        require(r.length <= MaxRecordBytes,
+          s"Firehose record limit is $MaxRecordBytes bytes, " +
+            s"record #$i has ${r.length}")
+      }
+      transport.putRecordBatch(streamName, records)
+    }
+  }
+
+  /** The write policy whose batching keeps every call inside the
+    * PutRecordBatch envelope. */
+  def policy(maxRetries: Int = 5, backoffMs: Long = 10000L,
+      sleep: Long => Unit = Thread.sleep): KinesisSink.Policy =
+    KinesisSink.Policy(
+      maxBatch = MaxRecordsPerCall,
+      maxRetries = maxRetries,
+      backoffMs = backoffMs,
+      sleep = sleep,
+      maxBatchBytes = MaxBytesPerCall)
 }

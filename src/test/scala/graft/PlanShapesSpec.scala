@@ -20,6 +20,16 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(PlanShapes.fingerprint(a) == PlanShapes.fingerprint(b))
   }
 
+  test("absolute paths outside known roots normalize too (tmpdir-independent)") {
+    // a macOS-style tmpdir has no testdata/tmp/warehouse segment — the
+    // q255/q256 scratch roots must still fingerprint host-independently
+    val a = "FileScan csv [key#1L] Location: InMemoryFileIndex(1 paths)" +
+      "[/var/folders/x9/T/graft-format-roundtrip123/str_csv]"
+    val b = "FileScan csv [key#7L] Location: InMemoryFileIndex(1 paths)" +
+      "[/private/scratch/graft-format-roundtrip999/str_csv]"
+    assert(PlanShapes.fingerprint(a) == PlanShapes.fingerprint(b))
+  }
+
   test("a real operator change survives normalization") {
     val smj = "SortMergeJoin [a#1], [b#2], Inner"
     val bhj = "BroadcastHashJoin [a#1], [b#2], Inner, BuildRight"

@@ -284,6 +284,57 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getBoolean(1) && d.isNullAt(3) && d.isNullAt(4), d)
   }
 
+  test("mp4Meta hops 64-bit largesize boxes and parses v1 mvhd (round-13 #4)") {
+    import spark.implicits._
+    def be4(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be8(v: Long): Array[Byte] = be4(v >>> 32) ++ be4(v & 0xffffffffL)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    def largeBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(1L) ++ tpe.getBytes("US-ASCII") ++ be8(body.length + 16L) ++ body
+    def mvhd0(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array.fill[Byte](12)(0) ++ be4(ts) ++ be4(dur))
+    def mvhd1(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+        be4(ts) ++ be8(dur))
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be4(0x200L) ++
+        "isomiso2".getBytes("US-ASCII"))
+    // honest largesize free box, then v0 moov: the 64-bit hop
+    val largeFree = largeBox("free", Array.fill[Byte](11)(0))
+    val pLarge = ftyp ++ largeFree ++ box("moov", mvhd0(90000L, 42L))
+    // v1 mvhd with a duration that NEEDS 64 bits
+    val pV1 = ftyp ++ box("moov", mvhd1(48000L, 5000000000L))
+    // >4 GiB-declared mdat with only its header present: the hop lands
+    // out of range and the walk stalls TOTAL (trailing moov behind a
+    // physically absent extent is out of scope by design)
+    val pHuge = ftyp ++
+      (be4(1L) ++ "mdat".getBytes("US-ASCII") ++ be8(5L * 1024 * 1024 * 1024)) ++
+      box("moov", mvhd0(90000L, 1L))
+    // largesize header itself truncated: still TOTAL-null
+    val pTrunc = ftyp ++ be4(1L) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0)
+    val rows = Seq((1L, pLarge), (2L, pV1), (3L, pHuge), (4L, pTrunc))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.mp4Meta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.is_mp4"), col("m.brand"),
+        col("m.moov_pos"), col("m.timescale"), col("m.duration"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val l = rows(1L)
+    assert(l.getBoolean(1), l)
+    assert(l.getLong(3) == (ftyp.length + largeFree.length + 1).toLong, l)
+    assert(l.getLong(4) == 90000L && l.getLong(5) == 42L, l)
+    val v = rows(2L)
+    assert(v.getLong(4) == 48000L && v.getLong(5) == 5000000000L,
+      s"v1 mvhd 64-bit fields: $v")
+    val h = rows(3L)
+    assert(h.getBoolean(1) && h.isNullAt(3) && h.isNullAt(4) && h.isNullAt(5), h)
+    val t = rows(4L)
+    assert(t.getBoolean(1) && t.isNullAt(3) && t.isNullAt(4) && t.isNullAt(5), t)
+  }
+
   test("property: mp4Meta finds moov behind any box prefix") {
     import spark.implicits._
     import org.scalacheck.Gen
@@ -293,13 +344,18 @@ class MultimodalSpec extends SparkSpec {
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def box(tpe: String, body: Array[Byte]): Array[Byte] =
       be4(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    def largeBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(1L) ++ tpe.getBytes("US-ASCII") ++
+        (be4(0L) ++ be4(body.length + 16L)) ++ body
     val gen = for {
       nBoxes <- Gen.choose(0, 6) // walk budget is 8 hops incl. ftyp+moov
       boxes <- Gen.listOfN(nBoxes, for {
         tpe <- Gen.oneOf("free", "skip", "mdat", "wide")
         len <- Gen.choose(0, 64)
         fill <- Gen.choose(0, 255)
-      } yield box(tpe, Array.fill(len)(fill.toByte)))
+        large <- Gen.oneOf(true, false) // mix 32-bit and largesize hops
+      } yield if (large) largeBox(tpe, Array.fill(len)(fill.toByte))
+              else box(tpe, Array.fill(len)(fill.toByte)))
       ts <- Gen.choose(1L, 4000000000L)
       dur <- Gen.choose(0L, 4000000000L)
     } yield (boxes, ts, dur)

@@ -370,6 +370,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("adversarial markup: script/style/comment bodies and quoted '>' never leak (round-13 #2)") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" "), "en", "srcZ", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TextAnalysis.htmlExtractRows(docs, 400000L, 5)
+      .select("html", "extracted").collect()(0)
+    val html = row.getString(0)
+    val extracted = row.getString(1)
+    // the synthesized page really carries every adversarial class
+    assert(html.contains("SCRIPTLEAK 7") && html.contains("STYLELEAK") &&
+      html.contains("COMMENTLEAK") && html.contains("data-note=\"x>y\""), html)
+    // ... and none of it reaches the extracted text
+    Seq("SCRIPTLEAK", "STYLELEAK", "COMMENTLEAK", "track", "margin", "x>y",
+      "collapsed").foreach(s =>
+      assert(!extracted.contains(s), s"leaked '$s' into: $extracted"))
+    assert(!extracted.exists(c => c == '<' || c == '>'), extracted)
+    // w10 and w20 sit inside the adversarial anchors and extract once each
+    assert(extracted == "doc home srcZ " + words.mkString(" ") + " about us",
+      extracted)
+    // contrast: the naive '<[^>]*>' strip this replaced DOES leak on the
+    // same page — the exact failure class the hardening exists for
+    val naive = html.replaceAll("<[^>]*>", " ").replaceAll(" +", " ").trim
+    assert(naive.contains("SCRIPTLEAK") && naive.contains("COMMENTLEAK"),
+      s"naive strip unexpectedly clean: $naive")
+  }
+
   test("extract funnel: per-source rollup consistent with the per-doc table") {
     val perDoc = TextAnalysis.htmlExtract(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -21,4 +21,50 @@ class FormatsSpec extends SparkSpec {
       li.agg(org.apache.spark.sql.functions.sum("l_orderkey"))
         .head.getLong(0))
   }
+
+  test("string traps: every format round-trips all 8 classes identically (round-13 #3)") {
+    import org.apache.spark.sql.functions._
+    val rows = Formats.formatRoundtripStrings(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Formats.RoundtripFormats.sorted)
+    // all four formats agree on every checksum INCLUDING the content
+    // fingerprint — CSV quoting/escaping, JSON escapes, and the binary
+    // formats all preserved commas, quotes, newlines, empty-vs-NULL,
+    // unicode, padding, and tabs
+    val bodies = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getString(5))).distinct
+    assert(bodies.length == 1,
+      s"a format corrupted a trap class: ${rows.mkString("; ")}")
+    // the traps are live: the slice really contains NULLs, empties, and
+    // multi-line values (otherwise the round-trip proves nothing)
+    val (nRows, nNulls, nEmpty, sumLen, _) = bodies.head
+    assert(nRows > 0 && nNulls > 0 && nEmpty > 0 && sumLen > 0, bodies.head)
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+    assert(nRows == li.count(), "slice coverage")
+
+    // negative control: the traps are sharp enough to CATCH a
+    // mis-configured reader — the same CSV bytes read without
+    // multiLine split every embedded newline into a phantom row
+    val tmp = java.nio.file.Files.createTempDirectory("fmt-neg").toString
+    val slice = li
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        .as("key"))
+      .withColumn("s",
+        when(col("key") % 8 === 2, lit("line1\nline2"))
+          .otherwise(lit("plain")))
+    slice.write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val naive = spark.read.schema(schema).option("header", "true").csv(tmp)
+    val strict = spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(tmp)
+    assert(strict.count() == nRows, "multiLine read recovers the slice")
+    assert(naive.count() > nRows,
+      "a non-multiLine read must mis-parse the planted newlines — " +
+        "if it doesn't, the trap is vacuous")
+    graft.model.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
 }

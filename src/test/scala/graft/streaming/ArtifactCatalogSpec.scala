@@ -26,15 +26,54 @@ class ArtifactCatalogSpec extends AnyFunSuite {
       while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".scala")) b += p }
       b.result()
     } finally walk.close()
-    // lazily skip to the FIRST string literal after the call — every
-    // memo/meter call's first literal is its tag (the corpus arg can
-    // contain calls/parens but never a string)
-    val pat = ("""(?s)ModelCache\s*\.\s*(?:memoIndex|memo|meter)""" +
-      """\s*\([^"]{0,200}?"([a-zA-Z0-9|$\-]+)"""").r
+    // POSITION-anchored harvest (ADVICE r13): the tag is the argument
+    // at a fixed index — memo/memoIndex(corpus, tag), meter(tag) — so
+    // split the call's top-level arguments with a paren/quote-aware
+    // scan and read exactly that slot; an earlier argument containing
+    // a string literal can no longer be mis-harvested as the tag
+    val call = """ModelCache\s*\.\s*(memoIndex|memo|meter)\s*\(""".r
     files.flatMap { p =>
       val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      pat.findAllMatchIn(txt).map(_.group(1))
+      call.findAllMatchIn(txt).flatMap { m =>
+        val idx = if (m.group(1) == "meter") 0 else 1
+        topLevelArgs(txt, m.end).lift(idx).map(_.trim).collect {
+          case a if a.startsWith("\"") =>
+            a.stripPrefix("\"").takeWhile(_ != '"')
+          case a if a.startsWith("s\"") => // interpolated tag literal
+            a.stripPrefix("s\"").takeWhile(_ != '"')
+        }
+      }
     }.toSet
+  }
+
+  /** Top-level comma-split of an argument list starting at `start`
+    * (the index just past the opening paren): tracks nesting across
+    * ()/[]/{} and skips separators inside string literals; stops at
+    * the call's own closing paren. */
+  private def topLevelArgs(txt: String, start: Int): List[String] = {
+    val args = List.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = start
+    var done = false
+    while (i < txt.length && !done) {
+      val c = txt.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < txt.length) { cur += c; i += 1; cur += txt.charAt(i) }
+        else { if (c == '"') inStr = false; cur += c }
+      } else c match {
+        case '"' => inStr = true; cur += c
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' if depth == 0 => done = true
+        case ')' | ']' | '}' => depth -= 1; cur += c
+        case ',' if depth == 0 => args += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    args += cur.toString
+    args.result()
   }
 
   /** Parameter-stripped base name: cut at the first '|'; drop a

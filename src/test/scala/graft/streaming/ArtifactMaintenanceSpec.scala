@@ -95,6 +95,76 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(served == direct)
   }
 
+  test("EVERY crash point of one ingest+compact cycle leaves old-or-new state and recovers exactly (round-13 #5)") {
+    import spark.implicits._
+    final case class Injected(k: Int, label: String)
+      extends RuntimeException(s"injected crash #$k at $label")
+    val b0 = Seq((1L, "a b c"), (2L, "b c d"))
+    val b1 = Seq((3L, "a b c"))
+    val b2 = Seq((4L, "b c"), (5L, "c d e"))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def direct(rows: Seq[(Long, String)]): Map[(String, String), Long] =
+      ArtifactMaintenance.batchBigramCounts(dfOf(rows))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val contentOld = direct(b0 ++ b1)       // before the crashing batch
+    val contentNew = direct(b0 ++ b1 ++ b2) // after it
+    // counts are mergeable (double-count SENSITIVE): any replay bug
+    // shows as an inflated count, not just an extra row
+
+    // dry run discovers how many boundary crossings the cycle has
+    val dryDir = freshDir("lm-crash-dry")
+    val dry = ArtifactMaintenance.lmArtifact(dryDir)
+    dry.applyBatch(dfOf(b0), 0L); dry.applyBatch(dfOf(b1), 1L)
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    dry.crashPoint = seen += _
+    dry.applyBatch(dfOf(b2), 2L)
+    dry.compact(spark)
+    val boundaries = seen.toList
+    assert(boundaries.size >= 9, s"expected the full boundary walk, got $boundaries")
+    assert(boundaries.count(_.startsWith("sweep-delete:")) >= 3, boundaries)
+
+    (1 to boundaries.size).foreach { k =>
+      val dir = freshDir(s"lm-crash-k$k")
+      val art = ArtifactMaintenance.lmArtifact(dir)
+      art.applyBatch(dfOf(b0), 0L)
+      art.applyBatch(dfOf(b1), 1L)
+      var n = 0
+      art.crashPoint = { label =>
+        n += 1; if (n == k) throw Injected(k, label)
+      }
+      val crashed =
+        try { art.applyBatch(dfOf(b2), 2L); art.compact(spark); false }
+        catch { case _: Injected => true }
+      assert(crashed, s"boundary #$k (${boundaries(k - 1)}) never fired")
+      // INVARIANT: the served state is EXACTLY the old or the new
+      // manifest's content — no half-applied state at any crash point
+      val after = counts(dir)
+      assert(after == contentOld || after == contentNew,
+        s"boundary #$k (${boundaries(k - 1)}) left a half-applied state: $after")
+      // ... and the manifest file itself still parses
+      val m = art.readManifest()
+      assert(m.covered >= -1L && m.dirs.forall(_.nonEmpty), m)
+
+      // RECOVERY: disarm, replay the batch (what the engine does after
+      // a crash), compact — the final state must be exact, once
+      art.crashPoint = _ => ()
+      art.applyBatch(dfOf(b2), 2L)
+      art.compact(spark)
+      assert(counts(dir) == contentNew,
+        s"boundary #$k (${boundaries(k - 1)}) recovery drifted")
+      // idempotence survives recovery: a second replay changes nothing
+      art.applyBatch(dfOf(b2), 2L)
+      assert(counts(dir) == contentNew,
+        s"boundary #$k (${boundaries(k - 1)}) post-recovery replay double-counted")
+      // fully compacted: one baseline, watermark at the last batch
+      val fin = art.readManifest()
+      assert(fin.dirs.size == 1 && fin.dirs.head.startsWith("baseline-g") &&
+        fin.covered == 2L, s"boundary #$k final manifest: $fin")
+      graft.model.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+    graft.model.Fs.deleteRecursively(java.nio.file.Paths.get(dryDir))
+  }
+
   test("crash-stranded directories are invisible to readers and swept by compaction") {
     import spark.implicits._
     val artifact = freshDir("lm-crash")

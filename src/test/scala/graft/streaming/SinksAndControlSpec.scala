@@ -52,6 +52,74 @@ class SinksAndControlSpec extends SparkSpec {
     assert(maxSeen.get() <= 100)
   }
 
+  test("byte-aware chunking caps on whichever limit hits first") {
+    def rec(n: Int): Array[Byte] = Array.fill[Byte](n)(1)
+    // 3 × 3-byte records with a 7-byte cap: (3+3), (3)
+    val byBytes = KinesisSink.chunks(
+      Iterator(rec(3), rec(3), rec(3)), maxRecords = 100, maxBytes = 7L).toList
+    assert(byBytes.map(_.size) == List(2, 1), byBytes.map(_.size))
+    // record cap binds before the byte cap
+    val byCount = KinesisSink.chunks(
+      Iterator.fill(5)(rec(1)), maxRecords = 2, maxBytes = 1000L).toList
+    assert(byCount.map(_.size) == List(2, 2, 1))
+    // a single over-cap record still travels (alone) — the client's
+    // record-size check is where it fails loudly
+    val solo = KinesisSink.chunks(
+      Iterator(rec(10), rec(1)), maxRecords = 100, maxBytes = 5L).toList
+    assert(solo.map(_.size) == List(1, 1))
+    // nothing lost, order kept
+    assert(solo.flatten.map(_.length) == List(10, 1))
+  }
+
+  test("Firehose PutRecordBatch client rides the same retry machinery (round-13 #6)") {
+    val calls = scala.collection.mutable.ArrayBuffer[Int]()
+    val transport = new FirehoseSink.FirehoseTransport {
+      var n = 0
+      def putRecordBatch(ds: String, recs: Seq[Array[Byte]]): Seq[Int] = {
+        calls += recs.size; n += 1
+        if (n == 1) Seq(0, 2) else Nil // FailedPutCount=2 on first call
+      }
+    }
+    val client = new FirehoseSink.FirehoseClient(transport)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    KinesisSink.sendBatch(client, "delivery",
+      (0 until 4).map(i => Array(i.toByte)),
+      FirehoseSink.policy(backoffMs = 3L, sleep = sleeps += _))
+    assert(calls.toSeq == Seq(4, 2), "retry must carry exactly the failed subset")
+    assert(sleeps.toSeq == Seq(3L))
+  }
+
+  test("Firehose client enforces the PutRecordBatch envelope loudly") {
+    val transport = new FirehoseSink.FirehoseTransport {
+      def putRecordBatch(ds: String, recs: Seq[Array[Byte]]): Seq[Int] = Nil
+    }
+    val client = new FirehoseSink.FirehoseClient(transport)
+    // over the record-count limit
+    intercept[IllegalArgumentException] {
+      client.putRecords("d", Seq.fill(501)(Array(1.toByte)))
+    }
+    // over the per-record size limit
+    intercept[IllegalArgumentException] {
+      client.putRecords("d",
+        Seq(Array.fill[Byte]((FirehoseSink.MaxRecordBytes + 1).toInt)(0)))
+    }
+    // over the call byte limit (five 900-KiB records > 4 MiB)
+    intercept[IllegalArgumentException] {
+      client.putRecords("d",
+        Seq.fill(5)(Array.fill[Byte](900 * 1024)(0)))
+    }
+    // within every limit: passes through
+    assert(client.putRecords("d", Seq(Array(1.toByte))).isEmpty)
+    // and the preset policy's chunking keeps real writes inside the
+    // envelope: 900-KiB records chunk at 4 per call, never 5
+    val sizes = KinesisSink.chunks(
+      Iterator.fill(9)(Array.fill[Byte](900 * 1024)(0)),
+      FirehoseSink.MaxRecordsPerCall, FirehoseSink.MaxBytesPerCall)
+      .map(_.size).toList
+    assert(sizes == List(4, 4, 1), sizes)
+    sizes.foreach(s => assert(s * 900L * 1024 <= FirehoseSink.MaxBytesPerCall))
+  }
+
   // --- JobControl (C2-C5) over a live streaming query ---
 
   test("metrics listener accumulates per-query batch and row counts") {

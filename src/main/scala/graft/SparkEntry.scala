@@ -277,6 +277,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.mp4Manifest(s, d)),
     "q255_format_roundtrip" -> (graft.ops.Formats.formatRoundtrip _),
     "q256_string_roundtrip" -> (graft.ops.Formats.formatRoundtripStrings _),
+    "q257_cc_stars" -> (Dedup.ccStarClusters _),
+    "q259_xml_roundtrip" -> (graft.ops.Formats.formatRoundtripXml _),
+    "q258_source_reach" ->
+      ((s: SparkSession, d: String) => Dedup.sourceReachability(s, d)),
+    "q260_kn_doc_score" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.knDocScore(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -810,6 +816,17 @@ object SparkEntry {
       s"""WITH RECURSIVE $minhashPairsCtes,
         |$clusterCtes
         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    // q257: star-contraction CC lands on the SAME fixpoint as q72's
+    // min-label propagation (component minimum as the label), so one
+    // oracle pins two independent algorithms; degree = distinct
+    // pair-graph neighbors
+    "q257_cc_stars" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |$clusterCtes,
+        |deg AS (SELECT src AS doc_id, CAST(COUNT(DISTINCT dst) AS BIGINT)
+        |    AS degree FROM edges GROUP BY 1)
+        |SELECT c.doc_id, c.cluster, d.degree
+        |FROM cl c JOIN deg d USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     // q242: dedup provenance — every dropped doc with its keeper;
     // direct = a verified pair against the keeper itself exists
     "q242_dedup_lineage" ->
@@ -1658,6 +1675,26 @@ object SparkEntry {
         |FROM px JOIN sz sa ON px.src_a = sa.source
         |        JOIN sz sb ON px.src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    // q258: ≤3-hop contamination reachability over the thresholded
+    // DAG-oriented overlap edges — both engines run a REAL recursive
+    // CTE (Spark: UnionLoopExec; DuckDB: WITH RECURSIVE)
+    "q258_source_reach" ->
+      """WITH RECURSIVE d AS (SELECT source, string_split(text, ' ') AS w
+        |     FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT source,
+        |         md5(concat_ws('_', w[i], w[i + 1], w[i + 2])) AS h
+        |       FROM d, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u),
+        |e AS (SELECT a.source AS src_a, b.source AS src_b
+        |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 40),
+        |reach AS (SELECT src_a AS src, src_b AS dst, 1 AS hops FROM e
+        |          UNION ALL
+        |          SELECT r.src, e.src_b AS dst, r.hops + 1 AS hops
+        |          FROM reach r JOIN e ON e.src_a = r.dst
+        |          WHERE r.hops < 3)
+        |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin,
     // hex2int of the first 6 md5 chars via the list_reduce fold (the
     // q103 idiom — DuckDB has no conv()); salt prefixes fim1:/fim2:
     // match Pipeline.fimTransform exactly
@@ -2305,6 +2342,29 @@ object SparkEntry {
         |  (1000000 * n_left_contexts) // n_types AS cont_ppm
         |FROM lf LEFT JOIN rt USING (word) CROSS JOIN t
         |ORDER BY n_left_contexts DESC, word LIMIT 50""".stripMargin,
+    // q260: per-doc interpolated-KN score — D = 3/4 carried exactly as
+    // (4c−3)/(4c1); every // is non-negative so DuckDB floor division
+    // equals Spark's truncating div
+    "q260_kn_doc_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+        |f AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+        |        CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c GROUP BY 1),
+        |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c GROUP BY 1),
+        |m AS (SELECT w1, w2,
+        |        (1000000 * (4 * n - 3)) // (4 * c1)
+        |        + (((3000000 * n1p_fwd) // (4 * c1))
+        |           * ((1000000 * n1p_bwd) // n_types)) // 1000000 AS score_ppm
+        |      FROM c JOIN f USING (w1) JOIN bw USING (w2) CROSS JOIN t)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_slots,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS kn_mean_ppm,
+        |  CAST(MIN(score_ppm) AS BIGINT) AS kn_min_ppm
+        |FROM b JOIN m USING (w1, w2)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // q216: k-anonymity audit — QI = (event_type, day, value band);
     // rows in classes smaller than k are the re-identifiable sliver
     "q216_k_anonymity" ->
@@ -2742,6 +2802,7 @@ object SparkEntry {
     // real write->read loop; the oracle re-derives the traps from the
     // fixture, so a mis-quoted or trimmed or conflated value hash-fails
     "q256_string_roundtrip" -> graft.ops.Formats.formatRoundtripStringsSql,
+    "q259_xml_roundtrip" -> graft.ops.Formats.formatRoundtripXmlSql,
     "q254_mp4_meta" ->
       """SELECT doc_id, TRUE AS is_mp4, 'isom' AS brand,
         |  CAST(33 + doc_id % 9

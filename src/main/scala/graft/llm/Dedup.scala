@@ -684,6 +684,56 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /**
+   * Transitive contamination reachability over the source-overlap
+   * graph (q258) — executed through Spark's NATIVE recursive CTE
+   * (`WITH RECURSIVE` → `UnionLoopExec`, new in Spark 4): if source A
+   * shares ≥ minShared distinct 3-grams with B and B with C, duplicated
+   * text can flow A→C even when A and C share nothing directly — the
+   * hop-2+ leakage a pairwise overlap matrix (q183) cannot see. Edges
+   * are DAG-oriented (src < dst lexicographically, already canonical in
+   * [[sourceOverlapPairs]]) so path enumeration terminates structurally;
+   * the hop bound caps it besides. Output per reachable ordered pair:
+   * the minimum hop count and the number of distinct ≤maxHops-hop
+   * paths (path multiplicity = how entangled the two feeds are).
+   *
+   * Scale shape: the only corpus-scale work is the memoized
+   * `source-grams` artifact behind [[sourceOverlapPairs]]; the
+   * recursion itself runs over a catalog-bounded edge list (sources
+   * are dozens — path rows ≤ |S|·|S−1|·…, bounded by the hop cap), so
+   * the iterative UnionLoop materializes only source-cardinality
+   * frames. The same shape at 100 TB: recursion over the bounded
+   * dimension, never the fact table.
+   */
+  def sourceReachability(
+      spark: SparkSession,
+      dir: String,
+      minShared: Long = 40L,
+      maxHops: Int = 3): DataFrame =
+    reachabilityOf(spark,
+      sourceOverlapPairs(spark, dir)
+        .filter(col("n_inter") >= minShared)
+        .select(col("src_a"), col("src_b")),
+      maxHops)
+
+  /** The recursive-CTE closure over an explicit DAG edge frame
+    * (src_a, src_b) — spec entry point (hand-checkable diamonds). */
+  private[graft] def reachabilityOf(spark: SparkSession, edges: DataFrame,
+      maxHops: Int): DataFrame = {
+    edges.createOrReplaceTempView("g_overlap_edges")
+    spark.sql(
+      s"""WITH RECURSIVE reach AS (
+         |  SELECT src_a AS src, src_b AS dst, 1 AS hops FROM g_overlap_edges
+         |  UNION ALL
+         |  SELECT r.src, e.src_b AS dst, r.hops + 1 AS hops
+         |  FROM reach r JOIN g_overlap_edges e ON e.src_a = r.dst
+         |  WHERE r.hops < $maxHops
+         |)
+         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paths
+         |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+  }
+
   /** The k smallest distinct 32-bit-truncated gram digests per source —
     * the KMV sketch itself, over any (source, h) gram table (the batch
     * artifact or a streamed micro-batch partial). x is distinct per
@@ -836,5 +886,113 @@ object Dedup {
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
       .withColumn("dup_ppm", expr("(1000000 * n_flagged) div n_docs"))
       .orderBy(col("bin"))
+  }
+
+  /**
+   * Connected components via alternating LARGE-STAR / SMALL-STAR
+   * rounds (q257) — the round-bounded CC algorithm (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014) beside
+   * q72's min-label propagation. Propagation needs one round per unit
+   * of component DIAMETER (its 64-round backstop is a correctness
+   * fail-loud, so a 100-doc duplication chain — boilerplate evolving
+   * one edit at a time across a crawl — would legitimately abort);
+   * star contraction converges in O(log² n) rounds REGARDLESS of
+   * diameter, because every round rewires whole neighborhoods onto
+   * their local minimum instead of leaking labels one hop. Both
+   * algorithms provably land on the same fixpoint (each component
+   * becomes a star centered on its minimum doc_id), so the q72 oracle
+   * replays this query too — two independent algorithms pinned to one
+   * oracle, and the output adds each node's pair-graph degree (the
+   * hub-document signal a dedup triage reads).
+   *
+   * Per round, on the canonical (big > small) edge set E:
+   *  - LARGE-STAR: for every directed (u,v) with v > u, emit
+   *    (v, min(Γ(u) ∪ {u})) — strictly-larger neighbors re-attach to
+   *    u's local minimum;
+   *  - SMALL-STAR: for every u with smaller neighbors N(u), emit
+   *    (w, min(N(u))) for w ∈ N(u) ∪ {u} minus the minimum itself —
+   *    u and its smaller neighbors all re-attach to the smallest.
+   * Each is one groupBy(min) + one equi-join back — edge-list-sized
+   * shuffles (the `lsh-pairs` artifact sliver, never the corpus), and
+   * `distinct` collapses the multigraph between rounds.
+   *
+   * Convergence via the endpoint-sum invariant (the q72 discipline,
+   * lifted from labels to edges): both ops replace an edge's partner
+   * with a value ≤ it and dedup only removes rows, so the sum of all
+   * canonical endpoints (DECIMAL — Long endpoint sums overflow at
+   * 100 TB edge counts) strictly decreases on ANY change; an unchanged
+   * sum IS the fixpoint — one scalar aggregate per round, no
+   * next-vs-previous diff join. `localCheckpoint` truncates lineage at
+   * each round boundary exactly like [[graft.llm.Pipeline.nearDupClusters]].
+   */
+  def ccStarClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val (labels, _) = ccStarLabels(sym)
+    val deg = sym.groupBy(col("src").as("doc_id"))
+      .agg(countDistinct(col("dst")).as("degree"))
+    labels.join(deg, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("degree"))
+      .orderBy("doc_id")
+  }
+
+  /** Star-contraction core over a SYMMETRIC edge frame (src, dst), no
+    * self-loops: returns (labels (doc_id, cluster), rounds taken).
+    * Spec entry point — the planted-path spec feeds a synthetic chain
+    * whose diameter exceeds propagation's backstop and asserts the
+    * logarithmic round count. */
+  private[graft] def ccStarLabels(sym: DataFrame): (DataFrame, Int) = {
+    // canonical storage: one row per undirected edge, big > small
+    var edges = sym.filter(col("src") > col("dst"))
+      .select(col("src").as("big"), col("dst").as("small"))
+      .distinct().localCheckpoint()
+    val maxRounds = 48 // ≥ log²(any real corpus); loud, not a silent exit
+    var rounds = 0
+    var prevSum = Option.empty[java.math.BigDecimal]
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u})
+      val symE = edges.select(col("big").as("src"), col("small").as("dst"))
+        .union(edges.select(col("small").as("src"), col("big").as("dst")))
+      val mins = symE.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = symE.filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(col("dst").as("big"), col("m").as("small"))
+        .filter(col("big") > col("small")).distinct().localCheckpoint()
+      // SMALL-STAR over the canonical view: m(u) = min of smaller nbrs
+      val smins = large.groupBy(col("big").as("u"))
+        .agg(min(col("small")).as("m"))
+      val joined = large.join(smins, col("big") === col("u"))
+      val next = joined
+        .filter(col("small") > col("m"))
+        .select(col("small").as("big"), col("m").as("small"))
+        .union(joined.select(col("big"), col("m").as("small")))
+        .distinct().localCheckpoint()
+      val s = next.agg(sum(col("big").cast("decimal(38,0)") +
+          col("small").cast("decimal(38,0)"))).first().getDecimal(0)
+      edges = next
+      converged = prevSum.exists(p => p.compareTo(s) == 0)
+      prevSum = Some(s)
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxRounds rounds — " +
+          "the endpoint-sum invariant never stabilized; labels would be " +
+          "unsound and downstream split-leakage guarantees would not hold")
+    // fixpoint is a union of stars: every node's component minimum is
+    // min(partner ∪ self) in the final edge set
+    val finalSym = edges.select(col("big").as("node"), col("small").as("nbr"))
+      .union(edges.select(col("small").as("node"), col("big").as("nbr")))
+    val labels = finalSym.groupBy(col("node"))
+      .agg(min(col("nbr")).as("mn"))
+      .select(col("node").as("doc_id"),
+        least(col("node"), col("mn")).as("cluster"))
+    (labels, rounds)
   }
 }

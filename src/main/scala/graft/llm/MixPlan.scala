@@ -559,4 +559,68 @@ object MixPlan {
         col("raw_ppm"), col("temp_ppm"), col("boost_ppm"))
       .orderBy("source")
   }
+
+  /**
+   * Per-document Kneser–Ney LM score (q260) — the CCNet/RedPajama
+   * "score every document under a reference LM and filter the tail"
+   * stage, REALIZED instead of proxied: [[bigramNovelty]] counts rare
+   * slots, this evaluates the actual interpolated-KN estimate
+   * P(w2|w1) = max(c(w1w2)−D, 0)/c(w1) + λ(w1)·P_cont(w2) per bigram
+   * slot, in the repo's log-free fixed-point discipline (a float
+   * perplexity can't hash-match across engines; a per-slot ppm
+   * probability with pinned integer-division order can). D = 3/4 is
+   * the textbook absolute discount, carried exactly as the 4·c−3 / 4·c1
+   * integer form; λ(w1) = D·N1+(w1·)/c(w1); P_cont(w2) =
+   * N1+(·w2)/|bigram types| — all from the Chen–Goodman formulation.
+   * Per doc: slot count, MEAN slot score (the quality signal — low
+   * mean = text the reference LM finds improbable ≈ high perplexity)
+   * and MIN slot score (the single most-surprising transition, the
+   * gibberish-splice detector a mean dilutes).
+   *
+   * Scale shape: the LM is the pinned `bigram-lm` stored artifact
+   * (shared tag with q168/q179/q215 — built once per corpus, stream-
+   * maintained); its three derived stat tables (c1/N1+ forward,
+   * N1+ backward, the types scalar) are VOCABULARY-scale aggregates
+   * pre-joined into one (w1,w2)-keyed model table, so scoring is ONE
+   * corpus-scale equi-join of doc slots against the model plus one
+   * doc-keyed aggregate — no corpus re-scan beyond the slot
+   * projection, no per-slot subqueries. Every slot hits the model by
+   * construction (the LM was trained on this corpus), so the join is
+   * inner without loss; div is non-negative throughout, so Spark's
+   * truncating `div` and DuckDB's flooring `//` agree.
+   */
+  def knDocScore(spark: SparkSession, dir: String): DataFrame =
+    knDocScoreOf(Tables.documents(spark, dir))
+
+  /** [[knDocScore]] over an explicit documents frame — spec entry
+    * point (hand-checked KN arithmetic on a controlled corpus). */
+  private[graft] def knDocScoreOf(corpus: DataFrame): DataFrame = {
+    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+      graft.ops.GlobalOrder.pin(
+        docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    }
+    val fwd = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val bwd = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_bwd"))
+    val types = counts.agg(count(lit(1)).as("n_types"))
+    // vocab-scale model assembly: one (w1,w2)-keyed table carrying every
+    // statistic a slot needs, so the fact-scale join happens ONCE
+    val model = counts
+      .join(fwd, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("score_ppm", expr(
+        "(1000000 * (4 * n - 3)) div (4 * c1) + " +
+          "(((3000000 * n1p_fwd) div (4 * c1)) * " +
+          "((1000000 * n1p_bwd) div n_types)) div 1000000"))
+      .select(col("w1"), col("w2"), col("score_ppm"))
+    docBigrams(corpus)
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_slots"),
+        expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
+        min(col("score_ppm")).as("kn_min_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -185,6 +185,95 @@ object Formats {
     perFormat.reduce(_.unionByName(_)).orderBy("format")
   }
 
+  /** The markup-trap classes for the XML leg, keyed by `key % 8`.
+    * XML's corruption class is ESCAPING (bare `<`/`&`, an entire
+    * element as text content, the CDATA terminator), not quoting —
+    * so the traps differ from [[stringTrap]]'s CSV set. No
+    * empty-string class ON PURPOSE: without xsi:nil an absent element
+    * and a present-but-empty one are the same document, so XML
+    * conflates ''→NULL by design — q256's CSV/JSON legs pin that
+    * distinction where the format can carry it. */
+  private def xmlTrap(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(key % 8 === 0, "a < b & c > d")              // bare markup chars
+      .when(key % 8 === 1, "<tag attr=\"v\">x</tag>") // an element AS TEXT
+      .when(key % 8 === 2, "cdata ]]> terminator")    // CDATA terminator
+      .when(key % 8 === 3, "line1\nline2")            // embedded newline
+      .when(key % 8 === 4, lit(null).cast("string"))  // NULL (absent element)
+      .when(key % 8 === 5, "héllo wörld 世界")         // multi-byte unicode
+      .when(key % 8 === 6, "  padded  ")              // surrounding spaces
+      .otherwise("tab\tsep & more")                   // tab + entity mix
+
+  /**
+   * XML sink/source round-trip (q259): Spark 4 ships the XML
+   * datasource natively, and its corruption class is different in
+   * kind from CSV's — mis-ESCAPED markup characters leak structure
+   * into content (a bare `<` truncates the element; an unescaped
+   * `]]>` closes a CDATA section early; `&` starts an entity) — so
+   * the planted traps are markup, not delimiters. The same
+   * deterministic lineitem key slice derives a trap per `key % 8`,
+   * writes through the real XML FileFormat (explicit `rowTag`; the
+   * writer must entity-escape every trap) and reads back with an
+   * explicit schema, `ignoreSurroundingSpaces` pinned OFF (the read
+   * default silently trims the padded class). Checksums mirror q256:
+   * row/null counts, total char length, and the order-pinned md5
+   * fingerprint with NULLs sentinel-visible — the DuckDB oracle
+   * re-derives the traps from the fixture, so any escaping loss
+   * (truncation at `<`, entity double-decode, swallowed newline,
+   * trimmed padding) hash-fails.
+   *
+   * Scale note: XML files, like multiLine CSV, are not splittable by
+   * newline — at 100 TB keep row-tag files bounded or land in a
+   * binary format; this query pins FIDELITY of the interchange leg,
+   * not its throughput.
+   */
+  def formatRoundtripXml(spark: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        .as("key"))
+      .withColumn("s", xmlTrap(col("key")))
+    val path = new java.io.File(ScratchRoot, "xml").toString
+    slice.write.mode("overwrite").format("xml")
+      .option("rowTag", "r").save(path)
+    val back = spark.read.format("xml").schema(StringTrapSchema)
+      .option("rowTag", "r")
+      .option("ignoreSurroundingSpaces", "false")
+      .load(path)
+    back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        sum(length(col("s")).cast("long")).as("sum_len"),
+        md5(concat_ws("\u0001",
+          transform(array_sort(collect_list(struct(col("key"), col("s")))),
+            x => coalesce(x.getField("s"), lit(NullSentinel)))))
+          .as("fingerprint"))
+      .select(lit("xml").as("format"), col("n_rows"), col("n_nulls"),
+        col("sum_len"), col("fingerprint"))
+  }
+
+  /** The q259 oracle: the same markup traps and checksums computed
+    * once from the parquet fixture. */
+  def formatRoundtripXmlSql: String =
+    """WITH t AS (SELECT l_orderkey * 10 + l_linenumber AS key,
+      |    CASE (l_orderkey * 10 + l_linenumber) % 8
+      |      WHEN 0 THEN 'a < b & c > d'
+      |      WHEN 1 THEN '<tag attr="v">x</tag>'
+      |      WHEN 2 THEN 'cdata ]]> terminator'
+      |      WHEN 3 THEN 'line1' || chr(10) || 'line2'
+      |      WHEN 4 THEN NULL
+      |      WHEN 5 THEN 'héllo wörld 世界'
+      |      WHEN 6 THEN '  padded  '
+      |      ELSE 'tab' || chr(9) || 'sep & more' END AS s
+      |  FROM lineitem WHERE l_orderkey % 50 = 0)
+      |SELECT 'xml' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nulls,
+      |  CAST(SUM(length(s)) AS BIGINT) AS sum_len,
+      |  md5(string_agg(coalesce(s, chr(7) || 'NULL'), chr(1)
+      |    ORDER BY key)) AS fingerprint
+      |FROM t""".stripMargin
+
   /** The q256 oracle: the same trap derivation and checksums computed
     * once from the parquet fixture per format row. */
   def formatRoundtripStringsSql: String = {

@@ -255,4 +255,59 @@ class DedupSpec extends SparkSpec {
     // s2: 2 docs; no exact dups; norm dups = both; newly = both
     assert(got("s2") == ((2L, 0L, 2L, 2L)), got("s2"))
   }
+
+  test("star-contraction CC lands on min-label propagation's fixpoint") {
+    val stars = Dedup.ccStarClusters(spark, sf)
+      .select(col("doc_id"), col("cluster"))
+    val prop = Pipeline.nearDupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster"))
+    assert(stars.count() == prop.count())
+    assert(stars.except(prop).count() == 0,
+      "star contraction labeled some node differently from propagation")
+    assert(prop.except(stars).count() == 0)
+  }
+
+  test("recursive-CTE reachability enumerates a diamond's paths and min hops") {
+    import spark.implicits._
+    // a → b → d, a → c → d, a → d: reach(a,d) via 3 paths, min 1 hop
+    val edges = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src_a", "src_b")
+    val got = Dedup.reachabilityOf(spark, edges, maxHops = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", "d")) == ((1L, 3L)), got.mkString(","))
+    assert(got(("a", "b")) == ((1L, 1L)))
+    assert(got(("b", "d")) == ((1L, 1L)))
+    // two-hop-only pairs surface with min_hops 2
+    assert(!got.contains(("d", "a")), "DAG edges must not invert")
+  }
+
+  test("reachability surfaces hop-2 pairs the pairwise matrix misses") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src_a", "src_b")
+    val got = Dedup.reachabilityOf(spark, edges, maxHops = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", "c")) == ((2L, 1L)),
+      s"a→c must be reachable in exactly 2 hops: ${got.mkString(",")}")
+  }
+
+  test("star contraction converges in O(log n) rounds on a chain whose " +
+    "diameter exceeds propagation's backstop") {
+    import spark.implicits._
+    // a 1024-node path: min-label propagation moves the minimum ONE hop
+    // per round (1023 rounds — far past its 64-round fail-loud), star
+    // contraction halves chain length per round pair
+    val n = 1024
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val sym = path.union(path.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val (labels, rounds) = Dedup.ccStarLabels(sym)
+    assert(rounds <= 20, s"expected logarithmic rounds on the chain, took $rounds")
+    val labs = labels.collect()
+    assert(labs.length == n, s"expected $n labeled nodes, got ${labs.length}")
+    assert(labs.forall(_.getLong(1) == 0L),
+      "every chain node must label to the component minimum 0")
+  }
 }

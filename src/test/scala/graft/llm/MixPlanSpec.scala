@@ -189,4 +189,41 @@ class MixPlanSpec extends SparkSpec {
     }
     order.unpersist()
   }
+
+  test("KN doc score matches a brute-force reimplementation on a controlled corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "the cat sat"),
+      (2L, "s", "the cat ran"),
+      (3L, "s", "the dog sat"),
+      (4L, "s", "cat the cat")).toDF("doc_id", "source", "text")
+    // brute-force KN in plain Scala, integer ppm with the same div order
+    val slots = Seq(
+      1L -> Seq(("the", "cat"), ("cat", "sat")),
+      2L -> Seq(("the", "cat"), ("cat", "ran")),
+      3L -> Seq(("the", "dog"), ("dog", "sat")),
+      4L -> Seq(("cat", "the"), ("the", "cat")))
+    val all = slots.flatMap(_._2)
+    val c = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = c.size.toLong
+    val c1 = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val fwd = c.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bwd = c.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def score(b: (String, String)): Long =
+      (1000000L * (4 * c(b) - 3)) / (4 * c1(b._1)) +
+        ((3000000L * fwd(b._1)) / (4 * c1(b._1))) *
+          ((1000000L * bwd(b._2)) / types) / 1000000L
+    val expect = slots.map { case (id, bs) =>
+      id -> (bs.size.toLong, bs.map(score).sum / bs.size, bs.map(score).min)
+    }.toMap
+    val got = MixPlan.knDocScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect, s"got $got\nexpected $expect")
+    // the model is discriminative on this corpus: the frequent
+    // transition (the→cat ×3) must outscore a singleton one
+    val common = score(("the", "cat"))
+    val rare = score(("dog", "sat"))
+    assert(common > rare, s"the→cat $common should beat dog→sat $rare")
+  }
 }

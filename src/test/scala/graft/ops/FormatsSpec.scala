@@ -67,4 +67,37 @@ class FormatsSpec extends SparkSpec {
         "if it doesn't, the trap is vacuous")
     graft.model.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("xml round-trip: markup traps survive the native XML write->read loop") {
+    import org.apache.spark.sql.functions._
+    val row = Formats.formatRoundtripXml(spark, sf).collect()
+    assert(row.length == 1 && row.head.getString(0) == "xml")
+    val (nRows, nNulls, sumLen) =
+      (row.head.getLong(1), row.head.getLong(2), row.head.getLong(3))
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+    assert(nRows == li.count(), "XML leg lost or duplicated rows")
+    assert(nNulls > 0, "the NULL trap class must be live in the slice")
+    // the checksums must equal the in-memory traps BEFORE any write —
+    // i.e. the round-trip is lossless, including `<`, `&`, `]]>`,
+    // newline, unicode, and the padded class under
+    // ignoreSurroundingSpaces=false
+    val expect = li
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        .as("key"))
+      .withColumn("s",
+        when(col("key") % 8 === 0, "a < b & c > d")
+          .when(col("key") % 8 === 1, "<tag attr=\"v\">x</tag>")
+          .when(col("key") % 8 === 2, "cdata ]]> terminator")
+          .when(col("key") % 8 === 3, "line1\nline2")
+          .when(col("key") % 8 === 4, lit(null).cast("string"))
+          .when(col("key") % 8 === 5, "héllo wörld 世界")
+          .when(col("key") % 8 === 6, "  padded  ")
+          .otherwise("tab\tsep & more"))
+      .agg(sum(when(col("s").isNull, 1L).otherwise(0L)),
+        sum(length(col("s")).cast("long"))).head
+    assert(nNulls == expect.getLong(0), "NULL count drifted through XML")
+    assert(sumLen == expect.getLong(1),
+      "char-length checksum drifted — an escape was lost or doubled")
+  }
 }

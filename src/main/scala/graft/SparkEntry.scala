@@ -176,6 +176,8 @@ object SparkEntry {
     "q159_pq_recall"       -> ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)),
     "q160_ivfpq_ann"       -> ((s: SparkSession, d: String) => graft.llm.PQ.ivfPqAnn(s, d)),
     "q161_ivfpq_recall"    -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
+    "q261_ivfrpq_ann"      -> ((s: SparkSession, d: String) => graft.llm.PQ.ivfRpqAnn(s, d)),
+    "q262_ivfrpq_recall"   -> ((s: SparkSession, d: String) => Similarity.ivfRpqRecall(s, d)),
     "q162_semantic_dedup"  -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q163_decontaminate"   -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "q164_dsir_select"     -> ((s: SparkSession, d: String) => graft.llm.Selection.dsirSelect(s, d)),
@@ -1255,6 +1257,18 @@ object SparkEntry {
       cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
       nprobe = graft.llm.Pipeline.IvfProbe),
     "q161_ivfpq_recall" -> ivfPqRecallOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, pqIters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5,
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe),
+    "q261_ivfrpq_ann" -> ivfRpqOracleSql(
+      sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
+      kk = graft.llm.PQ.Codes, pqIters = graft.llm.PQ.Iters,
+      depth = graft.llm.PQ.Shortlist, k = 5,
+      cells = graft.llm.Pipeline.IvfCells, iters = graft.llm.Pipeline.IvfIters,
+      nprobe = graft.llm.Pipeline.IvfProbe),
+    "q262_ivfrpq_recall" -> ivfRpqRecallOracleSql(
       sd = graft.llm.PQ.SubDim, m = graft.llm.PQ.SubSpaces,
       kk = graft.llm.PQ.Codes, pqIters = graft.llm.PQ.Iters,
       depth = graft.llm.PQ.Shortlist, k = 5,
@@ -5047,6 +5061,159 @@ object SparkEntry {
        |${ivfCellCtes(iters, nprobe)},
        |${pqCtes(sd, m, kk, pqIters, depth, p = "pq", candJoin = ivfCandJoin)},
        |${pqRecallTail("pq", k)}""".stripMargin
+
+  /**
+   * The RESIDUAL-coded chain ([[graft.llm.PQ.ivfRpqAnnOf]], q261) —
+   * [[pqCtes]]' structure with three residual-specific changes:
+   * training/encoding run over residual sub-vectors (`rpsub`: raw
+   * minus the assigned cell centroid, rounded through REAL — the
+   * stored float dtype, IEEE-identical to Spark's `.cast("float")`),
+   * the query side keeps RAW sub-vectors (`rqsub` — LUTs are raw query
+   * subs against residual codewords), and the score adds the q·c_cell
+   * term with the reconstruction norm ‖c‖² + 2·c·r̂ + ‖r̂‖² from the
+   * cell-norm / cell×code cross-dot / codeword-norm tables. Requires
+   * [[kmeansCtes]] + [[ivfCellCtes]] in the same WITH clause. Ends in
+   * `rpr`; raw norms in `rpn2` (so [[pqRecallTail]]("rp", k) plugs in).
+   */
+  private def rpqCtes(sd: Int, m: Int, kk: Int, iters: Int, depth: Int,
+      coarseIters: Int): String = {
+    val scale = "281474976710656.0" // 2^48, exact in double
+    val qCap = 20L * graft.llm.Similarity.MaxBruteQueries
+    def assignCte(name: String, cPrev: String, withV: Boolean): String = {
+      val vSel = if (withV) ", e.v" else ""
+      val vOut = if (withV) ", v" else ""
+      s"""$name AS (
+         |  SELECT vec_id, s$vOut, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.s$vSel, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+         |        $pqDist, c.cid) AS rn
+         |    FROM rpsub e JOIN $cPrev c ON c.s = e.s) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    def updateCte(name: String, aPrev: String): String =
+      s"""$name AS (
+         |  SELECT s, cid, list(v ORDER BY dim) AS c FROM (
+         |    SELECT a.s, a.cluster AS cid, u.i - 1 AS dim,
+         |      CAST(SUM(CAST(a.v[u.i]::DOUBLE * $scale AS HUGEINT)) AS DOUBLE)
+         |        / $scale / COUNT(*) AS v
+         |    FROM $aPrev a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) u
+         |    GROUP BY 1, 2, 3) t
+         |  GROUP BY s, cid)""".stripMargin
+    val cf = s"rpc$iters"
+    val adot = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN lv END)").mkString(" + ")
+    val rn2 = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN cn2 END)").mkString(" + ")
+    val crs = (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN cx END)").mkString(" + ")
+    val head = Seq(
+      s"""rpsub AS (
+         |  SELECT e.vec_id, sp.s,
+         |    list_transform(range(1, $sd + 1),
+         |      i -> CAST(e.embedding[sp.s*$sd + i]::DOUBLE
+         |                - ct.c[sp.s*$sd + i] AS REAL)) AS v
+         |  FROM embeddings e
+         |  JOIN iasg ia0 ON ia0.vec_id = e.vec_id
+         |  JOIN c$coarseIters ct ON ct.cid = ia0.cell
+         |  CROSS JOIN (SELECT unnest(range($m)) AS s) sp)""".stripMargin,
+      s"""rqsub AS (
+         |  SELECT e.vec_id, sp.s, e.embedding[sp.s*$sd+1 : sp.s*$sd+$sd] AS v
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS s) sp
+         |  WHERE e.vec_id % 20 = 0 AND e.vec_id < $qCap)""".stripMargin,
+      s"""rpc0 AS (
+         |  SELECT s, CAST(rn - 1 AS BIGINT) AS cid,
+         |         list_transform(v, x -> x::DOUBLE) AS c
+         |  FROM (
+         |    SELECT s, v, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+         |    FROM rpsub
+         |    WHERE vec_id % (SELECT greatest(1, COUNT(*) // $kk) FROM embeddings) = 0) t
+         |  WHERE rn <= $kk)""".stripMargin)
+    val rounds = (1 to iters).flatMap(i =>
+      Seq(assignCte(s"rpa$i", s"rpc${i - 1}", withV = true),
+        updateCte(s"rpc$i", s"rpa$i")))
+    val tail = Seq(
+      assignCte("rpenc", cf, withV = false),
+      s"""rpcn AS (SELECT s, cid,
+         |  list_sum(list_transform(c, x -> x * x)) AS cn2 FROM $cf)""".stripMargin,
+      s"""rpn2 AS (SELECT vec_id, list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS n2
+         |  FROM embeddings)""".stripMargin,
+      s"""rpqc AS (
+         |  SELECT ip.q_id, ip.cell,
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> e.embedding[i]::DOUBLE * ct.c[i])) AS qc
+         |  FROM iprobe ip
+         |  JOIN embeddings e ON e.vec_id = ip.q_id
+         |  JOIN c$coarseIters ct ON ct.cid = ip.cell)""".stripMargin,
+      s"""rpccx AS (
+         |  SELECT ct.cid AS cell, b.s, b.cid AS code,
+         |    list_sum(list_transform(range(1, $sd + 1),
+         |      i -> ct.c[b.s*$sd + i] * b.c[i])) AS cx
+         |  FROM c$coarseIters ct CROSS JOIN $cf b)""".stripMargin,
+      s"""rpcn2c AS (SELECT cid AS cell,
+         |  list_sum(list_transform(c, x -> x * x)) AS cn2c
+         |  FROM c$coarseIters)""".stripMargin,
+      s"""rpcontrib AS (
+         |  SELECT sq.vec_id AS q_id, en.vec_id AS neighbor_id, ia.cell, en.s,
+         |    list_sum(list_transform(range(1, len(sq.v) + 1),
+         |      i -> sq.v[i]::DOUBLE * c.c[i])) AS lv,
+         |    cn.cn2 AS cn2, x.cx AS cx
+         |  FROM rqsub sq
+         |  JOIN rpenc en ON en.s = sq.s AND en.vec_id <> sq.vec_id
+         |  JOIN $cf c ON c.s = en.s AND c.cid = en.cluster
+         |  JOIN rpcn cn ON cn.s = en.s AND cn.cid = en.cluster
+         |  JOIN iasg ia ON ia.vec_id = en.vec_id
+         |  JOIN iprobe ip ON ip.q_id = sq.vec_id AND ip.cell = ia.cell
+         |  JOIN rpccx x ON x.cell = ia.cell AND x.s = en.s
+         |    AND x.code = en.cluster)""".stripMargin,
+      s"""rpadc0 AS (
+         |  SELECT q_id, neighbor_id, MAX(cell) AS cell,
+         |    $adot AS adot, $rn2 AS rn2, $crs AS crs
+         |  FROM rpcontrib GROUP BY 1, 2)""".stripMargin,
+      s"""rps1 AS (
+         |  SELECT a.q_id, a.neighbor_id, a.cell,
+         |    (qc.qc + a.adot)
+         |      / (sqrt(qn.n2) * sqrt(z.cn2c + 2 * a.crs + a.rn2)) AS adc,
+         |    CAST(row_number() OVER (PARTITION BY a.q_id
+         |      ORDER BY (qc.qc + a.adot)
+         |        / (sqrt(qn.n2) * sqrt(z.cn2c + 2 * a.crs + a.rn2)) DESC,
+         |               a.neighbor_id) AS BIGINT) AS crank
+         |  FROM rpadc0 a
+         |  JOIN rpn2 qn ON qn.vec_id = a.q_id
+         |  JOIN rpqc qc ON qc.q_id = a.q_id AND qc.cell = a.cell
+         |  JOIN rpcn2c z ON z.cell = a.cell)""".stripMargin,
+      s"""rps2 AS (
+         |  SELECT s.q_id, s.neighbor_id, s.adc, s.cell,
+         |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
+         |      i -> eq.embedding[i]::DOUBLE * en.embedding[i]::DOUBLE))
+         |      / (sqrt(qn.n2) * sqrt(nn.n2)) AS sim
+         |  FROM rps1 s
+         |  JOIN embeddings eq ON eq.vec_id = s.q_id
+         |  JOIN embeddings en ON en.vec_id = s.neighbor_id
+         |  JOIN rpn2 qn ON qn.vec_id = s.q_id
+         |  JOIN rpn2 nn ON nn.vec_id = s.neighbor_id
+         |  WHERE s.crank <= $depth)""".stripMargin,
+      s"""rpr AS (
+         |  SELECT q_id, neighbor_id, sim, adc, cell,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rps2)""".stripMargin)
+    (head ++ rounds ++ tail).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.llm.PQ.ivfRpqAnn]] (q261). */
+  private[graft] def ivfRpqOracleSql(sd: Int, m: Int, kk: Int, pqIters: Int,
+      depth: Int, k: Int, cells: Int, iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |${ivfCellCtes(iters, nprobe)},
+       |${rpqCtes(sd, m, kk, pqIters, depth, iters)}
+       |SELECT q_id, rnk, neighbor_id, sim, adc, cell
+       |FROM rpr WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Similarity.ivfRpqRecall]] (q262). */
+  private[graft] def ivfRpqRecallOracleSql(sd: Int, m: Int, kk: Int, pqIters: Int,
+      depth: Int, k: Int, cells: Int, iters: Int, nprobe: Int): String =
+    s"""WITH ${kmeansCtes(cells, iters)},
+       |${ivfCellCtes(iters, nprobe)},
+       |${rpqCtes(sd, m, kk, pqIters, depth, iters)},
+       |${pqRecallTail("rp", k)}""".stripMargin
 
   private[graft] def ivfOracleSql(cells: Int, iters: Int, nprobe: Int, k: Int): String =
     s"""WITH ${kmeansCtes(cells, iters)},

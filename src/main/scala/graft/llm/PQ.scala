@@ -255,10 +255,21 @@ object PQ {
    */
   private[llm] def adcRerank(emb0: DataFrame, queries: DataFrame,
       pairs0: DataFrame, books: Model, k: Int, depth: Int,
+      extraCols: Seq[String]): DataFrame =
+    adcRerankWith(emb0, queries, pairs0,
+      adcDot / (sqrt(col("q_n2")) * sqrt(reconNorm2(books))), k, depth,
+      extraCols)
+
+  /** [[adcRerank]] with an explicit compressed-score expression — the
+    * residual route (q261) scores `(q·c_cell + Σ lut) / norms` instead
+    * of the global-codebook `Σ lut / norms`; everything downstream
+    * (shortlist heap, exact rerank join-backs) is identical. */
+  private[llm] def adcRerankWith(emb0: DataFrame, queries: DataFrame,
+      pairs0: DataFrame, adcExpr: Column, k: Int, depth: Int,
       extraCols: Seq[String]): DataFrame = {
     val pairs = pairs0
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("adc", adcDot / (sqrt(col("q_n2")) * sqrt(reconNorm2(books))))
+      .withColumn("adc", adcExpr)
       .select(("q_id" +: "neighbor_id" +: "n_n2" +: "q_n2" +: "adc" +:
         extraCols).map(col): _*)
     val stage1 = graft.plans.TopK.perKeyWithRank(pairs,
@@ -403,6 +414,122 @@ object PQ {
       books, k, depth, Seq("cell"))
   }
 
+  /**
+   * RESIDUAL-coded IVF × PQ (q261) — the FAISS IVFADC shape proper,
+   * closing the divergence [[ivfPqAnn]] documents: codes quantize each
+   * vector's RESIDUAL against its assigned coarse centroid (r = x −
+   * c_cell, rounded to the stored float dtype), trained as ONE global
+   * codebook over residuals pooled across cells (the standard FAISS
+   * arrangement — per-cell codebooks would multiply training and
+   * broadcast state by `cells`). Residuals are centered near zero, so
+   * the same code budget spends its resolution on the within-cell
+   * detail the global-codebook route wastes on cell offsets.
+   *
+   * The ADC estimate becomes q·x ≈ q·c_cell + Σ_s lut_s[code_s], with
+   * the reconstruction norm ‖c + r̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖² — all
+   * three terms from DRIVER-CONSTANT tables (cell norms, the cell ×
+   * subspace × code cross-dot grid — `cells·SubSpaces·Codes` doubles,
+   * 4 KB — and the residual codeword norms), so scoring stays
+   * [[SubSpaces]]+2 array lookups per pair and each query's LUT is
+   * STILL computed once across all probed cells (q·c_cell lands on the
+   * exploded (query, cell) probe rows, `nprobe` extra dots per query).
+   * Same index bytes, same plan shape, strictly better within-cell
+   * resolution — the recall gain is measured (q262), not assumed.
+   *
+   * Determinism: the residual subtraction runs in double and rounds to
+   * float (the stored dtype) — DuckDB replays it as
+   * `CAST(e − c AS REAL)`, bit-identical IEEE binary32 rounding; the
+   * cross-dot grid and cell norms are left-to-right driver folds
+   * matching the oracle's `list_sum` ascending order.
+   */
+  def ivfRpqAnn(spark: SparkSession, dir: String, k: Int = 5,
+      depth: Int = Shortlist): DataFrame =
+    ivfRpqAnnOf(Tables.embeddings(spark, dir), k, depth)
+
+  /** [[ivfRpqAnn]] over an explicit corpus DataFrame. */
+  private[llm] def ivfRpqAnnOf(emb0: DataFrame, k: Int, depth: Int,
+      cells: Int = Pipeline.IvfCells, iters: Int = Pipeline.IvfIters,
+      nprobe: Int = Pipeline.IvfProbe): DataFrame = {
+    val coarse = KMeans.fitOf(emb0, cells, iters)
+    val cellsSorted = coarse.centroids.sortBy(_._1)
+    val centMap = typedLit(cellsSorted.map { case (cid, c) =>
+      cid.toLong -> c.toSeq }.toMap)
+    // residual corpus: embedding − assigned centroid, double math
+    // rounded to the stored float dtype — entirely row-local
+    val withCell = emb0.select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        element_at(probeArr(coarse), 1).getField("cid").cast("long"))
+    val res = withCell.select(col("vec_id"),
+      zip_with(col("embedding"), element_at(centMap, col("cell")),
+        (x, y) => (x.cast("double") - y).cast("float")).as("embedding"))
+    val books = fit(res)
+    val index = ModelCache.memoIndex(emb0,
+      s"ivfrpqindex|$SubSpaces|$Codes|$Iters|$cells|$iters|$nprobe") {
+      graft.ops.GlobalOrder.pin(residualIndexRows(emb0, coarse, books))
+    }
+    // queries stay RAW: probes against the coarse centroids, LUTs of
+    // raw query sub-vectors against the RESIDUAL codebooks
+    val queries = withLuts(
+      emb0.select(col("vec_id"), col("embedding"))
+        .withColumn("pr", slice(probeArr(coarse), 1, nprobe))
+        .filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          dot_d(col("embedding"), col("embedding")).as("q_n2"), col("pr")),
+      books)
+    val qluts = queries
+      .select((col("q_id") +: col("q_n2") +: col("q_emb") +: col("pr") +:
+        (0 until SubSpaces).map(s => col(s"lut$s"))): _*)
+      .withColumn("cell",
+        explode(expr("transform(pr, x -> cast(x.cid as bigint))")))
+      // q·c_cell — once per (query, probed cell), nprobe dots per query
+      .withColumn("qc", dotFD(col("q_emb"), element_at(centMap, col("cell"))))
+      .drop("pr", "q_emb")
+    // driver-constant reconstruction-norm tables
+    val cn2Map = typedLit(cellsSorted.map { case (cid, c) =>
+      var t = 0.0; var i = 0
+      while (i < c.length) { t += c(i) * c(i); i += 1 }
+      cid.toLong -> t
+    }.toMap)
+    def crossMap(s: Int) = typedLit(cellsSorted.map { case (cid, c) =>
+      cid.toLong -> books.books(s).map { cw =>
+        var t = 0.0; var i = 0
+        while (i < SubDim) { t += c(s * SubDim + i) * cw(i); i += 1 }
+        t
+      }.toSeq
+    }.toMap)
+    val recon2 = element_at(cn2Map, col("cell")) +
+      lit(2.0) * (0 until SubSpaces)
+        .map(s => element_at(element_at(crossMap(s), col("cell")),
+          col(s"c$s") + 1))
+        .reduce(_ + _) +
+      reconNorm2(books)
+    val adc = (col("qc") + adcDot) / (sqrt(col("q_n2")) * sqrt(recon2))
+    adcRerankWith(emb0, queries.drop("pr"),
+      index.join(broadcast(qluts), Seq("cell")), adc, k, depth, Seq("cell"))
+  }
+
+  /** The RESIDUAL index ROW projection against FROZEN quantizers —
+    * entirely row-local (cell assignment, residual subtraction rounded
+    * to float, residual codes, raw norm). ONE definition shared by the
+    * batch memoized `ivfrpqindex` and its streamed maintenance twin. */
+  private[llm] def residualIndexRows(emb0: DataFrame, coarse: KMeans.Model,
+      books: Model): DataFrame = {
+    val centMap = typedLit(coarse.centroids.sortBy(_._1).map { case (cid, c) =>
+      cid.toLong -> c.toSeq }.toMap)
+    (0 until SubSpaces).foldLeft(
+      emb0.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          element_at(probeArr(coarse), 1).getField("cid").cast("long"))
+        .withColumn("res",
+          zip_with(col("embedding"), element_at(centMap, col("cell")),
+            (x, y) => (x.cast("double") - y).cast("float")))
+        .withColumn("n_n2", dot_d(col("embedding"), col("embedding")))) {
+      (d, s) => d.withColumn(s"c$s", codeCol(col("res"), books, s))
+    }.select(
+      (col("vec_id").as("neighbor_id") +: col("n_n2") +: col("cell") +:
+        (0 until SubSpaces).map(s => col(s"c$s"))): _*)
+  }
+
   /** The streamed `ivfpqindex` store: per-batch row-local encodes
     * of arriving (vec_id, embedding) rows against the frozen
     * quantizers, committed as manifest partials — the ANN index's
@@ -414,6 +541,17 @@ object PQ {
       : graft.streaming.ArtifactMaintenance.ManifestArtifact =
     new graft.streaming.ArtifactMaintenance.ManifestArtifact(
       artifactDir, batch => indexRows(batch, coarse, books), IndexSchema)
+
+  /** The streamed `ivfrpqindex` store — identical mechanism over the
+    * residual row projection: arriving vectors assign, subtract, and
+    * encode against the SAME frozen quantizers (retraining would
+    * orphan every stored code), so per-batch partials union to exactly
+    * the batch-built residual index over the same vectors. */
+  private[graft] def streamedResidualIndexArtifact(artifactDir: String,
+      coarse: KMeans.Model, books: Model)
+      : graft.streaming.ArtifactMaintenance.ManifestArtifact =
+    new graft.streaming.ArtifactMaintenance.ManifestArtifact(
+      artifactDir, batch => residualIndexRows(batch, coarse, books), IndexSchema)
 
   private lazy val IndexSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._

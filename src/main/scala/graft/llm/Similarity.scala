@@ -248,6 +248,24 @@ object Similarity {
     recallVsExactOf(corpus, k, PQ.ivfPqAnnOf(corpus, k, PQ.Shortlist))
   }
 
+  /** Recall@k of the RESIDUAL-coded route ([[graft.llm.PQ.ivfRpqAnn]],
+    * q261) against the exact baseline — the measurement the global-vs-
+    * residual codebook decision (q160's documented divergence) needs:
+    * same index bytes, same probe/shortlist budget, read beside q161's
+    * number to see what residual encoding buys on this corpus. */
+  def ivfRpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsExact(spark, dir, k, PQ.ivfRpqAnn(spark, dir, k))
+
+  /** Planted-corpus certification of the residual-coded index: a
+    * planted vector shares its anchor's coarse cell, so its residual
+    * is eps-close to the anchor's residual and encodes to the same
+    * codes — it must survive the probe + ADC shortlist. */
+  private[llm] def plantedIvfRpqRecall(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    recallVsExactOf(corpus, k, PQ.ivfRpqAnnOf(corpus, k, PQ.Shortlist))
+  }
+
   /** Probe-bucket list for multi-probe LSH: the query's own bucket
     * plus `probes − 1` single-bit flips at the LOWEST-margin planes
     * (|dot| smallest ⇒ the hyperplanes the vector most nearly

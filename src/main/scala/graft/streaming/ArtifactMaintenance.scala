@@ -98,6 +98,7 @@ object ArtifactMaintenance {
     // PQ/IVF indexes stream-encode against FROZEN quantizers
     "pqindex" -> "PQ.streamedIndexArtifact",
     "ivfpqindex" -> "PQ.streamedIndexArtifact",
+    "ivfrpqindex" -> "PQ.streamedResidualIndexArtifact",
     "pq" -> ("frozen: PQ codebooks are the quantizer the streamed index " +
       "encodes against — retraining online would orphan every stored code"),
     "kmeans" -> ("frozen: IVF centroids, same contract as the PQ " +

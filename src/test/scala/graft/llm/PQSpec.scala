@@ -53,6 +53,26 @@ class PQSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < graft.llm.Pipeline.IvfCells))
   }
 
+  test("residual IVF×PQ: k results per query, probed cells only, sane sims") {
+    val r = PQ.ivfRpqAnn(spark, sf).cache()
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rnk").as("mn"), max("rnk").as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mn") =!= 1 || col("mx") =!= 5).count() == 0)
+    assert(r.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    val cells = r.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < graft.llm.Pipeline.IvfCells))
+  }
+
+  test("planted-neighbor recall certifies the residual-coded index") {
+    // a planted vector shares its anchor's coarse cell, so its residual
+    // is eps-close to the anchor's residual, encodes to the same codes,
+    // and must ride the ADC shortlist through to the exact rerank
+    val r = Similarity.plantedIvfRpqRecall(spark, sf).cache()
+    val mean = r.agg(avg("recall")).head.getDouble(0)
+    info(s"planted residual IVF×PQ recall mean = $mean")
+    assert(mean >= 0.9, s"planted residual recall $mean below the bound")
+  }
+
   test("planted-neighbor recall certifies the composed IVF×PQ index") {
     // eps-planted vectors land in their anchor's coarse cell AND encode
     // to its codes, so they survive both the probe and the shortlist

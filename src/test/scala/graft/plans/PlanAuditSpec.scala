@@ -436,7 +436,30 @@ class PlanAuditSpec extends SparkSpec {
       "q254_mp4_meta"           -> (1, 0, 0, 0),
       // q255: four group-less aggregates (one per format's read-back)
       // unioned — each is a map-side-complete partial + singleton merge
-      "q255_format_roundtrip"   -> (4, 0, 0, 0))
+      "q255_format_roundtrip"   -> (4, 0, 0, 0),
+      // q257: the star-contraction rounds live behind localCheckpoint
+      // truncation — the SERVED plan is just the final-edge label
+      // aggregate, the degree aggregate, their join, and the output
+      // sort; nothing corpus-scale survives into the serve plan
+      "q257_cc_stars"           -> (4, 0, 1, 0),
+      // q258: the recursion (UnionLoopExec) iterates over the PINNED
+      // catalog-sized edge list — no join exec outside the loop, one
+      // aggregate + the output sort
+      "q258_source_reach"       -> (2, 0, 0, 0),
+      // q259: one group-less map-side-complete aggregate over the XML
+      // read-back — zero exchanges in the unexecuted plan
+      "q259_xml_roundtrip"      -> (0, 0, 0, 0),
+      // q260: vocab-scale model assembly (counts⋈fwd⋈bwd pre-joined,
+      // types as a broadcast scalar) + ONE fact-scale slots⋈model
+      // equi-join + the doc aggregate and output sort
+      "q260_kn_doc_score"       -> (4, 4, 3, 0),
+      // q261: the residual route keeps q160's EXACT golden shape —
+      // same index scan, same broadcast LUT join, same shortlist heap
+      // and rerank join-backs; the residual terms ride as literals
+      "q261_ivfrpq_ann"         -> (3, 3, 3, 0),
+      // q262: q261's chain + the exact-baseline ranking + the
+      // hit-intersection joins (the q161 recall-audit shape)
+      "q262_ivfrpq_recall"      -> (8, 5, 5, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

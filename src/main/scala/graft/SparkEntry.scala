@@ -281,6 +281,8 @@ object SparkEntry {
     "q256_string_roundtrip" -> (graft.ops.Formats.formatRoundtripStrings _),
     "q257_cc_stars" -> (Dedup.ccStarClusters _),
     "q259_xml_roundtrip" -> (graft.ops.Formats.formatRoundtripXml _),
+    "q263_compaction_plan" ->
+      ((s: SparkSession, d: String) => graft.ops.Layout.compactionPlan(s, d)),
     "q258_source_reach" ->
       ((s: SparkSession, d: String) => Dedup.sourceReachability(s, d)),
     "q260_kn_doc_score" ->
@@ -851,6 +853,30 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
         |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q263: sort-ordered compaction plan — the q243 bucket table cut
+    // into CompactionFiles contiguous curve ranges by proportional
+    // prefix (file = rows_before·files div total); window sums run on
+    // the ≤4096-row bucket table in both engines
+    "q263_compaction_plan" ->
+      s"""WITH base AS (SELECT l_partkey & ${graft.ops.Layout.HMask} AS x,
+        |    l_suppkey & ${graft.ops.Layout.HMask} AS y FROM lineitem),
+        |${graft.ops.Layout.hilbertSqlCtes("base")},
+        |b AS (SELECT hd >> ${graft.ops.Layout.HBucketShift} AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
+        |  FROM h0 GROUP BY 1),
+        |c AS (SELECT bucket, n_rows, x_lo, x_hi, y_lo, y_hi,
+        |    SUM(n_rows) OVER (ORDER BY bucket) AS cum,
+        |    SUM(n_rows) OVER () AS tot FROM b),
+        |p AS (SELECT *, CAST(((cum - n_rows) * ${graft.ops.Layout.CompactionFiles})
+        |    // tot AS BIGINT) AS file_id FROM c)
+        |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  MIN(bucket) AS bucket_lo, MAX(bucket) AS bucket_hi,
+        |  MIN(x_lo) AS x_lo, MAX(x_hi) AS x_hi,
+        |  MIN(y_lo) AS y_lo, MAX(y_hi) AS y_hi,
+        |  CAST((1000000 * SUM(n_rows)) // MIN(tot) AS BIGINT) AS share_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // q244: zone-map pruning audit — hilbert vs zorder vs lex buckets
     // against the fixed predicate workload (Layout.ZonePreds)
     "q244_zonemap_prune" ->

@@ -348,6 +348,52 @@ object Layout {
       .orderBy(col("layout"), col("pred_id"))
   }
 
+  /** Planned output files for a sort-ordered compaction. */
+  val CompactionFiles = 64
+
+  /**
+   * Sort-ordered compaction plan (q263) — the answer to the
+   * small-files problem that does NOT throw away clustering: given the
+   * hilbert bucket statistics ([[hilbertLayout]] — at 100 TB these are
+   * the zone-map store's per-file stats, no data scan), assign each
+   * bucket IN CURVE ORDER to one of [[CompactionFiles]] planned output
+   * files by proportional prefix cut (`file = (rows_before · files)
+   * div total` — the q139 budget-line idiom; a bucket never splits, so
+   * rewrite tasks read whole input buckets). Because the cut follows
+   * the curve, every planned file covers a CONTIGUOUS hilbert range —
+   * zone-map pruning (q244) stays exactly as effective after the
+   * rewrite as before, which is the property a naive size-only bin
+   * packer (Iceberg's binPack without a sort order) destroys. Per
+   * planned file: bucket count and range, rows, the 2-D bounding box
+   * (the post-compaction zone map itself), and the fill share in ppm
+   * (how even the packer landed).
+   *
+   * Scale shape: the only corpus-scale work is the bucket aggregate
+   * behind [[hilbertLayout]]; both windows (running and total row
+   * sums) run over the ≤ 4096-row PRE-AGGREGATED bucket table — the
+   * q123 bounded-table window precedent, never a fact-scale window.
+   */
+  def compactionPlan(spark: SparkSession, dir: String,
+      files: Int = CompactionFiles): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = hilbertLayout(spark, dir)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = b
+      .withColumn("cum", sum(col("n_rows")).over(w))
+      .withColumn("tot", sum(col("n_rows")).over(Window.partitionBy()))
+      .withColumn("file_id", expr(s"((cum - n_rows) * $files) div tot"))
+    cut.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n_rows")).as("n_rows"),
+        min(col("bucket")).as("bucket_lo"), max(col("bucket")).as("bucket_hi"),
+        min(col("x_lo")).as("x_lo"), max(col("x_hi")).as("x_hi"),
+        min(col("y_lo")).as("y_lo"), max(col("y_hi")).as("y_hi"),
+        min(col("tot")).as("tot"))
+      .withColumn("share_ppm", expr("(1000000 * n_rows) div tot"))
+      .drop("tot")
+      .orderBy("file_id")
+  }
+
   /** [[ZonePreds]] as a DuckDB VALUES table expression. */
   def zonePredsSql: String =
     "(VALUES " + ZonePreds.map { case (id, xl, xh, yl, yh) =>

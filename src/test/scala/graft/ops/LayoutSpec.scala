@@ -188,4 +188,30 @@ class LayoutSpec extends SparkSpec {
         .select(Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("z")))
     assert(audited.shuffleExchanges == 0 && audited.joins == 0, audited)
   }
+
+  test("compaction plan: contiguous curve ranges, full coverage, bounded skew") {
+    val plan = Layout.compactionPlan(spark, sf).collect()
+    val buckets = Layout.hilbertLayout(spark, sf).collect()
+    // coverage: every bucket's rows land in exactly one planned file
+    assert(plan.map(_.getLong(2)).sum == buckets.map(_.getLong(1)).sum)
+    assert(plan.map(_.getLong(1)).sum == buckets.length)
+    // contiguity: files' bucket ranges ascend without interleaving —
+    // the property that keeps zone-map pruning intact post-compaction
+    val ranges = plan.sortBy(_.getLong(0))
+      .map(r => (r.getLong(3), r.getLong(4)))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges interleave: $hi >= $lo2")
+      case _ =>
+    }
+    // evenness: the proportional cut cannot produce a file more than
+    // (largest single bucket + target) rows — no file holds more than
+    // 2x the even share unless one bucket alone exceeds the share
+    val total = plan.map(_.getLong(2)).sum
+    val target = total / Layout.CompactionFiles
+    val maxBucket = buckets.map(_.getLong(1)).max
+    assert(plan.map(_.getLong(2)).max <= target + maxBucket,
+      s"a planned file exceeds target+maxBucket")
+  }
 }

@@ -459,7 +459,12 @@ class PlanAuditSpec extends SparkSpec {
       "q261_ivfrpq_ann"         -> (3, 3, 3, 0),
       // q262: q261's chain + the exact-baseline ranking + the
       // hit-intersection joins (the q161 recall-audit shape)
-      "q262_ivfrpq_recall"      -> (8, 5, 5, 0))
+      "q262_ivfrpq_recall"      -> (8, 5, 5, 0),
+      // q263: the corpus-scale bucket aggregate + the file grouping and
+      // output sort; BOTH windows (running + total sums) run over the
+      // ≤4096-row pre-aggregated bucket table — the q123 precedent,
+      // deliberately outside the fact-scale-window ban
+      "q263_compaction_plan"    -> (2, 0, 0, 2))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -283,6 +283,8 @@ object SparkEntry {
     "q259_xml_roundtrip" -> (graft.ops.Formats.formatRoundtripXml _),
     "q263_compaction_plan" ->
       ((s: SparkSession, d: String) => graft.ops.Layout.compactionPlan(s, d)),
+    "q264_confusable_fold" ->
+      ((s: SparkSession, d: String) => TextAnalysis.confusableFold(s, d)),
     "q258_source_reach" ->
       ((s: SparkSession, d: String) => Dedup.sourceReachability(s, d)),
     "q260_kn_doc_score" ->
@@ -2937,6 +2939,9 @@ object SparkEntry {
         |    AS newly_caught_ppm
         |FROM h LEFT JOIN ed ON h.eh = ed.eh LEFT JOIN nd ON h.nh = nd.nh
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q264: unicode confusable folding — plant, fold table, and dup
+    // accounting all generated from TextAnalysis.ConfusablePairs
+    "q264_confusable_fold" -> TextAnalysis.confusableFoldSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

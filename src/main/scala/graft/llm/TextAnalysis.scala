@@ -1360,4 +1360,147 @@ object TextAnalysis {
       .withColumn("avg_len_centi", expr("(100 * sum_len) div n_chunks"))
       .drop("sum_len")
       .orderBy(col("source"))
+
+  /** The confusable-fold table: (codepoint, ASCII replacement) pairs;
+    * `None` = delete. ONE definition generates both the Spark
+    * `translate` arguments and the oracle's `chr()` concatenations, so
+    * the two folds cannot drift. Deleted characters come LAST
+    * (translate's delete-when-unmapped semantics are positional). */
+  private[graft] val ConfusablePairs: Seq[(Int, Option[Char])] =
+    (Seq(
+      0x00A0 -> Some(' '),  // no-break space
+      0x201C -> Some('"'), 0x201D -> Some('"'),   // curly double quotes
+      0x2018 -> Some('\''), 0x2019 -> Some('\''), // curly single quotes
+      0x2014 -> Some('-')) ++                     // em dash
+      (0 until 10).map(i => (0xFF41 + i, Some(('a' + i).toChar)))) :+ // ａ–ｊ
+      (0x200B -> Option.empty[Char])              // zero-width space: DELETE
+
+  private def foldFrom: String =
+    ConfusablePairs.map { case (cp, _) => new String(Character.toChars(cp)) }
+      .mkString
+  private def foldTo: String = ConfusablePairs.flatMap(_._2).mkString
+
+  /**
+   * Unicode confusable-folding audit (q264) — the normalization stage
+   * real multilingual crawls need BEFORE exact dedup: visually
+   * near-identical byte sequences (no-break spaces, curly quotes,
+   * zero-width joins, fullwidth letters) defeat hash dedup while being
+   * the SAME text to a reader, the NFKC-ish confusable class. The
+   * fixtures are ASCII-clean, so the query PLANTS a confusable class
+   * per doc by `doc_id % 5` (all spaces → NBSP; ZWSP after every
+   * space; a leading ZWSP; fullwidth a–j) — the q250 synthesis-as-
+   * harness pattern, replayed identically by the oracle — and folds
+   * with one codegen'd `translate` over [[ConfusablePairs]]. Folding
+   * provably restores the pre-plant text, which the audit pins IN BAND
+   * (`n_restored` must equal `n_docs`), and the dup accounting mirrors
+   * q238: docs whose fold-hash collides while their raw hash does not
+   * are exactly the duplicates confusables were hiding (planted dup
+   * groups spanning two plant classes — the cross-crawl reality).
+   *
+   * Scale: plant + fold are one row-local projection; the audit
+   * shuffles md5 keys only (q238's discipline); output is
+   * source-cardinality.
+   */
+  def confusableFold(spark: SparkSession, dir: String): DataFrame =
+    confusableFoldOf(Tables.documents(spark, dir))
+
+  /** The synthesized cross-crawl boilerplate every 25th doc carries \u2014
+    * the duplicated text the confusable plants then HIDE from raw
+    * hashing (the fixture itself has no exact-dup texts, so the dup
+    * structure is planted too, q250's synthesis-as-harness pattern). */
+  private[graft] val SharedBoilerplate =
+    "the shared boilerplate notice appended by every mirror of this feed"
+
+  private[graft] def confusableFoldOf(docs: DataFrame): DataFrame = {
+    val nbsp = "\u00A0"; val zwsp = "\u200B"
+    val isShared = pmod(col("doc_id"), lit(25)) === 7
+    val canonical = when(isShared, lit(SharedBoilerplate)).otherwise(col("text"))
+    val classed =
+      when(pmod(col("doc_id"), lit(5)) === 1,
+        translate(canonical, " ", nbsp))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          regexp_replace(canonical, " ", " " + zwsp))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit(zwsp), canonical))
+        .when(pmod(col("doc_id"), lit(5)) === 4,
+          translate(canonical, "abcdefghij",
+            (0 until 10).map(i => new String(Character.toChars(0xFF41 + i)))
+              .mkString))
+        .otherwise(canonical)
+    // shared docs additionally get a doc-varying zero-width prefix
+    // (unique up to 101 docs \u2014 101 is prime and coprime to the stride
+    // 25, so raw hashes of the shared text scatter), which is exactly
+    // how tracking pixels/watermarks fragment real boilerplate
+    val planted = when(isShared,
+      concat(expr(s"repeat('$zwsp', 1 + pmod(doc_id, 101))"), classed))
+      .otherwise(classed)
+    val h = docs
+      .withColumn("canonical", canonical)
+      .withColumn("planted", planted)
+      .withColumn("folded", translate(col("planted"), foldFrom, foldTo))
+      .select(col("source"),
+        (col("folded") === col("canonical")).as("restored"),
+        md5(col("planted")).as("eh"), md5(col("folded")).as("nh"))
+    def dupSet(c: String) = h.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).select(col(c))
+    h.join(dupSet("eh").withColumn("e_dup", lit(1L)), Seq("eh"), "left")
+      .join(dupSet("nh").withColumn("n_dup", lit(1L)), Seq("nh"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("restored"), 1L).otherwise(0L)).as("n_restored"),
+        sum(coalesce(col("e_dup"), lit(0L))).as("n_raw_dup_docs"),
+        sum(coalesce(col("n_dup"), lit(0L))).as("n_fold_dup_docs"),
+        sum(when(col("n_dup") === 1L && col("e_dup").isNull, 1L)
+          .otherwise(0L)).as("n_newly_caught"))
+      .withColumn("newly_caught_ppm",
+        expr("(1000000 * n_newly_caught) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** The q264 oracle: the identical plant, fold table (generated from
+    * the SAME [[ConfusablePairs]]), and dup accounting in DuckDB. */
+  private[graft] def confusableFoldSql: String = {
+    def chrs(cps: Seq[Int]) = cps.map(c => s"chr($c)").mkString(" || ")
+    val from = chrs(ConfusablePairs.map(_._1))
+    val to = chrs(ConfusablePairs.flatMap(_._2).map(_.toInt))
+    val fw = chrs((0 until 10).map(0xFF41 + _))
+    s"""WITH c0 AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 25 = 7 THEN '$SharedBoilerplate'
+       |         ELSE text END AS canonical
+       |  FROM documents),
+       |p AS (SELECT doc_id, source, canonical,
+       |    CASE WHEN doc_id % 25 = 7
+       |      THEN repeat(chr(8203), CAST(1 + doc_id % 101 AS INT)) ELSE ''
+       |    END ||
+       |    CASE doc_id % 5
+       |      WHEN 1 THEN translate(canonical, ' ', chr(160))
+       |      WHEN 2 THEN replace(canonical, ' ', ' ' || chr(8203))
+       |      WHEN 3 THEN chr(8203) || canonical
+       |      WHEN 4 THEN translate(canonical, 'abcdefghij', $fw)
+       |      ELSE canonical END AS planted
+       |  FROM c0),
+       |h AS (SELECT source,
+       |    (translate(planted, $from, $to) = canonical) AS restored,
+       |    md5(planted) AS eh,
+       |    md5(translate(planted, $from, $to)) AS nh
+       |  FROM p),
+       |ed AS (SELECT eh FROM h GROUP BY eh HAVING COUNT(*) > 1),
+       |nd AS (SELECT nh FROM h GROUP BY nh HAVING COUNT(*) > 1)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN restored THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_restored,
+       |  CAST(SUM(CASE WHEN ed.eh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_raw_dup_docs,
+       |  CAST(SUM(CASE WHEN nd.nh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fold_dup_docs,
+       |  CAST(SUM(CASE WHEN nd.nh IS NOT NULL AND ed.eh IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_newly_caught,
+       |  (1000000 * CAST(SUM(CASE WHEN nd.nh IS NOT NULL AND ed.eh IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+       |    AS newly_caught_ppm
+       |FROM h LEFT JOIN ed ON h.eh = ed.eh LEFT JOIN nd ON h.nh = nd.nh
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -156,6 +156,59 @@ object ArtifactMaintenance {
       Files.move(tmp, manifestPath,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       crashPoint("manifest-committed")
+      // SNAPSHOT HISTORY (time travel): every committed manifest is
+      // also recorded as manifest-v<N>. Written AFTER the commit point
+      // so the all-crash-points invariant is untouched — a crash here
+      // leaves the commit fully applied with a gap in history (a
+      // snapshot that was never recorded), never a half-applied state.
+      // Snapshot files are tiny text; the DATA dirs they reference live
+      // only until a compaction sweeps folded partials — the Iceberg
+      // expire-snapshots contract, enforced loudly by [[serveAt]].
+      val v = snapshots().lastOption.getOrElse(-1L) + 1
+      val vtmp = Paths.get(artifactDir, s"manifest-v$v.tmp")
+      Files.write(vtmp, (s"covered=${m.covered}" +: m.dirs).asJava)
+      Files.move(vtmp, Paths.get(artifactDir, s"manifest-v$v"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      crashPoint("snapshot-recorded")
+    }
+
+    /** Recorded snapshot versions, ascending (may have gaps — a crash
+      * between the manifest commit and its snapshot record skips one). */
+    def snapshots(): Seq[Long] = {
+      val d = Paths.get(artifactDir)
+      if (!Files.exists(d)) Nil
+      else {
+        val it = Files.list(d).iterator().asScala
+        val vs = it.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("manifest-v") && !n.endsWith(".tmp"))
+            n.stripPrefix("manifest-v").toLongOption
+          else None
+        }.toSeq
+        vs.sorted
+      }
+    }
+
+    /** Serve the artifact AS OF snapshot `v` — the time-travel read.
+      * Loud on an unknown version and on an EXPIRED one (a compaction
+      * swept partial dirs the snapshot references — the Iceberg
+      * expire-snapshots contract: history is valid until data GC, and
+      * an expired read must fail, never silently serve partial data). */
+    def serveAt(spark: SparkSession, v: Long): DataFrame = {
+      val p = Paths.get(artifactDir, s"manifest-v$v")
+      if (!Files.exists(p))
+        throw new IllegalStateException(
+          s"no snapshot v$v at $artifactDir (recorded: ${snapshots()})")
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val dirs = lines.drop(1).filter(_.nonEmpty)
+      val missing = dirs.filterNot(d => Files.exists(Paths.get(artifactDir, d)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"snapshot v$v expired: compaction swept ${missing.mkString(", ")}")
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
+      else
+        reduceOf(spark.read.parquet(dirs.map(d => s"$artifactDir/$d"): _*))
     }
 
     /** One micro-batch application — the foreachBatch body, directly

@@ -464,7 +464,11 @@ class PlanAuditSpec extends SparkSpec {
       // output sort; BOTH windows (running + total sums) run over the
       // ≤4096-row pre-aggregated bucket table — the q123 precedent,
       // deliberately outside the fact-scale-window ban
-      "q263_compaction_plan"    -> (2, 0, 0, 2))
+      "q263_compaction_plan"    -> (2, 0, 0, 2),
+      // q264: row-local plant+fold projection, the two md5 dup-set
+      // aggregates joined back (hash-sliver broadcasts), one source
+      // rollup + output sort — q238's golden shape
+      "q264_confusable_fold"    -> (4, 2, 2, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

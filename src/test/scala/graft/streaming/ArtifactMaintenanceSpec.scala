@@ -668,4 +668,37 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(rows(art.serve(spark)) ==
       rows(graft.ops.Layout.zoneStats(base.unionByName(extra))))
   }
+
+  test("snapshot time travel: serveAt reads history; compaction expires it loudly") {
+    import spark.implicits._
+    val b0 = Seq((1L, "a b c"), (2L, "b c d"))
+    val b1 = Seq((3L, "a b c"))
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def direct(rows: Seq[(Long, String)]): Map[(String, String), Long] =
+      ArtifactMaintenance.batchBigramCounts(dfOf(rows))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def at(art: ArtifactMaintenance.ManifestArtifact, v: Long) =
+      art.serveAt(spark, v)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val dir = freshDir("lm-tt")
+    val art = ArtifactMaintenance.lmArtifact(dir)
+    art.applyBatch(dfOf(b0), 0L)
+    art.applyBatch(dfOf(b1), 1L)
+    val vs = art.snapshots()
+    assert(vs.size == 2, s"one snapshot per commit: $vs")
+    // time travel: the older snapshot serves the state BEFORE batch 1
+    assert(at(art, vs.head) == direct(b0))
+    assert(at(art, vs.last) == direct(b0 ++ b1))
+    // unknown version fails loud
+    intercept[IllegalStateException](art.serveAt(spark, 999L))
+    // compaction folds partials into a baseline and SWEEPS them: the
+    // pre-compaction snapshots now reference swept dirs and must
+    // expire loudly, never silently serve partial data
+    art.compact(spark)
+    intercept[IllegalStateException](art.serveAt(spark, vs.head))
+    // the post-compaction snapshot is valid and equals the live serve
+    val latest = art.snapshots().last
+    assert(at(art, latest) == direct(b0 ++ b1))
+  }
 }

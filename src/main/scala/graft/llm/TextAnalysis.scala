@@ -1458,6 +1458,13 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The fold projection alone over a (doc_id, source, text) frame —
+    * spec entry point for the idempotence property (folding an
+    * already-folded text must be a no-op, so a pipeline can re-run
+    * normalization safely). */
+  private[graft] def foldedTextOf(docs: DataFrame): DataFrame =
+    docs.withColumn("folded", translate(col("text"), foldFrom, foldTo))
+
   /** The q264 oracle: the identical plant, fold table (generated from
     * the SAME [[ConfusablePairs]]), and dup accounting in DuckDB. */
   private[graft] def confusableFoldSql: String = {

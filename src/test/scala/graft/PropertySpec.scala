@@ -265,4 +265,60 @@ class PropertySpec extends SparkSpec {
     }
     assert(got.map(_._3).distinct.length == pairs.length, "z collision")
   }
+
+  test("star-contraction CC equals union-find on arbitrary random graphs") {
+    import spark.implicits._
+    // the q257 algorithm against a driver-side union-find ground truth
+    // over graphs star contraction never saw in its hand-written specs:
+    // random edge sets with multi-edges, dense pockets, and isolated
+    // chains, across several sizes
+    val cases = samples(
+      for {
+        n <- Gen.choose(8, 120)
+        m <- Gen.choose(n / 2, 3 * n)
+        es <- Gen.listOfN(m,
+          Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      } yield es.filter { case (a, b) => a != b }, 6)
+    cases.filter(_.nonEmpty).foreach { es =>
+      // ground truth: union-find, components labeled by their minimum
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r); r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val truth = nodes.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      val sym = es.toDF("src", "dst")
+        .union(es.map(_.swap).toDF("src", "dst"))
+      val (labels, rounds) = graft.llm.Dedup.ccStarLabels(sym)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth,
+        s"star contraction drifted from union-find on ${es.size} edges")
+      assert(rounds <= 48)
+    }
+  }
+
+  test("confusable fold is idempotent and ASCII-closed on adversarial strings") {
+    import spark.implicits._
+    val confusables = "\u00A0\u200B\u201C\u201D\u2018\u2019\u2014" +
+      (0 until 10).map(i => new String(Character.toChars(0xFF41 + i))).mkString
+    val alphabet = ("abc XY9,.\"'-" + confusables).toSeq
+    val strs = samples(
+      Gen.listOf(Gen.oneOf(alphabet)).map(_.mkString), 40).distinct
+    val docs = strs.zipWithIndex
+      .map { case (s, i) => (i.toLong * 5, "s", s) } // class 0: no plant
+      .toDF("doc_id", "source", "text")
+    // fold twice via the public operator's internals: folding the
+    // already-folded text must be a no-op (idempotence — the property
+    // that lets a pipeline re-run normalization safely)
+    val folded = graft.llm.TextAnalysis.foldedTextOf(docs)
+      .select(col("folded").as("text"), col("doc_id"), col("source"))
+    val refolded = graft.llm.TextAnalysis.foldedTextOf(folded)
+    val drift = refolded.filter(col("folded") =!= col("text")).count()
+    assert(drift == 0, "fold must be idempotent")
+  }
 }

@@ -53,6 +53,8 @@ class SqlLiteralHygieneSpec extends AnyFunSuite {
     "i" -> "loop index over code-level range (Curation)",
     "q" -> "method-local Int constant: gram width (Relational4)",
     "saltBuckets" -> "method Int parameter (Relational3 skew salt)",
+    "files" -> "method Int parameter: planned output files (Layout compaction)",
+    "zwsp" -> "method-local code constant: the U+200B literal (TextAnalysis confusable plant)",
     "scale" -> "method Int parameter (Selection)",
     "rules.size" -> "size of a code-level rule list (MixPlan)",
     // code-level SQL text generators (no data values inside)

@@ -285,6 +285,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.ops.Layout.compactionPlan(s, d)),
     "q264_confusable_fold" ->
       ((s: SparkSession, d: String) => TextAnalysis.confusableFold(s, d)),
+    "q265_paragraph_trim" ->
+      ((s: SparkSession, d: String) => TextAnalysis.paragraphTrim(s, d)),
     "q258_source_reach" ->
       ((s: SparkSession, d: String) => Dedup.sourceReachability(s, d)),
     "q260_kn_doc_score" ->
@@ -2942,6 +2944,9 @@ object SparkEntry {
     // q264: unicode confusable folding — plant, fold table, and dup
     // accounting all generated from TextAnalysis.ConfusablePairs
     "q264_confusable_fold" -> TextAnalysis.confusableFoldSql,
+    // q265: CCNet-style per-paragraph trim — synthesis, micro-gates,
+    // and reassembly replayed verbatim
+    "q265_paragraph_trim" -> TextAnalysis.paragraphTrimSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

@@ -1458,6 +1458,65 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /**
+   * Per-paragraph quality trim (q265) — the CCNet shape APPLIED: web
+   * cleaning operates at PARAGRAPH granularity (drop the boilerplate
+   * paragraphs, keep the document), not document granularity (q178
+   * passes/fails whole docs) and not span granularity (q213 trims
+   * duplicated substrings). Fixtures carry flat text, so the paragraph
+   * structure is synthesized deterministically — width k = 4 +
+   * doc_id % 4 words per paragraph, replayed by the oracle — and each
+   * paragraph faces the Gopher-ish micro-gates (≥ 3 words AND ≥ 1
+   * stopword hit, the q178 lexicon). Output per doc: paragraph counts,
+   * kept token volume, and the md5 of the REASSEMBLED kept text in
+   * original order — the trim applied, hash-pinned, so a wrong slice
+   * bound or a dropped-paragraph off-by-one hash-fails.
+   *
+   * Scale: entirely row-local HOFs over each doc's own token array
+   * (slice/filter/aggregate, all codegen'd) — the same pure-map shape
+   * as q250; the presentation sort is the only exchange.
+   */
+  def paragraphTrim(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("k", (lit(4) + pmod(col("doc_id"), lit(4))).cast("int"))
+      .withColumn("paras", expr(
+        "transform(sequence(1, (size(ws) + k - 1) div k), " +
+          "i -> slice(ws, (i - 1) * k + 1, k))"))
+      .withColumn("kept", expr(
+        "filter(paras, p -> size(p) >= 3 AND " +
+          "size(filter(p, w -> w = 'the' OR w = 'a')) >= 1)"))
+      .select(
+        col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("aggregate(kept, 0L, (a, p) -> a + size(p))")
+          .as("n_tokens_kept"),
+        md5(expr(
+          "array_join(transform(kept, p -> array_join(p, ' ')), ' ')"))
+          .as("trimmed_md5"))
+      .orderBy("doc_id")
+
+  /** The q265 oracle: identical synthesis, gates, and reassembly. */
+  private[graft] def paragraphTrimSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(4 + doc_id % 4 AS BIGINT) AS k FROM documents),
+      |p AS (SELECT doc_id, k, ws,
+      |    list_transform(range(1, (len(ws) + k - 1) // k + 1),
+      |      i -> ws[(i - 1) * k + 1 : i * k]) AS paras
+      |  FROM t),
+      |kp AS (SELECT doc_id, paras,
+      |    list_filter(paras, q -> len(q) >= 3 AND
+      |      len(list_filter(q, w -> w = 'the' OR w = 'a')) >= 1) AS kept
+      |  FROM p)
+      |SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(list_sum(list_transform(kept, q -> len(q))), 0)
+      |    AS BIGINT) AS n_tokens_kept,
+      |  md5(COALESCE(array_to_string(list_transform(kept,
+      |    q -> array_to_string(q, ' ')), ' '), '')) AS trimmed_md5
+      |FROM kp ORDER BY doc_id""".stripMargin
+
   /** The fold projection alone over a (doc_id, source, text) frame —
     * spec entry point for the idempotence property (folding an
     * already-folded text must be a no-op, so a pipeline can re-run

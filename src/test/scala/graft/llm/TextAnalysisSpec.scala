@@ -447,6 +447,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_newly_caught")).sum == shared.toLong)
   }
 
+  test("paragraph trim equals a driver-side recomputation, hash included") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(25).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.paragraphTrim(spark, sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val k = (4 + id % 4).toInt
+      val paras = ws.grouped(k).toSeq
+      val kept = paras.filter(p =>
+        p.length >= 3 && p.count(w => w == "the" || w == "a") >= 1)
+      val want = (paras.length.toLong, kept.length.toLong,
+        kept.map(_.length.toLong).sum, md5hex(kept.map(_.mkString(" ")).mkString(" ")))
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // the gates are live on the fixture: some paragraphs drop, some stay
+    val all = TextAnalysis.paragraphTrim(spark, sf)
+      .agg(sum("n_paras"), sum("n_kept")).head
+    assert(all.getLong(1) > 0 && all.getLong(1) < all.getLong(0))
+  }
+
   test("the fold table inverts each planted confusable class exactly") {
     import spark.implicits._
     // a controlled corpus hitting every class incl. the curly-quote and

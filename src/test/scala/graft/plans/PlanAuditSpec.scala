@@ -468,7 +468,10 @@ class PlanAuditSpec extends SparkSpec {
       // q264: row-local plant+fold projection, the two md5 dup-set
       // aggregates joined back (hash-sliver broadcasts), one source
       // rollup + output sort — q238's golden shape
-      "q264_confusable_fold"    -> (4, 2, 2, 0))
+      "q264_confusable_fold"    -> (4, 2, 2, 0),
+      // q265: pure row-local paragraph HOFs — the q250 shape: the only
+      // exchange is the presentation sort
+      "q265_paragraph_trim"     -> (1, 0, 0, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

@@ -212,8 +212,60 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     maxPerBatch: Option[Long] = None, minPerBatch: Option[Long] = None,
     minDelayMs: Long = KinesisSource.DefaultMaxTriggerDelayMs)
     extends streaming.MicroBatchStream
-    with streaming.SupportsAdmissionControl {
+    with streaming.SupportsAdmissionControl
+    with streaming.ReportsSourceMetrics {
   private def client = KinesisSource.clientFor(clientName)
+
+  /**
+   * CONSUMER LAG in every progress report — the Kinesis ops metric
+   * (CloudWatch `MillisBehindLatest` / the KCL's records-behind): how
+   * far the committed offset trails the stream head, per
+   * `StreamingQueryProgress.sources[i].metrics` (the Kafka source's
+   * `ReportsSourceMetrics` contract). An autoscaler or an alert reads
+   * THIS, not the batch sizes, to answer "are we keeping up" — and
+   * under the ReadMaxRows backpressure cap it is exactly the signal
+   * that distinguishes "draining a bounded backlog" from "falling
+   * behind".
+   *
+   * Counting discipline: the backlog count per shard goes through the
+   * same bounded `advance` early-exit as admission (never a full
+   * backlog scan — a production client maps it onto GetRecords page
+   * counts), capped at [[KinesisMicroBatchStream.MetricsBacklogCap]]
+   * records per shard; `recordsBehindLatestExact` goes false when any
+   * shard hit the cap, so a dashboard knows "≥" from "=".
+   */
+  override def metrics(latestConsumedOffset: java.util.Optional[streaming.Offset])
+      : java.util.Map[String, String] = {
+    val s =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[KinesisOffset].seqs
+      else Map.empty[String, String]
+    val c = client
+    val listed = c.listShards(stream)
+    var behind = 0L
+    var shardsBehind = 0
+    var exact = true
+    listed.foreach { sh =>
+      val latest = c.latestSequence(stream, sh)
+      val after = s.get(sh)
+      if (latest.isDefined && !after.contains(latest.get)) {
+        val n = c.advance(stream, sh, after,
+          KinesisMicroBatchStream.MetricsBacklogCap)
+          .map(_._2.toLong).getOrElse(0L)
+        if (n > 0) {
+          shardsBehind += 1
+          behind += n
+          if (n >= KinesisMicroBatchStream.MetricsBacklogCap) exact = false
+        }
+      }
+    }
+    val m = new java.util.HashMap[String, String]()
+    m.put("numShards", listed.size.toString)
+    m.put("shardsBehindLatest", shardsBehind.toString)
+    m.put("recordsBehindLatest", behind.toString)
+    m.put("recordsBehindLatestExact", exact.toString)
+    m
+  }
 
   override def initialOffset(): streaming.Offset = KinesisOffset(Map.empty)
 
@@ -408,4 +460,11 @@ class KinesisShardReaderFactory(clientName: String)
       override def close(): Unit = ()
     }
   }
+}
+
+object KinesisMicroBatchStream {
+  /** Per-shard cap on the lag count in [[KinesisMicroBatchStream.metrics]]
+    * — keeps progress reporting O(cap · shards) under any backlog; a
+    * count at the cap reports `recordsBehindLatestExact=false`. */
+  val MetricsBacklogCap = 10000
 }

@@ -332,4 +332,53 @@ class KinesisSourceSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 50), s"a batch exceeded the cap: $batchSizes")
     assert(batchSizes.count(_ > 0) >= 6, s"300/50 needs >=6 batches: $batchSizes")
   }
+
+  test("consumer-lag metrics: records behind latest, per committed offset") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-metrics", fake)
+    fake.push("shard-0", (0 until 7).map(i => s"a$i"): _*)
+    fake.push("shard-1", (0 until 3).map(i => s"b$i"): _*)
+    val ms = new KinesisMicroBatchStream("events", "fake-metrics")
+    def lag(off: Option[org.apache.spark.sql.connector.read.streaming.Offset])
+        : Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      ms.metrics(off.map(java.util.Optional.of[
+        org.apache.spark.sql.connector.read.streaming.Offset])
+        .getOrElse(java.util.Optional.empty())).asScala.toMap
+    }
+    // nothing committed: the whole stream is backlog
+    val fresh = lag(None)
+    assert(fresh("numShards") == "2" && fresh("shardsBehindLatest") == "2")
+    assert(fresh("recordsBehindLatest") == "10", fresh)
+    assert(fresh("recordsBehindLatestExact") == "true")
+    // committed mid-shard: only the tail counts
+    val end = ms.latestOffset(KinesisOffset(Map.empty),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(4))
+      .asInstanceOf[KinesisOffset]
+    // maxRows(4) over 2 movable shards splits 2/shard: 4 consumed, 6 left
+    val mid = lag(Some(end))
+    assert(mid("recordsBehindLatest") == "6", mid)
+    assert(mid("shardsBehindLatest") == "2", mid)
+    // fully drained: zero behind, still exact
+    val drained = ms.latestOffset(end,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val done = lag(Some(drained))
+    assert(done("recordsBehindLatest") == "0" &&
+      done("shardsBehindLatest") == "0", done)
+  }
+
+  test("lag metrics surface in real StreamingQueryProgress reports") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-progress", fake)
+    val ck = Files.createTempDirectory("kinesis-ck-progress").toString
+    fake.push("shard-0", "x1", "x2", "x3")
+    val got = mutable.Buffer.empty[(String, String, String)]
+    val q = collectStream("fake-progress", ck, got)
+    q.processAllAvailable()
+    val m = q.lastProgress.sources.head.metrics
+    assert(m.get("recordsBehindLatest") == "0",
+      s"drained stream must report zero lag, got $m")
+    assert(m.get("numShards") == "1", m)
+    q.stop()
+  }
 }

@@ -99,5 +99,29 @@ class FormatsSpec extends SparkSpec {
     assert(nNulls == expect.getLong(0), "NULL count drifted through XML")
     assert(sumLen == expect.getLong(1),
       "char-length checksum drifted — an escape was lost or doubled")
+
+    // negative control: the traps are sharp enough to CATCH a writer
+    // that fails to entity-escape — hand-written XML bytes with the
+    // bare-markup trap UNescaped either lose content at the phantom
+    // element or fail the row entirely; both corrupt the checksums
+    val tmp = java.nio.file.Files.createTempDirectory("xml-neg")
+    val trap = "a < b & c > d"
+    java.nio.file.Files.writeString(tmp.resolve("part-0.xml"),
+      "<ROWS><r><key>1</key><s>" + trap + "</s></r>" +
+        "<r><key>2</key><s>plain</s></r></ROWS>")
+    val naive = spark.read.format("xml").schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+      .option("rowTag", "r").load(tmp.toString)
+    val back = naive.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back.get(1L).forall(_ != trap),
+      "un-escaped markup must NOT round-trip intact — if it does, the " +
+        "escaping trap is vacuous")
+    graft.model.Fs.deleteRecursively(tmp)
   }
 }

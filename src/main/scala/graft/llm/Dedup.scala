@@ -722,22 +722,39 @@ object Dedup {
           .select(col("src_a"), col("src_b"))),
       maxHops)
 
+  /** Monotone counter for [[reachabilityOf]] view names: a FIXED name
+    * would silently clobber any same-named user view and race two
+    * concurrent reachability calls on one session. */
+  private val reachViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The recursive-CTE closure over an explicit DAG edge frame
-    * (src_a, src_b) — spec entry point (hand-checkable diamonds). */
+    * (src_a, src_b) — spec entry point (hand-checkable diamonds).
+    *
+    * The SQL needs a named relation for the edge frame, so a
+    * UNIQUE-per-call temp view is registered and dropped after the
+    * recursive plan is BUILT (analysis resolves the view into the
+    * returned plan, so the result stays executable after the drop —
+    * the catalog mutation is invisible outside this call). The view
+    * name never reaches the physical plan (the pinned edge frame scans
+    * as an RDD), so plan fingerprints stay call-order independent —
+    * pinned by DedupSpec's fingerprint-stability test. */
   private[graft] def reachabilityOf(spark: SparkSession, edges: DataFrame,
       maxHops: Int): DataFrame = {
-    edges.createOrReplaceTempView("g_overlap_edges")
-    spark.sql(
-      s"""WITH RECURSIVE reach AS (
-         |  SELECT src_a AS src, src_b AS dst, 1 AS hops FROM g_overlap_edges
-         |  UNION ALL
-         |  SELECT r.src, e.src_b AS dst, r.hops + 1 AS hops
-         |  FROM reach r JOIN g_overlap_edges e ON e.src_a = r.dst
-         |  WHERE r.hops < $maxHops
-         |)
-         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
-         |  CAST(COUNT(*) AS BIGINT) AS n_paths
-         |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+    val view = s"graft_reach_edges_${reachViewSeq.incrementAndGet()}"
+    edges.createOrReplaceTempView(view)
+    try {
+      spark.sql(
+        s"""WITH RECURSIVE reach AS (
+           |  SELECT src_a AS src, src_b AS dst, 1 AS hops FROM $view
+           |  UNION ALL
+           |  SELECT r.src, e.src_b AS dst, r.hops + 1 AS hops
+           |  FROM reach r JOIN $view e ON e.src_a = r.dst
+           |  WHERE r.hops < $maxHops
+           |)
+           |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops,
+           |  CAST(COUNT(*) AS BIGINT) AS n_paths
+           |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
   }
 
   /** The k smallest distinct 32-bit-truncated gram digests per source —

@@ -1394,8 +1394,12 @@ object TextAnalysis {
    * provably restores the pre-plant text, which the audit pins IN BAND
    * (`n_restored` must equal `n_docs`), and the dup accounting mirrors
    * q238: docs whose fold-hash collides while their raw hash does not
-   * are exactly the duplicates confusables were hiding (planted dup
-   * groups spanning two plant classes — the cross-crawl reality).
+   * are exactly the duplicates confusables were hiding. The planted
+   * dup group spans TWO plant classes (shared residues 7 and 11 sit in
+   * `% 5` classes 2 and 1), so catching it requires the fold paths to
+   * agree with each other, not merely each be invertible — the
+   * cross-crawl reality where two mirrors mangle the same boilerplate
+   * through different confusable families.
    *
    * Scale: plant + fold are one row-local projection; the audit
    * shuffles md5 keys only (q238's discipline); output is
@@ -1404,16 +1408,23 @@ object TextAnalysis {
   def confusableFold(spark: SparkSession, dir: String): DataFrame =
     confusableFoldOf(Tables.documents(spark, dir))
 
-  /** The synthesized cross-crawl boilerplate every 25th doc carries \u2014
-    * the duplicated text the confusable plants then HIDE from raw
-    * hashing (the fixture itself has no exact-dup texts, so the dup
-    * structure is planted too, q250's synthesis-as-harness pattern). */
+  /** The synthesized cross-crawl boilerplate carried by two docs per
+    * stride of 25 (residues 7 and 11, one in each of two plant
+    * classes) \u2014 the duplicated text the confusable plants then HIDE
+    * from raw hashing (the fixture itself has no exact-dup texts, so
+    * the dup structure is planted too, q250's synthesis-as-harness
+    * pattern). */
   private[graft] val SharedBoilerplate =
     "the shared boilerplate notice appended by every mirror of this feed"
 
   private[graft] def confusableFoldOf(docs: DataFrame): DataFrame = {
     val nbsp = "\u00A0"; val zwsp = "\u200B"
-    val isShared = pmod(col("doc_id"), lit(25)) === 7
+    // residues 7 and 11 land in DIFFERENT plant classes (7 % 5 = 2 \u2192
+    // zwsp-after-space, 11 % 5 = 1 \u2192 nbsp), so the planted dup group
+    // genuinely crosses fold paths \u2014 two mirrors of the same
+    // boilerplate mangled by two different confusable families, the
+    // cross-crawl reality the audit claims to exercise
+    val isShared = pmod(col("doc_id"), lit(25)).isin(7, 11)
     val canonical = when(isShared, lit(SharedBoilerplate)).otherwise(col("text"))
     val classed =
       when(pmod(col("doc_id"), lit(5)) === 1,
@@ -1532,11 +1543,11 @@ object TextAnalysis {
     val to = chrs(ConfusablePairs.flatMap(_._2).map(_.toInt))
     val fw = chrs((0 until 10).map(0xFF41 + _))
     s"""WITH c0 AS (SELECT doc_id, source,
-       |    CASE WHEN doc_id % 25 = 7 THEN '$SharedBoilerplate'
+       |    CASE WHEN doc_id % 25 IN (7, 11) THEN '$SharedBoilerplate'
        |         ELSE text END AS canonical
        |  FROM documents),
        |p AS (SELECT doc_id, source, canonical,
-       |    CASE WHEN doc_id % 25 = 7
+       |    CASE WHEN doc_id % 25 IN (7, 11)
        |      THEN repeat(chr(8203), CAST(1 + doc_id % 101 AS INT)) ELSE ''
        |    END ||
        |    CASE doc_id % 5

@@ -173,19 +173,51 @@ object ArtifactMaintenance {
     }
 
     /** Recorded snapshot versions, ascending (may have gaps — a crash
-      * between the manifest commit and its snapshot record skips one). */
+      * between the manifest commit and its snapshot record skips one,
+      * and the retention sweep prunes the oldest past
+      * [[snapshotRetention]]). The directory stream is closed in
+      * `finally`, mirroring [[sweepOrphans]] — this runs on every
+      * commit AND every time-travel read, so a leaked descriptor here
+      * would accumulate for the life of a streaming driver. */
     def snapshots(): Seq[Long] = {
       val d = Paths.get(artifactDir)
       if (!Files.exists(d)) Nil
       else {
-        val it = Files.list(d).iterator().asScala
-        val vs = it.flatMap { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("manifest-v") && !n.endsWith(".tmp"))
-            n.stripPrefix("manifest-v").toLongOption
-          else None
-        }.toSeq
+        val listing = Files.list(d)
+        val vs = try {
+          listing.iterator().asScala.flatMap { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("manifest-v") && !n.endsWith(".tmp"))
+              n.stripPrefix("manifest-v").toLongOption
+            else None
+          }.toSeq
+        } finally listing.close()
         vs.sorted
+      }
+    }
+
+    /** Snapshot files kept by the retention sweep (the newest K).
+      * Bounding history also bounds the per-commit `snapshots()`
+      * listing to O(K) — without it one tiny manifest-v file per
+      * commit accumulates forever and every commit re-lists all of
+      * them, O(n²) over a stream's life. */
+    private[streaming] var snapshotRetention: Int = 32
+
+    /** Delete snapshot records older than the newest
+      * [[snapshotRetention]] — the metadata half of the Iceberg
+      * expire-snapshots contract ([[compact]] already sweeps the DATA
+      * dirs expired snapshots reference; this retires the pointers
+      * themselves). Runs inside [[sweepOrphans]], i.e. at compaction,
+      * never on the commit hot path; a [[serveAt]] on a pruned version
+      * fails loudly with the recorded range, same as a version that
+      * never existed. Each delete is a crash point: a crash mid-sweep
+      * leaves a prefix of the oldest snapshots deleted — history is
+      * still contiguous at the new end, so every invariant holds. */
+    private def sweepSnapshots(): Unit = {
+      val vs = snapshots()
+      vs.dropRight(snapshotRetention).foreach { v =>
+        crashPoint(s"sweep-snapshot:v$v")
+        Files.deleteIfExists(Paths.get(artifactDir, s"manifest-v$v"))
       }
     }
 
@@ -304,6 +336,7 @@ object ArtifactMaintenance {
           crashPoint(s"sweep-delete:${p.getFileName}")
           graft.model.Fs.deleteRecursively(p)
         }
+      sweepSnapshots()
     }
   }
 

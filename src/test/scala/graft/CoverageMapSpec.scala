@@ -28,6 +28,14 @@ class CoverageMapSpec extends AnyFunSuite {
     val stale = (cited -- keys).toSeq.sorted
     assert(stale.isEmpty,
       s"SURVEY §8 cites unknown query keys: ${stale.mkString(", ")}")
+    // the header's own count drifts too (round-14 verdict #7: it said
+    // 264 while 265 were green) — parse it and pin it to the truth
+    val header = "## 8\\. Implementation coverage map[^\\n]*?(\\d+) queries"
+      .r.findFirstMatchIn(s8)
+    assert(header.nonEmpty, "SURVEY §8 header lost its query count")
+    assert(header.get.group(1).toInt == keys.size,
+      s"SURVEY §8 header says ${header.get.group(1)} queries, " +
+        s"SparkEntry.queries has ${keys.size}")
   }
 
   test("every declared query carries a DuckDB oracle") {

@@ -292,6 +292,23 @@ class DedupSpec extends SparkSpec {
       s"a→c must be reachable in exactly 2 hops: ${got.mkString(",")}")
   }
 
+  test("reachability leaves no temp view behind and its plan fingerprint " +
+    "is call-order independent") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src_a", "src_b")
+    def fp(): String = graft.PlanShapes.fingerprint(
+      Dedup.reachabilityOf(spark, edges, maxHops = 3)
+        .queryExecution.executedPlan.toString)
+    // the per-call unique view name must not reach the physical plan:
+    // the regression gate's stored fingerprint for q258 would otherwise
+    // drift with how many reachability calls preceded it in the JVM
+    assert(fp() == fp(), "view-name counter leaked into the physical plan")
+    // and the catalog mutation is invisible after the call returns
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_reach_edges_")),
+      "reachabilityOf left its temp view registered")
+  }
+
   test("star contraction converges in O(log n) rounds on a chain whose " +
     "diameter exceeds propagation's backstop") {
     import spark.implicits._

@@ -440,8 +440,11 @@ class TextAnalysisSpec extends SparkSpec {
     // the fold provably inverts every plant class — pinned in band
     assert(rows.map(_.getAs[Long]("n_restored")).sum == nDocs)
     // the planted boilerplate dups are invisible to raw hashing (the
-    // zero-width padding scatters them) and ALL caught by the fold
-    val shared = (0 until nDocs.toInt).count(_ % 25 == 7)
+    // zero-width padding scatters them) and ALL caught by the fold —
+    // across BOTH plant classes the shared residues land in (7 → zwsp,
+    // 11 → nbsp), so this pins cross-class fold agreement, not just
+    // per-class invertibility
+    val shared = (0 until nDocs.toInt).count(i => i % 25 == 7 || i % 25 == 11)
     assert(rows.map(_.getAs[Long]("n_raw_dup_docs")).sum == 0L)
     assert(rows.map(_.getAs[Long]("n_fold_dup_docs")).sum == shared.toLong)
     assert(rows.map(_.getAs[Long]("n_newly_caught")).sum == shared.toLong)

@@ -291,6 +291,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.sourceReachability(s, d)),
     "q260_kn_doc_score" ->
       ((s: SparkSession, d: String) => graft.llm.MixPlan.knDocScore(s, d)),
+    "q266_paragraph_lm_trim" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.paragraphLmTrim(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2947,6 +2949,10 @@ object SparkEntry {
     // q265: CCNet-style per-paragraph trim — synthesis, micro-gates,
     // and reassembly replayed verbatim
     "q265_paragraph_trim" -> TextAnalysis.paragraphTrimSql,
+    // q266: the LM-scored paragraph trim — q265's synthesis and
+    // reassembly under q260's exact-integer KN model, self-calibrating
+    // half-of-corpus-mean threshold
+    "q266_paragraph_lm_trim" -> graft.llm.MixPlan.paragraphLmTrimSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

@@ -592,9 +592,13 @@ object MixPlan {
   def knDocScore(spark: SparkSession, dir: String): DataFrame =
     knDocScoreOf(Tables.documents(spark, dir))
 
-  /** [[knDocScore]] over an explicit documents frame — spec entry
-    * point (hand-checked KN arithmetic on a controlled corpus). */
-  private[graft] def knDocScoreOf(corpus: DataFrame): DataFrame = {
+  /** The assembled interpolated-KN model table — (w1, w2, score_ppm),
+    * one row per bigram TYPE (vocabulary-scale, never fact-scale),
+    * built from the memoized `bigram-lm` counts artifact. Shared by
+    * the doc-level scorer (q260) and the paragraph-level trim (q266)
+    * so the two stages score under the SAME reference LM by
+    * construction. */
+  private[graft] def knModelOf(corpus: DataFrame): DataFrame = {
     val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
       graft.ops.GlobalOrder.pin(
         docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
@@ -606,7 +610,7 @@ object MixPlan {
     val types = counts.agg(count(lit(1)).as("n_types"))
     // vocab-scale model assembly: one (w1,w2)-keyed table carrying every
     // statistic a slot needs, so the fact-scale join happens ONCE
-    val model = counts
+    counts
       .join(fwd, Seq("w1"))
       .join(bwd, Seq("w2"))
       .crossJoin(broadcast(types))
@@ -615,12 +619,142 @@ object MixPlan {
           "(((3000000 * n1p_fwd) div (4 * c1)) * " +
           "((1000000 * n1p_bwd) div n_types)) div 1000000"))
       .select(col("w1"), col("w2"), col("score_ppm"))
+  }
+
+  /** [[knDocScore]] over an explicit documents frame — spec entry
+    * point (hand-checked KN arithmetic on a controlled corpus). */
+  private[graft] def knDocScoreOf(corpus: DataFrame): DataFrame =
     docBigrams(corpus)
-      .join(model, Seq("w1", "w2"))
+      .join(knModelOf(corpus), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_slots"),
         expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
         min(col("score_ppm")).as("kn_min_ppm"))
       .orderBy("doc_id")
+
+  /**
+   * Per-paragraph LM-scored trim (q266) — the ACTUAL CCNet paragraph
+   * stage, composing the two halves the repo already proves
+   * separately: q265 segments documents into paragraphs and drops by
+   * lexicon micro-gates; q260 scores text under the stored
+   * interpolated-KN reference LM. Here every paragraph's own bigram
+   * slots are scored under that SAME LM ([[knModelOf]], served from
+   * the pinned `bigram-lm` artifact) and a paragraph is kept iff its
+   * mean slot score clears HALF the corpus-wide mean slot score — a
+   * self-calibrating threshold (no magic ppm constant to drift as the
+   * corpus changes), computed exactly in integer ppm on both engines.
+   * A shuffled-vocab paragraph spliced into a good document scores
+   * near zero (its words are frequent, its TRANSITIONS are one-offs
+   * with large c(w1) denominators) and is dropped while its
+   * neighbours survive — the gibberish-splice selectivity a whole-doc
+   * mean dilutes (q260's kn_min flags the doc; this REMOVES the
+   * splice and keeps the doc). Output is q265's exact contract —
+   * paragraph counts, kept token volume, md5 of the reassembled kept
+   * text in original order — so the two trims are directly
+   * comparable.
+   *
+   * Scale shape: slots are row-local HOF explodes; the only
+   * fact-scale work is ONE equi-join of paragraph slots against the
+   * vocabulary-scale model (q260's shape) followed by two keyed
+   * aggregates ((doc, para) then doc); the threshold is a single
+   * broadcast scalar FOLDED OUT of the per-paragraph frame (sum of
+   * per-paragraph sums over sum of counts — no second pass over the
+   * slot join). Paragraphs with no slots (< 2 words) score null and
+   * drop, matching CCNet's unscorable-fragment policy.
+   */
+  def paragraphLmTrim(spark: SparkSession, dir: String): DataFrame =
+    paragraphLmTrimOf(Tables.documents(spark, dir))
+
+  /** [[paragraphLmTrim]] over an explicit documents frame — spec
+    * entry point (plants a shuffled-vocab paragraph inside an
+    * otherwise-good document and asserts only it is dropped). */
+  private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame = {
+    val paras = graft.llm.TextAnalysis.paragraphsOf(corpus)
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("pi0", "para")))
+      .select(col("doc_id"), (col("pi0") + 1).as("pi"), col("para"))
+    val slots = paras
+      .filter(size(col("para")) >= 2)
+      .select(col("doc_id"), col("pi"), explode(expr(
+        "transform(sequence(1, size(para) - 1), " +
+          "i -> struct(element_at(para, i) AS w1, " +
+          "element_at(para, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("pi"), col("b.w1"), col("b.w2"))
+    // PINNED: the per-paragraph score sliver (4 numeric cols per
+    // paragraph) feeds BOTH the threshold scalar and the keep join;
+    // without the pin the corpus-scale slots⋈model subtree plans (and
+    // executes — no ReusedExchange fires across the two consumers,
+    // measured) twice. Materializing paragraph scores before
+    // thresholding is also exactly CCNet's production shape.
+    val scored = graft.ops.GlobalOrder.pin(slots
+      .join(knModelOf(corpus), Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("pi"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("score_ppm")).as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm div n_slots")))
+    // corpus-wide mean slot score, exact: Σ per-paragraph sums over
+    // Σ per-paragraph counts — one broadcast scalar, no re-join
+    val thr = scored.agg(
+      expr("sum(sum_ppm) div sum(n_slots)").as("thr_ppm"))
+    paras
+      .join(scored.select(col("doc_id"), col("pi"), col("mean_ppm")),
+        Seq("doc_id", "pi"), "left")
+      .crossJoin(broadcast(thr))
+      .withColumn("kept",
+        coalesce(expr("2 * mean_ppm >= thr_ppm"), lit(false)))
+      .withColumn("ptxt", expr("array_join(para, ' ')"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), size(col("para")).cast("long"))
+          .otherwise(0L)).as("n_tokens_kept"),
+        md5(expr(
+          "array_join(transform(filter(sort_array(collect_list(" +
+            "struct(pi, kept, ptxt))), s -> s.kept), s -> s.ptxt), ' ')"))
+          .as("trimmed_md5"))
+      .orderBy("doc_id")
   }
+
+  /** The q266 oracle: identical synthesis (q265's), identical KN model
+    * (q260's), identical threshold and reassembly in DuckDB. */
+  private[graft] def paragraphLmTrimSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(4 + doc_id % 4 AS BIGINT) AS k FROM documents),
+      |pr AS (SELECT doc_id, k,
+      |    list_transform(range(1, (len(ws) + k - 1) // k + 1),
+      |      i -> ws[(i - 1) * k + 1 : i * k]) AS paras
+      |  FROM t),
+      |pe AS (SELECT doc_id, u.i AS pi, paras[u.i] AS para
+      |  FROM pr, LATERAL (SELECT unnest(range(1, len(paras) + 1)) AS i) u),
+      |s AS (SELECT doc_id, pi, para[v.j] AS w1, para[v.j + 1] AS w2
+      |  FROM pe, LATERAL (SELECT unnest(range(1, len(para))) AS j) v),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+      |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+      |f AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+      |        CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c GROUP BY 1),
+      |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c GROUP BY 1),
+      |m AS (SELECT w1, w2,
+      |        (1000000 * (4 * n - 3)) // (4 * c1)
+      |        + (((3000000 * n1p_fwd) // (4 * c1))
+      |           * ((1000000 * n1p_bwd) // n_types)) // 1000000 AS score_ppm
+      |      FROM c JOIN f USING (w1) JOIN bw USING (w2) CROSS JOIN ty),
+      |ps AS (SELECT s.doc_id, s.pi, CAST(COUNT(*) AS BIGINT) AS n_slots,
+      |        CAST(SUM(score_ppm) AS BIGINT) AS sum_ppm,
+      |        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+      |      FROM s JOIN m USING (w1, w2) GROUP BY 1, 2),
+      |th AS (SELECT CAST(SUM(sum_ppm) // SUM(n_slots) AS BIGINT) AS thr_ppm
+      |      FROM ps),
+      |kd AS (SELECT pe.doc_id, pe.pi, pe.para,
+      |        COALESCE(2 * ps.mean_ppm >= th.thr_ppm, FALSE) AS kept
+      |      FROM pe LEFT JOIN ps USING (doc_id, pi) CROSS JOIN th)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN len(para) ELSE 0 END) AS BIGINT)
+      |    AS n_tokens_kept,
+      |  md5(COALESCE(array_to_string(list(array_to_string(para, ' ')
+      |    ORDER BY pi) FILTER (WHERE kept), ' '), '')) AS trimmed_md5
+      |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

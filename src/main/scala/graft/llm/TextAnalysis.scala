@@ -1487,13 +1487,21 @@ object TextAnalysis {
    * (slice/filter/aggregate, all codegen'd) — the same pure-map shape
    * as q250; the presentation sort is the only exchange.
    */
-  def paragraphTrim(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The shared q265/q266 paragraph synthesis — (doc_id, ws, k,
+    * paras): width k = 4 + doc_id % 4 words, every slice row-local.
+    * ONE definition so the gate-based trim (q265) and the LM-scored
+    * trim (q266) segment documents identically and their oracles can
+    * replay the same rule. */
+  private[graft] def paragraphsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("k", (lit(4) + pmod(col("doc_id"), lit(4))).cast("int"))
       .withColumn("paras", expr(
         "transform(sequence(1, (size(ws) + k - 1) div k), " +
           "i -> slice(ws, (i - 1) * k + 1, k))"))
+
+  def paragraphTrim(spark: SparkSession, dir: String): DataFrame =
+    paragraphsOf(Tables.documents(spark, dir))
       .withColumn("kept", expr(
         "filter(paras, p -> size(p) >= 3 AND " +
           "size(filter(p, w -> w = 'the' OR w = 'a')) >= 1)"))

@@ -226,4 +226,42 @@ class MixPlanSpec extends SparkSpec {
     val rare = score(("dog", "sat"))
     assert(common > rare, s"the→cat $common should beat dog→sat $rare")
   }
+
+  test("paragraph LM trim drops a shuffled-vocab splice and nothing else") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ten background docs of a frequent phrase give the LM its mass;
+    // doc 0 (k = 4) splices a SHUFFLED paragraph between two good ones
+    // — same words, so per-word frequency can't flag it; every
+    // TRANSITION is a one-off against a large c(w1), so its KN mean is
+    // two orders below the corpus mean; doc 4 (k = 4) carries a
+    // trailing 1-word fragment, the unscorable-paragraph policy case
+    val bg = (5L to 14L).map(i =>
+      (i, "s", Seq.fill(4)("the cat sat on").mkString(" ")))
+    val docs = (bg :+
+      (0L, "s", "the cat sat on on sat cat the the cat sat on") :+
+      (4L, "s", "the cat sat on the"))
+      .toDF("doc_id", "source", "text")
+    val got = MixPlan.paragraphLmTrimOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 0: ONLY the gibberish middle paragraph drops; the reassembled
+    // kept text is the two good paragraphs in original order
+    assert(got(0L) == ((3L, 2L, 8L, md5hex("the cat sat on the cat sat on"))),
+      s"doc 0: ${got(0L)}")
+    // doc 4: the 1-word tail has no bigram slots — unscorable, dropped
+    assert(got(4L) == ((2L, 1L, 4L, md5hex("the cat sat on"))), s"doc 4: ${got(4L)}")
+    // background docs: every multi-word paragraph survives (their
+    // transitions ARE the corpus mean); only subword fragments drop
+    bg.foreach { case (id, _, text) =>
+      val k = (4 + id % 4).toInt
+      val paras = text.split(" ").grouped(k).toSeq
+      val scorable = paras.count(_.length >= 2).toLong
+      val (nParas, nKept, _, _) = got(id)
+      assert(nParas == paras.length.toLong && nKept == scorable,
+        s"doc $id: kept $nKept of $nParas, expected $scorable scorable")
+    }
+  }
 }

@@ -471,7 +471,13 @@ class PlanAuditSpec extends SparkSpec {
       "q264_confusable_fold"    -> (4, 2, 2, 0),
       // q265: pure row-local paragraph HOFs — the q250 shape: the only
       // exchange is the presentation sort
-      "q265_paragraph_trim"     -> (1, 0, 0, 0))
+      "q265_paragraph_trim"     -> (1, 0, 0, 0),
+      // q266: the slots⋈model scoring subtree is PINNED (it feeds both
+      // the threshold scalar and the keep join, and no ReusedExchange
+      // fires across the two consumers), so the SERVED plan is one
+      // paragraph scan, the score left-join-back, the broadcast
+      // threshold scalar, the doc reassembly aggregate, output sort
+      "q266_paragraph_lm_trim"  -> (4, 1, 1, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

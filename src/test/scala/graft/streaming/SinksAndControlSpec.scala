@@ -4,6 +4,7 @@ import graft.SparkSpec
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SinksAndControlSpec extends SparkSpec {
 
@@ -189,10 +190,89 @@ class SinksAndControlSpec extends SparkSpec {
     assert(ok == Authorized(true) && ok.status == 200)
     assert(Rejected(MissingMsg).status == 401)
   }
+  // --- ExactlyOnceSink: ledgered chunk-idempotent delivery (r14 #4) ---
+
+  test("exactly-once sink: crash mid-batch, restart, replay — every record " +
+    "acked exactly once") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(2)
+    val ledger = Files.createTempDirectory("graft-eo-ledger").toString
+    val df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).toDF()
+    val policy = KinesisSink.Policy(maxBatch = 4, sleep = _ => ())
+    // first attempt: chunk 0 (4 recs) acks + commits its marker; the
+    // transport dies ON the chunk-1 call BEFORE acking — the
+    // partially-delivered batch the verdict describes
+    intercept[org.apache.spark.SparkException] {
+      ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 7L)
+    }
+    assert(acks.size == 4, s"only chunk 0 should be acked: ${acks.size}")
+    // restart + replay of the SAME batchId: chunk 0 skips via its
+    // marker, chunks 1..2 deliver — 10 distinct records, 1 ack each
+    ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 7L)
+    val counts = acks.values.asScala.toSeq
+    assert(acks.size == 10 && counts.forall(_ == 1),
+      s"every record exactly once, got ${acks.asScala.toMap}")
+    // a THIRD replay (e.g. a post-commit crash) delivers nothing new
+    ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 7L)
+    assert(acks.values.asScala.forall(_ == 1), "full replay must be a no-op")
+  }
+
+  test("exactly-once sink refuses a replay that diverges from acked chunks") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)
+    val ledger = Files.createTempDirectory("graft-eo-ledger2").toString
+    val policy = KinesisSink.Policy(maxBatch = 4, sleep = _ => ())
+    val df = spark.range(0, 4).coalesce(1).toDF()
+    ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 1L)
+    // same batchId, DIFFERENT rows: the marker's count+md5 pin trips —
+    // loud, never a silent skip of unseen data
+    val e = intercept[org.apache.spark.SparkException] {
+      ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(
+        spark.range(4, 8).coalesce(1).toDF(), 1L)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("replay divergence")),
+      s"expected the divergence guard, got: $chain")
+  }
+
+  test("exactly-once ledger prunes batches at or below the committed watermark") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)
+    val ledger = Files.createTempDirectory("graft-eo-ledger3").toString
+    val policy = KinesisSink.Policy(sleep = _ => ())
+    val df = spark.range(0, 3).coalesce(1).toDF()
+    Seq(0L, 1L, 2L).foreach(b =>
+      ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, b))
+    ExactlyOnceSink.prune(ledger, upToBatchId = 1L)
+    val left = Files.list(Paths.get(ledger))
+    val names = try left.iterator().asScala.map(_.getFileName.toString).toSet
+      finally left.close()
+    assert(names == Set("b2"), s"only the uncommitted ledger survives: $names")
+  }
 }
 
 /** JVM-singleton counters visible from executor threads (local mode). */
 object TestCounters {
   val counter = new AtomicInteger(0)
   val maxSeen = new AtomicInteger(0)
+}
+
+/** Shared state for the exactly-once sink specs: per-record ack counts
+  * and a crash trigger, visible from executor threads (local mode). */
+object ExactlyOnceLedger {
+  import java.util.concurrent.ConcurrentHashMap
+  val acks = new ConcurrentHashMap[String, Integer]()
+  val calls = new AtomicInteger(0)
+  /** The 1-based putRecords call number that throws BEFORE acking. */
+  val failOnCall = new AtomicInteger(Int.MaxValue)
+  val crashyClient: KinesisSink.KinesisClient = new KinesisSink.KinesisClient {
+    def putRecords(s: String, recs: Seq[Array[Byte]]): Seq[Int] = {
+      if (calls.incrementAndGet() == failOnCall.get())
+        throw new RuntimeException("transport died mid-batch (injected)")
+      recs.foreach(r => acks.merge(new String(r, "UTF-8"), 1, _ + _))
+      Nil
+    }
+  }
 }

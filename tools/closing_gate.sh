@@ -25,6 +25,36 @@ python3 tools/scaling_slopes.py \
   "$OUT/bench_sf0.001.json" "$OUT/bench_sf0.01.json" "$OUT/bench_sf0.1.json" \
   | tee "$OUT/slopes.md"
 
+# sf1 slope point (round-14 verdict #3): one more decade of evidence
+# for the top-25 most expensive queries. The fixture is BENCH-ONLY,
+# synthesized deterministically from the driver's sf0.1 by
+# graft.MakeScale (dimension tables copied, key domains shifted per
+# replica, replica text made vocabulary-disjoint so dedup families see
+# ten independent corpora, not a planted 10-deep dup pathology).
+# Slope flags here are recorded and must be triaged in SCALE.md; the
+# pass/fail authority stays with the regression section below.
+SF1_DIR="${SF1_DIR:-/tmp/graft_sf1}"
+if [ ! -d "$SF1_DIR/lineitem.parquet" ]; then
+  echo "=== synthesizing sf1 fixture at $SF1_DIR (10x sf0.1) ==="
+  SPARK_GRAFT_CPUS=32 sbt -batch \
+    "runMain graft.MakeScale /root/testdata/sf0.1 $SF1_DIR 10" | tail -2
+fi
+TOP25=$(python3 - <<'PY'
+import json
+b = json.load(open("tools/bench_best.json"))
+qs = b["queries"] if isinstance(b.get("queries"), dict) else b
+print(",".join(k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]))
+PY
+)
+echo "=== bench sf1: top-25 by best-known min ==="
+SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_ONLY="$TOP25" SPARK_GRAFT_BENCH_REPS=2 \
+  sbt -batch 'runMain graft.Bench' | tee "$OUT/bench_sf1.raw" \
+  | grep '^{"queries"' > "$OUT/bench_sf1.json"
+echo "=== sf0.1 -> sf1 slopes (recorded; triage flags in SCALE.md) ==="
+python3 tools/scaling_slopes.py \
+  "$OUT/bench_sf0.1.json" "$OUT/bench_sf1.json" | tee "$OUT/slopes_sf1.md"
+
 echo "=== plan fingerprints (flag + changed plan = regression, no ledger applies) ==="
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.PlanShapes /root/testdata/sf0.001 $OUT/plan_shapes.json" \
   | tail -1

@@ -293,6 +293,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.llm.MixPlan.knDocScore(s, d)),
     "q266_paragraph_lm_trim" ->
       ((s: SparkSession, d: String) => graft.llm.MixPlan.paragraphLmTrim(s, d)),
+    "q267_perplexity_buckets" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.knPerplexityBuckets(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2953,6 +2955,9 @@ object SparkEntry {
     // reassembly under q260's exact-integer KN model, self-calibrating
     // half-of-corpus-mean threshold
     "q266_paragraph_lm_trim" -> graft.llm.MixPlan.paragraphLmTrimSql,
+    // q267: CCNet head/middle/tail perplexity partition — q260's
+    // scores, quantile_cont terciles, pinned CASE tie precedence
+    "q267_perplexity_buckets" -> graft.llm.MixPlan.knPerplexityBucketsSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

@@ -633,6 +633,96 @@ object MixPlan {
       .orderBy("doc_id")
 
   /**
+   * Perplexity buckets (q267) — CCNet's head/middle/tail partition of
+   * the corpus by language-model score, the stage that turns q260's
+   * per-document KN means into the three quality strata the pipeline
+   * actually trains on (head = most-fluent third, tail = the candidate
+   * discard). Thresholds are the exact 1/3 and 2/3 quantiles of
+   * `kn_mean_ppm` via [[graft.ops.GlobalOrder.groupedQuantiles]] (the
+   * repo's window-free exact-quantile path, one group) — the SAME
+   * linear-interpolation definition DuckDB's `quantile_cont` computes,
+   * so both engines derive identical double thresholds from identical
+   * integer scores (the q45 discipline). Tie handling is pinned by
+   * CASE precedence: `>= t2` → head, `> t1` → middle, else tail. Docs
+   * with no bigram slots are absent from q260's scores and therefore
+   * unbucketed, mirroring q266's unscorable-fragment policy. Output:
+   * per bucket, doc count, slot volume, the min/max mean inside the
+   * bucket, and each bucket's exact ppm share of scored docs.
+   *
+   * Scale shape: the per-doc score sliver (4 numeric cols) is PINNED
+   * once and feeds the quantile pass, the total scalar and the bucket
+   * aggregate — without the pin each consumer re-runs q260's
+   * fact-scale slots⋈model join (q266's measured no-ReusedExchange
+   * lesson). Everything downstream of the pin is doc-cardinality.
+   */
+  def knPerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    knPerplexityBucketsOf(Tables.documents(spark, dir))
+
+  private[graft] def knPerplexityBucketsOf(corpus: DataFrame): DataFrame =
+    knBucketsFromScores(graft.ops.GlobalOrder.pin(knDocScoreOf(corpus)))
+
+  /** The bucket rule over an explicit (doc_id, n_slots, kn_mean_ppm)
+    * scores frame — spec entry point (hand-checked terciles). */
+  private[graft] def knBucketsFromScores(scores: DataFrame): DataFrame = {
+    val thr = graft.ops.GlobalOrder.groupedQuantiles(
+      scores.withColumn("g", lit(1)), Seq("g"), "kn_mean_ppm",
+      Seq(("t1", 1.0 / 3), ("t2", 2.0 / 3))).select(col("t1"), col("t2"))
+    val total = scores.agg(count(lit(1)).as("n_scored"))
+    scores
+      .crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("kn_mean_ppm") >= col("t2"), lit("head"))
+          .when(col("kn_mean_ppm") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_slots")).as("n_slots"),
+        min(col("kn_mean_ppm")).as("lo_ppm"),
+        max(col("kn_mean_ppm")).as("hi_ppm"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div n_scored"))
+      .select(col("bucket"), col("n_docs"), col("n_slots"),
+        col("lo_ppm"), col("hi_ppm"), col("share_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** The q267 oracle: q260's model and per-doc scores, quantile_cont
+    * thresholds (the same interpolation groupedQuantiles computes),
+    * identical CASE precedence and integer shares. */
+  private[graft] def knPerplexityBucketsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+      |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+      |f AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+      |        CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c GROUP BY 1),
+      |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c GROUP BY 1),
+      |m AS (SELECT w1, w2,
+      |        (1000000 * (4 * n - 3)) // (4 * c1)
+      |        + (((3000000 * n1p_fwd) // (4 * c1))
+      |           * ((1000000 * n1p_bwd) // n_types)) // 1000000 AS score_ppm
+      |      FROM c JOIN f USING (w1) JOIN bw USING (w2) CROSS JOIN ty),
+      |ds AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_slots,
+      |        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS kn_mean_ppm
+      |      FROM b JOIN m USING (w1, w2) GROUP BY b.doc_id),
+      |t AS (SELECT quantile_cont(kn_mean_ppm, 1.0 / 3) AS t1,
+      |        quantile_cont(kn_mean_ppm, 2.0 / 3) AS t2 FROM ds),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM ds),
+      |kd AS (SELECT CASE WHEN kn_mean_ppm >= t2 THEN 'head'
+      |               WHEN kn_mean_ppm > t1 THEN 'middle'
+      |               ELSE 'tail' END AS bucket, n_slots, kn_mean_ppm
+      |      FROM ds CROSS JOIN t)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_slots) AS BIGINT) AS n_slots,
+      |  CAST(MIN(kn_mean_ppm) AS BIGINT) AS lo_ppm,
+      |  CAST(MAX(kn_mean_ppm) AS BIGINT) AS hi_ppm,
+      |  (1000000 * CAST(COUNT(*) AS BIGINT)) // n_scored AS share_ppm
+      |FROM kd CROSS JOIN tot GROUP BY bucket, n_scored
+      |ORDER BY bucket""".stripMargin
+
+  /**
    * Per-paragraph LM-scored trim (q266) — the ACTUAL CCNet paragraph
    * stage, composing the two halves the repo already proves
    * separately: q265 segments documents into paragraphs and drops by

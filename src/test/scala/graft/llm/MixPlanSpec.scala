@@ -227,6 +227,43 @@ class MixPlanSpec extends SparkSpec {
     assert(common > rare, s"the→cat $common should beat dog→sat $rare")
   }
 
+  test("perplexity buckets: exact terciles, pinned tie precedence, ppm shares") {
+    import spark.implicits._
+    // 9 scores 10..90: t1 = 1 + (1/3)(8) = rank 3.67 → 36.67,
+    // t2 = rank 6.33 → 63.33 (quantile_cont interpolation); buckets
+    // must split 3/3/3 with CASE precedence >= t2 / > t1
+    val scores = (1L to 9L).map(i => (i, 2L, i * 10L))
+      .toDF("doc_id", "n_slots", "kn_mean_ppm")
+    val got = MixPlan.knBucketsFromScores(scores).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("tail") == ((3L, 6L, 10L, 30L, 333333L)), got("tail"))
+    assert(got("middle") == ((3L, 6L, 40L, 60L, 333333L)), got("middle"))
+    assert(got("head") == ((3L, 6L, 70L, 90L, 333333L)), got("head"))
+    // boundary values: for n=4, pos = 1 + (1/3)·3 rounds to exactly
+    // 2.0 in IEEE double (2−2⁻⁵⁴ is closer to 2 than to the next
+    // representable below), so t1 = 20 and t2 = 30 EXACTLY; the
+    // pinned precedence then puts the value AT t1 in tail (not >) and
+    // AT t2 in head (≥) — the no-middle degenerate split
+    val ties = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L), (4L, 1L, 40L))
+      .toDF("doc_id", "n_slots", "kn_mean_ppm")
+    val tied = MixPlan.knBucketsFromScores(ties).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tied == Map("tail" -> 2L, "head" -> 2L),
+      s"20 ≤ t1 → tail, 30 ≥ t2 → head, no middle: $tied")
+    // fixture-level: the three buckets partition the scored docs and
+    // their value ranges are disjoint and ordered
+    val fx = MixPlan.knPerplexityBuckets(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val scored = MixPlan.knDocScore(spark, sf).count()
+    assert(fx.values.map(_._1).sum == scored)
+    assert(fx("tail")._3 < fx("middle")._2 ||
+      fx("tail")._3 <= fx("middle")._2, fx.toString)
+    assert(fx("middle")._3 <= fx("head")._2, fx.toString)
+  }
+
   test("paragraph LM trim drops a shuffled-vocab splice and nothing else") {
     import spark.implicits._
     def md5hex(s: String): String =

@@ -477,7 +477,12 @@ class PlanAuditSpec extends SparkSpec {
       // fires across the two consumers), so the SERVED plan is one
       // paragraph scan, the score left-join-back, the broadcast
       // threshold scalar, the doc reassembly aggregate, output sort
-      "q266_paragraph_lm_trim"  -> (4, 1, 1, 0))
+      "q266_paragraph_lm_trim"  -> (4, 1, 1, 0),
+      // q267: everything downstream of the PINNED q260 score sliver is
+      // doc-cardinality — the GlobalOrder tercile pass (its grouped
+      // rank machinery), the broadcast threshold + total scalars, the
+      // 3-row bucket rollup and its presentation sort
+      "q267_perplexity_buckets" -> (4, 4, 1, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

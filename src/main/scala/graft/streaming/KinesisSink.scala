@@ -141,6 +141,15 @@ object ExactlyOnceSink {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** CRASH-POINT SEAM (the ManifestArtifact pattern): invoked with a
+    * label at each externally visible boundary — after a chunk's
+    * transport ack ("chunk-acked:<ci>") and after its marker commit
+    * ("marker-committed:<ci>"). Production default is a no-op; the
+    * crash-window spec swaps in a thrower to prove the documented
+    * at-least-once window is EXACTLY the ack→marker gap of one chunk:
+    * a crash anywhere else replays to exactly-once delivery. */
+  private[streaming] var crashPoint: String => Unit = _ => ()
+
   /** foreachBatch body: ledgered, chunk-idempotent put. */
   def write(client: KinesisSink.KinesisClient, stream: String,
       policy: KinesisSink.Policy, ledgerDir: String)(
@@ -166,9 +175,11 @@ object ExactlyOnceSink {
             // else: chunk already delivered by a prior attempt — skip
           } else {
             KinesisSink.sendBatch(client, stream, g, policy)
+            crashPoint(s"chunk-acked:$ci")
             val tmp = dir.resolve(s"c$ci.tmp")
             Files.write(tmp, sig.getBytes("UTF-8"))
             Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+            crashPoint(s"marker-committed:$ci")
           }
           ci += 1
         }

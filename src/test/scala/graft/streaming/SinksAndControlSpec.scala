@@ -237,6 +237,58 @@ class SinksAndControlSpec extends SparkSpec {
       s"expected the divergence guard, got: $chain")
   }
 
+  test("exactly-once crash-window enumeration: a duplicate exists IFF the " +
+    "crash lands between ack and marker, and then only that one chunk") {
+    import ExactlyOnceLedger._
+    val policy = KinesisSink.Policy(maxBatch = 4, sleep = _ => ())
+    // 10 records in one partition → chunks of 4/4/2 with ids
+    // 0-3 / 4-7 / 8-9 (range + coalesce(1) is order-deterministic)
+    val df = spark.range(0, 10).coalesce(1).toDF()
+    def rec(i: Long) = s"""{"id":$i}"""
+    def chunkOf(i: Long): Int = (i / 4).toInt
+    // discover every boundary by dry run (the ArtifactMaintenance
+    // enumeration pattern — the spec cannot drift from the code's
+    // actual crash surface)
+    failOnCall.set(Int.MaxValue); acks.clear(); calls.set(0)
+    val labels = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val dry = Files.createTempDirectory("eo-dry").toString
+    try {
+      ExactlyOnceSink.crashPoint = l => { labels.add(l); () }
+      ExactlyOnceSink.write(crashyClient, "s", policy, dry)(df, 1L)
+      ExactlyOnceSink.crashPoint = _ => ()
+      assert(labels.asScala.toSet == Set(
+        "chunk-acked:0", "marker-committed:0", "chunk-acked:1",
+        "marker-committed:1", "chunk-acked:2", "marker-committed:2"),
+        s"crash surface drifted: ${labels.asScala.toList}")
+      labels.asScala.toList.foreach { boundary =>
+        acks.clear(); calls.set(0)
+        val ledger = Files.createTempDirectory("eo-enum").toString
+        ExactlyOnceSink.crashPoint =
+          l => if (l == boundary) throw new RuntimeException(s"died at $l")
+        intercept[org.apache.spark.SparkException] {
+          ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 5L)
+        }
+        ExactlyOnceSink.crashPoint = _ => ()
+        ExactlyOnceSink.write(crashyClient, "s", policy, ledger)(df, 5L)
+        val counts = (0L until 10L).map(i => i -> acks.get(rec(i)).toInt).toMap
+        if (boundary.startsWith("chunk-acked:")) {
+          // the irreducible window: the acked-but-unmarked chunk (and
+          // ONLY it) re-sends on replay — at-least-once one call wide
+          val ci = boundary.split(':')(1).toInt
+          counts.foreach { case (i, n) =>
+            assert(n == (if (chunkOf(i) == ci) 2 else 1),
+              s"$boundary: record $i acked $n times: $counts")
+          }
+        } else {
+          // crash after the marker commit: replay skips everything
+          // already delivered — exactly-once everywhere
+          assert(counts.values.forall(_ == 1),
+            s"$boundary must replay to exactly-once: $counts")
+        }
+      }
+    } finally ExactlyOnceSink.crashPoint = _ => ()
+  }
+
   test("exactly-once ledger prunes batches at or below the committed watermark") {
     import ExactlyOnceLedger._
     acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)

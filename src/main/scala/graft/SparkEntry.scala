@@ -295,6 +295,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.llm.MixPlan.paragraphLmTrim(s, d)),
     "q267_perplexity_buckets" ->
       ((s: SparkSession, d: String) => graft.llm.MixPlan.knPerplexityBuckets(s, d)),
+    "q268_trim_bucket_shift" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.trimBucketShift(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2958,6 +2960,9 @@ object SparkEntry {
     // q267: CCNet head/middle/tail perplexity partition — q260's
     // scores, quantile_cont terciles, pinned CASE tie precedence
     "q267_perplexity_buckets" -> graft.llm.MixPlan.knPerplexityBucketsSql,
+    // q268: the trim measured against frozen strata — pre/post bucket
+    // transition matrix under q266's keep rule and q267's terciles
+    "q268_trim_bucket_shift" -> graft.llm.MixPlan.trimBucketShiftSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

@@ -758,28 +758,40 @@ object MixPlan {
   /** [[paragraphLmTrim]] over an explicit documents frame — spec
     * entry point (plants a shuffled-vocab paragraph inside an
     * otherwise-good document and asserts only it is dropped). */
-  private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame = {
-    val paras = graft.llm.TextAnalysis.paragraphsOf(corpus)
+  /** The exploded paragraph table (doc_id, pi, para) under the shared
+    * q265/q266 synthesis — row-local, rebuilt by each consumer. */
+  private def explodedParagraphs(corpus: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.paragraphsOf(corpus)
       .select(col("doc_id"), posexplode(col("paras")).as(Seq("pi0", "para")))
       .select(col("doc_id"), (col("pi0") + 1).as("pi"), col("para"))
-    val slots = paras
+
+  /** PINNED per-paragraph KN score sliver — (doc_id, pi, n_slots,
+    * sum_ppm, mean_ppm), 4 numeric cols per paragraph. The one
+    * fact-scale join (paragraph slots ⋈ the vocabulary-scale model)
+    * happens HERE, once; every consumer (q266's threshold scalar and
+    * keep join, q268's pre/post re-aggregation) reads the pin —
+    * without it the corpus-scale subtree plans (and executes: no
+    * ReusedExchange fires across consumers, measured) once per use.
+    * Materializing paragraph scores before thresholding is also
+    * exactly CCNet's production shape. */
+  private[graft] def scoredParagraphsOf(corpus: DataFrame): DataFrame = {
+    val slots = explodedParagraphs(corpus)
       .filter(size(col("para")) >= 2)
       .select(col("doc_id"), col("pi"), explode(expr(
         "transform(sequence(1, size(para) - 1), " +
           "i -> struct(element_at(para, i) AS w1, " +
           "element_at(para, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("pi"), col("b.w1"), col("b.w2"))
-    // PINNED: the per-paragraph score sliver (4 numeric cols per
-    // paragraph) feeds BOTH the threshold scalar and the keep join;
-    // without the pin the corpus-scale slots⋈model subtree plans (and
-    // executes — no ReusedExchange fires across the two consumers,
-    // measured) twice. Materializing paragraph scores before
-    // thresholding is also exactly CCNet's production shape.
-    val scored = graft.ops.GlobalOrder.pin(slots
+    graft.ops.GlobalOrder.pin(slots
       .join(knModelOf(corpus), Seq("w1", "w2"))
       .groupBy(col("doc_id"), col("pi"))
       .agg(count(lit(1)).as("n_slots"), sum(col("score_ppm")).as("sum_ppm"))
       .withColumn("mean_ppm", expr("sum_ppm div n_slots")))
+  }
+
+  private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame = {
+    val paras = explodedParagraphs(corpus)
+    val scored = scoredParagraphsOf(corpus)
     // corpus-wide mean slot score, exact: Σ per-paragraph sums over
     // Σ per-paragraph counts — one broadcast scalar, no re-join
     val thr = scored.agg(
@@ -803,6 +815,124 @@ object MixPlan {
           .as("trimmed_md5"))
       .orderBy("doc_id")
   }
+
+  /**
+   * Trim bucket-shift matrix (q268) — the pipeline COMPOSED and
+   * measured: q266 trims paragraphs under the frozen reference LM,
+   * q267 defines the quality strata; this answers the question an
+   * operator actually asks before shipping the trim — *where does the
+   * corpus move?* Every scored doc gets a PRE mean (all its paragraph
+   * slots) and a POST mean (kept-paragraph slots only, q266's exact
+   * keep rule); the head/middle/tail thresholds are the terciles of
+   * the PRE distribution and stay FROZEN for the post bucketing, so
+   * the matrix reports movement across a fixed yardstick, not a
+   * re-tiering. A doc whose every paragraph is trimmed lands in
+   * `dropped`. Off-diagonal mass above the diagonal is the trim
+   * working (removing a below-threshold paragraph raises the doc's
+   * slot-weighted mean); mass below it would be the trim destroying
+   * good documents — the regression signal this query exists to
+   * surface.
+   *
+   * Scale shape: both the pre and post aggregates are doc-keyed
+   * re-aggregations of the PINNED [[scoredParagraphsOf]] sliver — the
+   * one fact-scale join is paid once; the tercile pass, threshold and
+   * total scalars, the pre⋈post doc join and the ≤10-row matrix
+   * rollup are all doc-cardinality or smaller.
+   */
+  def trimBucketShift(spark: SparkSession, dir: String): DataFrame =
+    trimBucketShiftOf(Tables.documents(spark, dir))
+
+  private[graft] def trimBucketShiftOf(corpus: DataFrame): DataFrame = {
+    val scored = scoredParagraphsOf(corpus)
+    val thr = scored.agg(
+      expr("sum(sum_ppm) div sum(n_slots)").as("thr_ppm"))
+    val pre = scored.groupBy(col("doc_id"))
+      .agg(sum(col("sum_ppm")).as("s_pre"), sum(col("n_slots")).as("n_pre"))
+      .withColumn("pre_mean", expr("s_pre div n_pre"))
+    val post = scored.crossJoin(broadcast(thr))
+      .filter(expr("2 * mean_ppm >= thr_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sum_ppm")).as("s_post"), sum(col("n_slots")).as("n_post"))
+      .withColumn("post_mean", expr("s_post div n_post"))
+    val t = graft.ops.GlobalOrder.groupedQuantiles(
+      pre.withColumn("g", lit(1)), Seq("g"), "pre_mean",
+      Seq(("t1", 1.0 / 3), ("t2", 2.0 / 3))).select(col("t1"), col("t2"))
+    val total = pre.agg(count(lit(1)).as("n_scored"))
+    def bucketOf(c: Column): Column =
+      when(c >= col("t2"), lit("head"))
+        .when(c > col("t1"), lit("middle"))
+        .otherwise(lit("tail"))
+    pre
+      .join(post.select(col("doc_id"), col("post_mean")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(t))
+      .withColumn("bucket_pre", bucketOf(col("pre_mean")))
+      .withColumn("bucket_post",
+        when(col("post_mean").isNull, lit("dropped"))
+          .otherwise(bucketOf(col("post_mean"))))
+      .groupBy(col("bucket_pre"), col("bucket_post"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div n_scored"))
+      .select(col("bucket_pre"), col("bucket_post"),
+        col("n_docs"), col("share_ppm"))
+      .orderBy("bucket_pre", "bucket_post")
+  }
+
+  /** The q268 oracle: q266's synthesis/model/keep rule, q267's
+    * quantile thresholds frozen on the PRE distribution, identical
+    * CASE precedence and dropped handling. */
+  private[graft] def trimBucketShiftSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(4 + doc_id % 4 AS BIGINT) AS k FROM documents),
+      |pr AS (SELECT doc_id, k,
+      |    list_transform(range(1, (len(ws) + k - 1) // k + 1),
+      |      i -> ws[(i - 1) * k + 1 : i * k]) AS paras
+      |  FROM t),
+      |pe AS (SELECT doc_id, u.i AS pi, paras[u.i] AS para
+      |  FROM pr, LATERAL (SELECT unnest(range(1, len(paras) + 1)) AS i) u),
+      |s AS (SELECT doc_id, pi, para[v.j] AS w1, para[v.j + 1] AS w2
+      |  FROM pe, LATERAL (SELECT unnest(range(1, len(para))) AS j) v),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+      |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+      |f AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+      |        CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c GROUP BY 1),
+      |bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c GROUP BY 1),
+      |m AS (SELECT w1, w2,
+      |        (1000000 * (4 * n - 3)) // (4 * c1)
+      |        + (((3000000 * n1p_fwd) // (4 * c1))
+      |           * ((1000000 * n1p_bwd) // n_types)) // 1000000 AS score_ppm
+      |      FROM c JOIN f USING (w1) JOIN bw USING (w2) CROSS JOIN ty),
+      |ps AS (SELECT s.doc_id, s.pi, CAST(COUNT(*) AS BIGINT) AS n_slots,
+      |        CAST(SUM(score_ppm) AS BIGINT) AS sum_ppm,
+      |        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+      |      FROM s JOIN m USING (w1, w2) GROUP BY 1, 2),
+      |th AS (SELECT CAST(SUM(sum_ppm) // SUM(n_slots) AS BIGINT) AS thr_ppm
+      |      FROM ps),
+      |pd AS (SELECT doc_id,
+      |        CAST(SUM(sum_ppm) // SUM(n_slots) AS BIGINT) AS pre_mean
+      |      FROM ps GROUP BY 1),
+      |po AS (SELECT doc_id,
+      |        CAST(SUM(sum_ppm) // SUM(n_slots) AS BIGINT) AS post_mean
+      |      FROM ps CROSS JOIN th WHERE 2 * mean_ppm >= thr_ppm GROUP BY 1),
+      |tq AS (SELECT quantile_cont(pre_mean, 1.0 / 3) AS t1,
+      |        quantile_cont(pre_mean, 2.0 / 3) AS t2 FROM pd),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM pd),
+      |kd AS (SELECT
+      |    CASE WHEN pre_mean >= t2 THEN 'head'
+      |         WHEN pre_mean > t1 THEN 'middle' ELSE 'tail' END AS bucket_pre,
+      |    CASE WHEN post_mean IS NULL THEN 'dropped'
+      |         WHEN post_mean >= t2 THEN 'head'
+      |         WHEN post_mean > t1 THEN 'middle' ELSE 'tail' END AS bucket_post
+      |  FROM pd LEFT JOIN po USING (doc_id) CROSS JOIN tq)
+      |SELECT bucket_pre, bucket_post,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  (1000000 * CAST(COUNT(*) AS BIGINT)) // n_scored AS share_ppm
+      |FROM kd CROSS JOIN tot GROUP BY bucket_pre, bucket_post, n_scored
+      |ORDER BY bucket_pre, bucket_post""".stripMargin
 
   /** The q266 oracle: identical synthesis (q265's), identical KN model
     * (q260's), identical threshold and reassembly in DuckDB. */

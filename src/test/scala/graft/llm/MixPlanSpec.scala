@@ -264,6 +264,47 @@ class MixPlanSpec extends SparkSpec {
     assert(fx("middle")._3 <= fx("head")._2, fx.toString)
   }
 
+  test("trim bucket-shift: the spliced doc climbs out of tail, clean docs " +
+    "hold their bucket, nothing moves down") {
+    import spark.implicits._
+    // the q266 spec corpus: ten clean background docs, doc 0 carries a
+    // shuffled-vocab splice (one-third of its slots score ~0), doc 4 a
+    // 1-word fragment. PRE: doc 0's slot-weighted mean is dragged to
+    // ~2/3 of the background's — the corpus minimum — so it anchors
+    // tail. POST (frozen thresholds): the trim removes exactly the
+    // splice, doc 0's mean rejoins the background band.
+    val bg = (5L to 14L).map(i =>
+      (i, "s", Seq.fill(4)("the cat sat on").mkString(" ")))
+    val docs = (bg :+
+      (0L, "s", "the cat sat on on sat cat the the cat sat on") :+
+      (4L, "s", "the cat sat on the"))
+      .toDF("doc_id", "source", "text")
+    val got = MixPlan.trimBucketShiftOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val order = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+    // every doc participates; nothing is fully dropped
+    assert(got.values.sum == 12L, got.toString)
+    assert(!got.keys.exists(_._2 == "dropped"), got.toString)
+    // exactly one doc moves, it starts in tail, and it moves UP
+    val moved = got.filter { case ((a, b), _) => a != b }
+    assert(moved.size == 1 && moved.keys.head._1 == "tail" &&
+      order(moved.keys.head._2) > order("tail"),
+      s"the spliced doc must climb out of tail: $got")
+    assert(moved.values.head == 1L, got.toString)
+    // no doc moves DOWN a bucket — the trim only removes
+    // below-threshold paragraphs, which raises slot-weighted means
+    assert(!got.keys.exists { case (a, b) =>
+      b != "dropped" && order(b) < order(a) }, got.toString)
+    // fixture-level: matrix covers every scored doc, shares sum to ~1e6
+    val fx = MixPlan.trimBucketShift(spark, sf).collect()
+    val scoredDocs = MixPlan.scoredParagraphsOf(
+      graft.model.Tables.documents(spark, sf))
+      .select("doc_id").distinct().count()
+    assert(fx.map(_.getLong(2)).sum == scoredDocs)
+    val share = fx.map(_.getLong(3)).sum
+    assert(share >= 999000L && share <= 1000000L, s"shares sum $share")
+  }
+
   test("paragraph LM trim drops a shuffled-vocab splice and nothing else") {
     import spark.implicits._
     def md5hex(s: String): String =

@@ -482,7 +482,11 @@ class PlanAuditSpec extends SparkSpec {
       // doc-cardinality — the GlobalOrder tercile pass (its grouped
       // rank machinery), the broadcast threshold + total scalars, the
       // 3-row bucket rollup and its presentation sort
-      "q267_perplexity_buckets" -> (4, 4, 1, 0))
+      "q267_perplexity_buckets" -> (4, 4, 1, 0),
+      // q268: pre/post re-aggregations + the tercile machinery + the
+      // pre⋈post doc join and matrix rollup, ALL over the pinned score
+      // sliver — the one fact-scale join lives inside the pin build
+      "q268_trim_bucket_shift"  -> (7, 5, 2, 0))
     pinned.foreach { case (q, (shuffles, bcasts, joins, windows)) =>
       val a = auditOf(q)
       assert((a.shuffleExchanges, a.broadcastExchanges, a.joins, a.windows) ==

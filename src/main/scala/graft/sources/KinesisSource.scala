@@ -444,8 +444,21 @@ class KinesisShardReaderFactory(clientName: String)
       partition: InputPartition): PartitionReader[InternalRow] = {
     val s = partition.asInstanceOf[KinesisShardSlice]
     new PartitionReader[InternalRow] {
+      // KPL DE-AGGREGATION (the KCL contract): a fetched record whose
+      // magic + MD5 trailer verify expands into its user records, each
+      // carrying the AGGREGATE's sequence number (sub-sequences are a
+      // client-library notion, not a shard coordinate — offsets,
+      // replay and exactly-once all keep working on shard sequences,
+      // and the expansion is deterministic so a replayed slice yields
+      // identical rows). Anything else passes through untouched.
       private val it = KinesisSource.clientFor(clientName)
         .getRecords(s.stream, s.shardId, s.after, s.upTo)
+        .flatMap { case (seq, data) =>
+          Kpl.deaggregate(data) match {
+            case Some(subs) => subs.iterator.map(ur => (seq, ur.data))
+            case None       => Iterator.single((seq, data))
+          }
+        }
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) {

@@ -357,6 +357,11 @@ final class FakeKinesis extends KinesisSource.KinesisShardClient {
     val buf = shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty)
     values.foreach(v => buf += v.getBytes("UTF-8"))
   }
+  /** Raw-bytes push (KPL aggregate blobs and other binary payloads). */
+  def pushRaw(shard: String, value: Array[Byte]): Unit = synchronized {
+    require(!closed(shard), s"$shard is closed (split parent)")
+    shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty) += value
+  }
   /** Kinesis split: CLOSES the parent (no further writes) and opens
     * children carrying its lineage, exactly the ListShards shape. */
   def split(parent: String, children: String*): Unit = synchronized {

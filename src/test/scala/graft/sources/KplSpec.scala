@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.collection.mutable
+
+class KplSpec extends SparkSpec {
+
+  private def ur(key: String, s: String) =
+    Kpl.UserRecord(key, s.getBytes("UTF-8"))
+
+  test("aggregate → deaggregate round-trips records, keys and order") {
+    val recs = Seq(ur("alpha", "r1"), ur("beta", "r2"), ur("alpha", "r3"),
+      ur("gamma", ""), ur("beta", "r5-é中"))
+    val blob = Kpl.aggregate(recs)
+    assert(blob.take(4).toSeq == Kpl.Magic.toSeq)
+    val got = Kpl.deaggregate(blob)
+    assert(got.isDefined, "a well-formed aggregate must be detected")
+    assert(got.get.map(_.partitionKey) == recs.map(_.partitionKey))
+    assert(got.get.map(r => new String(r.data, "UTF-8")) ==
+      recs.map(r => new String(r.data, "UTF-8")))
+    // the key table dedups: 5 records, 3 distinct keys in the blob
+    assert(got.get.map(_.partitionKey).distinct.size == 3)
+  }
+
+  test("KCL detection contract: no magic, short, or bad digest pass through") {
+    // ordinary producer bytes — not an aggregate
+    assert(Kpl.deaggregate("just some bytes".getBytes("UTF-8")).isEmpty)
+    // shorter than magic + trailer
+    assert(Kpl.deaggregate(Kpl.Magic ++ Array[Byte](1, 2, 3)).isEmpty)
+    // a record that STARTS with the magic by coincidence but carries
+    // no valid MD5 trailer is user data, never an aggregate
+    val fake = Kpl.Magic ++ Array.fill[Byte](24)(7)
+    assert(Kpl.deaggregate(fake).isEmpty)
+    // flipping one payload bit after aggregation breaks the digest —
+    // passthrough (the transport corrupted it; surfacing the raw bytes
+    // beats inventing records), matching the KCL
+    val blob = Kpl.aggregate(Seq(ur("k", "payload")))
+    val flipped = blob.clone()
+    flipped(6) = (flipped(6) ^ 1).toByte
+    assert(Kpl.deaggregate(flipped).isEmpty)
+  }
+
+  test("a verified digest with dangling key index fails loudly, never silently") {
+    // hand-build a payload whose record points past the key table,
+    // with a CORRECT md5 trailer: corruption beyond coincidence
+    val body = new java.io.ByteArrayOutputStream()
+    def vi(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def field(out: java.io.ByteArrayOutputStream, f: Int, b: Array[Byte]): Unit = {
+      vi(out, (f << 3) | 2L); vi(out, b.length.toLong); out.write(b, 0, b.length)
+    }
+    field(body, 1, "only-key".getBytes("UTF-8"))
+    val rec = new java.io.ByteArrayOutputStream()
+    vi(rec, (1 << 3) | 0L); vi(rec, 9L) // partition_key_index = 9: dangles
+    field(rec, 3, "data".getBytes("UTF-8"))
+    field(body, 3, rec.toByteArray)
+    val payload = body.toByteArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val blob = Kpl.Magic ++ payload ++ md.digest(payload)
+    val e = intercept[IllegalArgumentException] { Kpl.deaggregate(blob) }
+    assert(e.getMessage.contains("dangles"), e.getMessage)
+  }
+
+  test("unknown protobuf fields are skipped (forward compatibility)") {
+    // splice an unknown field 7 (varint) ahead of a valid aggregate's
+    // own fields, re-digest — future KPL versions must not break us
+    val inner = Kpl.aggregate(Seq(ur("k1", "v1"), ur("k2", "v2")))
+    val payload = java.util.Arrays.copyOfRange(inner, 4, inner.length - 16)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((7 << 3) | 0); out.write(42) // field 7, varint 42
+    out.write(payload, 0, payload.length)
+    val withUnknown = out.toByteArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val blob = Kpl.Magic ++ withUnknown ++ md.digest(withUnknown)
+    val got = Kpl.deaggregate(blob)
+    assert(got.exists(_.map(r => new String(r.data, "UTF-8")) == Seq("v1", "v2")))
+  }
+
+  test("the Kinesis source de-aggregates KPL records in a real streaming " +
+    "query; plain records ride along untouched") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("kpl", fake)
+    val blob = Kpl.aggregate(Seq(ur("a", "u1"), ur("a", "u2"), ur("b", "u3")))
+    fake.pushRaw("shard-0", "plain-before".getBytes("UTF-8"))
+    fake.pushRaw("shard-0", blob)
+    fake.pushRaw("shard-0", "plain-after".getBytes("UTF-8"))
+    val ck = Files.createTempDirectory("kpl-ck").toString
+    val got = mutable.Buffer.empty[(String, String)]
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "kpl")
+      .load()
+      .selectExpr("sequence", "cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getString(0), r.getString(1)))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // 3 Kinesis records become 5 user rows, in shard order; the three
+    // sub-records share their aggregate's shard sequence number
+    assert(got.map(_._2).toSeq ==
+      Seq("plain-before", "u1", "u2", "u3", "plain-after"), got.toSeq)
+    val subSeqs = got.filter(x => x._2.startsWith("u")).map(_._1).distinct
+    assert(subSeqs.size == 1,
+      s"sub-records must carry the aggregate's sequence: $got")
+  }
+}

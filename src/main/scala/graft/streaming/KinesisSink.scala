@@ -98,6 +98,31 @@ object KinesisSink {
     def write(batch: DataFrame, batchId: Long): Unit =
       KinesisSink.write(client, stream, policy)(batch)
   }
+
+  /**
+   * KPL-style producer aggregation ahead of the put path: pack up to
+   * `maxPerAggregate` consecutive JSON records (bounded by
+   * `maxAggregateBytes`, the 1 MiB Kinesis record ceiling minus
+   * framing) into one [[graft.sources.Kpl]] aggregate per put record.
+   * This is how real deployments beat the 1000 records/s/shard
+   * PutRecords ceiling; the matching consumer side is the source's
+   * KCL-contract de-aggregation, so the two ends of this repo form a
+   * complete loop a spec can drive offline. Partition key = the
+   * constant the caller routes by (per-record keys ride INSIDE the
+   * aggregate, exactly as the KPL does).
+   */
+  def writeAggregated(client: KinesisClient, stream: String,
+      policy: Policy, partitionKey: String,
+      maxPerAggregate: Int = 100,
+      maxAggregateBytes: Long = 1000L * 1024)(batch: DataFrame): Unit =
+    batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val blobs = chunks(it.map(_.getBytes("UTF-8")),
+          maxPerAggregate, maxAggregateBytes)
+        .map(g => graft.sources.Kpl.aggregate(
+          g.map(graft.sources.Kpl.UserRecord(partitionKey, _))))
+      chunks(blobs, policy.maxBatch, policy.maxBatchBytes)
+        .foreach(g => sendBatch(client, stream, g, policy))
+    }
 }
 
 /**

@@ -302,6 +302,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KPL deaggregate is total on arbitrary bytes and round-trips " +
+    "arbitrary aggregates (incl. near-magic adversaries)") {
+    import graft.sources.Kpl
+    // totality: random bytes — with and without a planted magic
+    // prefix — must return None or Some, never throw (the MD5 trailer
+    // gates every parse; random bytes cannot forge it)
+    val raw = samples(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray), 60)
+    raw.foreach { bs =>
+      Kpl.deaggregate(bs) // must not throw
+      // magic + garbage: random bytes cannot forge the MD5 trailer,
+      // so this is never an aggregate — and never an exception
+      assert(Kpl.deaggregate(Kpl.Magic ++ bs).isEmpty)
+    }
+    // round-trip: arbitrary record lists (unicode keys, empty/binary
+    // payloads, >127-byte payloads to exercise multi-byte varints)
+    val recGen = for {
+      key <- Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+        Gen.const("ké中"))
+      data <- Gen.oneOf(
+        Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+        Gen.chooseNum(120, 400).map(n => Array.fill[Byte](n)(42)))
+    } yield Kpl.UserRecord(key, data)
+    samples(Gen.nonEmptyListOf(recGen), 40).foreach { recs =>
+      val got = Kpl.deaggregate(Kpl.aggregate(recs))
+      assert(got.isDefined, "own aggregates must always verify")
+      assert(got.get.map(_.partitionKey) == recs.map(_.partitionKey))
+      assert(got.get.zip(recs).forall { case (a, b) =>
+        java.util.Arrays.equals(a.data, b.data) },
+        s"payload drift on ${recs.size} records")
+    }
+  }
+
   test("confusable fold is idempotent and ASCII-closed on adversarial strings") {
     import spark.implicits._
     val confusables = "\u00A0\u200B\u201C\u201D\u2018\u2019\u2014" +

@@ -362,6 +362,9 @@ final class FakeKinesis extends KinesisSource.KinesisShardClient {
     require(!closed(shard), s"$shard is closed (split parent)")
     shards.getOrElseUpdate(shard, mutable.ArrayBuffer.empty) += value
   }
+  /** Kinesis-record count of a shard (for aggregation-ratio asserts). */
+  def shardSize(shard: String): Int =
+    synchronized(shards.get(shard).map(_.size).getOrElse(0))
   /** Kinesis split: CLOSES the parent (no further writes) and opens
     * children carrying its lineage, exactly the ListShards shape. */
   def split(parent: String, children: String*): Unit = synchronized {

@@ -80,6 +80,41 @@ class KplSpec extends SparkSpec {
     assert(got.exists(_.map(r => new String(r.data, "UTF-8")) == Seq("v1", "v2")))
   }
 
+  test("producer→consumer loop: writeAggregated packs, the source unpacks, " +
+    "every record round-trips end to end") {
+    val fake = new FakeKinesis
+    KplLoop.fake = fake
+    KinesisSource.registerClient("kpl-loop", fake)
+    val df = spark.range(0, 250).selectExpr("id", "id * 3 AS v")
+      .coalesce(2).toDF()
+    val want = df.toJSON.collect().toSeq.sorted
+    graft.streaming.KinesisSink.writeAggregated(
+      KplLoop.client, "events",
+      graft.streaming.KinesisSink.Policy(sleep = _ => ()),
+      partitionKey = "pk", maxPerAggregate = 16)(df)
+    // aggregation really happened: 250 user records travelled as at
+    // most ceil(125/16)×2 = 16 Kinesis records
+    val blobs = fake.shardSize("shard-0")
+    assert(blobs <= 16 && blobs >= 2, s"got $blobs kinesis records")
+    val ck = Files.createTempDirectory("kpl-loop-ck").toString
+    val got = mutable.Buffer.empty[String]
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "kpl-loop")
+      .load()
+      .selectExpr("cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.getString(0)); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.sorted == want,
+      s"loop dropped/duplicated records: ${got.size} of ${want.size}")
+  }
+
   test("the Kinesis source de-aggregates KPL records in a real streaming " +
     "query; plain records ride along untouched") {
     val fake = new FakeKinesis
@@ -112,4 +147,18 @@ class KplSpec extends SparkSpec {
     assert(subSeqs.size == 1,
       s"sub-records must carry the aggregate's sequence: $got")
   }
+}
+
+/** JVM-singleton loop state: the sink's client closure serializes to
+  * executor threads, so it must reach the fake stream through statics
+  * (the TestCounters pattern), never a captured instance. */
+object KplLoop {
+  @volatile var fake: FakeKinesis = _
+  val client: graft.streaming.KinesisSink.KinesisClient =
+    new graft.streaming.KinesisSink.KinesisClient {
+      def putRecords(stream: String, recs: Seq[Array[Byte]]): Seq[Int] = {
+        recs.foreach(r => KplLoop.fake.pushRaw("shard-0", r))
+        Nil
+      }
+    }
 }

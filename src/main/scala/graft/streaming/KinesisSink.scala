@@ -228,12 +228,21 @@ object ExactlyOnceSink {
     }
   }
 
-  /** EventSink adapter for [[MicroBatch.start]]. */
+  /** EventSink adapter for [[MicroBatch.start]] with automatic ledger
+    * retention: after batch N completes, ledgers at or below
+    * N − `retainBatches` are retired — Structured Streaming's replay
+    * horizon is the last uncommitted batch, so a generous window
+    * behind it is unreachable by any legal replay. Without this the
+    * marker tree grows one directory per batch forever (the snapshot
+    * history lesson, applied at the sink). */
   final class ExactlyOnceEventSink(client: KinesisSink.KinesisClient,
-      stream: String, policy: KinesisSink.Policy, ledgerDir: String)
-      extends MicroBatch.EventSink {
-    def write(batch: DataFrame, batchId: Long): Unit =
+      stream: String, policy: KinesisSink.Policy, ledgerDir: String,
+      retainBatches: Int = 100) extends MicroBatch.EventSink {
+    require(retainBatches >= 1, "must retain at least the previous batch")
+    def write(batch: DataFrame, batchId: Long): Unit = {
       ExactlyOnceSink.write(client, stream, policy, ledgerDir)(batch, batchId)
+      ExactlyOnceSink.prune(ledgerDir, batchId - retainBatches)
+    }
   }
 }
 

@@ -303,6 +303,27 @@ class SinksAndControlSpec extends SparkSpec {
       finally left.close()
     assert(names == Set("b2"), s"only the uncommitted ledger survives: $names")
   }
+
+  test("the event-sink adapter retires old ledgers as batches commit") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)
+    val ledger = Files.createTempDirectory("graft-eo-ledger4").toString
+    val sink = new ExactlyOnceSink.ExactlyOnceEventSink(
+      crashyClient, "s", KinesisSink.Policy(sleep = _ => ()), ledger,
+      retainBatches = 2)
+    val df = spark.range(0, 2).coalesce(1).toDF()
+    (0L to 5L).foreach(b => sink.write(df, b))
+    val left = Files.list(Paths.get(ledger))
+    val names = try left.iterator().asScala.map(_.getFileName.toString).toSet
+      finally left.close()
+    // after batch 5 with retain=2: b≤3 retired, b4/b5 kept
+    assert(names == Set("b4", "b5"), s"retention window drifted: $names")
+    // replay INSIDE the window still dedups (the adapter must never
+    // prune what a legal restart could replay)
+    sink.write(df, 5L)
+    assert(acks.values.asScala.forall(_ == 6),
+      s"batch 5 replay must be a no-op: ${acks.asScala.toMap}")
+  }
 }
 
 /** JVM-singleton counters visible from executor threads (local mode). */

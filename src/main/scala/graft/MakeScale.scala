@@ -47,6 +47,10 @@ object MakeScale {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // getOrCreate may adopt a live session (a test JVM's); only a
+    // session THIS main created gets stopped at the end
+    val adopted = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,6 +138,6 @@ object MakeScale {
     }, "embeddings", 2)
 
     println(s"""{"made": "$out", "factor": $factor}""")
-    spark.stop()
+    if (!adopted) spark.stop()
   }
 }

@@ -63,11 +63,11 @@ object MakeScale {
       spark.read.parquet(s"$src/$name.parquet")
 
     def shiftOf(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key))).head().getLong(0) + 1L
 
     /** Union `factor` replicas of `df`, each transformed by `rep`. */
     def replicate(df: DataFrame)(rep: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(r => rep(df, r)).reduce(_.unionAll(_))
+      (0 until factor).map(r => rep(df, r)).reduce(_.union(_))
 
     def write(df: DataFrame, name: String, files: Int): Unit =
       df.repartition(files).write.mode("overwrite")

@@ -59,6 +59,27 @@ echo "=== plan fingerprints (flag + changed plan = regression, no ledger applies
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.PlanShapes /root/testdata/sf0.001 $OUT/plan_shapes.json" \
   | tail -1
 
+echo "=== fingerprint drift (informational: ALL changed plans, flagged or not) ==="
+# Round-15 lesson (q163): a stored fingerprint can go stale invisibly
+# when a query never time-flags — environment-induced plan flips
+# (broadcast-choice changes from fixture file statistics) then surface
+# a round late, tangled with real changes. Print every drift here so
+# the rebase below is an informed act, not a silent one.
+python3 - "$OUT/plan_shapes.json" <<'PYEOF'
+import json, os, sys
+fresh = json.load(open(sys.argv[1]))
+stored = {}
+if os.path.exists("tools/plan_shapes.json"):
+    stored = json.load(open("tools/plan_shapes.json"))
+changed = sorted(k for k in fresh if k in stored and fresh[k] != stored[k])
+added = sorted(k for k in fresh if k not in stored)
+removed = sorted(k for k in stored if k not in fresh)
+for k in changed: print(f"  changed: {k}")
+for k in added:   print(f"  new:     {k}")
+for k in removed: print(f"  removed: {k}")
+if not (changed or added or removed): print("  none")
+PYEOF
+
 echo "=== regressions vs best-known (ledger + plan-fingerprint discipline) ==="
 # A flagged regression is acceptable ONLY when (a) its physical plan
 # fingerprint is UNCHANGED vs tools/plan_shapes.json (round-13 verdict

@@ -304,6 +304,49 @@ class SinksAndControlSpec extends SparkSpec {
     assert(names == Set("b2"), s"only the uncommitted ledger survives: $names")
   }
 
+  test("exactly-once survives a REAL streaming crash/restart: the replayed " +
+    "checkpoint batch dedups through the ledger") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0)
+    val tmp = Files.createTempDirectory("eo-e2e")
+    val srcDir = Files.createDirectory(tmp.resolve("in"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val source = new MicroBatch.FileEventSource(srcDir.toString, s"$sf/events.parquet")
+    val ledger = tmp.resolve("ledger").toString
+    val sink = new ExactlyOnceSink.ExactlyOnceEventSink(
+      crashyClient, "s",
+      KinesisSink.Policy(maxBatch = 200, sleep = _ => ()), ledger)
+    val total = graft.model.Tables.events(spark, sf).count()
+    // the transport dies on its SECOND put call: chunk 0 is acked and
+    // marked, chunk 1 dies before acking — batch 0 fails, the QUERY
+    // fails, and Spark's checkpoint holds batch 0 uncommitted
+    failOnCall.set(2)
+    val q1 = MicroBatch.start(source.load(spark), sink,
+      tmp.resolve("ck").toString, queryName = "eo_e2e",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    if (q1.isActive) q1.stop()
+    assert(acks.size == 200, s"exactly chunk 0 acked pre-crash: ${acks.size}")
+    // restart from the SAME checkpoint with a healthy transport:
+    // Structured Streaming replays batch 0 in full; the ledger skips
+    // the 200 already-acked records and delivers the rest once
+    val q2 = MicroBatch.start(source.load(spark), sink,
+      tmp.resolve("ck").toString, queryName = "eo_e2e",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q2.processAllAvailable()
+      assert(acks.size.toLong == total,
+        s"all $total records delivered, got ${acks.size}")
+      assert(acks.values.asScala.forall(_ == 1),
+        "the checkpoint replay must dedup through the ledger — " +
+          s"duplicated: ${acks.asScala.filter(_._2 > 1).keys.take(3)}")
+    } finally if (q2.isActive) q2.stop()
+  }
+
   test("the event-sink adapter retires old ledgers as batches commit") {
     import ExactlyOnceLedger._
     acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)

@@ -5,6 +5,66 @@ package graft.model
   * artifact-orphan sweep, layout measurement, layout spec); a fix to
   * its edge behavior now lands once. */
 object Fs {
+
+  /**
+   * Conditional-create commit for small immutable marker blobs — the
+   * primitive [[graft.streaming.ExactlyOnceSink]]'s ledger stands on.
+   *
+   * Contract: `putIfAbsent` publishes `bytes` at `path` iff nothing is
+   * committed there, ATOMICALLY with respect to both concurrent
+   * committers and readers — exactly one writer wins, a loser gets the
+   * winner's bytes back, and no reader ever observes a partially
+   * written blob. `read` returns the committed bytes, or None while
+   * nothing is committed.
+   *
+   * Store contracts by backend:
+   *  - [[PosixMarkerStore]] (default): per-attempt UNIQUE temp file +
+   *    hard-link publish (`Files.createLink` fails atomically on an
+   *    existing target, and the content is fully on disk before the
+   *    name appears). Correct on POSIX filesystems and HDFS-family
+   *    stores with atomic namespace operations.
+   *  - S3 / object stores WITHOUT atomic rename: a rename-based commit
+   *    is NOT valid there — implement this trait over the store's
+   *    conditional put (`If-None-Match: *`, a DynamoDB lock item, or a
+   *    manifest-pointer swap); the trait is exactly that API's shape,
+   *    so the exactly-once analysis carries over unchanged (the spec
+   *    proves it against a conditional-put fake).
+   */
+  trait MarkerStore extends Serializable {
+    /** None = we won and `bytes` is committed; Some(existing) = a
+      * concurrent or earlier committer won and `existing` is what the
+      * path holds. */
+    def putIfAbsent(path: java.nio.file.Path,
+        bytes: Array[Byte]): Option[Array[Byte]]
+    def read(path: java.nio.file.Path): Option[Array[Byte]]
+  }
+
+  /** Default [[MarkerStore]] for POSIX/HDFS-semantics storage. */
+  object PosixMarkerStore extends MarkerStore {
+    import java.nio.file.{Files, FileAlreadyExistsException}
+    override def putIfAbsent(path: java.nio.file.Path,
+        bytes: Array[Byte]): Option[Array[Byte]] = {
+      // Per-attempt unique temp name: two concurrent attempts (task
+      // speculation, zombie tasks) must never share a staging file —
+      // a shared name lets one attempt atomically publish the OTHER
+      // attempt's half-written bytes as a truncated marker.
+      val tmp = path.resolveSibling(
+        s"${path.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, bytes)
+      try {
+        Files.createLink(path, tmp)
+        Files.deleteIfExists(tmp)
+        None
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          read(path) // the winner's committed bytes
+      }
+    }
+    override def read(path: java.nio.file.Path): Option[Array[Byte]] =
+      if (Files.exists(path)) Some(Files.readAllBytes(path)) else None
+  }
+
   /** Delete `root` and everything under it, deepest first. Missing
     * entries are tolerated (a concurrent sweep may have raced us);
     * a non-existent root is a no-op. */

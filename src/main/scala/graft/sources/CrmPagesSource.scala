@@ -558,9 +558,17 @@ class CrmPageReader(file: String, required: StructType,
   private def fetchWithBackoff(): Array[Byte] = {
     var attempt = 0
     var out: Array[Byte] = null
-    while (out == null) {
-      try out = fetch.fetch(file)
-      catch {
+    var fetched = false
+    while (!fetched) {
+      try {
+        out = fetch.fetch(file)
+        // A null return is a broken PageFetch, not a retryable state —
+        // looping on it would spin the task forever with no bound
+        // (only RateLimited counts attempts). Fail loud instead.
+        require(out != null, s"PageFetch returned null for $file — " +
+          "fetch must return bytes or throw")
+        fetched = true
+      } catch {
         case e: CrmPagesSource.RateLimited =>
           attempt += 1
           if (attempt > policy.maxRetries) throw e // bounded, loud

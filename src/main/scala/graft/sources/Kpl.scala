@@ -69,9 +69,16 @@ object Kpl {
       out // unreachable
     }
     def lengthDelimited(): (Int, Int) = {
-      val len = varint().toInt
-      require(len >= 0 && pos + len <= end, "length-delimited field overruns")
-      val at = pos; pos += len; (at, len)
+      // Length stays a Long until the bound check: a crafted MD5-valid
+      // aggregate with a length near 2^31 must fail HERE (the
+      // subtraction form cannot overflow), not truncate into a small
+      // value or slip past an Int-overflowed `pos + len` and AIOOBE
+      // later — "verified digest parses loudly or correctly" holds for
+      // adversarial producers too.
+      val len = varint()
+      require(len >= 0L && len <= (end - pos).toLong,
+        s"length-delimited field overruns (len=$len, remaining=${end - pos})")
+      val at = pos; pos += len.toInt; (at, len.toInt)
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()

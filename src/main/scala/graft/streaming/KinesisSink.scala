@@ -111,11 +111,36 @@ object KinesisSink {
    * constant the caller routes by (per-record keys ride INSIDE the
    * aggregate, exactly as the KPL does).
    */
+  /** The Kinesis per-record ceiling the aggregate must fit inside. */
+  val KinesisRecordLimit: Long = 1024L * 1024
+
+  /** Worst-case bytes [[graft.sources.Kpl.aggregate]] adds on top of
+    * the summed user payloads: magic (4) + MD5 trailer (16) + the
+    * single-entry key table (field header ≤ 6 + key bytes) + per
+    * record ≤ 23 bytes of protobuf framing (outer field header ≤ 6,
+    * partition_key_index ≤ 11, data field header ≤ 6). */
+  private[streaming] def aggregateOverhead(
+      maxPerAggregate: Int, partitionKey: String): Long =
+    20L + 6L + partitionKey.getBytes("UTF-8").length +
+      23L * maxPerAggregate
+
   def writeAggregated(client: KinesisClient, stream: String,
       policy: Policy, partitionKey: String,
       maxPerAggregate: Int = 100,
-      maxAggregateBytes: Long = 1000L * 1024)(batch: DataFrame): Unit =
+      maxAggregateBytes: Long = 1000L * 1024)(batch: DataFrame): Unit = {
+    // `maxAggregateBytes` bounds only the summed USER payload bytes;
+    // the emitted Kinesis record adds magic + MD5 + protobuf framing +
+    // the key table. Enforce the envelope at the seam: payload cap +
+    // worst-case framing must fit the 1 MiB record ceiling, so no
+    // caller setting (e.g. maxAggregateBytes at exactly 1 MiB) can
+    // produce an over-limit put record.
+    require(maxAggregateBytes + aggregateOverhead(maxPerAggregate,
+        partitionKey) <= KinesisRecordLimit,
+      s"maxAggregateBytes=$maxAggregateBytes plus worst-case KPL framing " +
+        s"${aggregateOverhead(maxPerAggregate, partitionKey)} exceeds the " +
+        s"$KinesisRecordLimit-byte Kinesis record limit")
     batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+
       val blobs = chunks(it.map(_.getBytes("UTF-8")),
           maxPerAggregate, maxAggregateBytes)
         .map(g => graft.sources.Kpl.aggregate(
@@ -123,6 +148,7 @@ object KinesisSink {
       chunks(blobs, policy.maxBatch, policy.maxBatchBytes)
         .foreach(g => sendBatch(client, stream, g, policy))
     }
+  }
 }
 
 /**
@@ -132,10 +158,10 @@ object KinesisSink {
  * crash after a partially-acked call makes the replayed micro-batch
  * re-send records the stream already has. The fix is the repo's
  * manifest discipline applied to the sink: a batchId-keyed COMMITTED
- * ledger of (partition, chunk) markers, written atomically AFTER each
- * chunk's ack, so a replayed batch skips chunks the previous attempt
- * already delivered. This also dedups task-level retries and
- * speculative re-attempts within one batch, not just batch replays.
+ * ledger of (partition, chunk) markers, committed conditionally AFTER
+ * each chunk's ack, so a replayed batch skips chunks the previous
+ * attempt already delivered. Sequential task retries dedup the same
+ * way (the retry reads the committed markers).
  *
  * The guarantee is conditional on the foreachBatch replay contract
  * Structured Streaming already provides: a restarted query re-delivers
@@ -145,19 +171,37 @@ object KinesisSink {
  * and content md5, and a replay whose chunk differs from the acked one
  * fails LOUDLY instead of silently skipping different data.
  *
- * The irreducible window — a crash BETWEEN the transport ack and the
- * marker move — re-sends that single chunk (at-least-once for one
- * call's worth of records); closing it needs a transactional sink,
- * which Kinesis does not offer. Everything outside that window is
- * exactly-once.
+ * The irreducible at-least-once window is a chunk whose send was acked
+ * but whose marker is not yet committed. Two paths land in it:
+ *  - a CRASH between the transport ack and the marker commit re-sends
+ *    that single chunk on replay (proven one chunk wide by the
+ *    crash-point enumeration spec);
+ *  - CONCURRENT attempts of one partition within one batch (task
+ *    speculation, a zombie task racing its replacement) can both pass
+ *    the marker read-miss and both send a chunk before either commits.
+ * In both cases the marker itself stays intact: commits go through
+ * [[graft.model.Fs.MarkerStore.putIfAbsent]] (per-attempt staging +
+ * conditional create), so exactly one attempt publishes a complete
+ * marker, the loser verifies it committed the IDENTICAL chunk (a
+ * different chunk is replay divergence and fails loudly), and no
+ * reader ever sees a truncated signature. Closing the window entirely
+ * needs a transactional sink, which Kinesis does not offer; everything
+ * outside it is exactly-once. Deployments that want the window to be
+ * crash-only can set `spark.speculation=false` (the Spark default).
  *
- * At 1000 executors the ledger is one tiny marker file per
- * (batch, partition, chunk) on shared storage — the same object-store
- * commit pattern as the manifest artifacts; `prune` retires ledgers
- * at or below the checkpoint's committed watermark.
+ * At 1000 executors the ledger is one tiny marker per (batch,
+ * partition, chunk) on shared storage. The commit primitive is the
+ * pluggable [[graft.model.Fs.MarkerStore]]: the default
+ * [[graft.model.Fs.PosixMarkerStore]] requires POSIX/HDFS atomic
+ * namespace semantics; on S3-family object stores (no atomic rename)
+ * implement the trait over a conditional put (`If-None-Match: *`) —
+ * the analysis above holds for any implementation honoring the trait
+ * contract, which the spec proves against a conditional-put fake.
+ * `prune` retires ledgers at or below the checkpoint's committed
+ * watermark.
  */
 object ExactlyOnceSink {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.file.{Files, Paths}
   import scala.jdk.CollectionConverters._
 
   private def md5hex(gs: Seq[Array[Byte]]): String = {
@@ -177,38 +221,59 @@ object ExactlyOnceSink {
 
   /** foreachBatch body: ledgered, chunk-idempotent put. */
   def write(client: KinesisSink.KinesisClient, stream: String,
-      policy: KinesisSink.Policy, ledgerDir: String)(
+      policy: KinesisSink.Policy, ledgerDir: String,
+      store: graft.model.Fs.MarkerStore = graft.model.Fs.PosixMarkerStore)(
       batch: DataFrame, batchId: Long): Unit =
     batch.toJSON.foreachPartition { (it: Iterator[String]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val dir = Paths.get(ledgerDir, s"b$batchId", s"p$pid")
-      Files.createDirectories(dir)
-      var ci = 0
-      KinesisSink.chunks(it.map(_.getBytes("UTF-8")),
-          policy.maxBatch, policy.maxBatchBytes)
-        .foreach { g =>
-          val marker = dir.resolve(s"c$ci")
-          val sig = s"${g.size} ${md5hex(g)}"
-          if (Files.exists(marker)) {
-            val prev = new String(Files.readAllBytes(marker), "UTF-8").trim
-            if (prev != sig)
-              throw new IllegalStateException(
-                s"replay divergence at batch $batchId partition $pid " +
-                  s"chunk $ci: acked [$prev] but replay produced [$sig] " +
-                  "— the source replayed DIFFERENT rows for a committed " +
-                  "chunk; refusing to skip (and to re-send) silently")
+      deliverPartition(client, stream, policy, ledgerDir, store,
+        it, batchId, org.apache.spark.TaskContext.getPartitionId())
+    }
+
+  /** One partition's ledgered delivery — the foreachPartition body,
+    * callable directly so the concurrent-attempt spec can race two
+    * attempts of the SAME partition deterministically on plain
+    * threads. */
+  private[streaming] def deliverPartition(
+      client: KinesisSink.KinesisClient, stream: String,
+      policy: KinesisSink.Policy, ledgerDir: String,
+      store: graft.model.Fs.MarkerStore,
+      it: Iterator[String], batchId: Long, pid: Int): Unit = {
+    val dir = Paths.get(ledgerDir, s"b$batchId", s"p$pid")
+    Files.createDirectories(dir)
+    def divergence(ci: Int, prev: String, sig: String): Nothing =
+      throw new IllegalStateException(
+        s"replay divergence at batch $batchId partition $pid " +
+          s"chunk $ci: acked [$prev] but replay produced [$sig] " +
+          "— the source replayed DIFFERENT rows for a committed " +
+          "chunk; refusing to skip (and to re-send) silently")
+    var ci = 0
+    KinesisSink.chunks(it.map(_.getBytes("UTF-8")),
+        policy.maxBatch, policy.maxBatchBytes)
+      .foreach { g =>
+        val marker = dir.resolve(s"c$ci")
+        val sig = s"${g.size} ${md5hex(g)}"
+        store.read(marker) match {
+          case Some(prevBytes) =>
+            val prev = new String(prevBytes, "UTF-8").trim
+            if (prev != sig) divergence(ci, prev, sig)
             // else: chunk already delivered by a prior attempt — skip
-          } else {
+          case None =>
             KinesisSink.sendBatch(client, stream, g, policy)
             crashPoint(s"chunk-acked:$ci")
-            val tmp = dir.resolve(s"c$ci.tmp")
-            Files.write(tmp, sig.getBytes("UTF-8"))
-            Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+            store.putIfAbsent(marker, sig.getBytes("UTF-8")) match {
+              case None => // we committed the marker
+              case Some(winnerBytes) =>
+                // A concurrent attempt committed first — both attempts
+                // sent this chunk (the documented at-least-once
+                // window), but the marker must pin the SAME chunk.
+                val winner = new String(winnerBytes, "UTF-8").trim
+                if (winner != sig) divergence(ci, winner, sig)
+            }
             crashPoint(s"marker-committed:$ci")
-          }
-          ci += 1
         }
-    }
+        ci += 1
+      }
+  }
 
   /** Retire ledger state for batches the checkpoint has committed:
     * Structured Streaming never replays a batchId at or below the
@@ -237,10 +302,13 @@ object ExactlyOnceSink {
     * history lesson, applied at the sink). */
   final class ExactlyOnceEventSink(client: KinesisSink.KinesisClient,
       stream: String, policy: KinesisSink.Policy, ledgerDir: String,
-      retainBatches: Int = 100) extends MicroBatch.EventSink {
+      retainBatches: Int = 100,
+      store: graft.model.Fs.MarkerStore = graft.model.Fs.PosixMarkerStore)
+      extends MicroBatch.EventSink {
     require(retainBatches >= 1, "must retain at least the previous batch")
     def write(batch: DataFrame, batchId: Long): Unit = {
-      ExactlyOnceSink.write(client, stream, policy, ledgerDir)(batch, batchId)
+      ExactlyOnceSink.write(client, stream, policy, ledgerDir, store)(
+        batch, batchId)
       ExactlyOnceSink.prune(ledgerDir, batchId - retainBatches)
     }
   }

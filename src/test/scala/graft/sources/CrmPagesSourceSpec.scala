@@ -340,6 +340,28 @@ class CrmPagesSourceSpec extends SparkSpec {
     } finally CrmPagesSource.pageTransport = saved
   }
 
+  test("a null-returning PageFetch fails the task loudly instead of spinning") {
+    // Only RateLimited bounds the retry loop; a null fetch result used
+    // to re-enter `while (out == null)` forever with attempt never
+    // incremented — an unkillable spinning task. It must fail fast.
+    val saved = CrmPagesSource.pageTransport
+    try {
+      FlakyFetch.reset(failTimes = 0)
+      CrmPagesSource.pageTransport = (FlakyFetch.NullFetch,
+        CrmPagesSource.FetchPolicy(maxRetries = 5, backoffMs = 1L,
+          sleep = FlakyFetch.recordSleep))
+      val e = intercept[org.apache.spark.SparkException] {
+        read.select("event_id").collect()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(chain.exists(_.contains("PageFetch returned null")),
+        s"expected the null-fetch guard, got: $chain")
+      assert(FlakyFetch.sleeps.size == 0,
+        "a null fetch must never enter the backoff loop")
+    } finally CrmPagesSource.pageTransport = saved
+  }
+
   test("malformed page degrades to zero rows instead of failing the scan") {
     val dir = Files.createTempDirectory("crmbad")
     val good = CrmPagesSource.pageChain(pageDir.toString).head
@@ -477,5 +499,10 @@ object FlakyFetch {
   object AlwaysIoError extends CrmPagesSource.PageFetch {
     def fetch(file: String): Array[Byte] =
       throw new java.io.IOException("503 from the origin")
+  }
+  /** A broken PageFetch that returns null (the trait can't forbid it);
+    * the reader must fail loudly, not spin the retry loop forever. */
+  object NullFetch extends CrmPagesSource.PageFetch {
+    def fetch(file: String): Array[Byte] = null
   }
 }

@@ -65,6 +65,37 @@ class KplSpec extends SparkSpec {
     assert(e.getMessage.contains("dangles"), e.getMessage)
   }
 
+  test("adversarial varint lengths fail loudly: no Int overflow, no silent " +
+    "truncation") {
+    def vi(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def framed(payload: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Kpl.Magic ++ payload ++ md.digest(payload)
+    }
+    // field 1, wire 2, declared length Int.MaxValue: with Int
+    // arithmetic `pos + len` overflows negative and slips the bound
+    // check (AIOOBE later); the Long-safe check must refuse it here
+    val overflow = new java.io.ByteArrayOutputStream()
+    vi(overflow, (1 << 3) | 2L); vi(overflow, Int.MaxValue.toLong)
+    val e1 = intercept[IllegalArgumentException] {
+      Kpl.deaggregate(framed(overflow.toByteArray))
+    }
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+    // declared length 2^33: truncating toInt yields 0 — the old parse
+    // read it as an EMPTY field and carried on (silent mis-parse of a
+    // verified-digest record); it must fail loudly instead
+    val truncating = new java.io.ByteArrayOutputStream()
+    vi(truncating, (1 << 3) | 2L); vi(truncating, 1L << 33)
+    val e2 = intercept[IllegalArgumentException] {
+      Kpl.deaggregate(framed(truncating.toByteArray))
+    }
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+  }
+
   test("unknown protobuf fields are skipped (forward compatibility)") {
     // splice an unknown field 7 (varint) ahead of a valid aggregate's
     // own fields, re-digest — future KPL versions must not break us

@@ -347,6 +347,115 @@ class SinksAndControlSpec extends SparkSpec {
     } finally if (q2.isActive) q2.stop()
   }
 
+  test("writeAggregated keeps the emitted record inside the 1 MiB Kinesis " +
+    "envelope: framing accounted, over-limit settings refused") {
+    // the payload cap alone is NOT the record size: magic + MD5 +
+    // protobuf framing + the key table ride on top. A cap at the 1 MiB
+    // ceiling must be refused at the seam, before any send
+    val client = new KinesisSink.KinesisClient {
+      def putRecords(s: String, recs: Seq[Array[Byte]]): Seq[Int] = Nil
+    }
+    val df = spark.range(0, 1).toDF()
+    intercept[IllegalArgumentException] {
+      KinesisSink.writeAggregated(client, "s",
+        KinesisSink.Policy(sleep = _ => ()), "pk",
+        maxAggregateBytes = 1024L * 1024)(df)
+    }
+    // and the claimed worst-case overhead really bounds the observed
+    // framing: blob size − summed payload ≤ aggregateOverhead(n, key)
+    val key = "partition-key-é"
+    Seq(1, 7, 100).foreach { n =>
+      val recs = (0 until n).map(i =>
+        graft.sources.Kpl.UserRecord(key, Array.fill[Byte](i % 50 + 1)(3)))
+      val blob = graft.sources.Kpl.aggregate(recs)
+      val payload = recs.iterator.map(_.data.length.toLong).sum
+      assert(blob.length - payload <= KinesisSink.aggregateOverhead(n, key),
+        s"n=$n: framing ${blob.length - payload} exceeds the claimed bound " +
+          s"${KinesisSink.aggregateOverhead(n, key)}")
+    }
+  }
+
+  test("concurrent attempts of one partition never corrupt the ledger: the " +
+    "losing attempt verifies the winner's identical marker (speculation race)") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)
+    val ledger = Files.createTempDirectory("eo-race").toString
+    val policy = KinesisSink.Policy(maxBatch = 10, sleep = _ => ())
+    val rows = (0 until 4).map(i => s"""{"id":$i}""")
+    // deterministic interleave at the widest race: attempt A passes the
+    // read-miss and the send, then STALLS before its marker commit;
+    // attempt B runs the whole chunk (read-miss → send → commit); A
+    // resumes into putIfAbsent and LOSES to B's committed marker
+    val aSent = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val firstThrough = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val aFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      ExactlyOnceSink.crashPoint = l =>
+        if (l == "chunk-acked:0" && firstThrough.getAndSet(false)) {
+          aSent.countDown()
+          assert(bDone.await(30, java.util.concurrent.TimeUnit.SECONDS),
+            "race spec deadlock")
+        }
+      val a = new Thread(() =>
+        try ExactlyOnceSink.deliverPartition(crashyClient, "s", policy,
+          ledger, graft.model.Fs.PosixMarkerStore, rows.iterator, 3L, 0)
+        catch { case t: Throwable => aFailure.set(t) })
+      a.start()
+      assert(aSent.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      ExactlyOnceSink.deliverPartition(crashyClient, "s", policy,
+        ledger, graft.model.Fs.PosixMarkerStore, rows.iterator, 3L, 0)
+      bDone.countDown()
+      a.join(30000)
+      assert(!a.isAlive, "attempt A must complete")
+    } finally ExactlyOnceSink.crashPoint = _ => ()
+    // the loser must NOT throw spurious divergence — the winner's
+    // marker pins the identical chunk
+    assert(aFailure.get() == null, s"losing attempt failed: ${aFailure.get()}")
+    // both attempts sent (the documented at-least-once window for
+    // concurrent attempts): each record acked exactly twice, and the
+    // committed marker is a complete, parseable signature
+    assert(acks.values.asScala.forall(_ == 2), acks.asScala.toMap)
+    // a later replay dedups through the intact marker: no new acks
+    ExactlyOnceSink.deliverPartition(crashyClient, "s", policy,
+      ledger, graft.model.Fs.PosixMarkerStore, rows.iterator, 3L, 0)
+    assert(acks.values.asScala.forall(_ == 2),
+      "post-commit replays must be exact no-ops")
+  }
+
+  test("the ledger holds on an object store WITHOUT atomic rename: a " +
+    "conditional-put MarkerStore gives the same crash/restart exactly-once") {
+    import ExactlyOnceLedger._
+    acks.clear(); calls.set(0); failOnCall.set(2)
+    val ledger = Files.createTempDirectory("eo-s3").toString
+    ConditionalPutStore.blobs.clear()
+    val df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).toDF()
+    val policy = KinesisSink.Policy(maxBatch = 4, sleep = _ => ())
+    // same crash scenario as the POSIX test, but every marker commit
+    // goes through If-None-Match semantics — no rename anywhere
+    intercept[org.apache.spark.SparkException] {
+      ExactlyOnceSink.write(crashyClient, "s", policy, ledger,
+        ConditionalPutStore)(df, 7L)
+    }
+    assert(acks.size == 4, s"only chunk 0 should be acked: ${acks.size}")
+    ExactlyOnceSink.write(crashyClient, "s", policy, ledger,
+      ConditionalPutStore)(df, 7L)
+    assert(acks.size == 10 && acks.values.asScala.forall(_ == 1),
+      s"every record exactly once, got ${acks.asScala.toMap}")
+    ExactlyOnceSink.write(crashyClient, "s", policy, ledger,
+      ConditionalPutStore)(df, 7L)
+    assert(acks.values.asScala.forall(_ == 1), "full replay must be a no-op")
+    // and the divergence guard still trips through this store
+    val e = intercept[org.apache.spark.SparkException] {
+      ExactlyOnceSink.write(crashyClient, "s", policy, ledger,
+        ConditionalPutStore)(spark.range(90, 100).coalesce(1).toDF(), 7L)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("replay divergence")), chain)
+  }
+
   test("the event-sink adapter retires old ledgers as batches commit") {
     import ExactlyOnceLedger._
     acks.clear(); calls.set(0); failOnCall.set(Int.MaxValue)
@@ -373,6 +482,20 @@ class SinksAndControlSpec extends SparkSpec {
 object TestCounters {
   val counter = new AtomicInteger(0)
   val maxSeen = new AtomicInteger(0)
+}
+
+/** An S3-style MarkerStore fake: no rename exists; `putIfAbsent` is a
+  * conditional put (`If-None-Match: *` — the real S3 primitive), backed
+  * by a JVM-singleton map so executor threads and the spec see one
+  * store. Proves the exactly-once analysis holds on object stores where
+  * [[graft.model.Fs.PosixMarkerStore]]'s link/rename family is absent. */
+object ConditionalPutStore extends graft.model.Fs.MarkerStore {
+  val blobs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  override def putIfAbsent(path: java.nio.file.Path,
+      bytes: Array[Byte]): Option[Array[Byte]] =
+    Option(blobs.putIfAbsent(path.toString, bytes))
+  override def read(path: java.nio.file.Path): Option[Array[Byte]] =
+    Option(blobs.get(path.toString))
 }
 
 /** Shared state for the exactly-once sink specs: per-record ack counts

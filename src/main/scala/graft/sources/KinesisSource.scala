@@ -115,30 +115,39 @@ object KinesisSource {
       * the source makes no cross-shard ordering promise for them. */
     def parentShardIds(streamName: String, shardId: String): Seq[String] =
       Seq.empty
-    /** Bounded advance for backpressure: the sequence reached after
-      * reading at most `maxRecords` records strictly after
-      * `afterSequence`, with the count covered (< maxRecords ⇒ the
-      * shard is drained to its latest). None when nothing follows
-      * `afterSequence`. Default: a lazy bounded scan of `getRecords`
-      * up to the shard's latest — early-exits after `maxRecords`, so
-      * cost is O(maxRecords) when the transport iterator is lazy. A
-      * production client maps this directly onto GetRecords(Limit=n),
-      * Kinesis' own page bound — the same per-page `limit=100`
-      * discipline the reference enforces on every fetch
-      * (reference app/hs_contacts.py:80,101). */
+    /** Bounded advance toward a FIXED target sequence, never past it:
+      * the sequence reached after reading at most `maxRecords` records
+      * strictly after `afterSequence`, with the count covered
+      * (< maxRecords ⇒ drained to `upToSequence`). None when nothing
+      * follows `afterSequence` up to the target. The fixed target is
+      * what makes a batch deterministic under concurrent producers —
+      * and what lets Trigger.AvailableNow cap every advance at the
+      * frontier latched at query start instead of a moving live head.
+      * Default: a lazy bounded scan of `getRecords` — early-exits
+      * after `maxRecords`, so cost is O(maxRecords) when the transport
+      * iterator is lazy. A production client maps this directly onto
+      * GetRecords(Limit=n), Kinesis' own page bound — the same
+      * per-page `limit=100` discipline the reference enforces on every
+      * fetch (reference app/hs_contacts.py:80,101). */
+    def advanceTo(streamName: String, shardId: String,
+        afterSequence: Option[String], upToSequence: String,
+        maxRecords: Int): Option[(String, Int)] =
+      if (afterSequence.contains(upToSequence)) None
+      else {
+        val it = getRecords(streamName, shardId, afterSequence, upToSequence)
+        var last: String = null
+        var n = 0
+        while (n < maxRecords && it.hasNext) { last = it.next()._1; n += 1 }
+        if (n == 0) None else Some((last, n))
+      }
+
+    /** [[advanceTo]] with the shard's live latest as the target —
+      * the lag-metrics path, where the moving head IS the question. */
     def advance(streamName: String, shardId: String,
         afterSequence: Option[String], maxRecords: Int)
         : Option[(String, Int)] =
-      latestSequence(streamName, shardId).flatMap { latest =>
-        if (afterSequence.contains(latest)) None
-        else {
-          val it = getRecords(streamName, shardId, afterSequence, latest)
-          var last: String = null
-          var n = 0
-          while (n < maxRecords && it.hasNext) { last = it.next()._1; n += 1 }
-          if (n == 0) None else Some((last, n))
-        }
-      }
+      latestSequence(streamName, shardId).flatMap(latest =>
+        advanceTo(streamName, shardId, afterSequence, latest, maxRecords))
   }
 
   /** Driver-process client registry: the DSv2 option boundary is
@@ -213,8 +222,31 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     minDelayMs: Long = KinesisSource.DefaultMaxTriggerDelayMs)
     extends streaming.MicroBatchStream
     with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow
     with streaming.ReportsSourceMetrics {
   private def client = KinesisSource.clientFor(clientName)
+
+  /**
+   * `Trigger.AvailableNow` latch (the "drain the backlog in bounded
+   * batches, then stop" production trigger): the per-shard high-water
+   * frontier snapshotted at query start. While set, `latestOffset`
+   * advances toward THIS frozen frontier — under the SAME ReadLimit
+   * budget and reshard parent-before-child gate as a continuous run —
+   * and returns `start` unchanged once every latched shard reaches it,
+   * so the engine sees no new data and terminates the query. Records
+   * arriving after the latch (new sequences, new shards) are simply
+   * not in the frontier; they wait in retention for the next run.
+   * Without this a backfill query would fall back to Spark's generic
+   * AvailableNow wrapper, which snapshots via the plain latestOffset
+   * path and bypasses the source's own admission control.
+   */
+  private var availableNowLatch: Option[Map[String, String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val c = client
+    availableNowLatch = Some(c.listShards(stream)
+      .flatMap(sh => c.latestSequence(stream, sh).map(sh -> _)).toMap)
+  }
 
   /**
    * CONSUMER LAG in every progress report — the Kinesis ops metric
@@ -238,7 +270,7 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
       : java.util.Map[String, String] = {
     val s =
       if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[KinesisOffset].seqs
+        asKinesisOffset(latestConsumedOffset.get).seqs
       else Map.empty[String, String]
     val c = client
     val listed = c.listShards(stream)
@@ -324,8 +356,10 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
       val after = s.get(shard)
       if (!after.contains(latest)) {
         val want = math.min(need - acc, Int.MaxValue.toLong).toInt
-        acc += c.advance(stream, shard, after, want).map(_._2.toLong)
-          .getOrElse(0L)
+        // counted toward the admitted frontier (the latch under
+        // Trigger.AvailableNow), never the moving live head
+        acc += c.advanceTo(stream, shard, after, latest, want)
+          .map(_._2.toLong).getOrElse(0L)
       }
     }
     acc >= need
@@ -355,13 +389,31 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
    * skips the batch) while fewer than minRows records are available
    * AND the trigger-delay ceiling hasn't lapsed.
    */
+  /** Accept either our offset or the engine's SerializedOffset: when a
+    * crashed query restarts with an UNCOMMITTED batch in the offset
+    * WAL, MicroBatchExecution replays that batch passing the logged
+    * offset through verbatim (it does not call deserializeOffset on
+    * this path) — every cast site must tolerate it or restart-replay
+    * dies with a ClassCastException. */
+  private def asKinesisOffset(off: streaming.Offset): KinesisOffset =
+    off match {
+      case k: KinesisOffset => k
+      case other => deserializeOffset(other.json())
+        .asInstanceOf[KinesisOffset]
+    }
+
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
-    val s = start.asInstanceOf[KinesisOffset].seqs
+    val s = asKinesisOffset(start).seqs
     val c = client
-    val listed = c.listShards(stream)
-    val latest = listed
-      .flatMap(sh => c.latestSequence(stream, sh).map(sh -> _)).toMap
+    // Under Trigger.AvailableNow the shard universe and each shard's
+    // frontier are the LATCHED snapshot (shards and sequences that
+    // appeared after query start do not exist for this run); a
+    // continuous run re-derives both live each trigger.
+    val listed = availableNowLatch.map(_.keys.toSeq)
+      .getOrElse(c.listShards(stream))
+    val latest = availableNowLatch.getOrElse(listed
+      .flatMap(sh => c.latestSequence(stream, sh).map(sh -> _)).toMap)
     val gated = latest.filter { case (shard, _) =>
       s.contains(shard) ||
         c.parentShardIds(stream, shard).forall { p =>
@@ -387,7 +439,10 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
             .toInt
           gated.map { case (shard, lat) =>
             if (s.get(shard).contains(lat)) shard -> lat
-            else shard -> c.advance(stream, shard, s.get(shard), per)
+            // capped advance toward the ADMITTED frontier `lat` (the
+            // latch under AvailableNow) — never past it, even if the
+            // live head has moved on
+            else shard -> c.advanceTo(stream, shard, s.get(shard), lat, per)
               .map(_._1).getOrElse(lat)
           }
         }
@@ -416,8 +471,8 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
 
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KinesisOffset].seqs
-    val e = end.asInstanceOf[KinesisOffset].seqs
+    val s = asKinesisOffset(start).seqs
+    val e = asKinesisOffset(end).seqs
     // one partition per shard in `end`; a shard new since `start`
     // (resharding child) has no `after` and reads from its beginning.
     // A shard whose sequence hasn't moved plans nothing.

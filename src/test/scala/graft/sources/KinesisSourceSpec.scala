@@ -295,6 +295,97 @@ class KinesisSourceSpec extends SparkSpec {
     assert(batchSizes.count(_ > 0) >= 6, s"300/50 needs >=6 batches: $batchSizes")
   }
 
+  test("Trigger.AvailableNow drains a 10k backlog in bounded batches exactly " +
+    "once, honors reshard order, ignores post-start records, and terminates") {
+    val fake = new FakeKinesis
+    // mid-backlog reshard, all BEFORE query start: 6000 undelivered
+    // parent records, a split, then 4000 child records
+    fake.push("shard-p", (0 until 6000).map(i => s"p$i"): _*)
+    fake.split("shard-p", "shard-c")
+    fake.push("shard-c", (0 until 4000).map(i => s"c$i"): _*)
+    // post-start arrivals inject on the FIRST getRecords call — which
+    // is necessarily after prepareForTriggerAvailableNow latched the
+    // frontier (the latch only lists shards / reads head sequences)
+    KinesisSource.registerClient("fake-avnow", new PostLatchArrivals(fake))
+    val ck = Files.createTempDirectory("kinesis-avnow-ck").toString
+    def runAvailableNow(): mutable.Buffer[(Long, String, String, String)] = {
+      val got = mutable.Buffer.empty[(Long, String, String, String)]
+      val q = spark.readStream
+        .format("graft.sources.KinesisSource")
+        .option("stream", "events")
+        .option("client", "fake-avnow")
+        .option("maxRecordsPerBatch", "100")
+        .load()
+        .selectExpr("shard_id", "sequence", "cast(data as string) AS v")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          got ++= df.collect().map(r =>
+            (id, r.getString(0), r.getString(1), r.getString(2)))
+          ()
+        }
+        .start()
+      // the trigger's defining property: the query STOPS BY ITSELF
+      assert(q.awaitTermination(300000),
+        "an AvailableNow query must terminate once the latch is drained")
+      got
+    }
+    val got = runAvailableNow()
+    // exactly the pre-start backlog, each record once
+    assert(got.size == 10000, s"expected the 10k backlog, got ${got.size}")
+    assert(got.map(t => (t._2, t._3)).distinct.size == got.size,
+      "duplicate (shard, sequence) delivered")
+    assert(got.map(_._4).toSet ==
+      ((0 until 6000).map(i => s"p$i") ++ (0 until 4000).map(i => s"c$i")).toSet,
+      "post-start records leaked into (or backlog records fell out of) " +
+        "the latched run")
+    // bounded batches under the source's OWN admission control:
+    // 100 records/batch → 100 micro-batches, never over the cap
+    val byBatch = got.groupBy(_._1)
+    assert(byBatch.values.forall(_.size <= 100),
+      s"a batch exceeded maxRecordsPerBatch: ${byBatch.view.mapValues(_.size).toMap}")
+    assert(byBatch.size >= 100, s"10k/100 needs >=100 batches, got ${byBatch.size}")
+    // the reshard gate survives the latch: every capped parent batch
+    // lands strictly before any child batch
+    val lastParent = got.collect { case (b, "shard-p", _, _) => b }.max
+    val firstChild = got.collect { case (b, "shard-c", _, _) => b }.min
+    assert(lastParent < firstChild,
+      s"parent (≤$lastParent) must fully drain before the child ($firstChild)")
+    // the deferred post-start records are NOT lost: a second
+    // AvailableNow run against the same checkpoint picks up exactly
+    // the late child records and the post-start shard, then stops
+    val got2 = runAvailableNow()
+    assert(got2.map(_._4).sorted ==
+      ((0 until 50).map(i => s"late$i") ++ (0 until 10).map(i => s"new$i"))
+        .sorted.toBuffer,
+      s"second run must deliver exactly the post-start arrivals: " +
+        s"${got2.size} records")
+  }
+
+  test("the AvailableNow latch caps latestOffset at the start frontier even " +
+    "as the live head keeps moving") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("fake-latch", fake)
+    fake.push("shard-0", (0 until 10).map(i => s"v$i"): _*)
+    val stream = new KinesisMicroBatchStream("events", "fake-latch")
+    stream.prepareForTriggerAvailableNow()
+    // the head moves AFTER the latch: 5 more records
+    fake.push("shard-0", (10 until 15).map(i => s"v$i"): _*)
+    val (triggers, got) = drainWith(fake, stream, ReadLimit.maxRows(4), 50)
+    // 10 latched records at 4/batch = 3 triggers; the 5 live-head
+    // records are beyond the latch and must not move the offset
+    assert(triggers == 3, s"10 latched records at 4/batch: $triggers")
+    assert(got.map(_._2).toSet == (0 until 10).map(i => f"$i%019d").toSet,
+      s"drain must stop exactly at the latched frontier: $got")
+    // a fresh CONTINUOUS stream object (no latch) reads the rest
+    val live = new KinesisMicroBatchStream("events", "fake-latch")
+    val lastLatched = KinesisOffset(Map("shard-0" -> f"${9L}%019d"))
+    val next = live.latestOffset(lastLatched, ReadLimit.allAvailable())
+      .asInstanceOf[KinesisOffset]
+    assert(next.seqs == Map("shard-0" -> f"${14L}%019d"), next)
+  }
+
   test("consumer-lag metrics: records behind latest, per committed offset") {
     val fake = new FakeKinesis
     KinesisSource.registerClient("fake-metrics", fake)
@@ -343,6 +434,31 @@ class KinesisSourceSpec extends SparkSpec {
     assert(m.get("numShards") == "1", m)
     q.stop()
   }
+}
+
+/** Delegates to the inner fake; on the FIRST getRecords call — always
+  * after the AvailableNow latch, which only lists shards and reads
+  * head sequences — injects post-start arrivals: late records on an
+  * existing shard plus a brand-new shard. A latched run must read
+  * neither; a later run picks them up. */
+final class PostLatchArrivals(inner: FakeKinesis)
+    extends KinesisSource.KinesisShardClient {
+  private val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+  override def getRecords(stream: String, shardId: String,
+      afterSequence: Option[String],
+      upToSequence: String): Iterator[(String, Array[Byte])] = {
+    if (injected.compareAndSet(false, true)) {
+      inner.push("shard-c", (0 until 50).map(i => s"late$i"): _*)
+      inner.push("shard-n", (0 until 10).map(i => s"new$i"): _*)
+    }
+    inner.getRecords(stream, shardId, afterSequence, upToSequence)
+  }
+  override def listShards(stream: String): Seq[String] =
+    inner.listShards(stream)
+  override def latestSequence(stream: String, shardId: String): Option[String] =
+    inner.latestSequence(stream, shardId)
+  override def parentShardIds(stream: String, shardId: String): Seq[String] =
+    inner.parentShardIds(stream, shardId)
 }
 
 /** In-memory stream: shards of ordered records with Kinesis-style

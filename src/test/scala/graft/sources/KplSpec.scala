@@ -146,6 +146,70 @@ class KplSpec extends SparkSpec {
       s"loop dropped/duplicated records: ${got.size} of ${want.size}")
   }
 
+  test("KPL → exactly-once loop end to end: a crash whose window lands " +
+    "INSIDE an aggregate's expansion replays to exactly-once per USER record") {
+    import graft.streaming.{ExactlyOnceLedger, ExactlyOnceSink, KinesisSink, MicroBatch}
+    import ExactlyOnceLedger._
+    import scala.jdk.CollectionConverters._
+    acks.clear(); calls.set(0)
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("kpl-eo", fake)
+    def rec(i: Int) = s"u$i"
+    // 9 KPL aggregates × 23 user records + 43 plain = 250 user records
+    // on one shard. The sink chunks USER rows at 60, so every chunk
+    // boundary (60, 120, 180, 240) lands mid-expansion (60 % 23 ≠ 0):
+    // the crash window splits an aggregate between a committed chunk
+    // and an unacked one — the composition the two features must
+    // survive together.
+    val aggCount = 9; val perAgg = 23
+    (0 until aggCount).foreach { a =>
+      fake.pushRaw("shard-0", Kpl.aggregate((0 until perAgg).map(j =>
+        Kpl.UserRecord(s"k$a", rec(a * perAgg + j).getBytes("UTF-8")))))
+    }
+    (aggCount * perAgg until 250).foreach(i => fake.push("shard-0", rec(i)))
+    val tmp = Files.createTempDirectory("kpl-eo")
+    val sink = new ExactlyOnceSink.ExactlyOnceEventSink(
+      crashyClient, "s", KinesisSink.Policy(maxBatch = 60, sleep = _ => ()),
+      tmp.resolve("ledger").toString)
+    def src = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "kpl-eo")
+      .load()
+      .selectExpr("cast(data as string) AS v")
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    // transport dies on its SECOND put: chunk 0 (user records 0-59,
+    // ending inside aggregate 2's expansion) is acked and marked;
+    // chunk 1 dies before acking; the query fails with batch 0
+    // uncommitted in the checkpoint
+    failOnCall.set(2)
+    val q1 = MicroBatch.start(src, sink, tmp.resolve("ck").toString,
+      queryName = "kpl_eo", trigger = trig)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    if (q1.isActive) q1.stop()
+    assert(acks.size == 60,
+      s"exactly chunk 0's 60 USER records acked pre-crash: ${acks.size}")
+    // restart from the same checkpoint, healthy transport: the source
+    // re-reads the slice, de-aggregates to the SAME user rows, the
+    // ledger skips chunk 0 (split aggregate included) and delivers the
+    // rest — every user record exactly once
+    failOnCall.set(Int.MaxValue)
+    val q2 = MicroBatch.start(src, sink, tmp.resolve("ck").toString,
+      queryName = "kpl_eo", trigger = trig)
+    try {
+      q2.processAllAvailable()
+      assert(acks.size == 250, s"all 250 user records, got ${acks.size}")
+      assert(acks.values.asScala.forall(_ == 1),
+        "crash + replay across an aggregate split must stay exactly-once " +
+          s"per USER record; duplicated: ${acks.asScala.filter(_._2 > 1).keys.take(3)}")
+      // the sink saw DE-AGGREGATED user payloads, never KPL blobs
+      assert(acks.keys.asScala.toSet ==
+        (0 until 250).map(i => s"""{"v":"${rec(i)}"}""").toSet)
+    } finally if (q2.isActive) q2.stop()
+  }
+
   test("the Kinesis source de-aggregates KPL records in a real streaming " +
     "query; plain records ride along untouched") {
     val fake = new FakeKinesis

@@ -598,11 +598,18 @@ object MixPlan {
     * the doc-level scorer (q260) and the paragraph-level trim (q266)
     * so the two stages score under the SAME reference LM by
     * construction. */
-  private[graft] def knModelOf(corpus: DataFrame): DataFrame = {
-    val counts = ModelCache.memoIndex(corpus, "bigram-lm") {
+  private[graft] def knModelOf(corpus: DataFrame): DataFrame =
+    knModelFromCounts(ModelCache.memoIndex(corpus, "bigram-lm") {
       graft.ops.GlobalOrder.pin(
         docBigrams(corpus).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
-    }
+    })
+
+  /** Model assembly from an EXPLICIT bigram-counts frame (w1, w2, n) —
+    * the seam that lets the stream-maintained `bigram-lm` store
+    * (ArtifactMaintenance.lmCounts, bit-compatible counts by
+    * construction) serve the exact scorer the batch memo serves; the
+    * serve-equivalence spec pins the two trims row-equal. */
+  private[graft] def knModelFromCounts(counts: DataFrame): DataFrame = {
     val fwd = counts.groupBy(col("w1"))
       .agg(sum(col("n")).as("c1"), count(lit(1)).as("n1p_fwd"))
     val bwd = counts.groupBy(col("w2"))
@@ -774,7 +781,13 @@ object MixPlan {
     * ReusedExchange fires across consumers, measured) once per use.
     * Materializing paragraph scores before thresholding is also
     * exactly CCNet's production shape. */
-  private[graft] def scoredParagraphsOf(corpus: DataFrame): DataFrame = {
+  private[graft] def scoredParagraphsOf(corpus: DataFrame): DataFrame =
+    scoredParagraphsUnder(corpus, knModelOf(corpus))
+
+  /** [[scoredParagraphsOf]] under an EXPLICIT model table — same plan,
+    * pluggable LM (the streamed-artifact serve path). */
+  private[graft] def scoredParagraphsUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame = {
     val slots = explodedParagraphs(corpus)
       .filter(size(col("para")) >= 2)
       .select(col("doc_id"), col("pi"), explode(expr(
@@ -783,15 +796,22 @@ object MixPlan {
           "element_at(para, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("pi"), col("b.w1"), col("b.w2"))
     graft.ops.GlobalOrder.pin(slots
-      .join(knModelOf(corpus), Seq("w1", "w2"))
+      .join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"), col("pi"))
       .agg(count(lit(1)).as("n_slots"), sum(col("score_ppm")).as("sum_ppm"))
       .withColumn("mean_ppm", expr("sum_ppm div n_slots")))
   }
 
-  private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame = {
+  private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame =
+    paragraphLmTrimUnder(corpus, knModelOf(corpus))
+
+  /** [[paragraphLmTrimOf]] under an EXPLICIT model table — how the
+    * trim serves from the LIVE stream-maintained LM instead of the
+    * batch memo; everything downstream is identical by construction. */
+  private[graft] def paragraphLmTrimUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame = {
     val paras = explodedParagraphs(corpus)
-    val scored = scoredParagraphsOf(corpus)
+    val scored = scoredParagraphsUnder(corpus, model)
     // corpus-wide mean slot score, exact: Σ per-paragraph sums over
     // Σ per-paragraph counts — one broadcast scalar, no re-join
     val thr = scored.agg(

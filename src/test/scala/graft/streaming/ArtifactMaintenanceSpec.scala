@@ -62,6 +62,51 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(counts(artifact)(("b", "c")) == 4L)
   }
 
+  test("q266's paragraph trim served from the STREAMED bigram-lm artifact " +
+    "is row-equal to the batch build (serve equivalence)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q266 spec fixture: background mass, a shuffled-vocab splice
+    // in doc 0, an unscorable 1-word fragment in doc 4 — so the served
+    // LM must reproduce not just counts but the trim's exact VERDICTS
+    val bg = (5L to 14L).map(i =>
+      (i, Seq.fill(4)("the cat sat on").mkString(" ")))
+    val rows = (bg :+
+      (0L, "the cat sat on on sat cat the the cat sat on") :+
+      (4L, "the cat sat on the")).sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val artifact = freshDir("lm-serve-art")
+    val q = ArtifactMaintenance
+      .maintainLm(input.toDF().toDF("doc_id", "text"), artifact)
+      .option("checkpointLocation", freshDir("lm-serve-ckpt"))
+      .start()
+    try {
+      // three batches, with a compaction mid-stream so the serve reads
+      // baseline + later partials, not just raw partials
+      input.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(4, 8): _*)
+      q.processAllAvailable()
+      ArtifactMaintenance.compactLm(spark, artifact)
+      input.addData(rows.drop(8): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = rows.toDF("doc_id", "text")
+    val servedModel = graft.llm.MixPlan.knModelFromCounts(
+      ArtifactMaintenance.lmCounts(spark, artifact))
+    val served = graft.llm.MixPlan.paragraphLmTrimUnder(docs, servedModel)
+      .collect().toSeq
+    val batch = graft.llm.MixPlan.paragraphLmTrimOf(docs).collect().toSeq
+    assert(served == batch,
+      s"streamed-LM trim diverged from the batch build:\n$served\nvs\n$batch")
+    // and the verdicts are the interesting ones, not vacuous equality:
+    // doc 0 keeps 2 of 3 paragraphs (the splice drops), doc 4 drops
+    // its unscorable fragment
+    val byDoc = served.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc(0L) == ((3L, 2L)), s"doc 0 under the served LM: ${byDoc(0L)}")
+    assert(byDoc(4L) == ((2L, 1L)), s"doc 4 under the served LM: ${byDoc(4L)}")
+  }
+
   test("streamed prefix counts match the batch aggregate and surface new boilerplate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -297,6 +297,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.llm.MixPlan.knPerplexityBuckets(s, d)),
     "q268_trim_bucket_shift" ->
       ((s: SparkSession, d: String) => graft.llm.MixPlan.trimBucketShift(s, d)),
+    "q269_trim_aware_mix" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.trimAwareMix(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2963,6 +2965,9 @@ object SparkEntry {
     // q268: the trim measured against frozen strata — pre/post bucket
     // transition matrix under q266's keep rule and q267's terciles
     "q268_trim_bucket_shift" -> graft.llm.MixPlan.trimBucketShiftSql,
+    // q269: the trim fed BACK into the planner — per-source post-trim
+    // token totals (q266's keep rule) through q166's water-filling
+    "q269_trim_aware_mix" -> graft.llm.MixPlan.trimAwareMixSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

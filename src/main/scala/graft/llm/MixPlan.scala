@@ -113,6 +113,18 @@ object MixPlan {
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
       .groupBy(col("source"))
       .agg(sum(col("t")).as("n_tokens"))
+    waterFillAlloc(perSource, budgetNum, budgetDen)
+  }
+
+  /** The water-filling core over an EXPLICIT per-source frame
+    * (source, n_tokens [, carried columns]) — q166's allocation shared
+    * with the trim-aware planner (q269), which feeds POST-trim totals
+    * through the identical waterline. Carried columns ride along
+    * untouched into the output. */
+  private[graft] def waterFillAlloc(
+      perSource: DataFrame,
+      budgetNum: Long,
+      budgetDen: Long): DataFrame = {
     // everything below runs on #sources rows — the single-partition
     // window is bounded by source cardinality, never the corpus
     // (same justification as the Misra-Gries merge)
@@ -140,7 +152,7 @@ object MixPlan {
       .withColumn("alloc",
         when(col("all_funded"), col("n_tokens"))
           .otherwise(least(col("n_tokens"), col("lambda"))))
-      .select(col("source"), col("n_tokens"), col("alloc"))
+      .select(perSource.columns.map(col).toIndexedSeq :+ col("alloc"): _*)
       .orderBy(col("source"))
   }
 
@@ -837,6 +849,55 @@ object MixPlan {
   }
 
   /**
+   * Trim-aware mix plan (q269) — q268 measures WHERE the trim moves
+   * the corpus; this closes the loop by PLANNING over it: per-source
+   * token totals recomputed from kept paragraphs only (q266's exact
+   * keep rule, read off the same pinned [[scoredParagraphsOf]]
+   * sliver), then the q166 water-filling allocation run over the
+   * POST-trim totals — so the mix is budgeted against the corpus that
+   * will actually be trained on, not the raw one. A source whose
+   * tokens are mostly trimmed keeps its `pre_tokens` for the audit
+   * trail but competes for budget with only its `post_tokens`, losing
+   * exactly the share the trim took.
+   *
+   * Scale shape: the paragraph keep verdict re-reads the pinned
+   * per-paragraph sliver (the fact-scale slots⋈model join is paid
+   * once, in the pin); per-doc token sums group on doc_id and the
+   * doc→source attach joins on that SAME key, so the aggregate's
+   * partitioning is reused; the per-source totals are
+   * catalog-cardinality and the waterline is q166's bounded
+   * single-partition window over #sources rows.
+   */
+  def trimAwareMix(spark: SparkSession, dir: String): DataFrame =
+    trimAwareMixOf(Tables.documents(spark, dir))
+
+  private[graft] def trimAwareMixOf(corpus: DataFrame): DataFrame = {
+    val paras = explodedParagraphs(corpus)
+    val scored = scoredParagraphsOf(corpus)
+    val thr = scored.agg(
+      expr("sum(sum_ppm) div sum(n_slots)").as("thr_ppm"))
+    val perDoc = paras
+      .join(scored.select(col("doc_id"), col("pi"), col("mean_ppm")),
+        Seq("doc_id", "pi"), "left")
+      .crossJoin(broadcast(thr))
+      .withColumn("kept",
+        coalesce(expr("2 * mean_ppm >= thr_ppm"), lit(false)))
+      .withColumn("t", size(col("para")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t")).as("pre_t"),
+        sum(when(col("kept"), col("t")).otherwise(0L)).as("post_t"))
+    val perSource = perDoc
+      .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("pre_t")).as("pre_tokens"),
+        sum(col("post_t")).as("n_tokens"))
+    waterFillAlloc(perSource, budgetNum = 3L, budgetDen = 5L)
+      .select(col("source"), col("pre_tokens"),
+        col("n_tokens").as("post_tokens"), col("alloc"))
+      .orderBy("source")
+  }
+
+  /**
    * Trim bucket-shift matrix (q268) — the pipeline COMPOSED and
    * measured: q266 trims paragraphs under the frozen reference LM,
    * q267 defines the quality strata; this answers the question an
@@ -956,7 +1017,11 @@ object MixPlan {
 
   /** The q266 oracle: identical synthesis (q265's), identical KN model
     * (q260's), identical threshold and reassembly in DuckDB. */
-  private[graft] def paragraphLmTrimSql: String =
+  /** The q266 scoring CTE chain (paragraph explode → KN model →
+    * per-paragraph scores → threshold), shared verbatim by the trim
+    * oracle (q266) and the trim-aware mix oracle (q269) so the two
+    * replays keep rule-identical by construction. */
+  private def trimScoreCtes: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
       |    CAST(4 + doc_id % 4 AS BIGINT) AS k FROM documents),
       |pr AS (SELECT doc_id, k,
@@ -986,8 +1051,11 @@ object MixPlan {
       |        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_ppm
       |      FROM s JOIN m USING (w1, w2) GROUP BY 1, 2),
       |th AS (SELECT CAST(SUM(sum_ppm) // SUM(n_slots) AS BIGINT) AS thr_ppm
-      |      FROM ps),
-      |kd AS (SELECT pe.doc_id, pe.pi, pe.para,
+      |      FROM ps)""".stripMargin
+
+  private[graft] def paragraphLmTrimSql: String =
+    trimScoreCtes + ",\n" +
+    """kd AS (SELECT pe.doc_id, pe.pi, pe.para,
       |        COALESCE(2 * ps.mean_ppm >= th.thr_ppm, FALSE) AS kept
       |      FROM pe LEFT JOIN ps USING (doc_id, pi) CROSS JOIN th)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
@@ -997,4 +1065,36 @@ object MixPlan {
       |  md5(COALESCE(array_to_string(list(array_to_string(para, ' ')
       |    ORDER BY pi) FILTER (WHERE kept), ' '), '')) AS trimmed_md5
       |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q269's oracle: the q266 keep rule re-aggregated to per-source
+    * post-trim token totals, then q166's water-filling waterline run
+    * over the POST totals. */
+  private[graft] def trimAwareMixSql: String =
+    trimScoreCtes + ",\n" +
+    """kd AS (SELECT pe.doc_id, CAST(len(pe.para) AS BIGINT) AS tk,
+      |        COALESCE(2 * ps.mean_ppm >= th.thr_ppm, FALSE) AS kept
+      |      FROM pe LEFT JOIN ps USING (doc_id, pi) CROSS JOIN th),
+      |pd AS (SELECT doc_id, CAST(SUM(tk) AS BIGINT) AS pre_t,
+      |        CAST(SUM(CASE WHEN kept THEN tk ELSE 0 END) AS BIGINT) AS post_t
+      |      FROM kd GROUP BY 1),
+      |st AS (SELECT d.source, CAST(SUM(pre_t) AS BIGINT) AS pre_tokens,
+      |        CAST(SUM(post_t) AS BIGINT) AS post_tokens
+      |      FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+      |r AS (SELECT source, pre_tokens, post_tokens,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY post_tokens, source) AS BIGINT) AS k,
+      |        CAST(SUM(post_tokens) OVER (ORDER BY post_tokens, source) AS BIGINT) AS pk,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+      |        CAST(SUM(post_tokens) OVER () AS BIGINT) AS total
+      |      FROM st),
+      |wb AS (SELECT *, (total * 3) // 5 AS budget FROM r),
+      |l AS (SELECT MAX(CASE WHEN k < n_src AND pk + (n_src - k) * post_tokens <= budget
+      |                      THEN (budget - pk) // (n_src - k)
+      |                      ELSE budget // n_src END) AS lambda,
+      |             BOOL_OR(k = n_src AND pk <= budget) AS all_funded
+      |      FROM wb)
+      |SELECT source, pre_tokens, post_tokens,
+      |       CASE WHEN all_funded THEN post_tokens
+      |            ELSE LEAST(post_tokens, lambda) END AS alloc
+      |FROM wb, l
+      |ORDER BY source""".stripMargin
 }

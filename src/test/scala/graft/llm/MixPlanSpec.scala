@@ -305,6 +305,40 @@ class MixPlanSpec extends SparkSpec {
     assert(share >= 999000L && share <= 1000000L, s"shares sum $share")
   }
 
+  test("trim-aware mix: a source whose tokens are mostly trimmed loses " +
+    "its mix share (q269)") {
+    import spark.implicits._
+    // two sources with IDENTICAL pre-trim token mass: 'good' is the
+    // corpus-dominant fluent phrase (its transitions ARE the LM);
+    // 'junk' is per-doc-unique vocabulary — every transition a one-off,
+    // scoring far under half the corpus mean, so the trim drops it
+    val good = (0 until 10).map(i =>
+      (i * 4L, "good", Seq.fill(4)("the cat sat on").mkString(" ")))
+    val junk = (0 until 10).map(i =>
+      (40L + i * 4L, "junk", (0 until 16).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = (good ++ junk).toDF("doc_id", "source", "text")
+    val got = MixPlan.trimAwareMixOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (gPre, gPost, gAlloc) = got("good")
+    val (jPre, jPost, jAlloc) = got("junk")
+    // equal footing before the trim
+    assert(gPre == 160L && jPre == 160L, got.toString)
+    assert(gPost == 160L, s"the fluent source must keep everything: $got")
+    assert(jPost < jPre / 2, s"the gibberish source must be mostly trimmed: $got")
+    // the budget is planned over POST-trim tokens: the trimmed source
+    // competes with only what survived, and loses share accordingly
+    assert(jAlloc <= jPost, s"alloc must be bounded by post-trim tokens: $got")
+    assert(gAlloc > jAlloc,
+      s"equal PRE sizes, so the trimmed source must lose mix share: $got")
+    // fixture-level: allocation never exceeds a source's post-trim mass
+    val fx = MixPlan.trimAwareMix(spark, sf).collect()
+    assert(fx.nonEmpty && fx.forall(r => r.getLong(3) <= r.getLong(2)),
+      "alloc must be bounded by post_tokens on the fixture")
+    assert(fx.forall(r => r.getLong(2) <= r.getLong(1)),
+      "post_tokens can never exceed pre_tokens")
+  }
+
   test("paragraph LM trim drops a shuffled-vocab splice and nothing else") {
     import spark.implicits._
     def md5hex(s: String): String =

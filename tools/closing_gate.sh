@@ -39,21 +39,61 @@ if [ ! -d "$SF1_DIR/lineitem.parquet" ]; then
   SPARK_GRAFT_CPUS=32 sbt -batch \
     "runMain graft.MakeScale /root/testdata/sf0.1 $SF1_DIR 10" | tail -2
 fi
-TOP25=$(python3 - <<'PY'
-import json
+# The sf1 set = top-25 by best-known min + EVERY query new this round
+# (absent from bench_best.json — round-15 verdict #7: a newcomer's
+# first closing gate must include its sf1 point so a superlinear query
+# is caught the round it lands, not when it grows into the top-25)
+# + the ANN recall/certification family (round-15 verdict #3).
+ANN_FAMILY="q149_ann_recall,q150_multiprobe_recall,q151_ivf_recall,q154_planted_recall,q159_pq_recall,q262_ivfrpq_recall"
+SF1_SET=$(python3 - "$OUT/bench_sf0.1.json" "$ANN_FAMILY" <<'PY'
+import json, sys
 b = json.load(open("tools/bench_best.json"))
 qs = b["queries"] if isinstance(b.get("queries"), dict) else b
-print(",".join(k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]))
+cur = json.load(open(sys.argv[1]))["queries"]
+top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]]
+new = sorted(k for k in cur if k not in qs)
+ann = sys.argv[2].split(",")
+if new: print("new-this-round (sf1-gated): " + ",".join(new), file=sys.stderr)
+print(",".join(dict.fromkeys(top + new + ann)))
 PY
 )
-echo "=== bench sf1: top-25 by best-known min ==="
+echo "=== bench sf1: top-25 + new-this-round + ANN family ==="
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_ONLY="$TOP25" SPARK_GRAFT_BENCH_REPS=2 \
+  SPARK_GRAFT_BENCH_ONLY="$SF1_SET" SPARK_GRAFT_BENCH_REPS=2 \
   sbt -batch 'runMain graft.Bench' | tee "$OUT/bench_sf1.raw" \
   | grep '^{"queries"' > "$OUT/bench_sf1.json"
 echo "=== sf0.1 -> sf1 slopes (recorded; triage flags in SCALE.md) ==="
 python3 tools/scaling_slopes.py \
   "$OUT/bench_sf0.1.json" "$OUT/bench_sf1.json" | tee "$OUT/slopes_sf1.md"
+
+echo "=== ANN recall at sf1 (certification floor 0.9 on the planted family) ==="
+# The recall audits measure VALUES, not times: run them through Verify's
+# subset path against the sf1 fixture and aggregate mean recall. The
+# planted certification (q154) must hold its 0.9 floor one decade up;
+# the realistic-recall audits are recorded for SCALE.md.
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify $SF1_DIR $OUT/ann_sf1 $ANN_FAMILY" | tail -1
+python3 - "$OUT/ann_sf1" "$ANN_FAMILY" <<'PY' | tee "$OUT/ann_sf1.md"
+import glob, sys
+import pyarrow.parquet as pq
+outdir, fam = sys.argv[1], sys.argv[2].split(",")
+fail = []
+for q in fam:
+    files = glob.glob(f"{outdir}/{q}/*.parquet")
+    if not files:
+        print(f"  {q}: MISSING at sf1"); fail.append(q); continue
+    rows = pq.read_table(files[0]).to_pylist()
+    mean = sum(r["recall"] for r in rows) / max(1, len(rows))
+    floor = 0.9 if q == "q154_planted_recall" else None
+    status = ""
+    if floor is not None:
+        status = " (certification PASS)" if mean >= floor else " CERTIFICATION FAIL"
+        if mean < floor: fail.append(q)
+    print(f"  {q}: mean recall {mean:.3f} over {len(rows)} queries{status}")
+if fail:
+    print(f"GATE FAIL: sf1 ANN certification: {fail}", file=sys.stderr)
+    sys.exit(1)
+PY
 
 echo "=== plan fingerprints (flag + changed plan = regression, no ledger applies) ==="
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.PlanShapes /root/testdata/sf0.001 $OUT/plan_shapes.json" \

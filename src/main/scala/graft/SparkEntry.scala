@@ -299,6 +299,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.llm.MixPlan.trimBucketShift(s, d)),
     "q269_trim_aware_mix" ->
       ((s: SparkSession, d: String) => graft.llm.MixPlan.trimAwareMix(s, d)),
+    "q270_trim_aware_temperature" ->
+      ((s: SparkSession, d: String) => graft.llm.MixPlan.trimAwareTemperature(s, d)),
     "q152_vocab_growth"    -> (graft.llm.Curation.vocabGrowth _),
     "q153_freq_spectrum"   -> (graft.llm.Curation.freqSpectrum _),
     // — LLM-pipeline surface (BASELINE.json north star) —
@@ -2968,6 +2970,9 @@ object SparkEntry {
     // q269: the trim fed BACK into the planner — per-source post-trim
     // token totals (q266's keep rule) through q166's water-filling
     "q269_trim_aware_mix" -> graft.llm.MixPlan.trimAwareMixSql,
+    // q270: q192's temperature flattening over the same post-trim
+    // totals — the sampling-rate half of the trim-aware planner pair
+    "q270_trim_aware_temperature" -> graft.llm.MixPlan.trimAwareTemperatureSql,
     // q239: join-skew pre-flight — top-10 hottest user_id values with
     // load-vs-even and share in exact ppm; the oracle's window form of
     // the bounded heap

@@ -552,23 +552,31 @@ object MixPlan {
    * aggregate is pinned — it feeds both the share rows and the totals,
    * and without the pin the corpus scan would run twice.
    */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    val perSource = graft.ops.GlobalOrder.pin(
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureShares(
       Tables.documents(spark, dir)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("t"))
         .groupBy(col("source"))
-        .agg(sum(col("t")).as("n_tokens"))
-        .withColumn("sqrt_tokens",
-          floor(sqrt(col("n_tokens").cast("double"))).cast("long")))
-    val totals = perSource.agg(
+        .agg(sum(col("t")).as("n_tokens")))
+
+  /** The temperature core over an EXPLICIT per-source frame
+    * (source, n_tokens [, carried columns]) — q192's α = 0.5 shares
+    * shared with the trim-aware planner (q270). Carried columns ride
+    * along untouched into the output. */
+  private[graft] def temperatureShares(perSource: DataFrame): DataFrame = {
+    val withSqrt = graft.ops.GlobalOrder.pin(perSource
+      .withColumn("sqrt_tokens",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long")))
+    val totals = withSqrt.agg(
       sum(col("n_tokens")).as("tot"), sum(col("sqrt_tokens")).as("rtot"))
-    perSource.crossJoin(broadcast(totals))
+    withSqrt.crossJoin(broadcast(totals))
       .withColumn("raw_ppm", expr("(1000000 * n_tokens) div tot"))
       .withColumn("temp_ppm", expr("(1000000 * sqrt_tokens) div rtot"))
       .withColumn("boost_ppm", col("temp_ppm") - col("raw_ppm"))
-      .select(col("source"), col("n_tokens"), col("sqrt_tokens"),
-        col("raw_ppm"), col("temp_ppm"), col("boost_ppm"))
+      .select(perSource.columns.map(col).toIndexedSeq ++ Seq(
+        col("sqrt_tokens"), col("raw_ppm"), col("temp_ppm"),
+        col("boost_ppm")): _*)
       .orderBy("source")
   }
 
@@ -871,7 +879,42 @@ object MixPlan {
   def trimAwareMix(spark: SparkSession, dir: String): DataFrame =
     trimAwareMixOf(Tables.documents(spark, dir))
 
-  private[graft] def trimAwareMixOf(corpus: DataFrame): DataFrame = {
+  private[graft] def trimAwareMixOf(corpus: DataFrame): DataFrame =
+    waterFillAlloc(postTrimSourceTokens(corpus), budgetNum = 3L, budgetDen = 5L)
+      .select(col("source"), col("pre_tokens"),
+        col("n_tokens").as("post_tokens"), col("alloc"))
+      .orderBy("source")
+
+  /**
+   * Temperature-scaled sampling over the POST-trim corpus (q270) —
+   * the q192 α = 0.5 flattening run over what survives q266's trim,
+   * completing the planner pair q269 started: water-filling answers
+   * "how many tokens from each source", temperature answers "at what
+   * sampling rate" — and both must see the trimmed totals or the mix
+   * over-samples sources whose mass the trim removed. `pre_tokens`
+   * stays as the audit trail; all shares are computed on
+   * `post_tokens`.
+   */
+  def trimAwareTemperature(spark: SparkSession, dir: String): DataFrame =
+    trimAwareTemperatureOf(Tables.documents(spark, dir))
+
+  private[graft] def trimAwareTemperatureOf(corpus: DataFrame): DataFrame =
+    temperatureShares(postTrimSourceTokens(corpus))
+      .select(col("source"), col("pre_tokens"),
+        col("n_tokens").as("post_tokens"), col("sqrt_tokens"),
+        col("raw_ppm"), col("temp_ppm"), col("boost_ppm"))
+      .orderBy("source")
+
+  /** Per-source PRE/POST-trim token totals under q266's exact keep
+    * rule — (source, pre_tokens, n_tokens) with n_tokens = POST-trim,
+    * PINNED: the frame is catalog-cardinality but its lineage is the
+    * fact-scale trim, and the planners downstream (waterline window,
+    * totals scalar, share rows) read it several times — without the
+    * pin the trim subtree would re-execute per consumer (the q266
+    * no-ReusedExchange lesson). Per-doc sums group on doc_id and the
+    * doc→source attach joins on that SAME key, so the aggregate's
+    * partitioning is reused. */
+  private[graft] def postTrimSourceTokens(corpus: DataFrame): DataFrame = {
     val paras = explodedParagraphs(corpus)
     val scored = scoredParagraphsOf(corpus)
     val thr = scored.agg(
@@ -886,15 +929,11 @@ object MixPlan {
       .groupBy(col("doc_id"))
       .agg(sum(col("t")).as("pre_t"),
         sum(when(col("kept"), col("t")).otherwise(0L)).as("post_t"))
-    val perSource = perDoc
+    graft.ops.GlobalOrder.pin(perDoc
       .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(sum(col("pre_t")).as("pre_tokens"),
-        sum(col("post_t")).as("n_tokens"))
-    waterFillAlloc(perSource, budgetNum = 3L, budgetDen = 5L)
-      .select(col("source"), col("pre_tokens"),
-        col("n_tokens").as("post_tokens"), col("alloc"))
-      .orderBy("source")
+        sum(col("post_t")).as("n_tokens")))
   }
 
   /**
@@ -1066,10 +1105,10 @@ object MixPlan {
       |    ORDER BY pi) FILTER (WHERE kept), ' '), '')) AS trimmed_md5
       |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q269's oracle: the q266 keep rule re-aggregated to per-source
-    * post-trim token totals, then q166's water-filling waterline run
-    * over the POST totals. */
-  private[graft] def trimAwareMixSql: String =
+  /** The shared post-trim per-source CTE tail: q266's keep rule
+    * re-aggregated to (source, pre_tokens, post_tokens) — prefix for
+    * both trim-aware planner oracles (q269/q270). */
+  private def postTrimSourceCtes: String =
     trimScoreCtes + ",\n" +
     """kd AS (SELECT pe.doc_id, CAST(len(pe.para) AS BIGINT) AS tk,
       |        COALESCE(2 * ps.mean_ppm >= th.thr_ppm, FALSE) AS kept
@@ -1079,8 +1118,14 @@ object MixPlan {
       |      FROM kd GROUP BY 1),
       |st AS (SELECT d.source, CAST(SUM(pre_t) AS BIGINT) AS pre_tokens,
       |        CAST(SUM(post_t) AS BIGINT) AS post_tokens
-      |      FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
-      |r AS (SELECT source, pre_tokens, post_tokens,
+      |      FROM pd JOIN documents d USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** q269's oracle: the q266 keep rule re-aggregated to per-source
+    * post-trim token totals, then q166's water-filling waterline run
+    * over the POST totals. */
+  private[graft] def trimAwareMixSql: String =
+    postTrimSourceCtes + ",\n" +
+    """r AS (SELECT source, pre_tokens, post_tokens,
       |        CAST(ROW_NUMBER() OVER (ORDER BY post_tokens, source) AS BIGINT) AS k,
       |        CAST(SUM(post_tokens) OVER (ORDER BY post_tokens, source) AS BIGINT) AS pk,
       |        CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
@@ -1097,4 +1142,20 @@ object MixPlan {
       |            ELSE LEAST(post_tokens, lambda) END AS alloc
       |FROM wb, l
       |ORDER BY source""".stripMargin
+
+  /** q270's oracle: q192's α = 0.5 temperature shares computed over
+    * the POST-trim per-source totals. */
+  private[graft] def trimAwareTemperatureSql: String =
+    postTrimSourceCtes + ",\n" +
+    """qt AS (SELECT source, pre_tokens, post_tokens,
+      |    CAST(floor(sqrt(CAST(post_tokens AS DOUBLE))) AS BIGINT) AS sqrt_tokens
+      |  FROM st),
+      |tt AS (SELECT CAST(SUM(post_tokens) AS BIGINT) AS tot,
+      |    CAST(SUM(sqrt_tokens) AS BIGINT) AS rtot FROM qt)
+      |SELECT source, pre_tokens, post_tokens, sqrt_tokens,
+      |  CAST((1000000 * post_tokens) // tot AS BIGINT) AS raw_ppm,
+      |  CAST((1000000 * sqrt_tokens) // rtot AS BIGINT) AS temp_ppm,
+      |  CAST((1000000 * sqrt_tokens) // rtot
+      |    - (1000000 * post_tokens) // tot AS BIGINT) AS boost_ppm
+      |FROM qt CROSS JOIN tt ORDER BY source""".stripMargin
 }

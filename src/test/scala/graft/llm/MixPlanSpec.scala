@@ -339,6 +339,41 @@ class MixPlanSpec extends SparkSpec {
       "post_tokens can never exceed pre_tokens")
   }
 
+  test("trim-aware temperature: shares computed over POST-trim mass; the " +
+    "flattening boosts the smaller SURVIVING source (q270)") {
+    import spark.implicits._
+    // three sources: 'good' dominant fluent, 'small' fluent but 3 docs,
+    // 'junk' per-doc-unique vocabulary (trimmed away)
+    val good = (0 until 10).map(i =>
+      (i * 4L, "good", Seq.fill(4)("the cat sat on").mkString(" ")))
+    val junk = (0 until 10).map(i =>
+      (40L + i * 4L, "junk", (0 until 16).map(j => s"w${i}x$j").mkString(" ")))
+    val small = (0 until 3).map(i =>
+      (80L + i * 4L, "small", Seq.fill(4)("the cat sat on").mkString(" ")))
+    val docs = (good ++ junk ++ small).toDF("doc_id", "source", "text")
+    val got = MixPlan.trimAwareTemperatureOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    val (jPre, jPost, _, jTemp, _) = got("junk")
+    val (_, gPost, gRaw, gTemp, gBoost) = got("good")
+    val (_, sPost, sRaw, sTemp, sBoost) = got("small")
+    // the trimmed source's sampling share collapses with its post mass
+    assert(jPost < jPre / 2, s"junk must be mostly trimmed: $got")
+    assert(jTemp < 100000L,
+      s"junk's temperature share must collapse with its post-trim mass: $got")
+    // both fluent sources survive whole
+    assert(gPost == 160L && sPost == 48L, got.toString)
+    // α = 0.5 still flattens among SURVIVORS: small boosted, good damped
+    assert(sBoost > 0L && sTemp > sRaw,
+      s"the smaller surviving source must gain share: $got")
+    assert(gBoost < 0L && gTemp < gRaw,
+      s"the dominant source must be flattened down: $got")
+    // fixture-level: shares are a near-partition of 1e6
+    val fx = MixPlan.trimAwareTemperature(spark, sf).collect()
+    val tsum = fx.map(_.getLong(5)).sum
+    assert(tsum >= 999000L && tsum <= 1000000L, s"temp shares sum $tsum")
+  }
+
   test("paragraph LM trim drops a shuffled-vocab splice and nothing else") {
     import spark.implicits._
     def md5hex(s: String): String =

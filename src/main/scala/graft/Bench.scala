@@ -167,31 +167,46 @@ object Bench {
     // not keep a lucky preliminary min invisibly. With zero successful
     // fresh reps the flagged value is kept as-is (and the error count
     // says why) — replacement requires at least one clean fresh rep.
+    // The flag set is computed against a MEDIAN-normalized host factor,
+    // so replacing flagged values with their clean re-measures can
+    // lower the median and surface NEW would-be flags that never got
+    // their second chance (observed: a loaded early suite + 21 clean
+    // re-measures shifted the cut under two untouched queries at the
+    // very end). Iterate to a fixpoint (bounded) so every query the
+    // FINAL flag computation would name has had its fresh-window reps.
     val (rechecked, remeasureErrs): (Map[String, Double], Map[String, Int]) =
       if (!sfDir.contains("sf0.1")) (Map.empty, Map.empty)
       else {
-        val flagged = Bench.regressionsVsBest(prelimResults,
-          Bench.loadBestKnown("tools/bench_best.json")).map(_._1)
-        val vals = Map.newBuilder[String, Double]
-        val errs = Map.newBuilder[String, Int]
-        flagged.foreach { name =>
-          val fn = SparkEntry.queries(name)
-          val ts = Seq.newBuilder[Double]
-          var nErr = 0
-          (1 to 3).foreach { _ =>
-            val t0 = System.nanoTime()
-            try { run(fn, sfDir); ts += (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => nErr += 1 }
-            spark.catalog.clearCache()
-            System.gc()
-            Thread.sleep(50)
+        val best = Bench.loadBestKnown("tools/bench_best.json")
+        val vals = scala.collection.mutable.LinkedHashMap[String, Double]()
+        val errs = scala.collection.mutable.LinkedHashMap[String, Int]()
+        val prelim = prelimResults.toMap
+        var round = 0
+        var pending = Bench.regressionsVsBest(prelimResults, best).map(_._1)
+        while (pending.nonEmpty && round < 4) {
+          pending.foreach { name =>
+            val fn = SparkEntry.queries(name)
+            val ts = Seq.newBuilder[Double]
+            var nErr = 0
+            (1 to 3).foreach { _ =>
+              val t0 = System.nanoTime()
+              try { run(fn, sfDir); ts += (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => nErr += 1 }
+              spark.catalog.clearCache()
+              System.gc()
+              Thread.sleep(50)
+            }
+            val fresh = ts.result()
+            if (nErr > 0) errs(name) = errs.getOrElse(name, 0) + nErr
+            if (fresh.nonEmpty)
+              vals(name) = (prelim(name) +: fresh).min
           }
-          val fresh = ts.result()
-          if (nErr > 0) errs += name -> nErr
-          if (fresh.nonEmpty)
-            vals += name -> (prelimResults.toMap.apply(name) +: fresh).min
+          round += 1
+          pending = Bench.regressionsVsBest(
+              (prelim ++ vals).toSeq, best).map(_._1)
+            .filterNot(vals.contains)
         }
-        (vals.result(), errs.result())
+        (vals.toMap, errs.toMap)
       }
     val results = prelimResults.map { case (n, v) =>
       n -> rechecked.getOrElse(n, v) }

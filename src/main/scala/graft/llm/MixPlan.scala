@@ -801,8 +801,17 @@ object MixPlan {
     * ReusedExchange fires across consumers, measured) once per use.
     * Materializing paragraph scores before thresholding is also
     * exactly CCNet's production shape. */
+  /** Memoized per corpus (the `bigram-lm` discipline): five queries
+    * (q266/q268/q269/q270 + any future trim consumer) read this same
+    * sliver, and the fact-scale slots⋈model join inside it is the
+    * single expensive step each of them pays — one build per corpus
+    * per JVM serves them all. Deterministic by construction (integer
+    * ppm KN scores), so a cache hit is bit-identical to a fresh
+    * build; oracles replay from scratch and still hash-match. */
   private[graft] def scoredParagraphsOf(corpus: DataFrame): DataFrame =
-    scoredParagraphsUnder(corpus, knModelOf(corpus))
+    ModelCache.memoIndex(corpus, "para-scores") {
+      scoredParagraphsUnder(corpus, knModelOf(corpus))
+    }
 
   /** [[scoredParagraphsOf]] under an EXPLICIT model table — same plan,
     * pluggable LM (the streamed-artifact serve path). */

@@ -90,6 +90,11 @@ object ArtifactMaintenance {
     "dup-gram-keepers" -> "ArtifactMaintenance.gramBoundsArtifact",
     // rare-bigram stats re-derive from the streamed LM count table
     "src-rare-stats" -> "ArtifactMaintenance.lmArtifact",
+    // per-paragraph KN scores: the slots are row-local explodes; the
+    // scores re-derive at serve against the streamed LM counts (the
+    // serve-equivalence spec pins paragraphLmTrimUnder(servedModel)
+    // row-equal to the batch build)
+    "para-scores" -> "ArtifactMaintenance.lmArtifact",
     // the pair graph + resolved labels; bands re-sign per batch
     // row-locally against the same seeded hash family
     "lsh-pairs" -> "ArtifactMaintenance.NearDupLabelStore",

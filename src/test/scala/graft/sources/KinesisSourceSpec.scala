@@ -363,6 +363,60 @@ class KinesisSourceSpec extends SparkSpec {
         s"${got2.size} records")
   }
 
+  test("an AvailableNow backfill into the exactly-once sink survives a " +
+    "mid-drain crash: restart re-latches, dedups the replayed batch, " +
+    "drains and terminates — every record acked exactly once") {
+    // the three round-16 seams COMPOSED: bounded backfill trigger +
+    // SerializedOffset-tolerant restart replay + the chunk ledger
+    import graft.streaming.{ExactlyOnceLedger, ExactlyOnceSink, KinesisSink, MicroBatch}
+    import ExactlyOnceLedger._
+    import scala.jdk.CollectionConverters._
+    acks.clear(); calls.set(0)
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("avnow-eo", fake)
+    fake.push("shard-0", (0 until 500).map(i => s"r$i"): _*)
+    val tmp = Files.createTempDirectory("avnow-eo")
+    val sink = new ExactlyOnceSink.ExactlyOnceEventSink(
+      crashyClient, "s", KinesisSink.Policy(maxBatch = 40, sleep = _ => ()),
+      tmp.resolve("ledger").toString)
+    def src = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "avnow-eo")
+      .option("maxRecordsPerBatch", "100")
+      .load()
+      .selectExpr("cast(data as string) AS v")
+    def runDrain(): org.apache.spark.sql.streaming.StreamingQuery =
+      MicroBatch.start(src, sink, tmp.resolve("ck").toString,
+        queryName = "avnow_eo",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // batches of 100 chunk at 40/40/20 = 3 puts each; batches 0-1
+    // deliver (6 calls), batch 2's chunk 0 acks+marks (call 7), chunk 1
+    // dies on call 8 — the query fails MID-backfill
+    failOnCall.set(8)
+    val q1 = runDrain()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    if (q1.isActive) q1.stop()
+    assert(acks.size == 240,
+      s"batches 0-1 (200) + batch 2's chunk 0 (40) acked pre-crash, " +
+        s"got ${acks.size}")
+    // 50 MORE records arrive while the backfill is down — the restart
+    // re-latches the frontier, so they belong to run 2's drain
+    fake.push("shard-0", (500 until 550).map(i => s"r$i"): _*)
+    failOnCall.set(Int.MaxValue)
+    val q2 = runDrain()
+    assert(q2.awaitTermination(300000),
+      "the restarted AvailableNow drain must terminate by itself")
+    assert(acks.size == 550, s"all 550 records delivered: ${acks.size}")
+    assert(acks.values.asScala.forall(_ == 1),
+      "the replayed batch must dedup through the ledger — duplicated: " +
+        acks.asScala.filter(_._2 > 1).keys.take(3))
+    assert(acks.keys.asScala.toSet ==
+      (0 until 550).map(i => s"""{"v":"r$i"}""").toSet)
+  }
+
   test("the AvailableNow latch caps latestOffset at the start frontier even " +
     "as the live head keeps moving") {
     val fake = new FakeKinesis

@@ -832,15 +832,22 @@ object MixPlan {
   }
 
   private[graft] def paragraphLmTrimOf(corpus: DataFrame): DataFrame =
-    paragraphLmTrimUnder(corpus, knModelOf(corpus))
+    paragraphLmTrimFrom(corpus, scoredParagraphsOf(corpus))
 
   /** [[paragraphLmTrimOf]] under an EXPLICIT model table — how the
     * trim serves from the LIVE stream-maintained LM instead of the
     * batch memo; everything downstream is identical by construction. */
   private[graft] def paragraphLmTrimUnder(
-      corpus: DataFrame, model: DataFrame): DataFrame = {
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    paragraphLmTrimFrom(corpus, scoredParagraphsUnder(corpus, model))
+
+  /** The trim body over an already-scored paragraph sliver — the
+    * batch path hands in the MEMOIZED sliver (so q266 shares the one
+    * fact-scale join with q268/q269/q270), the streamed-serve path a
+    * fresh score under its served model. */
+  private def paragraphLmTrimFrom(
+      corpus: DataFrame, scored: DataFrame): DataFrame = {
     val paras = explodedParagraphs(corpus)
-    val scored = scoredParagraphsUnder(corpus, model)
     // corpus-wide mean slot score, exact: Σ per-paragraph sums over
     // Σ per-paragraph counts — one broadcast scalar, no re-join
     val thr = scored.agg(

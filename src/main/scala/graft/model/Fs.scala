@@ -21,14 +21,23 @@ object Fs {
    *  - [[PosixMarkerStore]] (default): per-attempt UNIQUE temp file +
    *    hard-link publish (`Files.createLink` fails atomically on an
    *    existing target, and the content is fully on disk before the
-   *    name appears). Correct on POSIX filesystems and HDFS-family
-   *    stores with atomic namespace operations.
+   *    name appears). Scope: LINK-CAPABLE local/POSIX filesystems —
+   *    mounts that reject hard links (CIFS, some NFS exports, FUSE
+   *    object-store shims) and non-`java.nio` filesystems (HDFS)
+   *    need their own implementation (HDFS: `create(path,
+   *    overwrite=false)` is its atomic conditional-create).
    *  - S3 / object stores WITHOUT atomic rename: a rename-based commit
    *    is NOT valid there — implement this trait over the store's
    *    conditional put (`If-None-Match: *`, a DynamoDB lock item, or a
    *    manifest-pointer swap); the trait is exactly that API's shape,
    *    so the exactly-once analysis carries over unchanged (the spec
    *    proves it against a conditional-put fake).
+   *
+   * The namespace operations (`ensureDir`, `listBatches`,
+   * `deletePrefix`) belong to the SAME trait so retention and
+   * directory setup never silently fall back to local-filesystem
+   * calls against a remote store: a ledger whose markers live in S3
+   * must also retire them in S3.
    */
   trait MarkerStore extends Serializable {
     /** None = we won and `bytes` is committed; Some(existing) = a
@@ -37,11 +46,20 @@ object Fs {
     def putIfAbsent(path: java.nio.file.Path,
         bytes: Array[Byte]): Option[Array[Byte]]
     def read(path: java.nio.file.Path): Option[Array[Byte]]
+    /** Prepare the location markers will be committed under. No-op
+      * for flat-namespace stores (object stores have no directories). */
+    def ensureDir(dir: java.nio.file.Path): Unit = ()
+    /** Batch ids (the `b<id>` level) with any state under `root` —
+      * drives retention. */
+    def listBatches(root: java.nio.file.Path): Seq[Long]
+    /** Retire every marker at or under `prefix` (retention sweep). */
+    def deletePrefix(prefix: java.nio.file.Path): Unit
   }
 
   /** Default [[MarkerStore]] for POSIX/HDFS-semantics storage. */
   object PosixMarkerStore extends MarkerStore {
     import java.nio.file.{Files, FileAlreadyExistsException}
+    import scala.jdk.CollectionConverters._
     override def putIfAbsent(path: java.nio.file.Path,
         bytes: Array[Byte]): Option[Array[Byte]] = {
       // Per-attempt unique temp name: two concurrent attempts (task
@@ -63,6 +81,21 @@ object Fs {
     }
     override def read(path: java.nio.file.Path): Option[Array[Byte]] =
       if (Files.exists(path)) Some(Files.readAllBytes(path)) else None
+    override def ensureDir(dir: java.nio.file.Path): Unit = {
+      Files.createDirectories(dir); ()
+    }
+    override def listBatches(root: java.nio.file.Path): Seq[Long] =
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val listing = Files.list(root)
+        try listing.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("b")) n.stripPrefix("b").toLongOption else None
+        }.toList
+        finally listing.close()
+      }
+    override def deletePrefix(prefix: java.nio.file.Path): Unit =
+      deleteRecursively(prefix)
   }
 
   /** Delete `root` and everything under it, deepest first. Missing

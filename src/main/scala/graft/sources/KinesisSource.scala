@@ -424,7 +424,14 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     val (maxRows, minRows) = rowBounds(limit)
     val now = clock()
     if (lastAdmitMs.isEmpty) lastAdmitMs = Some(now)
-    val admit = minRows.forall { mr =>
+    // ReadMinRows is DISABLED under Trigger.AvailableNow: the trigger's
+    // contract is "process everything up to the latch, then stop", and
+    // a residual backlog smaller than minRows would otherwise be
+    // deferred — the engine would read the unchanged offset as "no new
+    // data" and terminate with latched records unprocessed. The Kafka
+    // source ignores minOffsetsPerTrigger under AvailableNow for the
+    // same reason.
+    val admit = availableNowLatch.isDefined || minRows.forall { mr =>
       now - lastAdmitMs.get >= mr.maxTriggerDelayMs ||
         availableAtLeast(c, s, gated, mr.minRows)
     }

@@ -201,8 +201,7 @@ object KinesisSink {
  * watermark.
  */
 object ExactlyOnceSink {
-  import java.nio.file.{Files, Paths}
-  import scala.jdk.CollectionConverters._
+  import java.nio.file.Paths
 
   private def md5hex(gs: Seq[Array[Byte]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -239,7 +238,7 @@ object ExactlyOnceSink {
       store: graft.model.Fs.MarkerStore,
       it: Iterator[String], batchId: Long, pid: Int): Unit = {
     val dir = Paths.get(ledgerDir, s"b$batchId", s"p$pid")
-    Files.createDirectories(dir)
+    store.ensureDir(dir)
     def divergence(ci: Int, prev: String, sig: String): Nothing =
       throw new IllegalStateException(
         s"replay divergence at batch $batchId partition $pid " +
@@ -277,20 +276,17 @@ object ExactlyOnceSink {
 
   /** Retire ledger state for batches the checkpoint has committed:
     * Structured Streaming never replays a batchId at or below the
-    * commit log's watermark, so those markers are unreachable. */
-  def prune(ledgerDir: String, upToBatchId: Long): Unit = {
+    * commit log's watermark, so those markers are unreachable. Runs
+    * through the SAME [[graft.model.Fs.MarkerStore]] the markers were
+    * committed with — a ledger whose markers live in an object store
+    * must retire them THERE, not sweep empty local directories. */
+  def prune(ledgerDir: String, upToBatchId: Long,
+      store: graft.model.Fs.MarkerStore = graft.model.Fs.PosixMarkerStore)
+      : Unit = {
     val root = Paths.get(ledgerDir)
-    if (Files.exists(root)) {
-      val listing = Files.list(root)
-      val old = try {
-        listing.iterator().asScala.filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("b") &&
-            n.stripPrefix("b").toLongOption.exists(_ <= upToBatchId)
-        }.toList
-      } finally listing.close()
-      old.foreach(graft.model.Fs.deleteRecursively)
-    }
+    store.listBatches(root)
+      .filter(_ <= upToBatchId)
+      .foreach(b => store.deletePrefix(root.resolve(s"b$b")))
   }
 
   /** EventSink adapter for [[MicroBatch.start]] with automatic ledger
@@ -309,7 +305,7 @@ object ExactlyOnceSink {
     def write(batch: DataFrame, batchId: Long): Unit = {
       ExactlyOnceSink.write(client, stream, policy, ledgerDir, store)(
         batch, batchId)
-      ExactlyOnceSink.prune(ledgerDir, batchId - retainBatches)
+      ExactlyOnceSink.prune(ledgerDir, batchId - retainBatches, store)
     }
   }
 }

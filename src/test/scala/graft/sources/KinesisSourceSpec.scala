@@ -417,6 +417,38 @@ class KinesisSourceSpec extends SparkSpec {
       (0 until 550).map(i => s"""{"v":"r$i"}""").toSet)
   }
 
+  test("Trigger.AvailableNow ignores the ReadMinRows gate: a backlog smaller " +
+    "than minRecordsPerBatch still drains fully before the query stops") {
+    // without the latch override, 95 < minRows=100 defers admission,
+    // the engine reads the unchanged offset as 'no new data' and
+    // terminates having processed NOTHING — violating the trigger's
+    // process-everything-then-stop contract (the Kafka source ignores
+    // minOffsetsPerTrigger under AvailableNow for the same reason)
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("avnow-minrows", fake)
+    fake.push("shard-0", (0 until 95).map(i => s"m$i"): _*)
+    val ck = Files.createTempDirectory("avnow-minrows-ck").toString
+    val got = mutable.Buffer.empty[String]
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "avnow-minrows")
+      .option("minRecordsPerBatch", "100")
+      .option("maxTriggerDelayMs", "600000000") // the ceiling can't rescue it
+      .load()
+      .selectExpr("cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "the drain must terminate")
+    assert(got.sorted == (0 until 95).map(i => s"m$i").sorted.toBuffer,
+      s"the sub-minRows backlog must still drain: ${got.size} of 95")
+  }
+
   test("the AvailableNow latch caps latestOffset at the start frontier even " +
     "as the live head keeps moving") {
     val fake = new FakeKinesis

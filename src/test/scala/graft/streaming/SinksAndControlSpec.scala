@@ -454,6 +454,16 @@ class SinksAndControlSpec extends SparkSpec {
     val chain = Iterator.iterate[Throwable](e)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(chain.exists(_.contains("replay divergence")), chain)
+    // retention retires markers IN THE STORE (key-prefix delete), not
+    // via local directory sweeps that would never touch an object
+    // store — batch 7's markers must be gone from the map itself
+    val sink = new ExactlyOnceSink.ExactlyOnceEventSink(crashyClient, "s",
+      policy, ledger, retainBatches = 1, store = ConditionalPutStore)
+    val later = spark.range(0, 3).coalesce(1).toDF()
+    sink.write(later, 8L); sink.write(later, 9L)
+    val left = ConditionalPutStore.listBatches(Paths.get(ledger))
+    assert(left.toSet == Set(9L),
+      s"store-side retention must retire batches <= 8, left: $left")
   }
 
   test("the event-sink adapter retires old ledgers as batches commit") {
@@ -490,12 +500,27 @@ object TestCounters {
   * store. Proves the exactly-once analysis holds on object stores where
   * [[graft.model.Fs.PosixMarkerStore]]'s link/rename family is absent. */
 object ConditionalPutStore extends graft.model.Fs.MarkerStore {
+  import scala.jdk.CollectionConverters._
   val blobs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   override def putIfAbsent(path: java.nio.file.Path,
       bytes: Array[Byte]): Option[Array[Byte]] =
     Option(blobs.putIfAbsent(path.toString, bytes))
   override def read(path: java.nio.file.Path): Option[Array[Byte]] =
     Option(blobs.get(path.toString))
+  // flat namespace: no directories exist (ensureDir keeps its no-op
+  // default); batch listing and retention are key-prefix operations,
+  // exactly as they are on a real object store
+  override def listBatches(root: java.nio.file.Path): Seq[Long] = {
+    val pre = root.toString + "/b"
+    blobs.keySet.asScala.toSeq.filter(_.startsWith(pre))
+      .flatMap(_.stripPrefix(pre).takeWhile(_ != '/').toLongOption).distinct
+  }
+  override def deletePrefix(prefix: java.nio.file.Path): Unit = {
+    val p = prefix.toString + "/"
+    blobs.keySet.asScala.toList
+      .filter(k => k == prefix.toString || k.startsWith(p))
+      .foreach(blobs.remove)
+  }
 }
 
 /** Shared state for the exactly-once sink specs: per-record ack counts

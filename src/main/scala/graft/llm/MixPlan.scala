@@ -651,13 +651,23 @@ object MixPlan {
   /** [[knDocScore]] over an explicit documents frame — spec entry
     * point (hand-checked KN arithmetic on a controlled corpus). */
   private[graft] def knDocScoreOf(corpus: DataFrame): DataFrame =
-    docBigrams(corpus)
-      .join(knModelOf(corpus), Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_slots"),
-        expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
-        min(col("score_ppm")).as("kn_min_ppm"))
-      .orderBy("doc_id")
+    knDocScoresPinned(corpus).orderBy("doc_id")
+
+  /** The PINNED, memoized per-doc KN score sliver — (doc_id, n_slots,
+    * kn_mean_ppm, kn_min_ppm), the doc-level twin of `para-scores`:
+    * the fact-scale slots⋈model join is paid once per corpus per JVM
+    * and both consumers (q260's report, q267's tercile partition)
+    * read the pin. Live twin: the streamed `bigram-lm` counts, same
+    * re-derivation argument as `para-scores`. */
+  private[graft] def knDocScoresPinned(corpus: DataFrame): DataFrame =
+    ModelCache.memoIndex(corpus, "doc-scores") {
+      graft.ops.GlobalOrder.pin(docBigrams(corpus)
+        .join(knModelOf(corpus), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_slots"),
+          expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
+          min(col("score_ppm")).as("kn_min_ppm")))
+    }
 
   /**
    * Perplexity buckets (q267) — CCNet's head/middle/tail partition of
@@ -686,7 +696,7 @@ object MixPlan {
     knPerplexityBucketsOf(Tables.documents(spark, dir))
 
   private[graft] def knPerplexityBucketsOf(corpus: DataFrame): DataFrame =
-    knBucketsFromScores(graft.ops.GlobalOrder.pin(knDocScoreOf(corpus)))
+    knBucketsFromScores(knDocScoresPinned(corpus))
 
   /** The bucket rule over an explicit (doc_id, n_slots, kn_mean_ppm)
     * scores frame — spec entry point (hand-checked terciles). */

@@ -95,6 +95,8 @@ object ArtifactMaintenance {
     // serve-equivalence spec pins paragraphLmTrimUnder(servedModel)
     // row-equal to the batch build)
     "para-scores" -> "ArtifactMaintenance.lmArtifact",
+    // per-doc KN scores: same re-derivation argument at doc grain
+    "doc-scores" -> "ArtifactMaintenance.lmArtifact",
     // the pair graph + resolved labels; bands re-sign per batch
     // row-locally against the same seeded hash family
     "lsh-pairs" -> "ArtifactMaintenance.NearDupLabelStore",

@@ -202,9 +202,13 @@ object Bench {
               vals(name) = (prelim(name) +: fresh).min
           }
           round += 1
+          // exclude every name already ATTEMPTED — one whose fresh reps
+          // all threw never enters vals and would otherwise re-run 3
+          // reps per round for all rounds (12 failed executions for 3
+          // attempts' worth of signal)
           pending = Bench.regressionsVsBest(
               (prelim ++ vals).toSeq, best).map(_._1)
-            .filterNot(vals.contains)
+            .filterNot(n => vals.contains(n) || errs.contains(n))
         }
         (vals.toMap, errs.toMap)
       }

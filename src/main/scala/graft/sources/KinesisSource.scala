@@ -120,15 +120,18 @@ object KinesisSource {
       * strictly after `afterSequence`, with the count covered
       * (< maxRecords ⇒ drained to `upToSequence`). None when nothing
       * follows `afterSequence` up to the target. The fixed target is
-      * what makes a batch deterministic under concurrent producers —
-      * and what lets Trigger.AvailableNow cap every advance at the
-      * frontier latched at query start instead of a moving live head.
-      * Default: a lazy bounded scan of `getRecords` — early-exits
-      * after `maxRecords`, so cost is O(maxRecords) when the transport
-      * iterator is lazy. A production client maps this directly onto
-      * GetRecords(Limit=n), Kinesis' own page bound — the same
+      * what lets Trigger.AvailableNow cap every advance at the
+      * frontier latched at query start instead of a moving live head —
+      * this method serves ONLY the latched (AvailableNow) path;
+      * continuous runs keep calling [[advance]], so a production
+      * client that overrode `advance` with GetRecords(Limit=n) stays
+      * fully effective there and should override THIS one too (same
+      * page call, bounded by the target sequence) to get page-bounded
+      * AvailableNow backfills. Default: a lazy bounded scan of
+      * `getRecords` — early-exits after `maxRecords`, so cost is
+      * O(maxRecords) when the transport iterator is lazy (the same
       * per-page `limit=100` discipline the reference enforces on every
-      * fetch (reference app/hs_contacts.py:80,101). */
+      * fetch, reference app/hs_contacts.py:80,101). */
     def advanceTo(streamName: String, shardId: String,
         afterSequence: Option[String], upToSequence: String,
         maxRecords: Int): Option[(String, Int)] =
@@ -348,7 +351,7 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     * shards — counted with early exit, never scanning past `need`. */
   private def availableAtLeast(c: KinesisSource.KinesisShardClient,
       s: Map[String, String], gated: Map[String, String],
-      need: Long): Boolean = {
+      need: Long, latched: Boolean): Boolean = {
     var acc = 0L
     val it = gated.iterator
     while (acc < need && it.hasNext) {
@@ -356,9 +359,12 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
       val after = s.get(shard)
       if (!after.contains(latest)) {
         val want = math.min(need - acc, Int.MaxValue.toLong).toInt
-        // counted toward the admitted frontier (the latch under
-        // Trigger.AvailableNow), never the moving live head
-        acc += c.advanceTo(stream, shard, after, latest, want)
+        // latched: counted toward the frozen frontier, never the live
+        // head; unlatched: through `advance` — the override point
+        // production clients already map onto GetRecords(Limit=n)
+        acc += (if (latched)
+            c.advanceTo(stream, shard, after, latest, want)
+          else c.advance(stream, shard, after, want))
           .map(_._2.toLong).getOrElse(0L)
       }
     }
@@ -433,7 +439,8 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     // same reason.
     val admit = availableNowLatch.isDefined || minRows.forall { mr =>
       now - lastAdmitMs.get >= mr.maxTriggerDelayMs ||
-        availableAtLeast(c, s, gated, mr.minRows)
+        availableAtLeast(c, s, gated, mr.minRows,
+          latched = availableNowLatch.isDefined)
     }
     if (!admit) return KinesisOffset(s)
     val capped = maxRows match {
@@ -446,10 +453,14 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
             .toInt
           gated.map { case (shard, lat) =>
             if (s.get(shard).contains(lat)) shard -> lat
-            // capped advance toward the ADMITTED frontier `lat` (the
-            // latch under AvailableNow) — never past it, even if the
-            // live head has moved on
-            else shard -> c.advanceTo(stream, shard, s.get(shard), lat, per)
+            // latched: capped advance toward the frozen frontier `lat`,
+            // never past it even if the live head has moved on;
+            // unlatched: through `advance` toward the live head — the
+            // override point production clients map onto
+            // GetRecords(Limit=n), kept effective for continuous runs
+            else shard -> (if (availableNowLatch.isDefined)
+                c.advanceTo(stream, shard, s.get(shard), lat, per)
+              else c.advance(stream, shard, s.get(shard), per))
               .map(_._1).getOrElse(lat)
           }
         }

@@ -131,18 +131,32 @@ object KinesisSink {
     // `maxAggregateBytes` bounds only the summed USER payload bytes;
     // the emitted Kinesis record adds magic + MD5 + protobuf framing +
     // the key table. Enforce the envelope at the seam: payload cap +
-    // worst-case framing must fit the 1 MiB record ceiling, so no
-    // caller setting (e.g. maxAggregateBytes at exactly 1 MiB) can
-    // produce an over-limit put record.
-    require(maxAggregateBytes + aggregateOverhead(maxPerAggregate,
-        partitionKey) <= KinesisRecordLimit,
+    // worst-case framing must fit the 1 MiB record ceiling. The
+    // subtraction form cannot overflow (the addition form wraps
+    // negative for a huge maxAggregateBytes and silently passes —
+    // the same Long-overflow pattern Kpl.lengthDelimited refuses).
+    require(maxAggregateBytes >= 0 &&
+        aggregateOverhead(maxPerAggregate, partitionKey) <=
+          KinesisRecordLimit - maxAggregateBytes,
       s"maxAggregateBytes=$maxAggregateBytes plus worst-case KPL framing " +
         s"${aggregateOverhead(maxPerAggregate, partitionKey)} exceeds the " +
         s"$KinesisRecordLimit-byte Kinesis record limit")
     batch.toJSON.foreachPartition { (it: Iterator[String]) =>
-
-      val blobs = chunks(it.map(_.getBytes("UTF-8")),
-          maxPerAggregate, maxAggregateBytes)
+      // The config guard above can't cover DATA: chunks() admits any
+      // FIRST record regardless of size, so one oversized row would
+      // emit an over-limit aggregate that a real transport rejects on
+      // every retry — a permanent poison pill replayed by every task
+      // retry. Refuse it loudly, naming the row (the FirehoseSink
+      // per-record precedent applied to the KPL path).
+      val sized = it.map { s =>
+        val b = s.getBytes("UTF-8")
+        require(b.length <= maxAggregateBytes,
+          s"a single record of ${b.length} bytes exceeds " +
+            s"maxAggregateBytes=$maxAggregateBytes and cannot fit a " +
+            s"Kinesis record once framed: ${s.take(80)}...")
+        b
+      }
+      val blobs = chunks(sized, maxPerAggregate, maxAggregateBytes)
         .map(g => graft.sources.Kpl.aggregate(
           g.map(graft.sources.Kpl.UserRecord(partitionKey, _))))
       chunks(blobs, policy.maxBatch, policy.maxBatchBytes)

@@ -361,6 +361,25 @@ class SinksAndControlSpec extends SparkSpec {
         KinesisSink.Policy(sleep = _ => ()), "pk",
         maxAggregateBytes = 1024L * 1024)(df)
     }
+    // a HUGE cap must not slip through via Long overflow in the guard
+    intercept[IllegalArgumentException] {
+      KinesisSink.writeAggregated(client, "s",
+        KinesisSink.Policy(sleep = _ => ()), "pk",
+        maxAggregateBytes = Long.MaxValue)(df)
+    }
+    // DATA guard: config checks can't see an oversized ROW — a single
+    // record above the payload cap would emit an over-limit aggregate
+    // a real transport rejects on every retry (a permanent poison
+    // pill); it must fail loudly instead
+    val big = spark.range(0, 1).selectExpr("repeat('x', 300) AS s")
+    val e = intercept[org.apache.spark.SparkException] {
+      KinesisSink.writeAggregated(client, "s",
+        KinesisSink.Policy(sleep = _ => ()), "pk",
+        maxAggregateBytes = 100L)(big)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("cannot fit a Kinesis record")), chain)
     // and the claimed worst-case overhead really bounds the observed
     // framing: blob size − summed payload ≤ aggregateOverhead(n, key)
     val key = "partition-key-é"

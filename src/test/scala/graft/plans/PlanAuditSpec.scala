@@ -449,10 +449,12 @@ class PlanAuditSpec extends SparkSpec {
       // q259: one group-less map-side-complete aggregate over the XML
       // read-back — zero exchanges in the unexecuted plan
       "q259_xml_roundtrip"      -> (0, 0, 0, 0),
-      // q260: vocab-scale model assembly (counts⋈fwd⋈bwd pre-joined,
-      // types as a broadcast scalar) + ONE fact-scale slots⋈model
-      // equi-join + the doc aggregate and output sort
-      "q260_kn_doc_score"       -> (4, 4, 3, 0),
+      // q260: the per-doc score sliver is MEMOIZED+PINNED (round 16's
+      // `doc-scores` tag — the vocab-scale model assembly, the one
+      // fact-scale slots⋈model join and the doc aggregate all live
+      // inside the pin build, shared with q267), so the SERVED plan is
+      // the presentation sort over the pinned sliver and nothing else
+      "q260_kn_doc_score"       -> (1, 0, 0, 0),
       // q261: the residual route keeps q160's EXACT golden shape —
       // same index scan, same broadcast LUT join, same shortlist heap
       // and rerank join-backs; the residual terms ride as literals

@@ -417,6 +417,30 @@ class KinesisSourceSpec extends SparkSpec {
       (0 until 550).map(i => s"""{"v":"r$i"}""").toSet)
   }
 
+  test("Trigger.AvailableNow on an EMPTY stream terminates cleanly with " +
+    "zero batches") {
+    val fake = new FakeKinesis
+    KinesisSource.registerClient("avnow-empty", fake)
+    val ck = Files.createTempDirectory("avnow-empty-ck").toString
+    val got = mutable.Buffer.empty[String]
+    val q = spark.readStream
+      .format("graft.sources.KinesisSource")
+      .option("stream", "events")
+      .option("client", "avnow-empty")
+      .load()
+      .selectExpr("cast(data as string) AS v")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000),
+      "an empty latch must terminate, not hang waiting for data")
+    assert(got.isEmpty, s"an empty stream delivered rows: $got")
+  }
+
   test("Trigger.AvailableNow ignores the ReadMinRows gate: a backlog smaller " +
     "than minRecordsPerBatch still drains fully before the query stops") {
     // without the latch override, 95 < minRows=100 defers admission,

@@ -18,9 +18,64 @@ import org.apache.spark.sql.SparkSession
  * refreshes the stored file after a green run, so the baseline is
  * always "the plan of the last green round".
  *
- * Usage: runMain graft.PlanShapes [sfDir] [outPath]
+ * Usage: runMain graft.PlanShapes [sfDir] [outPath] [dumpDir]
+ * With `dumpDir`, also writes each query's NORMALIZED plan text to
+ * `dumpDir/<query>.txt` so a fingerprint flip can be diffed to its
+ * exact operator instead of guessed at (the q163/q247 triage tool).
  */
 object PlanShapes {
+
+  /**
+   * Canonicalize one plan LINE from Catalyst's distinct-aggregate
+   * rewrite (identified by carrying a `gid#` attribute).
+   * RewriteDistinctAggregates assigns its Expand gid↔column pairing by
+   * iterating a hash-keyed expression collection, so the pairing (and
+   * with it the Expand projections, aggregate key order, and FILTER
+   * gid literals) PERMUTES run-to-run with the session's
+   * expression-id counter — observed as q163/q247 flipping between two
+   * fingerprints depending on how many expressions earlier queries had
+   * allocated (round-17 triage of the r16 q247 baseline drift; plans
+   * semantically identical, diff confined to gid lines). Two steps
+   * make every permutation render identically: strip standalone
+   * integer literals (the gid constants), then sort the elements of
+   * every bracket/paren list — a permutation of a list sorts to the
+   * same canonical form.
+   */
+  private[graft] def canonicalizeGidLine(line: String): String = {
+    val stripped = line.replaceAll("\\b\\d+\\b", "_")
+    // sort top-level comma elements of every [...] and (...) group,
+    // innermost first, via recursive descent (regex can't nest)
+    def walk(s: String): String = {
+      val n = s.length
+      var pos = 0
+      def group(open: Char, close: Char): String = {
+        // pos sits just after `open`; returns canonical contents and
+        // leaves pos just after the matching `close`
+        val elems = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        var done = false
+        while (pos < n && !done) {
+          s(pos) match {
+            case c if c == close => done = true; pos += 1
+            case '[' => pos += 1; cur.append('[').append(group('[', ']')).append(']')
+            case '(' => pos += 1; cur.append('(').append(group('(', ')')).append(')')
+            case ',' => elems += cur.toString.trim; cur.clear(); pos += 1
+            case c   => cur.append(c); pos += 1
+          }
+        }
+        elems += cur.toString.trim
+        elems.sorted.mkString(", ")
+      }
+      val out = new StringBuilder
+      while (pos < n) s(pos) match {
+        case '[' => pos += 1; out.append('[').append(group('[', ']')).append(']')
+        case '(' => pos += 1; out.append('(').append(group('(', ')')).append(')')
+        case c   => out.append(c); pos += 1
+      }
+      out.toString
+    }
+    walk(stripped)
+  }
 
   /** Run-dependent noise stripped from a plan rendering. The result is
     * stable across JVMs for the same code + fixture. */
@@ -41,6 +96,12 @@ object PlanShapes {
       .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]", "FileIndex")
       .replaceAll("Location: [^\\n]*", "Location: path")
       .replaceAll("\\[id=#\\]", "")
+      // distinct-rewrite gid permutation (see canonicalizeGidLine):
+      // applied ONLY to lines carrying a gid# attribute so every other
+      // operator's rendering — list order included — stays verbatim
+      .split("\n", -1)
+      .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
+      .mkString("\n")
 
   private[graft] def fingerprint(plan: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -66,9 +127,15 @@ object PlanShapes {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dumpDir = if (args.length > 2) Some(args(2)) else None
+    dumpDir.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     val shapes = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val fp = try {
         val df = fn(spark, sfDir)
+        val norm = normalize(df.queryExecution.executedPlan.toString)
+        dumpDir.foreach(d => java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"), norm.getBytes("UTF-8")))
         fingerprint(df.queryExecution.executedPlan.toString)
       } catch { case e: Throwable =>
         // class name only: exception MESSAGES carry quotes/backslashes

@@ -348,10 +348,15 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
   }
 
   /** True iff at least `need` records sit unread across the admitted
-    * shards — counted with early exit, never scanning past `need`. */
+    * shards — counted with early exit, never scanning past `need`.
+    * Only reachable on the CONTINUOUS (unlatched) path: under
+    * Trigger.AvailableNow the caller short-circuits admission to true
+    * (ReadMinRows is deliberately ignored there — see latestOffset), so
+    * counting always goes through `advance` toward the live head, the
+    * override point production clients map onto GetRecords(Limit=n). */
   private def availableAtLeast(c: KinesisSource.KinesisShardClient,
       s: Map[String, String], gated: Map[String, String],
-      need: Long, latched: Boolean): Boolean = {
+      need: Long): Boolean = {
     var acc = 0L
     val it = gated.iterator
     while (acc < need && it.hasNext) {
@@ -359,12 +364,7 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
       val after = s.get(shard)
       if (!after.contains(latest)) {
         val want = math.min(need - acc, Int.MaxValue.toLong).toInt
-        // latched: counted toward the frozen frontier, never the live
-        // head; unlatched: through `advance` — the override point
-        // production clients already map onto GetRecords(Limit=n)
-        acc += (if (latched)
-            c.advanceTo(stream, shard, after, latest, want)
-          else c.advance(stream, shard, after, want))
+        acc += c.advance(stream, shard, after, want)
           .map(_._2.toLong).getOrElse(0L)
       }
     }
@@ -439,8 +439,7 @@ class KinesisMicroBatchStream(stream: String, clientName: String,
     // same reason.
     val admit = availableNowLatch.isDefined || minRows.forall { mr =>
       now - lastAdmitMs.get >= mr.maxTriggerDelayMs ||
-        availableAtLeast(c, s, gated, mr.minRows,
-          latched = availableNowLatch.isDefined)
+        availableAtLeast(c, s, gated, mr.minRows)
     }
     if (!admit) return KinesisOffset(s)
     val capped = maxRows match {

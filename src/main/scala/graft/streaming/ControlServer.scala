@@ -12,18 +12,27 @@ import org.apache.spark.sql.SparkSession
  * routes `/`, `/start`, `/stop`, `/check`; auth decorator app.py:31-52).
  * Built on the JDK's `com.sun.net.httpserver` so it adds no dependency.
  *
- * Route semantics mirror the reference:
- *  - `GET  /`      (no auth)  → 200 `{"message": "Server up and running"}`
- *                    while the session is healthy (C5), 503 after stop;
- *  - `POST /start` (auth)     → launches the named job via the injected
- *                    launcher; 400 "Must provide job_name" / "Must
- *                    provide arguments in payload" exactly as app.py:80-83;
- *  - `POST /stop`  (auth)     → graceful stop by name (vs `kill -9`,
- *                    app.py:93-96); 200 `{"message": "Job <n> ended"}`;
- *  - `POST /check` (auth)     → 200 `{"current_status": {...}}` from the
- *                    query's own progress (vs `ps | grep`, app.py:103-112);
- *  - any route, bad/missing `x-api-key` → 401 with the reference's
- *    exact messages (see [[Auth]]).
+ * THE response contract — every verb × every state, pinned so spec
+ * authors read it instead of guessing (each cell is enumerated by
+ * ControlServerSpec's table-driven contract test):
+ *
+ * {{{
+ * verb         | unauthorized       | empty body            | no job_name           | job RUNNING                          | job NOT running / unknown
+ * -------------+--------------------+-----------------------+-----------------------+--------------------------------------+---------------------------------------------
+ * GET  /       | (no auth required) | n/a                   | n/a                   | 200 "Server up and running"          | same (503 only after session stop)
+ * POST /start  | 401 Auth.*Msg      | 400 "Must provide     | 400 "Must provide     | 200 "Job <n> already running: ..."   | launcher true  → 200 "Job <n> started"
+ *              |                    |  arguments in payload"|  job_name"            | (idempotent echo, never a 2nd launch)| launcher false → 400 "Unknown job <n>"
+ * POST /stop   | 401 Auth.*Msg      | 400 (as /start)       | 400 (as /start)       | 200 "Job <n> ended"                  | 404 "No active job <n>"
+ * POST /check  | 401 Auth.*Msg      | 400 (as /start)       | 400 (as /start)       | 200 {"current_status": {...}}        | 200 {"current_status": null}
+ * }}}
+ *
+ * The /check not-running cell mirrors the reference exactly: a
+ * `ps | grep` that finds nothing still answers
+ * `200 {"current_status": []}` (app.py:109-114) — not a 404, not an
+ * error. Our `null` is that same "known verb, no live status" answer;
+ * the server deliberately does NOT distinguish "name the launcher
+ * knows but inactive" from "name nobody ever heard of" on /check or
+ * /stop, because the reference's process-table grep can't either.
  *
  * The job launcher is injected (`name → started?`) so the facade stays
  * decoupled from which pipeline a deployment runs — the reference had

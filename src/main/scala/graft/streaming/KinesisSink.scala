@@ -118,7 +118,13 @@ object KinesisSink {
     * the summed user payloads: magic (4) + MD5 trailer (16) + the
     * single-entry key table (field header ≤ 6 + key bytes) + per
     * record ≤ 23 bytes of protobuf framing (outer field header ≤ 6,
-    * partition_key_index ≤ 11, data field header ≤ 6). */
+    * partition_key_index ≤ 11, data field header ≤ 6). Deliberately a
+    * conservative CONFIG-TIME envelope: it charges the worst case per
+    * admitted record, so an extreme-but-valid config (huge
+    * maxPerAggregate, tiny records) is rejected at the seam even
+    * though its actual aggregates might fit — the safe failure mode.
+    * If that ever bites a real deployment, enforce the framed size per
+    * emitted aggregate at chunk time instead. */
   private[streaming] def aggregateOverhead(
       maxPerAggregate: Int, partitionKey: String): Long =
     20L + 6L + partitionKey.getBytes("UTF-8").length +
@@ -146,14 +152,18 @@ object KinesisSink {
       // FIRST record regardless of size, so one oversized row would
       // emit an over-limit aggregate that a real transport rejects on
       // every retry — a permanent poison pill replayed by every task
-      // retry. Refuse it loudly, naming the row (the FirehoseSink
+      // retry. Refuse it loudly, identifying the row by DIGEST, not
+      // content — executor logs are not a place for payload bytes in
+      // a pipeline that otherwise leak-checks (the FirehoseSink
       // per-record precedent applied to the KPL path).
       val sized = it.map { s =>
         val b = s.getBytes("UTF-8")
         require(b.length <= maxAggregateBytes,
           s"a single record of ${b.length} bytes exceeds " +
             s"maxAggregateBytes=$maxAggregateBytes and cannot fit a " +
-            s"Kinesis record once framed: ${s.take(80)}...")
+            "Kinesis record once framed; md5=" +
+            java.security.MessageDigest.getInstance("MD5").digest(b)
+              .map("%02x".format(_)).mkString)
         b
       }
       val blobs = chunks(sized, maxPerAggregate, maxAggregateBytes)

@@ -40,6 +40,30 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(PlanShapes.fingerprint(one) != PlanShapes.fingerprint(two))
   }
 
+  test("the distinct-rewrite gid permutation fingerprints identically " +
+    "(the q163/q247 run-to-run flip, round-17 triage)") {
+    // the two REAL renderings q247 flipped between (captured from
+    // back-to-back PlanShapes runs at HEAD): Catalyst's
+    // RewriteDistinctAggregates paired gid 1/2 with h/doc_id in one
+    // session and doc_id/h in the other — same plan, permuted lists
+    val a = """HashAggregate(keys=[source#], functions=[partial_count(doc_id#L) FILTER (WHERE (gid# = 2)), partial_count(h#) FILTER (WHERE (gid# = 1))], output=[source#, count#L, count#L])
+      |+- HashAggregate(keys=[source#, h#, doc_id#L, gid#], functions=[count(1), sum(len#L)], output=[source#, h#, doc_id#L, gid#, count(1)#L, sum(len)#L])
+      |   +- Exchange hashpartitioning(source#, h#, doc_id#L, gid#, 32), ENSURE_REQUIREMENTS, [id=#11]
+      |      +- Expand [[source#, null, null, 0, len#L], [source#, h#, null, 1, null], [source#, null, doc_id#L, 2, null]], [source#, h#, doc_id#L, gid#, len#L]""".stripMargin
+    val b = """HashAggregate(keys=[source#], functions=[partial_count(doc_id#L) FILTER (WHERE (gid# = 1)), partial_count(h#) FILTER (WHERE (gid# = 2))], output=[source#, count#L, count#L])
+      |+- HashAggregate(keys=[source#, doc_id#L, h#, gid#], functions=[count(1), sum(len#L)], output=[source#, doc_id#L, h#, gid#, count(1)#L, sum(len)#L])
+      |   +- Exchange hashpartitioning(source#, doc_id#L, h#, gid#, 32), ENSURE_REQUIREMENTS, [id=#22]
+      |      +- Expand [[source#, null, null, 0, len#L], [source#, doc_id#L, null, 1, null], [source#, null, h#, 2, null]], [source#, doc_id#L, h#, gid#, len#L]""".stripMargin
+    assert(PlanShapes.fingerprint(a) == PlanShapes.fingerprint(b))
+    // the canonicalization is CONFINED to gid lines: a genuine change
+    // on a non-gid line (extra exchange) still changes the hash...
+    val c = a + "\n         +- Exchange rangepartitioning(len#L, 32)"
+    assert(PlanShapes.fingerprint(a) != PlanShapes.fingerprint(c))
+    // ...and a genuine operator change ON a gid line does too
+    val d = a.replace("Exchange hashpartitioning", "Exchange rangepartitioning")
+    assert(PlanShapes.fingerprint(a) != PlanShapes.fingerprint(d))
+  }
+
   test("stored baseline covers every query key") {
     val stored = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("tools/plan_shapes.json")), "UTF-8")

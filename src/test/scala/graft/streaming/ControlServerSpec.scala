@@ -62,10 +62,13 @@ class ControlServerSpec extends SparkSpec {
       val r1 = send(srv.port, "/start", body = """{"job_name": "backfill_job"}""")
       assert(r1.statusCode() == 200 && r1.body().contains("started"), r1.body())
       assert(seen.size == 120, s"first drain must deliver the backlog: ${seen.size}")
-      // the finished drain is NOT running — /check reports the
-      // reference's not-running answer, not a live status
+      // the finished drain is NOT running — /check answers with the
+      // reference's not-running shape: 200 + an empty current_status
+      // (app.py:109-114 returns 200 {"current_status": []} when the
+      // ps|grep finds nothing; our null is the same "no live status")
       val chk = send(srv.port, "/check", body = """{"job_name": "backfill_job"}""")
-      assert(chk.body().contains("not running") || chk.statusCode() == 404,
+      assert(chk.statusCode() == 200 &&
+        chk.body().contains(""""current_status": null"""),
         s"a self-terminated backfill must read as not running: ${chk.body()}")
       // new backlog, same name: /start relaunches from the checkpoint
       // and the second drain picks up exactly the delta
@@ -211,6 +214,82 @@ class ControlServerSpec extends SparkSpec {
     } finally {
       srv.stop()
       spark.streams.active.filter(_.name == "lag_job").foreach(_.stop())
+    }
+  }
+
+  test("response contract: every verb x state cell answers exactly as " +
+    "the ControlServer scaladoc table pins it") {
+    // one live query (60 s trigger keeps it active for the whole test)
+    // gives the RUNNING column; everything else is stateless
+    val fake = new graft.sources.FakeKinesis
+    graft.sources.KinesisSource.registerClient("ctl-contract", fake)
+    fake.push("shard-0", "r1")
+    val ck = Files.createTempDirectory("ctl-contract-ck").toString
+    val launcher: String => Boolean = {
+      case "live_job" =>
+        spark.readStream
+          .format("graft.sources.KinesisSource")
+          .option("stream", "events")
+          .option("client", "ctl-contract")
+          .load()
+          .writeStream
+          .queryName("live_job")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000L))
+          .format("noop")
+          .start()
+        true
+      case _ => false
+    }
+    val srv = ControlServer.start(spark, key, launcher)
+    try {
+      assert(send(srv.port, "/start", body = """{"job_name": "live_job"}""")
+        .statusCode() == 200)
+
+      // (verb, method, body, apiKey, wantStatus, wantFragment) — one row
+      // per cell of the scaladoc contract table
+      val name = """{"job_name": "live_job"}"""
+      val ghost = """{"job_name": "ghost_job"}"""
+      val cells: Seq[(String, String, String, Option[String], Int, String)] = Seq(
+        // health row (no auth surface)
+        ("/",      "GET",  "",    None,          200, "Server up and running"),
+        // unauthorized column: missing then wrong key, all POST verbs
+        ("/start", "POST", name,  None,          401, Auth.MissingMsg),
+        ("/stop",  "POST", name,  None,          401, Auth.MissingMsg),
+        ("/check", "POST", name,  None,          401, Auth.MissingMsg),
+        ("/start", "POST", name,  Some("wrong"), 401, Auth.InvalidMsg),
+        ("/stop",  "POST", name,  Some("wrong"), 401, Auth.InvalidMsg),
+        ("/check", "POST", name,  Some("wrong"), 401, Auth.InvalidMsg),
+        // empty-body column
+        ("/start", "POST", "",    Some(key),     400, "Must provide arguments in payload"),
+        ("/stop",  "POST", "",    Some(key),     400, "Must provide arguments in payload"),
+        ("/check", "POST", "",    Some(key),     400, "Must provide arguments in payload"),
+        // no-job_name column
+        ("/start", "POST", """{"x":1}""", Some(key), 400, "Must provide job_name"),
+        ("/stop",  "POST", """{"x":1}""", Some(key), 400, "Must provide job_name"),
+        ("/check", "POST", """{"x":1}""", Some(key), 400, "Must provide job_name"),
+        // RUNNING column (order matters: stop is last so the query
+        // stays live for the /start echo and /check status cells)
+        ("/start", "POST", name,  Some(key),     200, "Job live_job already running"),
+        ("/check", "POST", name,  Some(key),     200, "\"isActive\": true"),
+        ("/stop",  "POST", name,  Some(key),     200, "Job live_job ended"),
+        // NOT-running / unknown column (live_job just stopped; ghost
+        // was never known) — /check answers 200 + null either way,
+        // /stop 404, /start defers to the launcher (false -> 400)
+        ("/check", "POST", name,  Some(key),     200, "\"current_status\": null"),
+        ("/check", "POST", ghost, Some(key),     200, "\"current_status\": null"),
+        ("/stop",  "POST", name,  Some(key),     404, "No active job live_job"),
+        ("/stop",  "POST", ghost, Some(key),     404, "No active job ghost_job"),
+        ("/start", "POST", ghost, Some(key),     400, "Unknown job ghost_job"))
+      for ((path, method, body, k, wantStatus, wantFragment) <- cells) {
+        val r = send(srv.port, path, method = method, body = body, apiKey = k)
+        assert(r.statusCode() == wantStatus && r.body().contains(wantFragment),
+          s"cell $method $path key=$k body=$body -> " +
+            s"${r.statusCode()} ${r.body()} (wanted $wantStatus + '$wantFragment')")
+      }
+    } finally {
+      srv.stop()
+      spark.streams.active.filter(_.name == "live_job").foreach(_.stop())
     }
   }
 

@@ -661,13 +661,22 @@ object MixPlan {
     * re-derivation argument as `para-scores`. */
   private[graft] def knDocScoresPinned(corpus: DataFrame): DataFrame =
     ModelCache.memoIndex(corpus, "doc-scores") {
-      graft.ops.GlobalOrder.pin(docBigrams(corpus)
-        .join(knModelOf(corpus), Seq("w1", "w2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_slots"),
-          expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
-          min(col("score_ppm")).as("kn_min_ppm")))
+      graft.ops.GlobalOrder.pin(knDocScoresUnder(corpus, knModelOf(corpus)))
     }
+
+  /** The per-doc scorer under an EXPLICIT model table — how q267's
+    * buckets serve from the LIVE stream-maintained `bigram-lm`
+    * instead of the batch memo (the q266 `paragraphLmTrimUnder`
+    * pattern lifted one consumer up); the batch pin above routes
+    * through this SAME body, so the two paths cannot drift. */
+  private[graft] def knDocScoresUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    docBigrams(corpus)
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_slots"),
+        expr("sum(score_ppm) div count(1)").as("kn_mean_ppm"),
+        min(col("score_ppm")).as("kn_min_ppm"))
 
   /**
    * Perplexity buckets (q267) — CCNet's head/middle/tail partition of
@@ -697,6 +706,12 @@ object MixPlan {
 
   private[graft] def knPerplexityBucketsOf(corpus: DataFrame): DataFrame =
     knBucketsFromScores(knDocScoresPinned(corpus))
+
+  /** q267 under an EXPLICIT model table — the streamed-LM serve path;
+    * same bucket rule as the batch query by construction. */
+  private[graft] def knPerplexityBucketsUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    knBucketsFromScores(knDocScoresUnder(corpus, model))
 
   /** The bucket rule over an explicit (doc_id, n_slots, kn_mean_ppm)
     * scores frame — spec entry point (hand-checked terciles). */
@@ -906,7 +921,16 @@ object MixPlan {
     trimAwareMixOf(Tables.documents(spark, dir))
 
   private[graft] def trimAwareMixOf(corpus: DataFrame): DataFrame =
-    waterFillAlloc(postTrimSourceTokens(corpus), budgetNum = 3L, budgetDen = 5L)
+    trimAwareMixFrom(postTrimSourceTokens(corpus))
+
+  /** q269 under an EXPLICIT model table — the streamed-LM serve path;
+    * same planner body as the batch query by construction. */
+  private[graft] def trimAwareMixUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    trimAwareMixFrom(postTrimSourceTokensUnder(corpus, model))
+
+  private def trimAwareMixFrom(postTrim: DataFrame): DataFrame =
+    waterFillAlloc(postTrim, budgetNum = 3L, budgetDen = 5L)
       .select(col("source"), col("pre_tokens"),
         col("n_tokens").as("post_tokens"), col("alloc"))
       .orderBy("source")
@@ -940,9 +964,20 @@ object MixPlan {
     * no-ReusedExchange lesson). Per-doc sums group on doc_id and the
     * doc→source attach joins on that SAME key, so the aggregate's
     * partitioning is reused. */
-  private[graft] def postTrimSourceTokens(corpus: DataFrame): DataFrame = {
+  private[graft] def postTrimSourceTokens(corpus: DataFrame): DataFrame =
+    graft.ops.GlobalOrder.pin(
+      postTrimSourceTokensFrom(corpus, scoredParagraphsOf(corpus)))
+
+  /** The post-trim totals under an EXPLICIT model table — the
+    * streamed-LM serve path for q269/q270's planners; left unpinned
+    * (the caller decides, exactly as `paragraphLmTrimUnder` does). */
+  private[graft] def postTrimSourceTokensUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    postTrimSourceTokensFrom(corpus, scoredParagraphsUnder(corpus, model))
+
+  private def postTrimSourceTokensFrom(
+      corpus: DataFrame, scored: DataFrame): DataFrame = {
     val paras = explodedParagraphs(corpus)
-    val scored = scoredParagraphsOf(corpus)
     val thr = scored.agg(
       expr("sum(sum_ppm) div sum(n_slots)").as("thr_ppm"))
     val perDoc = paras
@@ -955,11 +990,11 @@ object MixPlan {
       .groupBy(col("doc_id"))
       .agg(sum(col("t")).as("pre_t"),
         sum(when(col("kept"), col("t")).otherwise(0L)).as("post_t"))
-    graft.ops.GlobalOrder.pin(perDoc
+    perDoc
       .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(sum(col("pre_t")).as("pre_tokens"),
-        sum(col("post_t")).as("n_tokens")))
+        sum(col("post_t")).as("n_tokens"))
   }
 
   /**

@@ -107,6 +107,68 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(byDoc(4L) == ((2L, 1L)), s"doc 4 under the served LM: ${byDoc(4L)}")
   }
 
+  test("q267's buckets and q269's trim-aware mix served from the STREAMED " +
+    "bigram-lm artifact are row-equal to the batch build (q266's serve " +
+    "equivalence lifted to the KN memo consumers, round-16 directive #6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three sources with different fluency/trim profiles; the
+    // background docs corrupt GRADUALLY (doc i carries i-5 inverted
+    // windows) so the 14 per-doc means spread enough for all three
+    // terciles to be inhabited — clustered means leave `middle` empty
+    // (the bucket rule is >= t2 / > t1, and interpolated quantiles of
+    // a two-cluster set land ON the cluster values)
+    val bg = (5L to 14L).map { i =>
+      val bad = (i - 5L).toInt
+      (i, (Seq.fill(14 - bad)("the cat sat on") ++
+        Seq.fill(bad)("on sat cat the")).mkString(" "),
+        if (i % 2 == 0) "web" else "books")
+    }
+    val rows = (bg :+
+      (0L, "the cat sat on on sat cat the the cat sat on", "forums") :+
+      (1L, "the cat sat on sat the on cat the cat sat on", "forums") :+
+      (2L, "on the cat sat the cat sat on", "web") :+
+      (4L, "the cat sat on the", "books")).sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val artifact = freshDir("kn-serve-art")
+    val q = ArtifactMaintenance
+      .maintainLm(input.toDF().toDF("doc_id", "text"), artifact)
+      .option("checkpointLocation", freshDir("kn-serve-ckpt"))
+      .start()
+    try {
+      // three batches with a mid-stream compaction, as a live
+      // maintainer would actually run
+      input.addData(rows.take(5).map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(5, 10).map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      ArtifactMaintenance.compactLm(spark, artifact)
+      input.addData(rows.drop(10).map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = rows.toDF("doc_id", "text", "source")
+    val model = graft.llm.MixPlan.knModelFromCounts(
+      ArtifactMaintenance.lmCounts(spark, artifact))
+    // q267 under the served LM ≡ the batch build (memoized doc-scores)
+    val served267 = graft.llm.MixPlan.knPerplexityBucketsUnder(docs, model)
+      .collect().toSeq
+    val batch267 = graft.llm.MixPlan.knPerplexityBucketsOf(docs)
+      .collect().toSeq
+    assert(served267 == batch267,
+      s"streamed-LM buckets diverged:\n$served267\nvs\n$batch267")
+    assert(served267.map(_.getString(0)).toSet == Set("head", "middle", "tail"),
+      s"tercile fixture must populate all three buckets: $served267")
+    // q269 under the served LM ≡ the batch build (pinned post-trim frame)
+    val served269 = graft.llm.MixPlan.trimAwareMixUnder(docs, model)
+      .collect().toSeq
+    val batch269 = graft.llm.MixPlan.trimAwareMixOf(docs).collect().toSeq
+    assert(served269 == batch269,
+      s"streamed-LM mix plan diverged:\n$served269\nvs\n$batch269")
+    assert(served269.map(_.getString(0)) == Seq("books", "forums", "web"))
+    assert(served269.exists(r => r.getLong(2) < r.getLong(1)),
+      s"the trim must bite at least one source's totals: $served269")
+  }
+
   test("streamed prefix counts match the batch aggregate and surface new boilerplate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

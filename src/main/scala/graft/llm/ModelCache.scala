@@ -52,9 +52,11 @@ object ModelCache {
     * Lets a benchmark report one-time artifact build cost alongside
     * the per-query serve cost instead of silently discounting it. */
   private val buildNanos = new ConcurrentHashMap[String, java.lang.Long]()
+  private val buildRuns = new ConcurrentHashMap[String, java.lang.Integer]()
 
   private def timed[T](tag: String)(build: => T): T = {
     val t0 = System.nanoTime()
+    buildRuns.merge(tag.takeWhile(_ != '|'), 1, (a, b) => a + b)
     try build finally {
       val dt = System.nanoTime() - t0
       buildNanos.merge(tag.takeWhile(_ != '|'), dt, (a, b) => a + b)
@@ -69,6 +71,16 @@ object ModelCache {
     b.result()
   }
 
+  /** Per-tag build INVOCATION counts — the single-flight audit signal:
+    * seconds inflate under CPU contention even when a build ran once,
+    * counts do not (graft.ConcurrentServe gates on these). */
+  def buildCounts: Map[String, Int] = {
+    val it = buildRuns.entrySet().iterator()
+    val b = Map.newBuilder[String, Int]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.toInt }
+    b.result()
+  }
+
   /** Drop every cached model/pin (tests; corpus retirement). */
   def invalidate(): Unit = cache.clear()
 
@@ -80,25 +92,55 @@ object ModelCache {
     * let the two diverge. */
   def meter[T](tag: String)(build: => T): T = timed(tag)(build)
 
+  /** In-flight builds, SINGLE-FLIGHT (round-17, the concurrent-serve
+    * audit): when two queries want one uncached artifact at once (a
+    * fair-scheduler warehouse serving q260 and q267 together — both
+    * read `doc-scores`), exactly one thread runs the build and the
+    * rest WAIT on its future instead of duplicating a corpus-scale
+    * job. At 100 TB a duplicated build is the single most expensive
+    * avoidable job in the system; waiting is strictly better. */
+  private val inflight =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[AnyRef]]()
+
   /** get-or-build WITHOUT holding the map's bin lock during the build:
     * builds nest (the lsh-pairs build calls the lsh-bands memo on this
     * same map), and a nested `computeIfAbsent` whose key collides with
     * the in-flight bin throws `IllegalStateException: Recursive
-    * update`. Racing threads may build twice; both values are
-    * bit-identical by construction (see class doc), `putIfAbsent`
-    * keeps the first — and the loser's value, if it is a pinned
-    * DataFrame, has already `localCheckpoint`'ed blocks that nothing
-    * will ever read: release them immediately instead of leaking them
-    * for the session lifetime (eviction can't free them later — class
-    * doc). */
+    * update` — so coordination runs on a separate promise map, never
+    * inside a bin. The builder publishes to `cache` FIRST, then
+    * completes its promise and retires it; a failed build completes
+    * the promise exceptionally and retires it, so the next caller
+    * retries fresh instead of caching the failure. Same-thread nested
+    * builds hit DIFFERENT keys (the nesting is bands-within-pairs);
+    * a same-key recursion would be an infinite build loop regardless.
+    * A rare interleaving can still double-build (promise retired
+    * between a get miss and the putIfAbsent): both values are
+    * bit-identical by construction (class doc), `putIfAbsent` keeps
+    * the first, and the loser's pinned blocks are released. */
   private def getOrBuild(key: String, tag: String)(build: => AnyRef): AnyRef = {
     val existing = cache.get(key)
-    if (existing != null) existing
-    else {
+    if (existing != null) return existing
+    val promise = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val race = inflight.putIfAbsent(key, promise)
+    if (race != null) {
+      // someone is building this key right now: wait, then re-read the
+      // cache (the builder publishes there before completing)
+      try race.join()
+      catch { case _: java.util.concurrent.CompletionException => () }
+      val after = cache.get(key)
+      if (after != null) return after
+      // builder failed (or retired between publish races): build here
+      return getOrBuild(key, tag)(build)
+    }
+    try {
       val v = timed(tag)(build)
       val prev = cache.putIfAbsent(key, v)
-      if (prev != null) { releasePin(v); prev } else v
-    }
+      val out = if (prev != null) { releasePin(v); prev } else v
+      promise.complete(out)
+      out
+    } catch {
+      case e: Throwable => promise.completeExceptionally(e); throw e
+    } finally inflight.remove(key)
   }
 
   /** Best-effort release of a discarded pinned DataFrame's checkpoint

@@ -1,6 +1,6 @@
 package graft.llm
 
-import java.util.concurrent.CyclicBarrier
+
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.SparkSpec
@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 /** The cache-lifecycle disciplines ModelCache documents:
   * train-once/serve-many, the [[ModelCache.invalidate]]
   * corpus-retirement path (multi-tenant sessions cycle corpora and
-  * must actually release + rebuild), and the double-build race's
-  * loser releasing its orphaned checkpoint blocks. */
+  * must actually release + rebuild), single-flight concurrent builds,
+  * and failed builds retiring instead of poisoning their key. */
 class ModelCacheSpec extends SparkSpec {
 
   private def corpus = graft.model.Tables.documents(spark, sf)
@@ -37,36 +37,62 @@ class ModelCacheSpec extends SparkSpec {
     ModelCache.invalidate()
   }
 
-  test("double-build race: the losing build's checkpoint blocks are released") {
+  test("concurrent same-key builds are SINGLE-FLIGHT: one build runs, the " +
+    "waiter shares its value, no orphaned checkpoint blocks") {
+    // round-17 (concurrent-serve audit): a fair-scheduler warehouse
+    // serving q260 and q267 together must not pay the doc-scores
+    // build twice — the second consumer WAITS on the first's future
     ModelCache.invalidate()
     val sc = spark.sparkContext
-    // settle any async unpersists from other suites before baselining
     val before = sc.getPersistentRDDs.size
-    val barrier = new CyclicBarrier(2)
-    def serve() = ModelCache.memoIndex(corpus, "spec-race") {
-      // both threads reach the build body before either publishes:
-      // guarantees the putIfAbsent race actually happens
-      barrier.await()
+    val builds = new AtomicInteger(0)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    def serve() = ModelCache.memoIndex(corpus, "spec-singleflight") {
+      builds.incrementAndGet()
+      entered.countDown()
+      // hold the build open until the spec has a second consumer
+      // provably waiting — the single-flight window is forced, not
+      // hoped for
+      assert(release.await(60, java.util.concurrent.TimeUnit.SECONDS))
       graft.ops.GlobalOrder.pin(
         corpus.groupBy(col("lang")).agg(count(lit(1)).as("n")))
     }
     val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
-    val threads = Seq.fill(2)(new Thread(() => results.add(serve())))
-    threads.foreach(_.start())
-    threads.foreach(_.join(60000))
+    val t1 = new Thread(() => results.add(serve()))
+    t1.start()
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    val t2 = new Thread(() => results.add(serve()))
+    t2.start()
+    Thread.sleep(300) // t2 is now parked on the in-flight future
+    release.countDown()
+    t1.join(60000); t2.join(60000)
     assert(results.size == 2)
+    assert(builds.get() == 1,
+      s"single-flight must run the build ONCE, ran ${builds.get()}")
     val rs = results.toArray
-    assert(rs(0) eq rs(1), "both racers must converge on one cached value")
-    // two pins were checkpointed; the loser's must be unpersisted
-    // (async — poll). Exactly ONE new persistent RDD may remain.
-    val deadline = System.nanoTime() + 10e9.toLong
-    var extra = sc.getPersistentRDDs.size - before
-    while (extra > 1 && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      extra = sc.getPersistentRDDs.size - before
-    }
-    assert(extra <= 1,
-      s"race loser leaked checkpoint blocks: $extra new persistent RDDs remain")
+    assert(rs(0) eq rs(1), "waiter must receive the builder's exact value")
+    // exactly the winner's pin persists — nothing orphaned to leak
+    val extra = sc.getPersistentRDDs.size - before
+    assert(extra <= 1, s"leaked checkpoint blocks: $extra new persistent RDDs")
+    ModelCache.invalidate()
+  }
+
+  test("a FAILED build is not cached: the waiter and later callers retry") {
+    ModelCache.invalidate()
+    val builds = new AtomicInteger(0)
+    def serve(failFirst: Boolean) =
+      ModelCache.memoIndex(corpus, "spec-buildfail") {
+        if (builds.incrementAndGet() == 1 && failFirst)
+          sys.error("injected build failure")
+        graft.ops.GlobalOrder.pin(
+          corpus.groupBy(col("source")).agg(count(lit(1)).as("n")))
+      }
+    intercept[RuntimeException] { serve(failFirst = true) }
+    assert(builds.get() == 1)
+    val v = serve(failFirst = true) // retries: the failure was retired
+    assert(builds.get() == 2, "the failed attempt must not poison the key")
+    assert(v.collect().nonEmpty)
     ModelCache.invalidate()
   }
 }

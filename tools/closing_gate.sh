@@ -95,6 +95,16 @@ if fail:
     sys.exit(1)
 PY
 
+echo "=== concurrent serve (fair-scheduler storm: single-flight builds, no starvation) ==="
+# round-16 directive #4: eight mid-weight queries in fair-scheduler
+# pools at sf0.1 — wall must beat the sequential sum, no query may
+# leave the fair-share envelope, and the shared KN memos must build
+# exactly ONCE under the cold storm (ModelCache single-flight).
+# graft.ConcurrentServe exits 1 on any violation, failing the gate.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch 'runMain graft.ConcurrentServe' | tee "$OUT/concurrent.raw" \
+  | grep '^{"isolated"' > "$OUT/concurrent.json"
+
 echo "=== plan fingerprints (flag + changed plan = regression, no ledger applies) ==="
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.PlanShapes /root/testdata/sf0.001 $OUT/plan_shapes.json" \
   | tail -1

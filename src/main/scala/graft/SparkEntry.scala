@@ -5295,7 +5295,8 @@ object SparkEntry {
        |probe AS (
        |  SELECT r.vec_id AS q_id, r.embedding AS q_emb, n2.n2 AS q_n2, r.cid AS cell
        |  FROM ranked r JOIN n2 ON n2.vec_id = r.vec_id
-       |  WHERE r.rn <= $nprobe AND r.vec_id % 20 = 0),
+       |  WHERE r.rn <= $nprobe AND r.vec_id % 20 = 0
+       |    AND r.vec_id < ${20L * graft.llm.Similarity.MaxBruteQueries}),
        |s AS (
        |  SELECT q.q_id, n.vec_id AS neighbor_id, n.cell,
        |    list_sum(list_transform(range(1, len(n.embedding) + 1),

@@ -1106,8 +1106,18 @@ object Pipeline {
     val assigned = ranked
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("pr")(0)("cid").as("cell"))
+    // BOUNDED query panel (round-17, the sf10 second-decade fix): the
+    // rest of the ANN family already caps its audit queries at
+    // MaxBruteQueries; q52 alone let the panel scale WITH the corpus,
+    // making its serve cost (#queries × nprobe × cell occupancy)
+    // quadratic in N — measured 40× per 10× at sf1→sf10. An ANN
+    // index serves a per-request workload; benching it with an
+    // unbounded self-join panel measures a different (quadratic)
+    // operator. With the cap, serve cost is linear in N through cell
+    // occupancy alone.
     val probes = ranked
-      .filter(pmod(col("vec_id"), lit(20)) === 0)
+      .filter(pmod(col("vec_id"), lit(20)) === 0 &&
+        col("vec_id") < lit(20L * Similarity.MaxBruteQueries))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"),
         explode(expr("transform(pr, x -> x.cid)")).as("cell"))

@@ -45,7 +45,23 @@ fi
 # is caught the round it lands, not when it grows into the top-25)
 # + the ANN recall/certification family (round-15 verdict #3).
 ANN_FAMILY="q149_ann_recall,q150_multiprobe_recall,q151_ivf_recall,q154_planted_recall,q159_pq_recall,q262_ivfrpq_recall"
-SF1_SET=$(python3 - "$OUT/bench_sf0.1.json" "$ANN_FAMILY" <<'PY'
+# The sf10 SECOND-decade set (round-16 directive #2): top-10 by
+# best-known min + the dedup + ANN bench families. Folded into the
+# sf1 set below so every sf10 point has its sf1 pair for the slope.
+SF10_SET=$(python3 - <<'PY'
+import json
+b = json.load(open("tools/bench_best.json"))
+qs = b["queries"] if isinstance(b.get("queries"), dict) else b
+top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:10]]
+dedup = ["q30_exact_dedup", "q32_minhash_lsh", "q33_simhash",
+         "q155_winnow_dedup", "q213_dup_span_trim", "q238_normalized_dedup",
+         "q247_cdc_chunks", "q257_cc_stars"]
+ann = ["q34_cosine_topk", "q36_ann_lsh", "q52_ivf_ann", "q158_pq_ann",
+       "q160_ivfpq_ann", "q261_ivfrpq_ann"]
+print(",".join(dict.fromkeys(top + dedup + ann)))
+PY
+)
+SF1_SET=$(python3 - "$OUT/bench_sf0.1.json" "$ANN_FAMILY" "$SF10_SET" <<'PY'
 import json, sys
 b = json.load(open("tools/bench_best.json"))
 qs = b["queries"] if isinstance(b.get("queries"), dict) else b
@@ -53,8 +69,9 @@ cur = json.load(open(sys.argv[1]))["queries"]
 top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]]
 new = sorted(k for k in cur if k not in qs)
 ann = sys.argv[2].split(",")
+sf10 = sys.argv[3].split(",")
 if new: print("new-this-round (sf1-gated): " + ",".join(new), file=sys.stderr)
-print(",".join(dict.fromkeys(top + new + ann)))
+print(",".join(dict.fromkeys(top + new + ann + sf10)))
 PY
 )
 echo "=== bench sf1: top-25 + new-this-round + ANN family ==="
@@ -65,6 +82,29 @@ SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 \
 echo "=== sf0.1 -> sf1 slopes (recorded; triage flags in SCALE.md) ==="
 python3 tools/scaling_slopes.py \
   "$OUT/bench_sf0.1.json" "$OUT/bench_sf1.json" | tee "$OUT/slopes_sf1.md"
+
+# sf10 — the SECOND measured decade (round-16 directive #2): one
+# decade of sublinearity is necessary but not sufficient for the
+# 100 TB claims; constants hiding in the first decade surface in the
+# second. The fixture is 100x sf0.1 (~1.7 GB) via the same MakeScale
+# contract (vocabulary-disjoint replicas, FK closure — MakeScaleSpec).
+# reps=1: at a 10x step the signal is the decade ratio, not rep noise.
+# Slope flags are recorded and must be triaged in SCALE.md.
+SF10_DIR="${SF10_DIR:-/tmp/graft_sf10}"
+if [ ! -d "$SF10_DIR/lineitem.parquet" ]; then
+  echo "=== synthesizing sf10 fixture at $SF10_DIR (100x sf0.1) ==="
+  SPARK_GRAFT_CPUS=32 sbt -batch \
+    "runMain graft.MakeScale /root/testdata/sf0.1 $SF10_DIR 100" | tail -2
+fi
+echo "=== bench sf10: top-10 + dedup + ANN families ==="
+SPARK_GRAFT_SF_DIR="$SF10_DIR" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_ONLY="$SF10_SET" SPARK_GRAFT_BENCH_REPS=1 \
+  sbt -batch 'runMain graft.Bench' | tee "$OUT/bench_sf10.raw" \
+  | grep '^{"queries"' > "$OUT/bench_sf10.json"
+echo "=== sf0.1 -> sf1 -> sf10 slopes (two decades; triage flags in SCALE.md) ==="
+python3 tools/scaling_slopes.py \
+  "$OUT/bench_sf0.1.json" "$OUT/bench_sf1.json" "$OUT/bench_sf10.json" \
+  | tee "$OUT/slopes_sf10.md"
 
 echo "=== ANN recall at sf1 (certification floor 0.9 on the planted family) ==="
 # The recall audits measure VALUES, not times: run them through Verify's

@@ -148,7 +148,14 @@ object ConcurrentServe {
     val stormBuild = buildDelta(b1)
     spark.catalog.clearCache()
 
-    // phase 4 — warm storm over the full panel (memos warm from 3)
+    // phase 4 — warm storm over the full panel. The sharers' memos are
+    // warm from phase 3, but phase 3's GLOBAL invalidate also colded
+    // the independents' own memos (q155's winnow-fps, q213's
+    // dup-grams) — re-warm them UNTIMED here, or their one-time builds
+    // land inside the warm-storm gates while their phase-2 baselines
+    // exclude builds (review finding, round 17)
+    Panel.filterNot(Sharers.contains).foreach(run(_, sfDir))
+    spark.catalog.clearCache()
     System.gc(); Thread.sleep(100)
     val (conc, warmErrs, wall) = storm(Panel)
 

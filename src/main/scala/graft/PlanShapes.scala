@@ -36,13 +36,20 @@ object PlanShapes {
    * fingerprints depending on how many expressions earlier queries had
    * allocated (round-17 triage of the r16 q247 baseline drift; plans
    * semantically identical, diff confined to gid lines). Two steps
-   * make every permutation render identically: strip standalone
-   * integer literals (the gid constants), then sort the elements of
-   * every bracket/paren list — a permutation of a list sorts to the
-   * same canonical form.
+   * make every permutation render identically: strip the gid
+   * CONSTANTS — `gid# = N` filters everywhere, bare integers only on
+   * Expand lines (where the projection literals ARE the gids) — then
+   * sort the elements of every bracket/paren list, since a
+   * permutation of a list sorts to the same canonical form. The strip
+   * is deliberately NO wider: a genuine numeric change elsewhere on a
+   * gid line (say hashpartitioning's partition count) must still move
+   * the fingerprint.
    */
   private[graft] def canonicalizeGidLine(line: String): String = {
-    val stripped = line.replaceAll("\\b\\d+\\b", "_")
+    val gidEq = line.replaceAll("gid# = \\d+", "gid# = _")
+    val stripped =
+      if (gidEq.contains("Expand")) gidEq.replaceAll("\\b\\d+\\b", "_")
+      else gidEq
     // sort top-level comma elements of every [...] and (...) group,
     // innermost first, via recursive descent (regex can't nest)
     def walk(s: String): String = {
@@ -103,11 +110,13 @@ object PlanShapes {
       .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
       .mkString("\n")
 
-  private[graft] def fingerprint(plan: String): String = {
+  private def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(normalize(plan).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  private[graft] def fingerprint(plan: String): String =
+    md5hex(normalize(plan))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -133,10 +142,13 @@ object PlanShapes {
     val shapes = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val fp = try {
         val df = fn(spark, sfDir)
+        // render + normalize ONCE; the fingerprint is md5 of the
+        // normalized text, so the optional dump and the hash cannot
+        // disagree (and the 270-query gate pays one regex pass each)
         val norm = normalize(df.queryExecution.executedPlan.toString)
         dumpDir.foreach(d => java.nio.file.Files.write(
           java.nio.file.Paths.get(d, s"$name.txt"), norm.getBytes("UTF-8")))
-        fingerprint(df.queryExecution.executedPlan.toString)
+        md5hex(norm)
       } catch { case e: Throwable =>
         // class name only: exception MESSAGES carry quotes/backslashes
         // (would corrupt the hand-built JSON) and host paths (would

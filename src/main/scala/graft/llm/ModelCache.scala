@@ -102,6 +102,17 @@ object ModelCache {
   private val inflight =
     new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[AnyRef]]()
 
+  /** Keys whose build THIS thread currently owns. A build body that
+    * (transitively) re-enters its own key would otherwise find its own
+    * in-flight promise and join() a future only it can complete — a
+    * silent permanent deadlock where the old non-blocking code failed
+    * fast. Same-key re-entrancy is an infinite build loop regardless;
+    * make it loud. (Cross-thread cycles would need two builds to
+    * mutually consume each other's memo mid-build — no such pair
+    * exists; the only nesting is pairs→bands, one direction.) */
+  private val building = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String]())
+
   /** get-or-build WITHOUT holding the map's bin lock during the build:
     * builds nest (the lsh-pairs build calls the lsh-bands memo on this
     * same map), and a nested `computeIfAbsent` whose key collides with
@@ -120,6 +131,10 @@ object ModelCache {
   private def getOrBuild(key: String, tag: String)(build: => AnyRef): AnyRef = {
     val existing = cache.get(key)
     if (existing != null) return existing
+    if (building.get().contains(key))
+      throw new IllegalStateException(
+        s"recursive memo build: this thread is already building '$tag' " +
+          "(same-key re-entrancy would deadlock the single-flight wait)")
     val promise = new java.util.concurrent.CompletableFuture[AnyRef]()
     val race = inflight.putIfAbsent(key, promise)
     if (race != null) {
@@ -132,6 +147,7 @@ object ModelCache {
       // builder failed (or retired between publish races): build here
       return getOrBuild(key, tag)(build)
     }
+    building.get().add(key)
     try {
       val v = timed(tag)(build)
       val prev = cache.putIfAbsent(key, v)
@@ -140,7 +156,10 @@ object ModelCache {
       out
     } catch {
       case e: Throwable => promise.completeExceptionally(e); throw e
-    } finally inflight.remove(key)
+    } finally {
+      building.get().remove(key)
+      inflight.remove(key)
+    }
   }
 
   /** Best-effort release of a discarded pinned DataFrame's checkpoint
@@ -149,7 +168,7 @@ object ModelCache {
     * share blocks (each checkpoints its own RDD), so this cannot
     * touch the winner's data. Non-DataFrame models (codebook arrays)
     * hold no executor state; nothing to free. */
-  private def releasePin(v: AnyRef): Unit = v match {
+  private[llm] def releasePin(v: AnyRef): Unit = v match {
     case ds: org.apache.spark.sql.Dataset[_] =>
       ds.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd

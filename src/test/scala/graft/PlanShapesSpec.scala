@@ -62,6 +62,11 @@ class PlanShapesSpec extends AnyFunSuite {
     // ...and a genuine operator change ON a gid line does too
     val d = a.replace("Exchange hashpartitioning", "Exchange rangepartitioning")
     assert(PlanShapes.fingerprint(a) != PlanShapes.fingerprint(d))
+    // ...and so does a NUMERIC change on a gid line that is not a gid
+    // constant (the strip is confined to `gid# = N` + Expand literals,
+    // so a partition-count regression stays visible)
+    val e = a.replace("gid#, 32)", "gid#, 200)")
+    assert(PlanShapes.fingerprint(a) != PlanShapes.fingerprint(e))
   }
 
   test("stored baseline covers every query key") {

@@ -78,6 +78,44 @@ class ModelCacheSpec extends SparkSpec {
     ModelCache.invalidate()
   }
 
+  test("releasePin unpersists a discarded pin's checkpoint blocks (the " +
+    "putIfAbsent-loser path, pinned directly since single-flight makes " +
+    "the race window non-deterministic to drive end-to-end)") {
+    ModelCache.invalidate()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val pin = graft.ops.GlobalOrder.pin(
+      corpus.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    assert(sc.getPersistentRDDs.size > before,
+      "a pin must hold checkpointed blocks for this test to mean anything")
+    ModelCache.releasePin(pin)
+    // unpersist is async — poll to the baseline
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (sc.getPersistentRDDs.size > before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(sc.getPersistentRDDs.size <= before,
+      s"releasePin leaked: ${sc.getPersistentRDDs.size - before} RDDs remain")
+    ModelCache.invalidate()
+  }
+
+  test("same-key build re-entrancy fails LOUD instead of deadlocking the " +
+    "single-flight wait") {
+    ModelCache.invalidate()
+    def recurse(): org.apache.spark.sql.DataFrame =
+      ModelCache.memoIndex(corpus, "spec-reentrant") {
+        recurse() // a build that (transitively) demands its own key
+      }
+    val e = intercept[IllegalStateException] { recurse() }
+    assert(e.getMessage.contains("recursive memo build"), e.getMessage)
+    // the failed attempt must not poison the key (promise retired)
+    val v = ModelCache.memoIndex(corpus, "spec-reentrant") {
+      graft.ops.GlobalOrder.pin(
+        corpus.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    }
+    assert(v.collect().nonEmpty)
+    ModelCache.invalidate()
+  }
+
   test("a FAILED build is not cached: the waiter and later callers retry") {
     ModelCache.invalidate()
     val builds = new AtomicInteger(0)

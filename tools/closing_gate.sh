@@ -88,7 +88,10 @@ python3 tools/scaling_slopes.py \
 # 100 TB claims; constants hiding in the first decade surface in the
 # second. The fixture is 100x sf0.1 (~1.7 GB) via the same MakeScale
 # contract (vocabulary-disjoint replicas, FK closure — MakeScaleSpec).
-# reps=1: at a 10x step the signal is the decade ratio, not rep noise.
+# reps=2, NEVER 1: rep 2's min excludes one-time memoized artifact
+# builds, the same serve-only discipline every other scale measures —
+# at reps=1 the builds land inside the serving query's only rep and
+# fabricate superlinear flags (the q33 '68x' phantom, SCALE.md r17).
 # Slope flags are recorded and must be triaged in SCALE.md.
 SF10_DIR="${SF10_DIR:-/tmp/graft_sf10}"
 if [ ! -d "$SF10_DIR/lineitem.parquet" ]; then
@@ -98,7 +101,7 @@ if [ ! -d "$SF10_DIR/lineitem.parquet" ]; then
 fi
 echo "=== bench sf10: top-10 + dedup + ANN families ==="
 SPARK_GRAFT_SF_DIR="$SF10_DIR" SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_BENCH_ONLY="$SF10_SET" SPARK_GRAFT_BENCH_REPS=1 \
+  SPARK_GRAFT_BENCH_ONLY="$SF10_SET" SPARK_GRAFT_BENCH_REPS=2 \
   sbt -batch 'runMain graft.Bench' | tee "$OUT/bench_sf10.raw" \
   | grep '^{"queries"' > "$OUT/bench_sf10.json"
 echo "=== sf0.1 -> sf1 -> sf10 slopes (two decades; triage flags in SCALE.md) ==="

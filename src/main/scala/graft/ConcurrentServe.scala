@@ -164,6 +164,12 @@ object ConcurrentServe {
     if (warmErrs.nonEmpty) violations += s"warm-storm errors=$warmErrs"
     if (conc.size != Panel.size)
       violations += s"only ${conc.size}/${Panel.size} finished"
+    // the cold storm needs the same completeness gate: a sharer that
+    // outlives the join timeout records neither a time nor an error,
+    // and would silently keep running into the re-warm + warm storm
+    if (coldTimes.size + coldErrs.size != Sharers.size)
+      violations += s"cold storm: only ${coldTimes.size}/${Sharers.size}" +
+        " finished (straggler past the join timeout)"
     SharedTags.foreach { t =>
       val base = singleBuild.getOrElse(t, 0)
       val got = stormBuild.getOrElse(t, 0)

@@ -27,12 +27,14 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // render + normalize ONCE and hash THAT string — the printed md5
+    // must be the hash of the dumped text by construction, never a
+    // second render that could drift (the PlanShapes.main discipline)
     val normalized =
       PlanShapes.normalize(df.queryExecution.executedPlan.toString)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       normalized.getBytes("UTF-8"))
-    println(s"[plan-dump] $name -> $outPath (md5 ${PlanShapes.fingerprint(
-        df.queryExecution.executedPlan.toString)})")
+    println(s"[plan-dump] $name -> $outPath (md5 ${PlanShapes.md5hex(normalized)})")
     spark.stop()
   }
 }

@@ -41,14 +41,19 @@ object PlanShapes {
    * Expand lines (where the projection literals ARE the gids) — then
    * sort the elements of every bracket/paren list, since a
    * permutation of a list sorts to the same canonical form. The strip
-   * is deliberately NO wider: a genuine numeric change elsewhere on a
-   * gid line (say hashpartitioning's partition count) must still move
-   * the fingerprint.
+   * is deliberately NO wider: on Expand lines only integers that form
+   * a WHOLE list element are stripped (a gid constant always renders
+   * as a standalone element like `null, 1]`, while genuine numerics —
+   * `decimal(18,2)`, a literal inside `cast(... as ...)`, a predicate
+   * constant — sit INSIDE an element and keep their digits), and
+   * elsewhere a numeric change (say hashpartitioning's partition
+   * count) must still move the fingerprint.
    */
   private[graft] def canonicalizeGidLine(line: String): String = {
     val gidEq = line.replaceAll("gid# = \\d+", "gid# = _")
     val stripped =
-      if (gidEq.contains("Expand")) gidEq.replaceAll("\\b\\d+\\b", "_")
+      if (gidEq.contains("Expand"))
+        gidEq.replaceAll("(\\[|, )\\d+(?=[,\\]])", "$1_")
       else gidEq
     // sort top-level comma elements of every [...] and (...) group,
     // innermost first, via recursive descent (regex can't nest)
@@ -110,7 +115,7 @@ object PlanShapes {
       .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
       .mkString("\n")
 
-  private def md5hex(s: String): String = {
+  private[graft] def md5hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

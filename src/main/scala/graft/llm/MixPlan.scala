@@ -708,10 +708,17 @@ object MixPlan {
     knBucketsFromScores(knDocScoresPinned(corpus))
 
   /** q267 under an EXPLICIT model table — the streamed-LM serve path;
-    * same bucket rule as the batch query by construction. */
+    * same bucket rule as the batch query by construction. The scores
+    * frame is PINNED here just as the batch path's memo pins it:
+    * knBucketsFromScores reads it three times (quantile thresholds,
+    * total scalar, bucket aggregate), and unpinned each read would
+    * re-run the fact-scale slots⋈model join (the no-ReusedExchange
+    * lesson — the batch/serve paths must match in plan shape, not
+    * just in result). */
   private[graft] def knPerplexityBucketsUnder(
       corpus: DataFrame, model: DataFrame): DataFrame =
-    knBucketsFromScores(knDocScoresUnder(corpus, model))
+    knBucketsFromScores(
+      graft.ops.GlobalOrder.pin(knDocScoresUnder(corpus, model)))
 
   /** The bucket rule over an explicit (doc_id, n_slots, kn_mean_ppm)
     * scores frame — spec entry point (hand-checked terciles). */
@@ -924,10 +931,14 @@ object MixPlan {
     trimAwareMixFrom(postTrimSourceTokens(corpus))
 
   /** q269 under an EXPLICIT model table — the streamed-LM serve path;
-    * same planner body as the batch query by construction. */
+    * same planner body as the batch query by construction. The
+    * post-trim totals are PINNED here (the batch path pins inside
+    * `postTrimSourceTokens`): waterFillAlloc reads the frame several
+    * times, and its lineage is the fact-scale trim. */
   private[graft] def trimAwareMixUnder(
       corpus: DataFrame, model: DataFrame): DataFrame =
-    trimAwareMixFrom(postTrimSourceTokensUnder(corpus, model))
+    trimAwareMixFrom(
+      graft.ops.GlobalOrder.pin(postTrimSourceTokensUnder(corpus, model)))
 
   private def trimAwareMixFrom(postTrim: DataFrame): DataFrame =
     waterFillAlloc(postTrim, budgetNum = 3L, budgetDen = 5L)

@@ -124,10 +124,11 @@ object ModelCache {
     * retries fresh instead of caching the failure. Same-thread nested
     * builds hit DIFFERENT keys (the nesting is bands-within-pairs);
     * a same-key recursion would be an infinite build loop regardless.
-    * A rare interleaving can still double-build (promise retired
-    * between a get miss and the putIfAbsent): both values are
-    * bit-identical by construction (class doc), `putIfAbsent` keeps
-    * the first, and the loser's pinned blocks are released. */
+    * The slot-winner re-checks the cache before building (a prior
+    * builder can publish and retire its promise between our cache
+    * miss and the putIfAbsent), so a key is built exactly once per
+    * invalidation; `putIfAbsent` + `releasePin` remain as a belt for
+    * the failed-builder retry path, where two retriers can race. */
   private def getOrBuild(key: String, tag: String)(build: => AnyRef): AnyRef = {
     val existing = cache.get(key)
     if (existing != null) return existing
@@ -146,6 +147,18 @@ object ModelCache {
       if (after != null) return after
       // builder failed (or retired between publish races): build here
       return getOrBuild(key, tag)(build)
+    }
+    // Won the build slot — but a prior builder may have published AND
+    // retired its promise between our cache miss above and the
+    // putIfAbsent (the "promise retired between a get miss and the
+    // putIfAbsent" interleaving): re-check before paying the build.
+    // Any waiter already joined on OUR promise re-reads the cache
+    // after the join, so completing with the published value is safe.
+    val published = cache.get(key)
+    if (published != null) {
+      promise.complete(published)
+      inflight.remove(key)
+      return published
     }
     building.get().add(key)
     try {

@@ -67,6 +67,18 @@ class PlanShapesSpec extends AnyFunSuite {
     // so a partition-count regression stays visible)
     val e = a.replace("gid#, 32)", "gid#, 200)")
     assert(PlanShapes.fingerprint(a) != PlanShapes.fingerprint(e))
+    // ...and on the Expand line itself the strip hits ONLY whole-list-
+    // element integers (gid constants): a numeric INSIDE an element —
+    // a cast's decimal precision here — still moves the fingerprint...
+    val f1 = a.replace("[source#, h#, null, 1, null]",
+      "[source#, cast(h# as decimal(18,2)), null, 1, null]")
+    val f2 = a.replace("[source#, h#, null, 1, null]",
+      "[source#, cast(h# as decimal(28,2)), null, 1, null]")
+    assert(PlanShapes.fingerprint(f1) != PlanShapes.fingerprint(f2))
+    // ...while the standalone gid constant's VALUE does not
+    val g = a.replace("[source#, h#, null, 1, null]",
+      "[source#, h#, null, 9, null]")
+    assert(PlanShapes.fingerprint(a) == PlanShapes.fingerprint(g))
   }
 
   test("stored baseline covers every query key") {

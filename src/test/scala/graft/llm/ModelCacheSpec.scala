@@ -83,18 +83,21 @@ class ModelCacheSpec extends SparkSpec {
     "the race window non-deterministic to drive end-to-end)") {
     ModelCache.invalidate()
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    // track the pin's OWN rdd ids, not counts — a prior test's async
+    // unpersist can retire its blocks mid-test and skew any counting
+    val before = sc.getPersistentRDDs.keySet
     val pin = graft.ops.GlobalOrder.pin(
       corpus.groupBy(col("source")).agg(count(lit(1)).as("n")))
-    assert(sc.getPersistentRDDs.size > before,
+    val mine = sc.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty,
       "a pin must hold checkpointed blocks for this test to mean anything")
     ModelCache.releasePin(pin)
-    // unpersist is async — poll to the baseline
+    // unpersist is async — poll until every id the pin added is gone
     val deadline = System.nanoTime() + 10e9.toLong
-    while (sc.getPersistentRDDs.size > before && System.nanoTime() < deadline)
+    def remaining = sc.getPersistentRDDs.keySet intersect mine
+    while (remaining.nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(100)
-    assert(sc.getPersistentRDDs.size <= before,
-      s"releasePin leaked: ${sc.getPersistentRDDs.size - before} RDDs remain")
+    assert(remaining.isEmpty, s"releasePin leaked rdd ids: $remaining")
     ModelCache.invalidate()
   }
 

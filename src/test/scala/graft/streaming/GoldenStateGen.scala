@@ -85,12 +85,19 @@ object GoldenStateGen {
     art.applyBatch(Seq((4L, "c d e")).toDF("doc_id", "text"), 2L)
 
     // Spark scratch files (_SUCCESS, .crc) are noise in git; the
-    // serve path never reads them
-    java.nio.file.Files.walk(root).iterator().forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n == "_SUCCESS" || n.endsWith(".crc"))
-        java.nio.file.Files.deleteIfExists(p)
-    }
+    // serve path never reads them. Collect paths BEFORE deleting
+    // (mutating the tree under a live walk is provider-dependent)
+    // and close the walk stream (it holds directory handles).
+    val walk = java.nio.file.Files.walk(root)
+    val scratch =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n == "_SUCCESS" || n.endsWith(".crc")
+        }.toList
+      } finally walk.close()
+    scratch.foreach(java.nio.file.Files.deleteIfExists(_))
     println(s"[golden-state] wrote $root")
     spark.stop()
   }

@@ -26,11 +26,12 @@ class GoldenStateSpec extends SparkSpec {
       "sbt 'Test/runMain graft.streaming.GoldenStateGen' ONLY for a " +
       "deliberate format migration")
     val dst = Files.createTempDirectory(s"golden-$sub-")
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else { Files.createDirectories(t.getParent); Files.copy(p, t) }
-    }
+    } finally walk.close()
     dst
   }
 

@@ -960,7 +960,18 @@ object MixPlan {
     trimAwareTemperatureOf(Tables.documents(spark, dir))
 
   private[graft] def trimAwareTemperatureOf(corpus: DataFrame): DataFrame =
-    temperatureShares(postTrimSourceTokens(corpus))
+    trimAwareTemperatureFrom(postTrimSourceTokens(corpus))
+
+  /** q270 under an EXPLICIT model table — the streamed-LM serve path,
+    * completing the q267/q269 serve family (pinned for the same
+    * multi-consumer reason as `trimAwareMixUnder`). */
+  private[graft] def trimAwareTemperatureUnder(
+      corpus: DataFrame, model: DataFrame): DataFrame =
+    trimAwareTemperatureFrom(
+      graft.ops.GlobalOrder.pin(postTrimSourceTokensUnder(corpus, model)))
+
+  private def trimAwareTemperatureFrom(postTrim: DataFrame): DataFrame =
+    temperatureShares(postTrim)
       .select(col("source"), col("pre_tokens"),
         col("n_tokens").as("post_tokens"), col("sqrt_tokens"),
         col("raw_ppm"), col("temp_ppm"), col("boost_ppm"))

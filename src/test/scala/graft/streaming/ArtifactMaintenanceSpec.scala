@@ -167,6 +167,14 @@ class ArtifactMaintenanceSpec extends SparkSpec {
     assert(served269.map(_.getString(0)) == Seq("books", "forums", "web"))
     assert(served269.exists(r => r.getLong(2) < r.getLong(1)),
       s"the trim must bite at least one source's totals: $served269")
+    // q270 under the served LM ≡ the batch build (the planner pair's
+    // sampling-rate half serves from the same live model)
+    val served270 = graft.llm.MixPlan.trimAwareTemperatureUnder(docs, model)
+      .collect().toSeq
+    val batch270 = graft.llm.MixPlan.trimAwareTemperatureOf(docs)
+      .collect().toSeq
+    assert(served270 == batch270,
+      s"streamed-LM temperature plan diverged:\n$served270\nvs\n$batch270")
   }
 
   test("streamed prefix counts match the batch aggregate and surface new boilerplate") {

@@ -326,9 +326,16 @@ object Curation {
     val j = Dedup.shingles(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), md5(col("s")).as("hs"))
-    val slots = j.groupBy(col("source")).agg(count(lit(1)).as("n_slots"))
-    val distinct = j.distinct().groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
-    slots.join(distinct, "source")
+    // ONE explode pass and two stacked aggregates instead of the former
+    // two independent consumers (a plain count and a distinct+count,
+    // each re-running the shingle explode + doc join): per-(source, hs)
+    // counts collapse map-side, then n_slots = Σ counts and n_distinct
+    // = row count of the pair table — identical numbers, half the
+    // corpus passes and no separate distinct exchange (guide §2.3/§2.4;
+    // r17 optimization round).
+    j.groupBy(col("source"), col("hs")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_slots"), count(lit(1)).as("n_distinct"))
       .withColumn("dup_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_slots"))
       .orderBy(col("source"))

@@ -57,9 +57,12 @@ object Eval {
 
   private[llm] def qualityAucOf(docs: DataFrame): DataFrame = {
     val scored = scoredDocs(docs)
-    val perScore = scored.groupBy(col("score"))
+    // pinned: the rank operator's range sampler is a second full
+    // execution of its input's lineage (guide §2.4) — unpinned, the
+    // corpus scan + scoring + aggregate would run twice
+    val perScore = graft.ops.GlobalOrder.pin(scored.groupBy(col("score"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn")))
     val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
       perScore, Seq(col("score")), value = Some(col("nn")))
     ranked.agg(
@@ -95,10 +98,13 @@ object Eval {
    * division is a single integer op, so the oracle hash-matches.
    */
   def sourceAuc(spark: SparkSession, dir: String): DataFrame = {
-    val perScore = scoredDocs(Tables.documents(spark, dir), keep = Seq("source"))
-      .groupBy(col("source"), col("score"))
-      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    // pinned for the same reason as qualityAucOf: the grouped rank's
+    // range sampler would re-run the corpus scoring pass
+    val perScore = graft.ops.GlobalOrder.pin(
+      scoredDocs(Tables.documents(spark, dir), keep = Seq("source"))
+        .groupBy(col("source"), col("score"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nn")))
     val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
       perScore, keys = Seq(col("source")), order = Seq(col("score")),
       values = Seq((col("nn"), "neg_prefix")))
@@ -135,8 +141,11 @@ object Eval {
    */
   def scoreCalibration(spark: SparkSession, dir: String,
       buckets: Int = 10): DataFrame = {
+    // pinned: the scored projection (split + stopword filter over every
+    // document) is expensive relative to its narrow output; unpinned,
+    // the range sampler re-runs it wholesale (guide §2.4)
     val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
-      scoredDocs(Tables.documents(spark, dir)),
+      graft.ops.GlobalOrder.pin(scoredDocs(Tables.documents(spark, dir))),
       Seq(col("score"), col("doc_id")))
     ranked
       .withColumn("decile", graft.ops.GlobalOrder.ntileFromRank(
@@ -192,7 +201,12 @@ object Eval {
         count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
 
   private[llm] def prCurveOf(docs: DataFrame): DataFrame =
-    prCurveFrom(perScoreCounts(docs))
+    // pinned HERE, not in prCurveFrom: the batch path's per-score table
+    // is a corpus aggregate consumed three times downstream (rank
+    // sampler + rank shuffle + the totals aggregate); the streamed
+    // serve path hands prCurveFrom an already-materialized artifact,
+    // which must not pay a second pin
+    prCurveFrom(graft.ops.GlobalOrder.pin(perScoreCounts(docs)))
 
   /** [[prCurve]] computed from an ALREADY-BUILT per-score table (the
     * batch aggregate or its streamed twin). */
@@ -234,7 +248,9 @@ object Eval {
     thresholdYieldOf(Tables.documents(spark, dir))
 
   private[llm] def thresholdYieldOf(docs: DataFrame): DataFrame =
-    thresholdYieldFrom(perScoreCounts(docs))
+    // pinned for prCurveOf's reason: three downstream consumers of a
+    // corpus-scale aggregate; the streamed artifact path stays unpinned
+    thresholdYieldFrom(graft.ops.GlobalOrder.pin(perScoreCounts(docs)))
 
   /** [[thresholdYield]] from an already-built per-score table. */
   private[graft] def thresholdYieldFrom(perScore: DataFrame): DataFrame = {

@@ -524,8 +524,11 @@ object MixPlan {
    * order.
    */
   def curriculumPhases(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    val nov = bigramNovelty(spark, dir)
-      .select(col("doc_id"), col("rare_ppm"))
+    // pinned: the novelty projection re-tokenizes the corpus against
+    // the LM artifact; the rank operator's range sampler would run that
+    // pass twice (guide §2.4)
+    val nov = graft.ops.GlobalOrder.pin(bigramNovelty(spark, dir)
+      .select(col("doc_id"), col("rare_ppm")))
     graft.ops.GlobalOrder.withRankAndPrefix(
         nov, order = Seq(col("rare_ppm"), col("doc_id")))
       .select(col("doc_id"), col("rare_ppm"),

@@ -316,13 +316,17 @@ object Multimodal {
       lit("FFFE"), hex4(comLen + 2L), repeat(lit("61"), comLen.cast("int")), // COM
       sofMarker, lit("0011" + "08"), hex4(height), hex4(width), // SOF head
       lit("03"), lit("012200021101031101"))           // 3 component specs
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(headerHex).as("payload"))
-      .select(col("doc_id"), jpegMeta(col("payload")).as("m"))
-      .select(col("doc_id"), col("m.is_jpeg"), col("m.sof_type"),
-        col("m.bit_depth"), col("m.height"), col("m.width"),
-        col("m.n_components"))
-      .orderBy("doc_id")
+    // pinnedSort: the marker walk is one pure-map fold per payload —
+    // unpinned, the presentation sort's range sampler walks every
+    // header twice (r17 optimization round)
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), unhex(headerHex).as("payload"))
+        .select(col("doc_id"), jpegMeta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.is_jpeg"), col("m.sof_type"),
+          col("m.bit_depth"), col("m.height"), col("m.width"),
+          col("m.n_components")),
+      col("doc_id"))
   }
 
   /**
@@ -432,12 +436,16 @@ object Multimodal {
     val headerHex = concat(
       lit("00000018" + a("ftyp") + a("isom") + "00000200" + a("isom") + a("iso2")),
       freeHex, moovHex)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(headerHex).as("payload"))
-      .select(col("doc_id"), mp4Meta(col("payload")).as("m"))
-      .select(col("doc_id"), col("m.is_mp4"), col("m.brand"),
-        col("m.moov_pos"), col("m.timescale"), col("m.duration"))
-      .orderBy("doc_id")
+    // pinnedSort: the box walk (64-bit-largesize/v1-mvhd aware, the
+    // r14 ledgered robustness cost) is one pure-map fold per payload —
+    // unpinned, the sort sampler pays that whole walk a second time
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), unhex(headerHex).as("payload"))
+        .select(col("doc_id"), mp4Meta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.is_mp4"), col("m.brand"),
+          col("m.moov_pos"), col("m.timescale"), col("m.duration")),
+      col("doc_id"))
   }
 
   /**

@@ -54,7 +54,9 @@ object Pipeline {
         (aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
           / size(col("embedding"))).as("v_mean"),
         sqrt(dot_d(col("embedding"), col("embedding"))).as("l2_norm"))
-      .orderBy("vec_id")
+      // pin before the presentation sort: map-only array kernels would
+      // otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("vec_id")))
 
   /**
    * Near-duplicate CLUSTERS: connected components over the MinHash-LSH
@@ -542,8 +544,10 @@ object Pipeline {
    */
   def qualityDupMatrix(spark: SparkSession, dir: String,
       buckets: Int = 10): DataFrame = {
+    // pinned: the scored projection is a full corpus scoring pass; the
+    // rank operator's range sampler would re-run it (guide §2.4)
     val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
-      Eval.scoredDocs(Tables.documents(spark, dir)),
+      graft.ops.GlobalOrder.pin(Eval.scoredDocs(Tables.documents(spark, dir))),
       Seq(col("score"), col("doc_id")))
     val dup = nearDupClusters(spark, dir)
       .select(col("doc_id")).withColumn("is_dup", lit(1L))
@@ -604,8 +608,12 @@ object Pipeline {
           expr("(100 * sum_wlen) div n_tokens") >= 200L &&
           expr("(100 * sum_wlen) div n_tokens") <= 800L &&
           col("n_stop") >= 2L)
+    // base is pinned before ranking: its projection (split + md5 + two
+    // array folds per document) is the most expensive row-local work in
+    // the query, and the rank operator's range sampler is a second full
+    // execution of unpinned lineage (guide §2.4)
     val ranked = graft.ops.GlobalOrder.withRankAndPrefix(
-        base, Seq(col("score"), col("doc_id")))
+        graft.ops.GlobalOrder.pin(base), Seq(col("score"), col("doc_id")))
       .withColumn("decile", graft.ops.GlobalOrder.ntileFromRank(
         col("g_rank"), col("g_total_rows"), buckets))
       .withColumn("keep_id",
@@ -821,7 +829,8 @@ object Pipeline {
           "cast(cut2 - cut1 as int)), ' '))"))
       .select(col("doc_id"), col("n_words"), col("cut1"), col("cut2"),
         col("fim_text"))
-      .orderBy("doc_id")
+      // pin before the presentation sort (map-only; guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /**
    * T5-style SPAN-CORRUPTION example generator (q221, Raffel et al.
@@ -870,7 +879,8 @@ object Pipeline {
            |' ')""".stripMargin))
       .select(col("doc_id"), col("n").as("n_tokens"), col("s1"), col("s2"),
         col("input_text"), col("target_text"))
-      .orderBy("doc_id")
+      // pin before the presentation sort (map-only; guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   /**
@@ -998,7 +1008,9 @@ object Pipeline {
     }
     Tables.embeddings(spark, dir)
       .select((col("vec_id") +: projCols): _*)
-      .orderBy(col("vec_id"))
+      // pin before the presentation sort: 8 sign-projection folds per
+      // vector would otherwise run twice (range-sampler, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("vec_id")))
   }
 
   /** IVF coarse-quantizer parameters: a FIXED learned cell count (the

@@ -435,7 +435,10 @@ object Similarity {
         dotD(col("e_a"), col("e_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .orderBy(col("id_a"), col("id_b"))
+      // pin before the presentation sort: the anchor×corpus dot-product
+      // sweep would otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(
+        d, col("id_a"), col("id_b")))
   }
 
   /** Target mean LSH bucket width: the corpus-over-buckets ratio the

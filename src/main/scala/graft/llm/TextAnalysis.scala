@@ -61,7 +61,9 @@ object TextAnalysis {
     scored
       .withColumn("pred", pred)
       .select(outCols: _*)
-      .orderBy("doc_id")
+      // pin before the presentation sort: map-only marker scoring would
+      // otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   /**
@@ -85,7 +87,8 @@ object TextAnalysis {
           (col("avg_word_len") / lit(10.0)) * lit(0.2))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         col("avg_word_len"), col("stop_ratio"), col("quality"))
-      .orderBy("doc_id")
+      // pin before the presentation sort (map-only; see langId)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   /**
@@ -102,7 +105,8 @@ object TextAnalysis {
         col("n_chars"))
       .withColumn("chars_per_token",
         col("n_chars").cast("double") / col("ws_tokens"))
-      .orderBy("doc_id")
+      // pin before the presentation sort (map-only; see langId)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /**
    * Document fingerprint: polynomial rolling hash of the character
@@ -121,7 +125,9 @@ object TextAnalysis {
         expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"),
         lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L))))
       .select(col("doc_id"), col("fp"), col("n_chars"))
-      .orderBy("doc_id")
+      // pin before the presentation sort: the O(n) char fold would
+      // otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /**
    * Document chunking for training pipelines: 32-token windows with
@@ -144,7 +150,10 @@ object TextAnalysis {
         least(size(col("w")) - col("start") + 1, lit(32)).cast("long").as("chunk_tokens"))
 
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
-    chunkSlots(spark, dir).orderBy(col("doc_id"), col("chunk_id"))
+    // pin before the presentation sort: the chunk explode + slices
+    // would otherwise run twice (range-sampler pass, guide §2.4)
+    graft.ops.GlobalOrder.pinnedSort(chunkSlots(spark, dir),
+      col("doc_id"), col("chunk_id"))
 
   /**
    * Adjacent-chunk pair generation: (chunk_i, chunk_{i+1}) positives
@@ -276,7 +285,9 @@ object TextAnalysis {
       // engines without it (both yield NULL through NULLIF)
       .withColumn("chars_per_token",
         col("n_chars").cast("double") / nullif(col("n_bpe_tokens"), lit(0L)))
-      .orderBy(col("doc_id"))
+      // pin before the presentation sort: the BPE pre-tokenizer regex
+      // would otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   /**
@@ -439,16 +450,22 @@ object TextAnalysis {
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")).as("bg"))
     val counts = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("bg"))
-    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // top bigram via ONE map-side-combinable aggregate instead of the
+    // former exchange + sort + two windows: min(struct(-n, bg)) picks
+    // the largest count with the lexicographically-smallest bigram on
+    // ties — exactly what row_number over (n DESC, bg ASC) selected —
+    // and the total rides the same pass (r17 optimization round;
+    // guide §2.3 "aggregate before you shuffle": partials collapse
+    // per partition, and the plan drops both Window operators)
     counts
-      .withColumn("total", sum(col("n")).over(wTot))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("bg").as("top_bigram"), col("n").as("top_count"),
+      .groupBy(col("doc_id"))
+      .agg(
+        min(struct((-col("n")).as("neg_n"), col("bg"))).as("top"),
+        sum(col("n")).as("total"))
+      .select(col("doc_id"), col("top.bg").as("top_bigram"),
+        (-col("top.neg_n")).as("top_count"),
         col("total").as("n_bigrams"),
-        (col("n").cast("double") / col("total")).as("rep_ratio"))
+        ((-col("top.neg_n")).cast("double") / col("total")).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -760,7 +777,11 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_tokens"),
         (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("trimmed_text"))
-      .orderBy(col("doc_id"))
+      // pin before the presentation sort: the trim rebuild (cov
+      // expansion + kept-token filter + reassembly, plus the corpus
+      // re-tokenize feeding the left join) sits ABOVE the last
+      // exchange, so the sort sampler would run it all twice (§2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
@@ -1042,7 +1063,9 @@ object TextAnalysis {
           .cast("long"))
       .withColumn("n_runs",
         (countChar(col("scrubbed"), "#") - countChar(col("props"), "#")).cast("long"))
-      .orderBy("event_id")
+      // pin before the presentation sort: the regex scrub would
+      // otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("event_id")))
   }
 
   /**
@@ -1087,7 +1110,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("mean_wlen_centi"),
         col("n_stop"), col("ok_nwords"), col("ok_wlen"), col("ok_stop"),
         col("pass"))
-      .orderBy("doc_id")
+      // pin before the presentation sort (map-only; see langId)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /**
    * Flesch-Kincaid readability per document, in the repo's exact
@@ -1130,7 +1154,9 @@ object TextAnalysis {
           .when(col("fk_num") < lit(1000L) * col("sentences") * col("words"), "medium")
           .when(col("fk_num") < lit(1400L) * col("sentences") * col("words"), "hard")
           .otherwise("very_hard"))
-      .orderBy("doc_id")
+      // pin before the presentation sort: four regex passes per doc
+      // would otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   // ---- HTML/markup text extraction (q250) ---------------------------
@@ -1172,12 +1198,17 @@ object TextAnalysis {
       docs: DataFrame,
       maxDensityPpm: Long = 400000L,
       minWords: Int = 30): DataFrame =
-    htmlExtractRows(docs, maxDensityPpm, minWords)
-      .select(col("doc_id"), col("n_tags"), col("anchor_chars"),
-        col("text_chars"), col("link_density_ppm"), col("n_words"),
-        col("mean_wlen_centi"), col("ok_density"), col("ok_nwords"),
-        col("keep"))
-      .orderBy("doc_id")
+    // pinnedSort: the extraction is one pure-map projection, so the
+    // presentation sort's range sampler would otherwise run every
+    // regex pass TWICE (this was the single largest double-compute in
+    // the bench — r17 optimization round)
+    graft.ops.GlobalOrder.pinnedSort(
+      htmlExtractRows(docs, maxDensityPpm, minWords)
+        .select(col("doc_id"), col("n_tags"), col("anchor_chars"),
+          col("text_chars"), col("link_density_ppm"), col("n_words"),
+          col("mean_wlen_centi"), col("ok_density"), col("ok_nwords"),
+          col("keep")),
+      col("doc_id"))
 
   /** The per-document extraction table WITH source — q250 projects it;
     * the q253 funnel aggregates it. One shared pipeline, no drift.
@@ -1514,7 +1545,9 @@ object TextAnalysis {
         md5(expr(
           "array_join(transform(kept, p -> array_join(p, ' ')), ' ')"))
           .as("trimmed_md5"))
-      .orderBy("doc_id")
+      // pin before the presentation sort: the paragraph slices + md5
+      // reassembly would otherwise run twice (range-sampler, §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /** The q265 oracle: identical synthesis, gates, and reassembly. */
   private[graft] def paragraphTrimSql: String =

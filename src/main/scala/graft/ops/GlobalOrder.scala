@@ -77,6 +77,23 @@ object GlobalOrder {
   }
 
   /**
+   * Materialize-then-sort for the presentation `orderBy` that ends a
+   * map-only query: a global sort's range sampler re-executes
+   * everything below it down to the last exchange or materialized
+   * block (guide §1/§2.4 — the sampling pass is an invisible second
+   * execution), and for a pure-map pipeline that is the WHOLE
+   * computation — every regex, hash and JSON parse runs twice so the
+   * sampler can look at the sort keys. Pinning first computes the
+   * projection ONCE; the sort's sample and shuffle then read
+   * executor-local blocks. Row-identical by construction (the pin is
+   * a materialization boundary, not a transformation). At 100 TB the
+   * pinned result is the query's own narrow OUTPUT (not the input
+   * corpus), i.e. the same bytes the sort was about to shuffle anyway.
+   */
+  def pinnedSort(df: DataFrame, order: Column*): DataFrame =
+    pin(df).orderBy(order: _*)
+
+  /**
    * [[pin]] for a BY-ASSUMPTION-SMALL table that downstream plans
    * broadcast (contamination slivers, cluster labels, query sets),
    * with a LOUD cardinality guard that binds BEFORE anything
@@ -122,23 +139,46 @@ object GlobalOrder {
       .withColumn("__v", value.getOrElse(lit(0L)).cast("long"))
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*))
-    // phase-1 local pass: rank + exclusive running sum, no exchange
-    val vIdx = sorted.schema.fieldIndex("__v")
-    val outSchema = sorted.schema
-      .add("__pid", LongType, nullable = false)
-      .add("__lrank", LongType, nullable = false)
-      .add("__lsum", LongType, nullable = false)
-    val local = sorted.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      var rank = 0L
-      var cum = 0L
-      rows.map { r =>
-        rank += 1
-        val before = cum
-        if (!r.isNullAt(vIdx)) cum += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ pid :+ rank :+ before)
-      }
-    }(Encoders.row(outSchema))
+    // phase-1 local pass: rank + exclusive running sum, no exchange.
+    // Rank-only callers stay INSIDE whole-stage codegen: over the
+    // pinned blocks `monotonically_increasing_id()` is, by its
+    // documented construction, (partitionId << 33) + rowIndex — so the
+    // local rank and the partition id are two bit-ops on one generated
+    // column, and the Deserialize→MapPartitions→Serialize boundary
+    // (per-row external Row allocation, a codegen break measured at
+    // ~15-25% of these queries' serve time at sf0.1) vanishes. The pin
+    // makes partition ids and in-partition positions facts, so the
+    // nondeterministic id is stable across re-reads. The running-sum
+    // path keeps the imperative pass — an exclusive in-partition scan
+    // has no codegen'd equivalent.
+    val local = value match {
+      case None =>
+        sorted
+          .withColumn("__mid", monotonically_increasing_id())
+          .withColumn("__pid",
+            shiftrightunsigned(col("__mid"), 33).cast("long"))
+          .withColumn("__lrank",
+            col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+          .withColumn("__lsum", lit(0L))
+          .drop("__mid")
+      case Some(_) =>
+        val vIdx = sorted.schema.fieldIndex("__v")
+        val outSchema = sorted.schema
+          .add("__pid", LongType, nullable = false)
+          .add("__lrank", LongType, nullable = false)
+          .add("__lsum", LongType, nullable = false)
+        sorted.mapPartitions { rows =>
+          val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+          var rank = 0L
+          var cum = 0L
+          rows.map { r =>
+            rank += 1
+            val before = cum
+            if (!r.isNullAt(vIdx)) cum += r.getLong(vIdx)
+            Row.fromSeq(r.toSeq :+ pid :+ rank :+ before)
+          }
+        }(Encoders.row(outSchema))
+    }
     // phase-2 offsets: one partial-aggregated row per partition, read
     // from the SAME pinned blocks as phase 1
     val offsets = sorted

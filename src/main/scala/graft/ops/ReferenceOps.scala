@@ -145,23 +145,28 @@ object ReferenceOps {
    * Here: first/second token + token count of each document.
    */
   def textScanParse(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        element_at(split(col("text"), " "), 1).as("tok1"),
-        element_at(split(col("text"), " "), 2).as("tok2"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
+    // pin before the presentation sort (map-only; guide §2.4)
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("tok1"),
+          element_at(split(col("text"), " "), 2).as("tok2"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      col("doc_id"))
 
   /** Envelope JSON extraction: pull the dynamic property `k` out of the
     * `props` JSON string (the reference's dynamic `properties` map). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
-      .orderBy("event_id")
+    // pinnedSort: map-only JSON parse — unpinned, the presentation
+    // sort's range sampler re-parses every props payload a second time
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull),
+      col("event_id"))
 
   /** JSON property aggregated: distribution of the `k` property by
     * event type. */

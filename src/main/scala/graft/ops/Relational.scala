@@ -68,17 +68,24 @@ object Relational {
   }
 
   /** Fact-fact join + top-k revenue: orders ⋈ lineitem grouped on the
-    * join key. The groupBy key == join key, so Catalyst reuses the
-    * shuffle partitioning (no second exchange). */
+    * join key. The revenue aggregate runs BEFORE the orders join
+    * (o_orderkey is orders' unique key, so grouping the joined rows by
+    * (o_orderkey, o_orderdate, o_orderpriority) is row-identical to
+    * aggregating lineitem by l_orderkey and attaching the two orders
+    * columns afterwards — decimal sums are exact, so the regroup
+    * cannot drift): the exchange then carries (key, decimal) instead
+    * of (key, date, priority, decimal), the group hash map keys one
+    * long instead of a 3-tuple, and every lineitem row skips the
+    * orders hash probe it previously paid pre-aggregation. */
   def revenueTopK(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(
         sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1) - col("l_discount")).cast("decimal(18,2)"))
           .cast("double").as("revenue"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .select(
         col("o_orderkey"),
         Tables.epochMs(col("o_orderdate")).as("o_orderdate_ms"),
@@ -149,17 +156,30 @@ object Relational {
   /** ROLLUP over two grouping columns; group keys COALESCEd to 'ALL' so
     * output carries no NULL keys (NULL sort order differs across
     * engines). */
-  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate to the (flag, status) grain BEFORE the rollup: the
+    // Expand operator multiplies its input by the number of grouping
+    // sets, so rolling up the raw fact table triples the rows feeding
+    // the exchange — rolling up the pre-aggregated group table expands
+    // a handful of rows instead (guide §2.3 "aggregate before you
+    // shuffle"). Row-identical: subtotals are sums of exact per-group
+    // decimal sums and counts.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("s0"))
+    base
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        count(lit(1)).as("n"),
-        moneySum(col("l_extendedprice")).as("sum_price"))
+        sum(col("n0")).as("n"),
+        sum(col("s0")).cast("double").as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_price"))
       .orderBy(col("returnflag"), col("linestatus"))
+  }
 
   /** Set operations: (BUILDING customers ∪ big-order customers) ∖
     * automobile-segment customers, as key sets. */
@@ -197,7 +217,8 @@ object Relational {
         floor(col("p_retailprice")).cast("long").as("price_floor"),
         abs(col("p_size") - lit(25)).cast("long").as("size_dist"),
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
-      .orderBy("p_partkey")
+      // pin before the presentation sort (map-only; guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("p_partkey")))
 
   /** Date functions: monthly order rollup keyed by formatted month. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
@@ -251,16 +272,28 @@ object Relational {
     // customer grows with scale — no broadcast hint: AQE picks BHJ while
     // it fits and falls back to shuffle join at 100×; a forced hint
     // would defeat exactly that fallback. nation/region are fixed-size.
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // The revenue aggregate is PUSHED BELOW the join chain (guide §2.3
+    // "aggregate before you shuffle"): lineitem collapses to one
+    // (orderkey, decimal sum, count) row per order before anything is
+    // joined — row-identical because o_orderkey is orders' unique key
+    // (each order meets exactly one pre-aggregated row, decimal partial
+    // sums are exact, and the per-region regroup of per-order sums is
+    // the same multiset sum) — so the widest exchange of the query
+    // moves order-cardinality aggregates, never item-cardinality rows.
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .as("rev"),
+        count(lit(1)).as("n_items"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_items"))
       .orderBy("r_name")
   }
 }

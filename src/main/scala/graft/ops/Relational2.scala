@@ -84,11 +84,21 @@ object Relational2 {
 
   /** CUBE over two grouping dimensions (all four grouping sets). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    // pre-aggregate to the (status, priority) grain BEFORE the cube:
+    // cube's Expand multiplies its input by FOUR grouping sets, so
+    // cubing the raw orders table quadruples the exchange rows —
+    // cubing the pre-aggregated group table expands ~15 rows instead
+    // (q18's rollup rationale, guide §2.3). Row-identical: subtotals
+    // are sums of exact per-group decimal sums and counts.
     Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s0"))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        sum(col("n0")).as("n"),
+        sum(col("s0")).cast("double").as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -148,7 +158,9 @@ object Relational2 {
         regexp_replace(col("p_type"), " ", "_").as("type_u"),
         reverse(col("p_brand")).as("brand_rev"),
         col("p_name").like("%gold%").as("has_gold"))
-      .orderBy("p_partkey")
+      // pin before the presentation sort: levenshtein + regex per row
+      // would otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("p_partkey")))
 
   /** Histogram: fixed-width price bins with counts (arithmetic binning;
     * identical IEEE ops on both engines). */

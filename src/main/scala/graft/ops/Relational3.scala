@@ -38,14 +38,22 @@ object Relational3 {
     val p = Tables.part(spark, dir)
     val rev = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1) - col("l_discount")).cast("decimal(18,2)")
+    // revenue is pre-aggregated to the (partkey, returnflag) grain
+    // BEFORE the part join (guide §2.3 "aggregate before you shuffle"):
+    // p_type is a function of p_partkey, so summing per-pair exact
+    // decimal sums after the join is row-identical to summing item
+    // rows — and the join probes part-cardinality aggregates instead
+    // of every lineitem row.
+    val perPart = l.groupBy(col("l_partkey"), col("l_returnflag"))
+      .agg(sum(rev).as("rev0"))
     // part is scale-growing: unhinted, AQE decides broadcast vs shuffle
-    l.join(p, l("l_partkey") === p("p_partkey"))
+    perPart.join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(when(col("p_type") === "PROMO", rev)
-          .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).cast("double")
+        sum(when(col("p_type") === "PROMO", col("rev0"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,2)"))).cast("double")
           .as("promo_rev"),
-        sum(rev).cast("double").as("total_rev"))
+        sum(col("rev0")).cast("double").as("total_rev"))
       .withColumn("promo_share", col("promo_rev") / col("total_rev"))
       .orderBy("l_returnflag")
   }
@@ -98,7 +106,10 @@ object Relational3 {
         col("a.event_id").as("id_a"),
         col("b.event_id").as("id_b"),
         (col("b.ms") - col("a.ms")).as("gap_ms"))
-      .orderBy(col("id_a"), col("id_b"))
+      // pin before the presentation sort: the bucketed self-join probe
+      // would otherwise run twice (range-sampler pass, guide §2.4)
+      .transform(d => graft.ops.GlobalOrder.pinnedSort(
+        d, col("id_a"), col("id_b")))
   }
 
   /**
@@ -186,28 +197,35 @@ object Relational3 {
   /** Conditional scalar expressions: nullif / coalesce / greatest /
     * least across columns. */
   def conditionalExprs(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(
-        col("l_orderkey"), col("l_linenumber"),
-        nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
-        coalesce(nullif(col("l_returnflag"), lit("N")), lit("kept")).as("flag_coalesced"),
-        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
-        least(col("l_quantity"), lit(10.0)).as("capped_qty"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // pinnedSort: map-only scalar projection over the widest fact table
+    // — unpinned, the presentation sort's range sampler evaluates the
+    // whole projection twice (r17 optimization round)
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.lineitem(spark, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("kept")).as("flag_coalesced"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_quantity"), lit(10.0)).as("capped_qty")),
+      col("l_orderkey"), col("l_linenumber"))
 
   /** Map/JSON-object functions: parse the dynamic properties envelope
     * into a map, expose its keys (the reference's config-driven
     * property projection, app/hs_contacts.py:164-169). */
   def mapFunctions(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
-      .select(
-        col("event_id"),
-        concat_ws(",", array_sort(map_keys(col("m")))).as("prop_keys"),
-        size(map_keys(col("m"))).cast("long").as("n_props"),
-        element_at(col("m"), "k").cast("long").as("k_value"))
-      .orderBy("event_id")
+    // pinnedSort: from_json over every envelope is the query's whole
+    // cost — unpinned, the sort sampler parses everything twice
+    graft.ops.GlobalOrder.pinnedSort(
+      Tables.events(spark, dir)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .select(
+          col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("prop_keys"),
+          size(map_keys(col("m"))).cast("long").as("n_props"),
+          element_at(col("m"), "k").cast("long").as("k_value")),
+      col("event_id"))
 
   /** INTERSECT: customers in the BUILDING segment who also placed a
     * high-value order (set semantics, dedup included). */

@@ -151,14 +151,17 @@ object Relational5 {
    */
   def approxDistinctPerKey(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    // two-phase exact distinct (no countDistinct Expand over the fact
-    // rows); the HLL pass stays a single scan, and the comparison join
-    // moves event_type-cardinality rows
-    val exact = ev.select(col("event_type"), col("user_id")).distinct()
-      .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
-    val approx = ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-    exact.join(approx, Seq("event_type"))
+    // ONE aggregate over the deduplicated pairs computes BOTH sides:
+    // the exact count, and the HLL sketch — which is duplicate-
+    // insensitive (max-of-registers), so feeding it each distinct
+    // (event_type, user_id) pair once yields the identical register
+    // state the raw-scan pass produced (r17 optimization round: the
+    // separate raw-table HLL pass and its scan+aggregate are dropped;
+    // guide §2.4 "do fewer passes"). Still no countDistinct Expand.
+    ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .withColumn("approx_ok",
         abs(col("approx_users") - col("exact_users")).cast("double")
           / col("exact_users") < 0.05)

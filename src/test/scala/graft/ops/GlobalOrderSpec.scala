@@ -255,9 +255,24 @@ class GlobalOrderSpec extends SparkSpec {
     // the final plan section only
     val full = df.queryExecution.executedPlan.toString
     val plan = full.split("== Initial Plan ==").head
-    // phase 1 is the imperative per-partition pass over the pinned
-    // range-sorted blocks — not a window
-    assert(plan.contains("MapPartitions"), s"expected mapPartitions pass:\n$plan")
+    // phase 1 of the RANK-ONLY path stays inside whole-stage codegen
+    // (r17 optimization round): local rank and pid are bit-ops on
+    // monotonically_increasing_id over the pinned blocks — no
+    // Deserialize→MapPartitions→Serialize boundary, and no window
+    assert(!plan.contains("MapPartitions"),
+      s"rank-only phase 1 must not leave codegen:\n$plan")
+    assert(plan.contains("shiftrightunsigned"),
+      s"expected the mid-derived pid projection:\n$plan")
+    // the running-sum path keeps the imperative per-partition pass (an
+    // exclusive scan has no codegen equivalent) — pin that here too
+    val withVal = GlobalOrder.withRankAndPrefix(li,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      value = Some(col("q")))
+    withVal.collect()
+    val vPlan = withVal.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(vPlan.contains("MapPartitions"),
+      s"prefix-sum phase 1 keeps the imperative pass:\n$vPlan")
     // exactly ONE window survives: the offset fold over the
     // partitions-bound table (≤ shuffle.partitions rows) — its input is
     // the per-partition aggregate, never the row data

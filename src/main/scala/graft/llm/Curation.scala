@@ -270,7 +270,8 @@ object Curation {
    * (a single double division). Two aggregates share the langId scan.
    */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.langId(spark, dir).select(col("lang"), col("pred"))
+    val scored = TextAnalysis.langIdScored(spark, dir)
+      .select(col("lang"), col("pred"))
     val conf = scored.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
     val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     conf.join(totals, "lang")
@@ -478,21 +479,28 @@ object Curation {
    */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // the rank side's columns are RENAMED before the join: the grouped
+    // rank's codegen path (r17) preserves attribute lineage where the
+    // old mapPartitions boundary regenerated it, so joining two frames
+    // derived from the same `docs` scan on same-named columns now
+    // trips Spark's ambiguous-self-join detection — unique names make
+    // the resolution explicit instead of lineage-accidental
     val ranked = graft.ops.GlobalOrder.groupedRankAndPrefix(
         docs.select(col("doc_id"), col("source")),
         keys = Seq(col("source")), order = Seq(col("doc_id")))
       .withColumn("decile",
         graft.ops.GlobalOrder.ntileFromRank(col("g_rank"), col("g_total_rows"), 10))
-      .select(col("doc_id"), col("source"), col("decile"))
+      .select(col("doc_id").as("r_doc"), col("source").as("r_source"),
+        col("decile"))
     val firstDoc = docs
       .select(col("source"), col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), md5(col("tok")).as("h"))
       .agg(min(col("doc_id")).as("first_doc"))
     val perDecile = firstDoc
-      .join(ranked, firstDoc("source") === ranked("source") &&
-        firstDoc("first_doc") === ranked("doc_id"))
-      .groupBy(ranked("source").as("source"), col("decile"))
+      .join(ranked, col("source") === col("r_source") &&
+        col("first_doc") === col("r_doc"))
+      .groupBy(col("r_source").as("source"), col("decile"))
       .agg(count(lit(1)).as("new_tokens"))
     val w = Window.partitionBy(col("source")).orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -258,7 +258,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(col("text")).as("th"))
-    val gop = TextAnalysis.gopherRules(spark, dir)
+    val gop = TextAnalysis.gopherRulesUnsorted(spark, dir)
       .select(col("doc_id"), col("pass").as("gopher_ok"))
     val nd = Dedup.minhashLsh(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()

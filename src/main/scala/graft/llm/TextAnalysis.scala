@@ -43,7 +43,15 @@ object TextAnalysis {
    * Language ID: score each candidate language by marker-token hits per
    * token; predict the argmax (ties broken by language code order).
    */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    // pinnedSort guards the presentation sort only — derived consumers
+    // (q142's confusion matrix) read [[langIdScored]] and skip both the
+    // pin and the sort (the chunkSlots/chunkDocuments split)
+    graft.ops.GlobalOrder.pinnedSort(langIdScored(spark, dir), col("doc_id"))
+
+  /** The unsorted per-document prediction table — q37 presents it
+    * sorted; q142 aggregates it as-is. */
+  private[graft] def langIdScored(spark: SparkSession, dir: String): DataFrame = {
     val scored = Markers.foldLeft(Tables.documents(spark, dir)) {
       case (df, (code, words)) => df.withColumn(s"hits_$code", markerHits(words))
     }
@@ -61,9 +69,6 @@ object TextAnalysis {
     scored
       .withColumn("pred", pred)
       .select(outCols: _*)
-      // pin before the presentation sort: map-only marker scoring would
-      // otherwise run twice (range-sampler pass, guide §2.4)
-      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
   }
 
   /**
@@ -1091,6 +1096,24 @@ object TextAnalysis {
       minWlenCenti: Long = 200L,
       maxWlenCenti: Long = 800L,
       minStop: Long = 2L): DataFrame =
+    // pinnedSort below guards the presentation sort only — derived
+    // consumers (q200's funnel) read [[gopherRulesUnsorted]] and skip
+    // both the pin and the sort (the chunkSlots/chunkDocuments split)
+    graft.ops.GlobalOrder.pinnedSort(
+      gopherRulesUnsorted(spark, dir, minWords, maxWords,
+        minWlenCenti, maxWlenCenti, minStop),
+      col("doc_id"))
+
+  /** The unsorted per-document rule table — q178 presents it sorted;
+    * q200's funnel aggregates it as-is. */
+  private[graft] def gopherRulesUnsorted(
+      spark: SparkSession,
+      dir: String,
+      minWords: Int = 30,
+      maxWords: Int = 1000,
+      minWlenCenti: Long = 200L,
+      maxWlenCenti: Long = 800L,
+      minStop: Long = 2L): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens.as("ws"))
       .select(
@@ -1110,8 +1133,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("mean_wlen_centi"),
         col("n_stop"), col("ok_nwords"), col("ok_wlen"), col("ok_stop"),
         col("pass"))
-      // pin before the presentation sort (map-only; see langId)
-      .transform(d => graft.ops.GlobalOrder.pinnedSort(d, col("doc_id")))
 
   /**
    * Flesch-Kincaid readability per document, in the repo's exact

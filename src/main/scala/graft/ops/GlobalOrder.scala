@@ -342,39 +342,54 @@ object GlobalOrder {
       sch.add(s"__ls$i", prefixType(i), nullable = false)
     }
     val nv = values.size
-    // phase-1 local pass: per-(key, partition-segment) rank + exclusive
-    // running sums; no exchange, all partitions in parallel
-    val local = sorted.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      var curKey: Seq[Any] = null
-      var rank = 0L
-      val cumL = Array.fill(nv)(0L)
-      val cumD = Array.fill(nv)(java.math.BigDecimal.ZERO)
-      rows.map { r =>
-        val k: Seq[Any] = kIdx.map(r.get).toSeq
-        if (curKey == null || k != curKey) {
-          curKey = k
-          rank = 0L
-          java.util.Arrays.fill(cumL, 0L)
-          java.util.Arrays.fill(cumD.asInstanceOf[Array[AnyRef]],
-            java.math.BigDecimal.ZERO)
-        }
-        rank += 1
-        val before: Seq[Any] = (0 until nv).map { i =>
-          vScale(i) match {
-            case Some(s) => cumD(i).setScale(s)
-            case None    => cumL(i)
+    // phase-1 local pass. RANK-ONLY callers (every groupedQuantiles,
+    // the distribution-rank family) stay INSIDE whole-stage codegen
+    // (r17 optimization round, the withRankAndPrefix discipline): over
+    // the pinned blocks monotonically_increasing_id() is, by its
+    // documented construction, (pid << 33) + rowIndex — the PARTITION
+    // rank; the per-(key, segment) rank is recovered after the offset
+    // join as (partition rank − segment start + 1), with each
+    // segment's start collected by phase 2 as min(partition rank).
+    // The running-sum path keeps the imperative per-partition pass
+    // (an exclusive scan has no codegen equivalent).
+    def withMid(df: DataFrame): DataFrame = df
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("long"))
+      .withColumn("__plrank", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop("__mid")
+    val local =
+      if (nv == 0) withMid(sorted)
+      else sorted.mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var curKey: Seq[Any] = null
+        var rank = 0L
+        val cumL = Array.fill(nv)(0L)
+        val cumD = Array.fill(nv)(java.math.BigDecimal.ZERO)
+        rows.map { r =>
+          val k: Seq[Any] = kIdx.map(r.get).toSeq
+          if (curKey == null || k != curKey) {
+            curKey = k
+            rank = 0L
+            java.util.Arrays.fill(cumL, 0L)
+            java.util.Arrays.fill(cumD.asInstanceOf[Array[AnyRef]],
+              java.math.BigDecimal.ZERO)
           }
-        }
-        (0 until nv).foreach { i =>
-          if (!r.isNullAt(vIdx(i))) vScale(i) match {
-            case Some(_) => cumD(i) = cumD(i).add(r.getDecimal(vIdx(i)))
-            case None    => cumL(i) += r.getLong(vIdx(i))
+          rank += 1
+          val before: Seq[Any] = (0 until nv).map { i =>
+            vScale(i) match {
+              case Some(s) => cumD(i).setScale(s)
+              case None    => cumL(i)
+            }
           }
+          (0 until nv).foreach { i =>
+            if (!r.isNullAt(vIdx(i))) vScale(i) match {
+              case Some(_) => cumD(i) = cumD(i).add(r.getDecimal(vIdx(i)))
+              case None    => cumL(i) += r.getLong(vIdx(i))
+            }
+          }
+          Row.fromSeq(r.toSeq ++ (pid +: rank +: before))
         }
-        Row.fromSeq(r.toSeq ++ (pid +: rank +: before))
-      }
-    }(Encoders.row(outSchema))
+      }(Encoders.row(outSchema))
     // phase-2 segment totals: one partial-aggregated row per
     // (partition, key) segment — ≤ K + parts − 1 rows total (a key's
     // rows occupy CONTIGUOUS partitions under the range exchange) —
@@ -384,8 +399,15 @@ object GlobalOrder {
     // a LocalRelation makes the broadcast below PROVABLY bounded — the
     // forced-broadcast audit accepts LocalRelation leaves, and no
     // window of any size appears in the plan.
-    val segAggs = count(lit(1)).as("__n") +:
-      values.indices.map(i => sum(col(s"__v$i")).as(s"__s$i"))
+    // rank-only: phase 2 additionally collects each segment's START
+    // (min partition rank) over the SAME mid projection as phase 1 —
+    // mid is stable across the two reads because the blocks are pinned
+    // and the id is a pure function of (partition, iteration position)
+    val segAggs =
+      if (nv == 0) Seq(count(lit(1)).as("__n"),
+        min(col("__plrank")).as("__segstart"))
+      else count(lit(1)).as("__n") +:
+        values.indices.map(i => sum(col(s"__v$i")).as(s"__s$i"))
     val maxSegs = spark.conf
       .get("graft.groupedOrder.maxSegments", (1 << 20).toString).toInt
     // collect through a LIMIT of maxSegs+1 so the guard binds BEFORE
@@ -394,8 +416,10 @@ object GlobalOrder {
     // land on the driver regardless of the true segment count, and
     // when the guard passes the limited collect IS the full segment
     // set (length ≤ maxSegs < limit)
-    val segs = sorted
-      .withColumn("__pid", spark_partition_id().cast("long"))
+    val segSrc =
+      if (nv == 0) withMid(sorted)
+      else sorted.withColumn("__pid", spark_partition_id().cast("long"))
+    val segs = segSrc
       .groupBy((col("__pid") +: kCols.map(col)): _*)
       .agg(segAggs.head, segAggs.tail: _*)
       .limit(maxSegs + 1)
@@ -422,9 +446,14 @@ object GlobalOrder {
               case None    => offL(i)
             }
           }
+          // rank-only rows additionally carry the segment's start
+          // (min partition rank) so the join can recover the per-key
+          // local rank as (__plrank − __segstart + 1)
+          val tail: Seq[Any] =
+            if (nv == 0) Seq(rankOff, totalN, r.getLong(2 + nKeys))
+            else rankOff +: totalN +: offs
           foldedRows.add(Row.fromSeq(
-            (r.getLong(0) +: (0 until nKeys).map(i => r.get(1 + i))) ++
-              (rankOff +: totalN +: offs)))
+            (r.getLong(0) +: (0 until nKeys).map(i => r.get(1 + i))) ++ tail))
           rankOff += r.getLong(1 + nKeys)
           (0 until nv).foreach { i =>
             val si = 2 + nKeys + i
@@ -435,17 +464,20 @@ object GlobalOrder {
           }
         }
       }
-    val foldSchema = values.indices.foldLeft(
-      kCols.foldLeft(new org.apache.spark.sql.types.StructType()
-          .add("__pid", LongType, nullable = false)) { (st, c) =>
+    val foldBase = kCols.foldLeft(new org.apache.spark.sql.types.StructType()
+        .add("__pid", LongType, nullable = false)) { (st, c) =>
         st.add(schema(c))
       }
-        .add("__rank_off", LongType, nullable = false)
-        .add(totalRowsCol, LongType, nullable = false)) { (st, i) =>
-      st.add(s"__off$i", prefixType(i), nullable = false)
-    }
+      .add("__rank_off", LongType, nullable = false)
+      .add(totalRowsCol, LongType, nullable = false)
+    val foldSchema =
+      if (nv == 0) foldBase.add("__segstart", LongType, nullable = false)
+      else values.indices.foldLeft(foldBase) { (st, i) =>
+        st.add(s"__off$i", prefixType(i), nullable = false)
+      }
     val keepF = Seq(col(s"f.__rank_off"), col(s"f.$totalRowsCol")) ++
-      values.indices.map(i => col(s"f.__off$i"))
+      (if (nv == 0) Seq(col("f.__segstart"))
+       else values.indices.map(i => col(s"f.__off$i")))
     // null-safe on keys: a usingColumns join would drop null-key rows
     val l = local.alias("l")
     val f = broadcast(spark.createDataFrame(foldedRows, foldSchema)).alias("f")
@@ -453,11 +485,15 @@ object GlobalOrder {
       col(s"l.__k$i") <=> col(s"f.__k$i"))
     var out = l.join(f, cond.reduce(_ && _))
       .select((col("l.*") +: keepF): _*)
-      .withColumn(rankCol, col("__rank_off") + col("__lrank"))
+      .withColumn(rankCol,
+        if (nv == 0)
+          col("__rank_off") + (col("__plrank") - col("__segstart") + 1L)
+        else col("__rank_off") + col("__lrank"))
     values.zipWithIndex.foreach { case ((_, name), i) =>
       out = out.withColumn(name, col(s"__off$i") + col(s"__ls$i"))
     }
-    val temp = Seq("__pid", "__lrank", "__rank_off") ++
+    val temp = Seq("__pid", "__lrank", "__plrank", "__segstart",
+        "__rank_off") ++
       kCols ++ vCols ++
       values.indices.flatMap(i => Seq(s"__ls$i", s"__off$i"))
     out.drop(temp: _*)

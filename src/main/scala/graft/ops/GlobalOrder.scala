@@ -151,8 +151,10 @@ object GlobalOrder {
     // nondeterministic id is stable across re-reads. The running-sum
     // path keeps the imperative pass — an exclusive in-partition scan
     // has no codegen'd equivalent.
+    val rankCodegen = spark.conf
+      .get("graft.groupedOrder.rankCodegen", "true").toBoolean
     val local = value match {
-      case None =>
+      case None if rankCodegen =>
         sorted
           .withColumn("__mid", monotonically_increasing_id())
           .withColumn("__pid",
@@ -161,7 +163,7 @@ object GlobalOrder {
             col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
           .withColumn("__lsum", lit(0L))
           .drop("__mid")
-      case Some(_) =>
+      case _ =>
         val vIdx = sorted.schema.fieldIndex("__v")
         val outSchema = sorted.schema
           .add("__pid", LongType, nullable = false)
@@ -342,6 +344,13 @@ object GlobalOrder {
       sch.add(s"__ls$i", prefixType(i), nullable = false)
     }
     val nv = values.size
+    // Measurement toggle for the rank-only codegen path (r17 batch 5,
+    // settled with sf1 data in r18): false routes rank-only callers
+    // through the same imperative per-partition pass the running-sum
+    // path uses, so the two formulations can be A/B'd at any SF in one
+    // session. Default true — the codegen path.
+    val useCodegen = nv == 0 && spark.conf
+      .get("graft.groupedOrder.rankCodegen", "true").toBoolean
     // phase-1 local pass. RANK-ONLY callers (every groupedQuantiles,
     // the distribution-rank family) stay INSIDE whole-stage codegen
     // (r17 optimization round, the withRankAndPrefix discipline): over
@@ -358,7 +367,7 @@ object GlobalOrder {
       .withColumn("__plrank", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
       .drop("__mid")
     val local =
-      if (nv == 0) withMid(sorted)
+      if (useCodegen) withMid(sorted)
       else sorted.mapPartitions { rows =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
         var curKey: Seq[Any] = null
@@ -404,7 +413,7 @@ object GlobalOrder {
     // mid is stable across the two reads because the blocks are pinned
     // and the id is a pure function of (partition, iteration position)
     val segAggs =
-      if (nv == 0) Seq(count(lit(1)).as("__n"),
+      if (useCodegen) Seq(count(lit(1)).as("__n"),
         min(col("__plrank")).as("__segstart"))
       else count(lit(1)).as("__n") +:
         values.indices.map(i => sum(col(s"__v$i")).as(s"__s$i"))
@@ -417,7 +426,7 @@ object GlobalOrder {
     // when the guard passes the limited collect IS the full segment
     // set (length ≤ maxSegs < limit)
     val segSrc =
-      if (nv == 0) withMid(sorted)
+      if (useCodegen) withMid(sorted)
       else sorted.withColumn("__pid", spark_partition_id().cast("long"))
     val segs = segSrc
       .groupBy((col("__pid") +: kCols.map(col)): _*)
@@ -450,7 +459,7 @@ object GlobalOrder {
           // (min partition rank) so the join can recover the per-key
           // local rank as (__plrank − __segstart + 1)
           val tail: Seq[Any] =
-            if (nv == 0) Seq(rankOff, totalN, r.getLong(2 + nKeys))
+            if (useCodegen) Seq(rankOff, totalN, r.getLong(2 + nKeys))
             else rankOff +: totalN +: offs
           foldedRows.add(Row.fromSeq(
             (r.getLong(0) +: (0 until nKeys).map(i => r.get(1 + i))) ++ tail))
@@ -471,12 +480,12 @@ object GlobalOrder {
       .add("__rank_off", LongType, nullable = false)
       .add(totalRowsCol, LongType, nullable = false)
     val foldSchema =
-      if (nv == 0) foldBase.add("__segstart", LongType, nullable = false)
+      if (useCodegen) foldBase.add("__segstart", LongType, nullable = false)
       else values.indices.foldLeft(foldBase) { (st, i) =>
         st.add(s"__off$i", prefixType(i), nullable = false)
       }
     val keepF = Seq(col(s"f.__rank_off"), col(s"f.$totalRowsCol")) ++
-      (if (nv == 0) Seq(col("f.__segstart"))
+      (if (useCodegen) Seq(col("f.__segstart"))
        else values.indices.map(i => col(s"f.__off$i")))
     // null-safe on keys: a usingColumns join would drop null-key rows
     val l = local.alias("l")
@@ -486,7 +495,7 @@ object GlobalOrder {
     var out = l.join(f, cond.reduce(_ && _))
       .select((col("l.*") +: keepF): _*)
       .withColumn(rankCol,
-        if (nv == 0)
+        if (useCodegen)
           col("__rank_off") + (col("__plrank") - col("__segstart") + 1L)
         else col("__rank_off") + col("__lrank"))
     values.zipWithIndex.foreach { case ((_, name), i) =>

@@ -103,9 +103,22 @@ object Relational6 {
     // scan + distinct shuffle would run four times
     val li = GlobalOrder.pin(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct())
-    val freq = li.groupBy(col("l_partkey"))
+    // The support table feeds THREE consumers (the semi-join prune and
+    // the n_a/n_b lift joins) — unpinned, each embedded its own copy of
+    // the groupBy(l_partkey) aggregate, so the pinned basket projection
+    // was re-scanned and re-aggregated three times (r17 before-plan:
+    // three identical Exchange+HashAggregate subtrees). Pinned, the
+    // part-cardinality support rows materialize once; the pin carries
+    // the aggregate's size estimate, so the downstream joins still plan
+    // the same broadcast at test SF and keep AQE's shuffle fallback at
+    // corpus scale. (An alternative single-exchange shape — groupBy +
+    // collect_set first, support and totalOrders derived from the
+    // pinned baskets — measured FLAT in a same-session A/B at sf0.1:
+    // the object-hash collect_set aggregation costs what the saved
+    // passes save. Kept the simpler plan.)
+    val freq = GlobalOrder.pin(li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("supp"))
-      .filter(col("supp") >= BasketMinSupport)
+      .filter(col("supp") >= BasketMinSupport))
     val pruned = li.join(freq.select(col("l_partkey")), Seq("l_partkey"), "left_semi")
     val totalOrders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))

@@ -162,10 +162,13 @@ object Relational7 {
       .join(promoParts, col("l_partkey") === col("p_partkey"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"),
-        col("o_custkey"), col("o_orderdate")),
+        col("o_custkey"),
+        // o_year on the order side: one year() per order row, and the
+        // build side ships a long, not a date (r18, the q205 change)
+        year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
       .join(asianCust, col("o_custkey") === col("c_custkey"))
-      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_3", rev)
           .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
@@ -198,12 +201,19 @@ object Relational7 {
       (lit(1) - col("l_discount")).cast("decimal(18,2)")
     val cost = (col("l_quantity") * lit(0.5)).cast("decimal(18,2)") *
       col("p_retailprice").cast("decimal(18,2)")
+    // o_year is computed on the ORDER side before the join (one year()
+    // per order row instead of one per joined item row, and the
+    // broadcast/build side carries a long instead of a date) —
+    // grouping on the joined column is the same value row for row
+    // (r18; guide §2.3 "project before the exchange"; same-session A/B
+    // 1.87 → 1.62 s at sf0.1)
+    val oYear = Tables.orders(spark, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
     Tables.lineitem(spark, dir)
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("supp_nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(oYear, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("o_year"))
       .agg((sum(rev) - sum(cost)).cast("double").as("profit"))
       .orderBy(col("supp_nation"), col("o_year"))
   }
@@ -421,6 +431,16 @@ object Relational7 {
    * distinct (part, supplier) projection is the partsupp proxy — the
    * distinct collapses the fact table on its first exchange, and
    * everything after runs at catalog cardinality.
+   *
+   * r18 examined dropping the explicit `distinct()` (COUNT(DISTINCT
+   * l_suppkey) dedups two-phase anyway, so the output is identical and
+   * one exchange disappears): a same-session A/B measured it FLAT at
+   * sf0.1 (1.21 vs 1.24 s), and at 100 TB it is strictly worse — once
+   * `part` stops broadcasting, the part join must exchange the fact
+   * projection, and the distinct-first shape ships the deduped
+   * (partkey, suppkey) grain (~N/7 here) through that exchange instead
+   * of every raw item row. Kept distinct-first (guide §2.3, shuffle
+   * fewer bytes).
    */
   def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)

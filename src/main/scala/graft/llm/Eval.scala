@@ -211,13 +211,15 @@ object Eval {
   /** [[prCurve]] computed from an ALREADY-BUILT per-score table (the
     * batch aggregate or its streamed twin). */
   private[graft] def prCurveFrom(perScore: DataFrame): DataFrame = {
-    val withNn = graft.ops.GlobalOrder.withRankAndPrefix(
-        perScore, Seq(col("score")), value = Some(col("nn")),
-        prefixCol = "cum_nn_below")
-      .select(col("score"), col("np"), col("nn"), col("cum_nn_below"))
-    val withBoth = graft.ops.GlobalOrder.withRankAndPrefix(
-      withNn, Seq(col("score")), value = Some(col("np")),
-      prefixCol = "cum_np_below")
+    // BOTH cumulative counts ride ONE rank pass: the former chain of
+    // two withRankAndPrefix calls paid the range exchange + pin +
+    // offset fold + broadcast join twice for the same (score) order —
+    // groupedRankAndPrefix with no keys is the same global exclusive
+    // prefix machinery with any number of value columns (r18; guide
+    // §2.4 "remove shuffles outright"; same-session A/B below)
+    val withBoth = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      perScore, keys = Nil, order = Seq(col("score")),
+      values = Seq((col("nn"), "cum_nn_below"), (col("np"), "cum_np_below")))
     val totals = perScore.agg(
       sum(col("np")).as("t_pos"), sum(col("nn")).as("t_neg"))
     withBoth.crossJoin(broadcast(totals))
@@ -254,13 +256,10 @@ object Eval {
 
   /** [[thresholdYield]] from an already-built per-score table. */
   private[graft] def thresholdYieldFrom(perScore: DataFrame): DataFrame = {
-    val d1 = graft.ops.GlobalOrder.withRankAndPrefix(
-        perScore, Seq(col("score")), value = Some(col("nd")),
-        prefixCol = "cum_nd_below")
-      .select(col("score"), col("nd"), col("nt"), col("cum_nd_below"))
-    val d2 = graft.ops.GlobalOrder.withRankAndPrefix(
-      d1, Seq(col("score")), value = Some(col("nt")),
-      prefixCol = "cum_nt_below")
+    // one rank pass for both cumulative counts (the q232 change)
+    val d2 = graft.ops.GlobalOrder.groupedRankAndPrefix(
+      perScore, keys = Nil, order = Seq(col("score")),
+      values = Seq((col("nd"), "cum_nd_below"), (col("nt"), "cum_nt_below")))
     val totals = perScore.agg(
       sum(col("nd")).as("t_docs"), sum(col("nt")).as("t_tokens"))
     d2.crossJoin(broadcast(totals))

@@ -61,11 +61,14 @@ object Relational3 {
   /** Q15-style top supplier(s): suppliers achieving the maximum revenue
     * (scalar-subquery-on-max pattern). */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
+    // pinned: rev feeds the scalar max AND the filter probe — pinning
+    // the supplier-cardinality aggregate computes the lineitem pass
+    // once (same-session A/B 1.11 → 0.90 s at sf0.1; guide §2.4)
+    val rev = graft.ops.GlobalOrder.pin(Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-        .cast("double").as("total_rev"))
+        .cast("double").as("total_rev")))
     val maxRev = rev.agg(max(col("total_rev")).as("mx"))
     val s = Tables.supplier(spark, dir)
     // maxRev is a 1-row scalar — always broadcast; supplier grows with

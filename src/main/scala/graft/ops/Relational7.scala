@@ -265,6 +265,10 @@ object Relational7 {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
+    // perPart feeds two consumers (the total and the filter join), but
+    // pinning it measured FLAT in a same-session A/B at sf0.1 —
+    // Spark's exchange reuse already dedups the identical aggregate
+    // subtree here, so the pin would only add a materialization
     val perPart = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       .join(eu, col("l_suppkey") === col("s_suppkey"))

@@ -199,6 +199,35 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("declared pin-family queries run end-to-end in reliable mode, row-identical") {
+    // r17 verdict #4 → r18 directive #7: the reliable escape hatch was
+    // unit-covered but no DECLARED query had run under it end to end.
+    // One pinnedSort query (q08) and one grouped-quantile query (q45 —
+    // pin + rank machinery + driver fold) run at sf0.001 in both modes;
+    // rows must match exactly (the pin is a materialization boundary,
+    // so the failure-story flag may never change results).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-e2e").toString
+    val sc = spark.sparkContext
+    val hadDir = sc.getCheckpointDir
+    def rows(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).toSeq
+    val names = Seq("q08_json_extract", "q45_percentiles")
+    val local = names.map(n => n -> rows(n)).toMap
+    sc.setCheckpointDir(dir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      names.foreach { n =>
+        val reliable = rows(n)
+        assert(reliable == local(n), s"$n differs between reliable and local pin modes")
+      }
+    } finally {
+      spark.conf.set("graft.checkpoint.reliable", "false")
+      hadDir.foreach(sc.setCheckpointDir)
+      graft.model.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("pin rejects reliable=true without a checkpoint dir (no silent downgrade)") {
     val sc = spark.sparkContext
     val hadDir = sc.getCheckpointDir

@@ -113,6 +113,11 @@ object Similarity {
 
   private def recallVsExactOf(corpus: DataFrame, k: Int,
       approx: DataFrame): DataFrame = {
+    // NOT pinned, deliberately (r18): exact feeds two consumers, but a
+    // same-session A/B measured a pin +15–60% SLOWER across the whole
+    // recall family — Spark's exchange reuse already dedups the
+    // brute-force subtree, and the pin only adds an eager barrier that
+    // blocks the independent ANN/exact stages from overlapping.
     val exact = cosineTopKOf(corpus, k)
       .select(col("q_id"), col("neighbor_id"))
     val ann = approx

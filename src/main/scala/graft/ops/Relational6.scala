@@ -180,6 +180,10 @@ object Relational6 {
       .join(span, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"), col("o_orderkey"),
         Tables.epochMs(col("o_orderdate")).as("start_ms"), col("end_ms")))
+    // (r18 examined: emitting both delta rows via ONE explode pass over
+    // `o` instead of this two-read union measured FLAT same-session —
+    // the union reads PINNED blocks, so the second read is already
+    // cheap; q140's cost is the grouped operator's fixed job chain.)
     val deltas = o.select(col("o_orderpriority"), col("o_orderkey"),
         col("start_ms").as("ts"), lit(1L).as("delta"))
       .unionByName(o.select(col("o_orderpriority"), col("o_orderkey"),

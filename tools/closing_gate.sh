@@ -52,6 +52,7 @@ SF10_SET=$(python3 - <<'PY'
 import json
 b = json.load(open("tools/bench_best.json"))
 qs = b["queries"] if isinstance(b.get("queries"), dict) else b
+qs = {k: v for k, v in qs.items() if k.startswith("q")}  # skip _host_factors metadata
 top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:10]]
 dedup = ["q30_exact_dedup", "q32_minhash_lsh", "q33_simhash",
          "q155_winnow_dedup", "q213_dup_span_trim", "q238_normalized_dedup",
@@ -65,6 +66,7 @@ SF1_SET=$(python3 - "$OUT/bench_sf0.1.json" "$ANN_FAMILY" "$SF10_SET" <<'PY'
 import json, sys
 b = json.load(open("tools/bench_best.json"))
 qs = b["queries"] if isinstance(b.get("queries"), dict) else b
+qs = {k: v for k, v in qs.items() if k.startswith("q")}  # skip _host_factors metadata
 cur = json.load(open(sys.argv[1]))["queries"]
 top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:25]]
 new = sorted(k for k in cur if k not in qs)

